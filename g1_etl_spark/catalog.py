@@ -1,0 +1,50 @@
+"""Testdata catalog: the ten driver-provided parquet tables.
+
+Scans stay declarative (`spark.read.parquet`) so Catalyst performs column
+pruning and predicate pushdown into the parquet reader — the Spark-native
+form of the reference's hand-rolled `SELECT * ... WHERE dispensary_id={id}`
+pushdown (reference: mmj/utilities/utils.py:24-31).
+
+At cluster scale the same API reads partitioned directories; nothing here
+assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor. At 100 TB
+# the facts (lineitem/orders/events/documents/embeddings) grow; these stay
+# dimension-sized, so broadcast-hash-join hints on them remain valid.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL API path)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

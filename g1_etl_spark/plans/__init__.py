@@ -1,0 +1,29 @@
+"""Named query registry.
+
+Importing this package imports every plan module, which registers its
+queries into ``REGISTRY``. ``__spark_entry__.py`` exposes the registry to
+the driver as ``queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from g1_etl_spark.plans.registry import REGISTRY, QuerySpec, register  # noqa: F401
+
+# Plan modules — importing registers their queries.
+from g1_etl_spark.plans import tpch  # noqa: E402,F401
+from g1_etl_spark.plans import relational  # noqa: E402,F401
+from g1_etl_spark.plans import scalars_demo  # noqa: E402,F401
+from g1_etl_spark.plans import nested  # noqa: E402,F401
+from g1_etl_spark.plans import dedup_plans  # noqa: E402,F401
+from g1_etl_spark.plans import text_plans  # noqa: E402,F401
+from g1_etl_spark.plans import similarity_plans  # noqa: E402,F401
+from g1_etl_spark.plans import events_plans  # noqa: E402,F401
+from g1_etl_spark.plans import entity_plans  # noqa: E402,F401
+
+
+def all_queries():
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles():
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

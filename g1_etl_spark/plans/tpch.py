@@ -1,0 +1,183 @@
+"""Flagship analytical queries (TPC-H-shaped) over the testdata star schema.
+
+These exercise the full relational surface the rebuilt engine must cover:
+scan -> filter (pushed to parquet) -> broadcast/shuffle join -> partial+final
+hash aggregation -> sort. The reference has no aggregation pipeline at all
+(SURVEY.md §2.5) — this is the rebuild's superset query surface demanded by
+BASELINE.json.
+
+Scale notes (100 TB):
+  - lineitem/orders are the facts; nation/region/customer/supplier are
+    dimension-sized and explicitly broadcast — no shuffle for those joins.
+  - lineitem⋈orders is the one genuine shuffle join; AQE handles skew.
+  - Filters are expressed on the scan columns so Catalyst pushes them into
+    the parquet reader (verify: PushedFilters in .explain("formatted")).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.plans._util import davg, dsum, sql_davg, sql_dsum
+from g1_etl_spark.plans.registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1: pricing summary report (groupBy + 8 aggregates)",
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3: top unshipped orders by revenue (3-way join + topk)",
+    tags=("join", "agg", "topk", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    description="TPC-H Q5: local supplier volume (6-way join, broadcast dims)",
+    tags=("join", "agg", "flagship"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date")))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    description="Flagship: revenue by customer nation (scan→join→agg→sort)",
+    tags=("join", "agg", "flagship"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the harness (local[32], 128 GiB host).
+
+Design notes for cluster scale (the settings that matter at 100 TB are the
+same ones set here; only the numbers change):
+  - AQE on: runtime coalescing, skew-join splitting, and dynamic join
+    strategy switching replace hand-tuned shuffle partition counts.
+  - shuffle.partitions ~ cores locally; on a 1000-executor cluster this is
+    left to AQE's coalescing with a high initial partition number.
+  - UTC session timezone so results are comparable with the DuckDB oracle
+    (DuckDB timestamps are UTC-naive).
+  - Arrow enabled for any pandas_udf / toPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "g1_etl_spark", cpus: str | int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the session. Idempotent within a JVM."""
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,44 @@
+"""Every registered query with an oracle must match DuckDB exactly at
+sf0.001 — a stricter local version of the driver's t2 gate (driver runs
+at sf0.01; see tests/test_oracle_parity_sf001.py marker for the slow run).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare
+
+
+def _specs():
+    from g1_etl_spark.plans import REGISTRY
+
+    return sorted(REGISTRY.items())
+
+
+@pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
+def test_oracle_parity(spark, duck, name, spec):
+    df = spec.fn(spark, SF_SMOKE)
+    if spec.oracle is None:
+        # rows-only check, mirroring the driver's weaker gate
+        assert df.count() >= 0
+        return
+    compare(df, duck, spec.oracle, name=name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["n_name", "revenue", "n_items"]
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
