@@ -1,1 +1,782 @@
-"""Placeholder — populated in a later milestone."""
+"""Core relational operator queries — one per operator family in
+SURVEY.md §2, each with a DuckDB oracle twin.
+
+Reference parity map (citations into /root/reference/):
+  proj_cut            → P1  etl.cut               (mmj/entities/menu_items.py:70-71)
+  proj_positional     → P2  cut by position       (mmj/entities/menu_items.py:307-310)
+  proj_drop           → P3  etl.cutout            (mmj/entities/menu_items.py:115)
+  proj_addfield       → P4  etl.addfield          (mmj/entities/menu_items.py:73-80)
+  proj_fieldmap       → P6  etl.fieldmap          (mmj/entities/members.py:63-100)
+  proj_rename         → P7  etl.rename            (mmj/entities/settings.py:83-106)
+  filter_pushdown     → F1  source-SQL WHERE      (mmj/utilities/utils.py:28-30)
+  filter_lambda       → F2  etl.select            (mmj/entities/menu_items.py:111-113)
+  join_inner          → J1  SQL inner join        (mmj/utilities/utils.py:35-37)
+  join_sorted         → J2  join + ORDER BY desc  (mmj/utilities/utils.py:42-47)
+  join_lookup         → J4  etl.lookup broadcast  (mmj/entities/menu_items.py:229-234)
+  join_semi           → J5  existence test        (mmj/entities/menu_items.py:237-251)
+  join_anti           → J5 complement (NOT EXISTS)
+  join_left           → J6  nested-loop left join (mmj/entities/menu_items.py:111-116)
+  join_full_outer     → superset (no reference analog; SURVEY §2.4 note)
+  last_row_wins       → A3/W2 last-wins folds     (mmj/entities/settings.py:169-204)
+  first_per_key       → A2  lookup(...)[0]        (mmj/entities/menu_items.py:234)
+  distinct_rows       → A1  SELECT DISTINCT       (mmj/entities/menu_items.py:242-244)
+  agg_basic / rollup / cube / grouping_sets / pivot / unpivot
+                      → SURVEY §2.5 superset agg surface
+  setop_*             → SURVEY §2.7 (reference has none; superset)
+  sort_limit_topk     → W1 + superset top-k
+  window_analytics    → W2 superset (row_number/rank/lag/lead/running)
+  scalar_subquery     → J8 correlated-subquery decorrelation pattern
+
+All are stock DataFrame API — zero UDFs (SURVEY §4 conclusion). Scale
+notes: dimension joins broadcast; fact-fact joins shuffle on join keys
+with AQE; window queries partition by their key (no global windows except
+the deliberately tiny ones over dimension tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.plans._util import DEC, davg, dsum, sql_davg, sql_dsum
+from g1_etl_spark.plans.registry import register
+
+
+# --------------------------------------------------------------------------
+# Projections
+# --------------------------------------------------------------------------
+
+@register(
+    "proj_cut",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+    description="P1: keep listed columns (etl.cut)",
+    tags=("projection",),
+)
+def proj_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice")
+
+
+@register(
+    "proj_positional",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+    description="P2: projection by column position (etl.cut(*range))",
+    tags=("projection",),
+)
+def proj_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "nation")
+    return df.select(*df.columns[0:2])
+
+
+@register(
+    "proj_drop",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+    description="P3: drop a column (etl.cutout)",
+    tags=("projection",),
+)
+def proj_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").drop("c_acctbal")
+
+
+@register(
+    "proj_addfield",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(NULL AS VARCHAR) AS note,
+           CAST(1 AS BIGINT) AS flag
+    FROM supplier
+    """,
+    description="P4: append constant/null columns (etl.addfield)",
+    tags=("projection",),
+)
+def proj_addfield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .withColumn("note", F.lit(None).cast("string"))
+        .withColumn("flag", F.lit(1).cast("long"))
+    )
+
+
+@register(
+    "proj_fieldmap",
+    oracle="""
+    SELECT s_suppkey AS supplier_id,
+           s_name AS supplier_name,
+           UPPER(s_name) AS name_upper,
+           CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS balance_cents,
+           s_nationkey + 100 AS shifted_nation
+    FROM supplier
+    """,
+    description="P6: fieldmap — renames + computed columns in one select",
+    tags=("projection", "scalar"),
+)
+def proj_fieldmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.upper("s_name").alias("name_upper"),
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("balance_cents"),
+        (F.col("s_nationkey") + 100).alias("shifted_nation"),
+    )
+
+
+@register(
+    "proj_rename",
+    oracle="""
+    SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand,
+           p_type AS type_name, p_size AS size, p_retailprice AS retail_price
+    FROM part
+    """,
+    description="P7: bulk column renames (etl.rename)",
+    tags=("projection",),
+)
+def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    renames = {
+        "p_partkey": "part_id", "p_name": "part_name", "p_brand": "brand",
+        "p_type": "type_name", "p_size": "size", "p_retailprice": "retail_price",
+    }
+    df = load_table(spark, sf_dir, "part")
+    return df.withColumnsRenamed(renames)
+
+
+# --------------------------------------------------------------------------
+# Filters
+# --------------------------------------------------------------------------
+
+@register(
+    "filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+      AND l_quantity > 45
+    """,
+    description="F1: conjunctive predicates pushed into the parquet scan",
+    tags=("filter",),
+)
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "filter_lambda",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+      AND o_orderpriority LIKE '1-%'
+      AND o_totalprice BETWEEN 1000 AND 100000
+    """,
+    description="F2: row-predicate filter (IN / LIKE / BETWEEN)",
+    tags=("filter",),
+)
+def filter_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "P")
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_totalprice").between(1000, 100000)
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    description="J1: inner equi-join, dimension broadcast",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+@register(
+    "join_sorted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey DESC
+    LIMIT 100
+    """,
+    description="J2: join + ORDER BY id DESC (load_membership_prices shape)",
+    tags=("join", "sort"),
+)
+def join_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy(F.desc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "join_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_retailprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_linenumber = 1
+    """,
+    description="J4/J8: etl.lookup → broadcast hash join (decorrelated N+1)",
+    tags=("join",),
+)
+def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name",
+                "p_retailprice")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    description="J5: left-semi join (existence test, _wm_integration shape)",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    description="left-anti join (NOT EXISTS)",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderdate >= DATE '2000-01-01'
+    GROUP BY c_custkey, c_name
+    """,
+    description="J6: left outer join preserving unmatched rows + count",
+    tags=("join", "agg"),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderdate >= F.lit("2000-01-01").cast("date")),
+            "left",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_custkey, COUNT(*) AS n1996 FROM orders
+               WHERE o_orderdate >= DATE '1996-01-01'
+                 AND o_orderdate < DATE '1997-01-01' GROUP BY o_custkey),
+         b AS (SELECT o_custkey, COUNT(*) AS n1997 FROM orders
+               WHERE o_orderdate >= DATE '1997-01-01'
+                 AND o_orderdate < DATE '1998-01-01' GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(n1996, 0) AS n1996, COALESCE(n1997, 0) AS n1997
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    description="full outer join of two yearly aggregates",
+    tags=("join", "agg"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date")))
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = year_counts(1996, "n1996")
+    b = year_counts(1997, "n1997").withColumnRenamed("o_custkey", "bk")
+    return (
+        a.join(b, a.o_custkey == b.bk, "full_outer")
+        .select(
+            F.coalesce(a.o_custkey, b.bk).alias("custkey"),
+            F.coalesce("n1996", F.lit(0)).alias("n1996"),
+            F.coalesce("n1997", F.lit(0)).alias("n1997"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    description="cross join of two tiny sets",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+# --------------------------------------------------------------------------
+# Per-key first/last (lookup[0] and last-row-wins folds)
+# --------------------------------------------------------------------------
+
+@register(
+    "first_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           CAST(o_orderdate AS DATE) AS first_orderdate
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    description="A2: first value per key (lookup(...)[0] → window rn=1)",
+    tags=("window",),
+)
+def first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").cast("date").alias("first_orderdate"),
+        )
+    )
+
+
+@register(
+    "last_row_wins",
+    oracle="""
+    SELECT l_orderkey, l_linenumber AS last_line, l_extendedprice AS last_price
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber DESC,
+                                             l_extendedprice DESC) AS rn
+          FROM lineitem)
+    WHERE rn = 1
+    """,
+    description="A3/W2: last-row-wins fold (settings.py:169-204) as window",
+    tags=("window",),
+)
+def last_row_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_linenumber is NOT unique per order in the synthetic data, so the
+    # ordering must be total over every output-affecting column — otherwise
+    # Spark and the oracle may break ties differently.
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_linenumber"), F.desc("l_extendedprice"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("last_line"),
+            F.col("l_extendedprice").alias("last_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct / aggregation surface
+# --------------------------------------------------------------------------
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    description="A1: SELECT DISTINCT",
+    tags=("agg",),
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_basic",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {sql_dsum('o_totalprice', 'total')},
+           {sql_davg('o_totalprice', 'avg_price')},
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="groupBy with count/count-distinct/sum/avg/min/max",
+    tags=("agg",),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice", "total"),
+            davg("o_totalprice", "avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="rollup (hierarchical subtotals)",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'qty')}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="cube (all grouping combinations)",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice', 'price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    description="explicit grouping sets",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gs_lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, {sql_dsum('l_extendedprice', 'price')}
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", '"O"')},
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", '"F"')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="pivot linestatus into columns",
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value
+    FROM supplier
+    """,
+    description="unpivot/melt wide columns to rows",
+    tags=("agg",),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal"),
+        F.col("s_nationkey").cast("double").alias("s_nationkey_d"))
+    return s.unpivot(
+        "s_suppkey", ["s_acctbal", "s_nationkey_d"], "metric", "value"
+    ).select(
+        "s_suppkey",
+        F.when(F.col("metric") == "s_acctbal", "acctbal")
+        .otherwise("nationkey").alias("metric"),
+        "value",
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="distinct-count per group (exact twin of approx_count_distinct; "
+                "approx variant asserted within 5% in tests/test_relational_extras.py)",
+    tags=("agg",),
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle-checked output is the exact count; approx_count_distinct is
+    # engine-specific (HLL++ seeds differ from DuckDB) so it is test-asserted
+    # to be within 5% rather than hash-compared.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def _custkeys_building(spark, sf_dir):
+    return (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+
+
+def _custkeys_with_urgent_orders(spark, sf_dir):
+    return (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")))
+
+
+_SETOP_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SETOP_B = ("SELECT o_custkey AS c_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'")
+
+
+@register(
+    "setop_union",
+    oracle=f"SELECT c_custkey FROM (({_SETOP_A}) UNION ({_SETOP_B}))",
+    description="UNION (distinct)",
+    tags=("setop",),
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_building(spark, sf_dir).union(
+        _custkeys_with_urgent_orders(spark, sf_dir)).distinct()
+
+
+@register(
+    "setop_union_all",
+    oracle=f"({_SETOP_A}) UNION ALL ({_SETOP_B})",
+    description="UNION ALL (bag semantics)",
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_building(spark, sf_dir).union(
+        _custkeys_with_urgent_orders(spark, sf_dir))
+
+
+@register(
+    "setop_intersect",
+    oracle=f"({_SETOP_A}) INTERSECT ({_SETOP_B})",
+    description="INTERSECT (distinct)",
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_building(spark, sf_dir).intersect(
+        _custkeys_with_urgent_orders(spark, sf_dir))
+
+
+@register(
+    "setop_except",
+    oracle=f"({_SETOP_A}) EXCEPT ({_SETOP_B})",
+    description="EXCEPT (distinct)",
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_building(spark, sf_dir).exceptAll(
+        _custkeys_with_urgent_orders(spark, sf_dir)).distinct()
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k / windows
+# --------------------------------------------------------------------------
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    description="W1 + top-k: global sort with deterministic tie-break + limit",
+    tags=("sort",),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    description="top-3 orders per customer (window row_number)",
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           LAG(o_orderkey)  OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="window suite: row_number/rank/dense_rank/lag/lead/running sum",
+    tags=("window",),
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wsum)
+        .cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(*) * 2
+           FROM orders)
+    """,
+    description="J8 decorrelation: filter vs scalar aggregate subquery",
+    tags=("join", "agg"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = orders.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+         / F.count(F.lit(1)) * 2).alias("t"))
+    return (
+        orders.join(F.broadcast(threshold))
+        .filter(F.col("o_totalprice") > F.col("t"))
+        .select("o_orderkey", "o_totalprice")
+    )
