@@ -36,6 +36,9 @@ def get_spark(app_name: str = "g1_etl_spark", cpus: str | int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read as long (ns since epoch) and convert in catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
