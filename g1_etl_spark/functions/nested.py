@@ -40,6 +40,15 @@ def truthiness_pruned_map(pairs: dict[str, Column]) -> Column:
         m, lambda _k, v: v.isNotNull() & ~v.isin(*_FALSY_STRINGS))
 
 
+def falsy_to_null(col: Column) -> Column:
+    """Python-truthiness gate preserving the original type: falsy values
+    (NULL / 0 / 0.0 / '' / false) become NULL, so a wrapping struct field
+    vanishes from to_json output — the reference's key-delete semantics
+    with the original JSON value types intact."""
+    s = col.cast("string")
+    return F.when(s.isNotNull() & ~s.isin(*_FALSY_STRINGS), col)
+
+
 def address_struct(line1: Column, city: Column, state: Column,
                    zip_: Column, country: Column | None = None,
                    line2: Column | None = None) -> Column:

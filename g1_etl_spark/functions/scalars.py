@@ -171,38 +171,52 @@ def map_uom(measurement: Column | str) -> Column:
 
 # -- C13 ----------------------------------------------------------------
 _SINGULARIZE = {"Seeds": "Seed", "Drinks": "Drink", "Edibles": "Edible"}
-_CAT_PASSTHROUGH = {"Clone", "Concentrate", "Topical"}  # CAT_MAP minus specials
+# PLURAL_CATEGORIES / CAT_MAP cloned from menu_items.py:29-33 (values only).
+_CAT_MAP = ("Indica", "Sativa", "Hybrid", "Edible", "Concentrate", "Drink",
+            "Clone", "Seed", "Tinctures", "Gear", "Topicals", "Preroll",
+            "Wax", "Hash")
 
 
 def map_categories(name: Column | str, sativa: Column | str,
                    indica: Column | str) -> Column:
-    """Category normalization chain.
+    """Category normalization chain — exact decision order of the
+    reference (mmj/entities/menu_items.py:277-304):
 
-    Cannabis: sativa>80 -> 'Sativa'; indica>80 -> 'Indica'; both>0 but
-    neither>80 -> 'Other' (fallthrough); otherwise 'Hybrid'.
-    'Paraphernalia' -> 'Gear'; 'Tincture' -> 'Tinctures';
-    'Prerolled' -> 'Preroll'; plural categories singularized via literal
-    map (no NLP lib — the 3 values are known); unknown -> 'Other'.
+    1. name.lower()=='cannabis': if BOTH sativa>0 AND indica>0 then
+       sativa>80 -> 'Sativa', indica>80 -> 'Indica', neither -> fall
+       through; if NOT both>0 -> 'Hybrid' (so sativa=90/indica=0 is
+       'Hybrid', not 'Sativa' — cloned as-is).
+    2. lower()=='paraphernalia' -> 'Gear'; 'tincture' -> 'Tinctures';
+       'prerolled' -> 'Preroll'.
+    3. name in PLURAL_CATEGORIES -> literal singularization (the
+       reference uses pattern.text.en.singularize on exactly 3 known
+       values — no NLP lib needed).
+    4. name not in CAT_MAP -> 'Other' (this also catches the cannabis
+       fall-through, since 'Cannabis' is not in CAT_MAP); else passthrough.
 
-    Reference: mmj/entities/menu_items.py:277-304 (PLURAL_CATEGORIES at
-    :29, CAT_MAP at :30-33).
+    NULL percentages compare like Py2 None (< everything): coalesced to
+    false, so NULLs land in 'Hybrid' exactly as the reference does.
     """
     n, s, i = _c(name), _c(sativa), _c(indica)
+    nl = F.lower(n)
+    s_pos = F.coalesce(s > 0, F.lit(False))
+    i_pos = F.coalesce(i > 0, F.lit(False))
+    both = s_pos & i_pos
     sing = F.lit(None).cast("string")
     for k, v in _SINGULARIZE.items():
         sing = F.when(n == k, v).otherwise(sing)
     return (
-        F.when(n == "Cannabis",
-               F.when(s > 80, "Sativa")
-               .when(i > 80, "Indica")
-               .when((s > 0) & (i > 0), "Other")
-               .otherwise("Hybrid"))
-        .when(n == "Paraphernalia", "Gear")
-        .when(n == "Tincture", "Tinctures")
-        .when(n == "Prerolled", "Preroll")
+        F.when((nl == "cannabis") & both & F.coalesce(s > 80, F.lit(False)),
+               "Sativa")
+        .when((nl == "cannabis") & both & F.coalesce(i > 80, F.lit(False)),
+              "Indica")
+        .when((nl == "cannabis") & ~both, "Hybrid")
+        .when(nl == "paraphernalia", "Gear")
+        .when(nl == "tincture", "Tinctures")
+        .when(nl == "prerolled", "Preroll")
         .when(n.isin(*_SINGULARIZE), sing)
-        .when(n.isin(*_CAT_PASSTHROUGH), n)
-        .otherwise("Other")
+        .when(~n.isin(*_CAT_MAP), "Other")
+        .otherwise(n)
     )
 
 
@@ -269,11 +283,12 @@ def tax_percent(amount: Column | str) -> Column:
 
 # -- C20 ----------------------------------------------------------------
 def monthly_purchase_limit(two_week: Column | str) -> Column:
-    """two_week_purchase_limit * 2, integer.
+    """int(two_week_purchase_limit * 2) — multiply FIRST, then truncate
+    (int(2.6*2)=5, not int(2.6)*2=4).
 
     Reference: mmj/entities/settings.py:196-204.
     """
-    return (_c(two_week).cast("long") * 2)
+    return (_c(two_week) * 2).cast("long")
 
 
 # -- C21 ----------------------------------------------------------------

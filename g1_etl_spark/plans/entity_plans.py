@@ -1,1 +1,456 @@
-"""Placeholder — populated in a later milestone."""
+"""Driver-facing entity-pipeline queries.
+
+The six entity transforms (g1_etl_spark/entities/*) are exercised against
+mmj-shaped inputs DERIVED from the driver's testdata tables (the derivation
+is plain column expressions, reproduced identically on the DuckDB side).
+Outputs are flattened doc fields so nullable group-deletes hash cleanly.
+
+members/vendors/physicians/employees have full oracles; settings and
+menu_items run the full nested pipeline as rows-only checks (their exact
+semantics are pinned by the fixture goldens in tests/test_entities.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.plans.registry import register
+
+_TS = "1995-03-04 10:20:30"
+
+
+def _customers_like(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.lit(1).cast("long").alias("dispensary_id"),
+        F.when(k % 3 != 0, F.concat(F.col("c_name"), F.lit(".jpg")))
+        .alias("picture_file_name"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("u"), k.cast("string"), F.lit("@x.org")).alias("email"),
+        F.concat(F.lit("555-"), k.cast("string")).alias("phone_number"),
+        F.concat(F.lit("A-"), k.cast("string")).alias("address"),
+        F.col("c_mktsegment").alias("city"),
+        F.col("c_nationkey").cast("string").alias("state"),
+        F.lit("55812").alias("zip_code"),
+        F.when(k % 2 == 0, F.lit("1980-09-02 00:00:00").cast("timestamp"))
+        .alias("dob"),
+        (k % 2).cast("int").alias("license_type"),
+        F.when(k % 4 != 0, F.concat(F.lit("REG"), k.cast("string")))
+        .alias("registry_no"),
+        (k % 7).alias("membership_id"),
+        (k % 2).cast("int").alias("given_caregivership"),
+        (k % 3).cast("int").alias("tax_exempt"),
+        F.concat(F.lit("DL"), k.cast("string")).alias("drivers_license_no"),
+        F.col("c_acctbal").alias("points"),
+        (k % 2).cast("int").alias("locked_visits"),
+        F.when(k % 5 == 0, F.lit("flagged")).alias("locked_visits_reason"),
+        (k % 3).alias("caregiver_id"),
+        F.when(k % 2 == 1, F.lit(_TS).cast("timestamp"))
+        .alias("card_expires_at"),
+        F.lit(_TS).cast("timestamp").alias("created_at"),
+        F.lit(_TS).cast("timestamp").alias("updated_at"),
+        F.lit(None).cast("long").alias("physician_id"),
+        F.when(k % 4 != 0, F.concat(F.lit("CM"), k.cast("string")))
+        .otherwise(F.lit("")).alias("custom_membership_id"),
+        F.lit(None).cast("string").alias("organization_membership_id"),
+        F.lit(420).cast("long").alias("organization_id"),
+    )
+
+
+_CUSTOMERS_LIKE_SQL = f"""
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 3 <> 0 THEN c_name || '.jpg' END
+             AS picture_file_name,
+           c_name AS name,
+           c_acctbal AS points,
+           c_custkey % 2 AS license_type,
+           c_custkey % 2 AS given_caregivership,
+           c_custkey % 3 AS tax_exempt,
+           c_custkey % 2 AS locked_visits,
+           CASE WHEN c_custkey % 5 = 0 THEN 'flagged' END
+             AS locked_visits_reason,
+           c_custkey % 3 AS caregiver_id,
+           CASE WHEN c_custkey % 4 <> 0 THEN 'REG' || CAST(c_custkey AS VARCHAR) END
+             AS registry_no,
+           'DL' || CAST(c_custkey AS VARCHAR) AS drivers_license_no,
+           CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '1980-09-02 00:00:00' END
+             AS dob,
+           CASE WHEN c_custkey % 2 = 1 THEN TIMESTAMP '{_TS}' END
+             AS card_expires_at,
+           CASE WHEN c_custkey % 4 <> 0 THEN 'CM' || CAST(c_custkey AS VARCHAR)
+                ELSE '' END AS custom_membership_id
+    FROM customer
+"""
+
+
+@register(
+    "entity_members",
+    oracle=f"""
+    WITH src AS ({_CUSTOMERS_LIKE_SQL})
+    SELECT id AS custkey,
+           name,
+           CASE WHEN license_type = 1 THEN 'MEDICAL'
+                ELSE 'RECREATIONAL' END AS member_type,
+           CASE WHEN locked_visits = 1 THEN 'INACTIVE'
+                WHEN locked_visits = 0 THEN 'ACTIVE' END AS account_status,
+           strftime(COALESCE(dob, TIMESTAMP '1970-01-01 00:00:00'),
+                    '%Y-%m-%dT%H:%M:%S') AS date_of_birth,
+           COALESCE(given_caregivership = 1, FALSE) AS is_caregiver,
+           COALESCE(tax_exempt = 1, FALSE) AS tax_exempt_out,
+           registry_no AS mmj_card,
+           drivers_license_no AS identification_number,
+           points,
+           strftime(card_expires_at, '%Y-%m-%dT%H:%M:%S') AS expiry_date,
+           locked_visits_reason AS account_status_notes,
+           CASE WHEN id <> 0 THEN id END AS keys_id,
+           CASE WHEN caregiver_id <> 0 THEN caregiver_id END
+             AS keys_caregiver_id,
+           CASE WHEN custom_membership_id <> '' THEN custom_membership_id END
+             AS keys_custom_membership_id,
+           picture_file_name AS keys_picture_file_name
+    FROM src
+    """,
+    description="members entity pipeline (C2/C8/C16/C21/C22, N1/N2, F5 "
+                "pruning) over mmj-shaped inputs derived from customer",
+    tags=("entity",),
+)
+def entity_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.entities.members import transform
+
+    out = transform(_customers_like(spark, sf_dir), 1, 420)
+    return out.select(
+        F.col("_id").alias("custkey"),
+        F.col("doc.name").alias("name"),
+        F.col("doc.memberType").alias("member_type"),
+        F.col("doc.accountStatus").alias("account_status"),
+        F.col("doc.dateOfBirth").alias("date_of_birth"),
+        F.col("doc.isCaregiver").alias("is_caregiver"),
+        F.col("doc.taxExempt").alias("tax_exempt_out"),
+        F.col("doc.mmjCard").alias("mmj_card"),
+        F.col("doc.identificationNumber").alias("identification_number"),
+        F.col("doc.points").alias("points"),
+        F.col("doc.expiryDate").alias("expiry_date"),
+        F.col("doc.accountStatusNotes").alias("account_status_notes"),
+        F.col("doc.keys.id").alias("keys_id"),
+        F.col("doc.keys.caregiver_id").alias("keys_caregiver_id"),
+        F.col("doc.keys.custom_membership_id")
+        .alias("keys_custom_membership_id"),
+        F.col("doc.keys.picture_file_name").alias("keys_picture_file_name"),
+    )
+
+
+def _vendors_like(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        k.alias("id"),
+        F.lit(1).cast("long").alias("dispensary_id"),
+        F.when(k % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("MV"), k.cast("string"))).alias("mmjvenu_id"),
+        F.col("p_name").alias("name"),
+        F.when(k % 3 != 0, F.concat(F.lit("705"), k.cast("string")))
+        .alias("phone_number"),
+        F.when(k % 2 == 0, F.concat(F.lit("v"), k.cast("string"),
+                                    F.lit("@x.org"))).alias("email"),
+        F.lit("US").alias("country"),
+        F.lit("MN").alias("state"),
+        F.col("p_brand").alias("city"),
+        F.when(k % 4 != 0, F.concat(F.lit("Addr "), k.cast("string")))
+        .alias("address"),
+        F.lit("55812").alias("zip_code"),
+        F.when(k % 3 == 0, F.concat(F.lit("L"), k.cast("string")))
+        .alias("liscense_no"),
+        (k % 2).cast("int").alias("confirmed"),
+        F.when(k % 7 != 0, F.lit("http://v.example")).alias("website"),
+    )
+
+
+_VENDORS_LIKE_SQL = """
+    SELECT p_partkey AS id, p_name AS name, p_brand AS city,
+           CASE WHEN p_partkey % 5 = 0 THEN ''
+                ELSE 'MV' || CAST(p_partkey AS VARCHAR) END AS mmjvenu_id,
+           CASE WHEN p_partkey % 3 <> 0
+                THEN '705' || CAST(p_partkey AS VARCHAR) END AS phone_number,
+           CASE WHEN p_partkey % 2 = 0
+                THEN 'v' || CAST(p_partkey AS VARCHAR) || '@x.org' END AS email,
+           CASE WHEN p_partkey % 4 <> 0
+                THEN 'Addr ' || CAST(p_partkey AS VARCHAR) END AS address,
+           CASE WHEN p_partkey % 3 = 0
+                THEN 'L' || CAST(p_partkey AS VARCHAR) END AS liscense_no,
+           p_partkey % 2 AS confirmed,
+           CASE WHEN p_partkey % 7 <> 0 THEN 'http://v.example' END AS website
+    FROM part
+"""
+
+
+@register(
+    "entity_vendors",
+    oracle=f"""
+    WITH src AS ({_VENDORS_LIKE_SQL}),
+    g AS (SELECT *,
+                 (liscense_no IS NOT NULL AND email IS NOT NULL
+                  AND website IS NOT NULL) AS grp
+          FROM src)
+    SELECT id AS vendor_id, name,
+           CASE WHEN confirmed = 1 THEN 'ACTIVE' ELSE 'INACTIVE' END
+             AS account_status,
+           CASE WHEN grp THEN email END AS email_out,
+           CASE WHEN grp THEN website END AS website_out,
+           CASE WHEN grp THEN liscense_no END AS licence_number,
+           phone_number AS phone_first_number,
+           address AS address_line1,
+           CASE WHEN address IS NOT NULL THEN city END AS address_city,
+           CASE WHEN mmjvenu_id <> '' THEN mmjvenu_id END AS keys_mmjvenu_id
+    FROM g
+    """,
+    description="vendors entity pipeline (C24, F4 group-delete, N2/N3) "
+                "over mmj-shaped inputs derived from part",
+    tags=("entity",),
+)
+def entity_vendors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.entities.vendors import transform
+
+    out = transform(_vendors_like(spark, sf_dir), 1, 420)
+    return out.select(
+        F.col("_id").alias("vendor_id"),
+        F.col("doc.name").alias("name"),
+        F.col("doc.accountStatus").alias("account_status"),
+        F.col("doc.email").alias("email_out"),
+        F.col("doc.website").alias("website_out"),
+        F.col("doc.licenceNumber").alias("licence_number"),
+        F.col("doc.phone").getItem(0).getField("number")
+        .alias("phone_first_number"),
+        F.col("doc.address.line1").alias("address_line1"),
+        F.col("doc.address.city").alias("address_city"),
+        F.col("doc.keys.mmjvenu_id").alias("keys_mmjvenu_id"),
+    )
+
+
+def _physicians_like(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.lit(1).cast("long").alias("dispensary_id"),
+        F.when(k % 2 == 0, F.concat(F.lit("Dr. "), F.col("c_name")))
+        .otherwise(F.col("c_name")).alias("name"),
+        F.when(k % 3 == 0, F.concat(F.lit("p"), k.cast("string"),
+                                    F.lit("@x.org"))).alias("email"),
+        F.lit(_TS).cast("timestamp").alias("created_at"),
+        F.lit(_TS).cast("timestamp").alias("updated_at"),
+        F.when(k % 4 != 0, F.concat(F.lit("Care "), k.cast("string")))
+        .alias("address"),
+        F.when(k % 4 != 0, F.col("c_mktsegment")).alias("city"),
+        F.when(k % 4 != 0, F.lit("MN")).alias("state"),
+        F.lit(None).cast("string").alias("country"),
+        F.when(k % 4 != 0, F.lit("55812")).alias("zip_code"),
+        F.when(k % 6 == 0, F.lit("http://verify.example")).alias("website"),
+        F.when(k % 3 == 0, F.concat(F.lit("MD"), k.cast("string")))
+        .alias("license_no"),
+        F.when(k % 2 == 1, F.concat(F.lit("218"), k.cast("string")))
+        .alias("phone_number"),
+    )
+
+
+_PHYSICIANS_LIKE_SQL = """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 2 = 0 THEN 'Dr. ' || c_name
+                ELSE c_name END AS name,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'p' || CAST(c_custkey AS VARCHAR) || '@x.org' END AS email,
+           CASE WHEN c_custkey % 4 <> 0
+                THEN 'Care ' || CAST(c_custkey AS VARCHAR) END AS address,
+           CASE WHEN c_custkey % 4 <> 0 THEN c_mktsegment END AS city,
+           CASE WHEN c_custkey % 4 <> 0 THEN 'MN' END AS state,
+           CASE WHEN c_custkey % 4 <> 0 THEN '55812' END AS zip_code,
+           CASE WHEN c_custkey % 6 = 0 THEN 'http://verify.example' END
+             AS website,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'MD' || CAST(c_custkey AS VARCHAR) END AS license_no,
+           CASE WHEN c_custkey % 2 = 1
+                THEN '218' || CAST(c_custkey AS VARCHAR) END AS phone_number
+    FROM customer
+"""
+
+
+@register(
+    "entity_physicians",
+    oracle=f"""
+    WITH src AS ({_PHYSICIANS_LIKE_SQL}),
+    g AS (SELECT *,
+                 (license_no IS NOT NULL AND website IS NOT NULL
+                  AND email IS NOT NULL) AS grp,
+                 (COALESCE(city, '') <> '' OR COALESCE(address, '') <> ''
+                  OR COALESCE(state, '') <> '' OR COALESCE(zip_code, '') <> '')
+                   AS has_loc
+          FROM src)
+    SELECT id AS physician_id,
+           trim(regexp_replace(name, '(?i)^(Dr(?:.)?s|(?:Dr.?))', ''))
+             AS name,
+           'General' AS specialty,
+           CASE WHEN grp THEN email END AS email_out,
+           CASE WHEN grp THEN website END AS verification_website,
+           CASE WHEN grp THEN license_no END AS licence_number,
+           phone_number AS phone_first_number,
+           CASE WHEN has_loc THEN address END AS address_line1,
+           CASE WHEN has_loc THEN city END AS address_city
+    FROM g
+    """,
+    description="physicians entity pipeline (C14 Dr-strip, C23, F4 "
+                "group-delete, conditional N2) over customer-derived inputs",
+    tags=("entity",),
+)
+def entity_physicians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.entities.physicians import transform
+
+    out = transform(_physicians_like(spark, sf_dir), 1, 420)
+    return out.select(
+        F.col("_id").alias("physician_id"),
+        F.col("doc.name").alias("name"),
+        F.col("doc.specialty").alias("specialty"),
+        F.col("doc.email").alias("email_out"),
+        F.col("doc.verificationWebsite").alias("verification_website"),
+        F.col("doc.licenceNumber").alias("licence_number"),
+        F.col("doc.phone").getItem(0).getField("number")
+        .alias("phone_first_number"),
+        F.col("doc.address").getItem(0).getField("line1")
+        .alias("address_line1"),
+        F.col("doc.address").getItem(0).getField("city")
+        .alias("address_city"),
+    )
+
+
+def _users_like(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.concat(F.lit("e"), k.cast("string"), F.lit("@real.org"))
+        .alias("email"),
+        F.when(k % 3 != 0, F.concat(F.lit("First"), k.cast("string")))
+        .alias("first_name"),
+        F.when(k % 2 != 0, F.concat(F.lit("Last"), k.cast("string")))
+        .alias("last_name"),
+        F.concat(F.lit("login"), k.cast("string")).alias("login"),
+        F.lit(420).cast("long").alias("organization_id"),
+        F.lit(_TS).cast("timestamp").alias("created_at"),
+        F.lit(_TS).cast("timestamp").alias("updated_at"),
+    )
+
+
+def _dispensary_users_like(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.filter(k % 10 != 0).select(
+        k.alias("user_id"),
+        F.lit(1).cast("long").alias("dispensary_id"),
+        F.when(k % 3 == 1, 1).when(k % 3 == 2, 0).cast("int")
+        .alias("active"),
+        (k % 5).cast("int").alias("access"),
+    )
+
+
+@register(
+    "entity_employees",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey AS id,
+             'e' || CAST(c_custkey AS VARCHAR) || '@real.org' AS email,
+             CASE WHEN c_custkey % 3 <> 0
+                  THEN 'First' || CAST(c_custkey AS VARCHAR) END AS first_name,
+             CASE WHEN c_custkey % 2 <> 0
+                  THEN 'Last' || CAST(c_custkey AS VARCHAR) END AS last_name,
+             'login' || CAST(c_custkey AS VARCHAR) AS login
+      FROM customer),
+    du AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_custkey % 3 = 1 THEN 1
+                  WHEN c_custkey % 3 = 2 THEN 0 END AS active,
+             c_custkey % 5 AS access
+      FROM customer WHERE c_custkey % 10 <> 0)
+    SELECT u.id AS employee_id,
+           CASE WHEN first_name IS NULL AND last_name IS NULL THEN login
+                ELSE concat_ws(' ', COALESCE(first_name, 'None'),
+                               COALESCE(last_name, 'None')) END AS name,
+           CASE WHEN access IN (1, 2) THEN 'site-admin'
+                WHEN access = 3 THEN 'store-manager'
+                ELSE 'budtender' END AS role,
+           CASE WHEN active = 1 THEN 'ACTIVE'
+                WHEN active IS NULL THEN 'INACTIVE' END AS account_status,
+           email AS email_out
+    FROM u JOIN du ON u.id = du.user_id
+    """,
+    description="employees entity pipeline (C6 'None Smith', C9 role "
+                "intent, C10 active fallthrough; S4 N+1 -> broadcast join)",
+    tags=("entity",),
+)
+def entity_employees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.entities.employees import transform
+
+    out = transform(_users_like(spark, sf_dir),
+                    _dispensary_users_like(spark, sf_dir),
+                    1, 420, fake_email=False, debug=False)
+    return out.select(
+        F.col("_id").alias("employee_id"),
+        F.col("doc.name").alias("name"),
+        F.col("doc.role").alias("role"),
+        F.col("doc.accountStatus").alias("account_status"),
+        F.col("doc.email").alias("email_out"),
+    )
+
+
+@register(
+    "entity_products_smoke",
+    oracle=None,  # full nested doc; semantics pinned by fixture goldens
+    description="menu_items pipeline end-to-end (broadcast decorrelation "
+                "of S4, nested locationProductDetails) — rows-only check",
+    tags=("entity",),
+)
+def entity_products_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.entities.menu_items import transform
+
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    menu_items = p.select(
+        k.alias("id"), (k % 7).alias("vendor_id"),
+        F.lit(1).cast("long").alias("menu_id"),
+        F.lit(1).cast("long").alias("dispensary_id"),
+        F.lit(None).cast("long").alias("strain_id"),
+        F.lit(_TS).cast("timestamp").alias("created_at"),
+        F.lit(_TS).cast("timestamp").alias("updated_at"),
+        (k % 4).alias("category_id"),
+        F.col("p_name").alias("name"),
+        ((F.col("p_size") * 7) % 101).cast("int").alias("sativa"),
+        ((F.col("p_size") * 13) % 101).cast("int").alias("indica"),
+        (k % 2).cast("int").alias("on_hold"),
+        (k % 2 + 1).cast("int").alias("product_type"),
+        F.when(k % 3 == 0, F.concat(F.col("p_brand"), F.lit(".jpg")))
+        .alias("image_file_name"),
+        F.col("p_retailprice").alias("medicine_amount"),
+    )
+    categories = spark.createDataFrame(
+        [(0, "Cannabis", 2, 1), (1, "Edibles", 1, 1),
+         (2, "Paraphernalia", 1, 1), (3, "Widget", 2, 1)],
+        "id long, name string, measurement int, dispensary_id long")
+    s = load_table(spark, sf_dir, "supplier")
+    prices = s.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_suppkey").alias("menu_item_id"),
+        F.lit(1).cast("long").alias("dispensary_id"),
+        *[F.abs(F.col("s_acctbal") % 100).alias(c) for c in
+          ("price_half_gram", "price_gram", "price_two_gram", "price_eigth",
+           "price_quarter", "price_half", "price_ounce")])
+    wm = p.filter(k % 5 == 0).select(F.col("p_partkey").alias("menu_item_id"))
+    dd = spark.createDataFrame(
+        [(7, 1, 5.5, 3.0)],
+        "id long, dispensary_id long, grams_hold_at double, "
+        "units_hold_at double")
+    out = transform(menu_items, categories, prices, wm, dd, 1, 420)
+    return out.select(
+        F.col("_id").alias("product_id"),
+        F.to_json(F.col("doc")).alias("doc_json"),
+    )

@@ -159,38 +159,41 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_category_chain",
     oracle="""
     SELECT p_partkey,
-           CASE cat
-             WHEN 'Cannabis' THEN
-               CASE WHEN sativa > 80 THEN 'Sativa'
-                    WHEN indica > 80 THEN 'Indica'
-                    WHEN sativa > 0 AND indica > 0 THEN 'Other'
-                    ELSE 'Hybrid' END
-             WHEN 'Paraphernalia' THEN 'Gear'
-             WHEN 'Tincture' THEN 'Tinctures'
-             WHEN 'Prerolled' THEN 'Preroll'
-             WHEN 'Seeds' THEN 'Seed'
-             WHEN 'Drinks' THEN 'Drink'
-             WHEN 'Edibles' THEN 'Edible'
-             WHEN 'Clone' THEN 'Clone'
-             WHEN 'Concentrate' THEN 'Concentrate'
-             WHEN 'Topical' THEN 'Topical'
-             ELSE 'Other' END AS category_c13
+           CASE
+             WHEN lower(cat) = 'cannabis' AND sativa > 0 AND indica > 0
+                  AND sativa > 80 THEN 'Sativa'
+             WHEN lower(cat) = 'cannabis' AND sativa > 0 AND indica > 0
+                  AND indica > 80 THEN 'Indica'
+             WHEN lower(cat) = 'cannabis' AND NOT (sativa > 0 AND indica > 0)
+                  THEN 'Hybrid'
+             WHEN lower(cat) = 'paraphernalia' THEN 'Gear'
+             WHEN lower(cat) = 'tincture' THEN 'Tinctures'
+             WHEN lower(cat) = 'prerolled' THEN 'Preroll'
+             WHEN cat = 'Seeds' THEN 'Seed'
+             WHEN cat = 'Drinks' THEN 'Drink'
+             WHEN cat = 'Edibles' THEN 'Edible'
+             WHEN cat NOT IN ('Indica','Sativa','Hybrid','Edible',
+                              'Concentrate','Drink','Clone','Seed',
+                              'Tinctures','Gear','Topicals','Preroll',
+                              'Wax','Hash') THEN 'Other'
+             ELSE cat END AS category_c13
     FROM (SELECT p_partkey,
                  ['Cannabis','Paraphernalia','Tincture','Prerolled','Seeds',
-                  'Drinks','Edibles','Clone','Concentrate','Topical','Widget'
+                  'Drinks','Edibles','Clone','Concentrate','Topicals','Widget'
                  ][(CAST(p_partkey AS INT) % 11) + 1] AS cat,
                  (p_size * 7) % 101 AS sativa,
                  (p_size * 13) % 101 AS indica
           FROM part)
     """,
-    description="C13: full category normalization chain incl. "
-                "sativa/indica thresholds and literal singularization",
+    description="C13: full category normalization chain — exact reference "
+                "decision order (cannabis both>0 gate, case-insensitive "
+                "specials, CAT_MAP passthrough)",
     tags=("scalar",),
 )
 def scalar_category_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     cats = ["Cannabis", "Paraphernalia", "Tincture", "Prerolled", "Seeds",
-            "Drinks", "Edibles", "Clone", "Concentrate", "Topical", "Widget"]
+            "Drinks", "Edibles", "Clone", "Concentrate", "Topicals", "Widget"]
     cat = F.array(*[F.lit(x) for x in cats]).getItem(
         (F.col("p_partkey") % 11).cast("int"))
     sativa = (F.col("p_size") * 7) % 101

@@ -82,16 +82,23 @@ def test_map_uom_c12(spark):
 def test_map_categories_c13(spark):
     rows = [
         ("Cannabis", 90, 5), ("Cannabis", 5, 90), ("Cannabis", 50, 50),
-        ("Cannabis", 0, 0), ("Cannabis", 0, 50),
+        ("Cannabis", 90, 0),  # both>0 gate fails -> Hybrid (NOT Sativa)
+        ("Cannabis", 0, 0), ("Cannabis", 0, 50), ("Cannabis", None, 50),
+        ("CANNABIS", 90, 5),  # case-insensitive special
         ("Paraphernalia", 0, 0), ("Tincture", 0, 0), ("Prerolled", 0, 0),
         ("Seeds", 0, 0), ("Drinks", 0, 0), ("Edibles", 0, 0),
-        ("Clone", 0, 0), ("Widget", 0, 0), (None, 0, 0),
+        ("Clone", 0, 0), ("Wax", 0, 0), ("Widget", 0, 0),
     ]
     out = _vals(spark, sc.map_categories("n", "s", "i"), rows,
                 "n string, s int, i int")
-    assert out == ["Sativa", "Indica", "Other", "Hybrid", "Hybrid",
+    # Expected values traced through the reference decision order
+    # (menu_items.py:277-304): the 50/50 cannabis falls through to the
+    # CAT_MAP check ('Cannabis' not in CAT_MAP -> 'Other').
+    assert out == ["Sativa", "Indica", "Other", "Hybrid",
+                   "Hybrid", "Hybrid", "Hybrid",
+                   "Sativa",
                    "Gear", "Tinctures", "Preroll",
-                   "Seed", "Drink", "Edible", "Clone", "Other", "Other"]
+                   "Seed", "Drink", "Edible", "Clone", "Wax", "Other"]
 
 
 def test_strip_dr_prefix_c14(spark):
