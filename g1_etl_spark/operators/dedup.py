@@ -1,0 +1,222 @@
+"""Deduplication operators over a document corpus — the LLM-training-data
+superset surface (BASELINE.json north star; no reference analog).
+
+Four families, all expressed as compositions of built-in DataFrame ops
+(zero Python UDFs; shingling/hashing/banding use higher-order functions
+that stay inside whole-stage codegen):
+
+  exact_dedup          hash-groupBy on (normalized) content
+  ngram_jaccard_pairs  inverted-index join on word n-grams -> exact jaccard
+  minhash_lsh_pairs    shingle -> minhash signature -> band -> bucket join
+  simhash              64-bit simhash + banded hamming candidates
+
+Scale design (100 TB):
+  - Everything is linear explode + hash-partitioned groupBy/join on
+    shingle/band keys; no O(n²) stage ever materializes. Candidate
+    verification touches only bucket-colliding pairs.
+  - Hot shingles (stop-phrases) are frequency-capped (`max_df`) before
+    the inverted join — the classic skew guard for n-gram indexes.
+  - MinHash banding: P(candidate) = 1-(1-j^r)^b; defaults r=4, b=8
+    target j≳0.5. Tune r,b per corpus, not per scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime — (a*h+b) % P universal hashing on xxhash64 values
+# reduced into [0, P). 31 bits keeps a*h < 2^62, inside int64 (ANSI mode
+# overflow-checks multiplication); 2^31 hash space is ample for minhash.
+_P = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + collapse runs of whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column as array<string>."""
+    words = F.split(col, " ")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                           for j in range(n)]),
+            ),
+        ).otherwise(F.array(col)),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalized: bool = False) -> DataFrame:
+    """Exact duplicate groups: canonical id = MIN(id) per content key.
+
+    Returns (doc_id, canonical_id, group_size). A doc is a duplicate iff
+    doc_id != canonical_id. One hash-shuffle on the content key.
+    """
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    keyed = df.select(F.col(id_col), key.alias("_k"))
+    groups = (keyed.groupBy("_k")
+              .agg(F.min(id_col).alias("canonical_id"),
+                   F.count(F.lit(1)).alias("group_size")))
+    return (keyed.join(groups, "_k")
+            .select(id_col, "canonical_id", "group_size"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    shuffle 1: explode shingles, hash-partition by shingle
+    shuffle 2: groupBy (d1, d2) counting common shingles
+    Jaccard = common / (|A| + |B| - common) computed exactly from ints.
+    `max_df` drops shingles appearing in more than that many docs (skew
+    guard; a shingle shared by k docs contributes k² candidate pairs).
+    """
+    sh = (df.select(F.col(id_col).alias("d"),
+                    word_ngrams(F.col(text_col), n).alias("grams"))
+          .select("d", F.size("grams").alias("sz"),
+                  F.explode("grams").alias("g")))
+    if max_df is not None:
+        hot = (sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df).select("g"))
+        sh = sh.join(F.broadcast(hot), "g", "left_anti")
+    a = sh.select(F.col("d").alias("d1"), F.col("sz").alias("sz1"), "g")
+    b = sh.select(F.col("d").alias("d2"), F.col("sz").alias("sz2"), "g")
+    pairs = (a.join(b, "g")
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "sz1", "d2", "sz2")
+             .agg(F.count(F.lit(1)).alias("common")))
+    jac = (F.col("common")
+           / (F.col("sz1") + F.col("sz2") - F.col("common"))).cast("double")
+    return (pairs.select("d1", "d2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _perm_params(num: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num)]
+
+
+def minhash_signature(grams: Column, num_hashes: int = 32,
+                      seed: int = 42) -> Column:
+    """array<long> minhash signature of an array-of-shingles column.
+
+    Base hash = xxhash64 (JVM, codegen'd); permutations = (a*h+b) mod P
+    with fixed-seed params, so signatures are reproducible run-to-run.
+    """
+    base = F.transform(grams, lambda g: F.abs(F.xxhash64(g)) % _P)
+    mins = [
+        F.array_min(F.transform(
+            base, lambda h: (h * F.lit(a) + F.lit(b)) % _P))
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-jaccard verification.
+
+    Stage 1 (narrow): shingle + signature per doc.
+    Stage 2: explode `bands` band-keys, groupBy band bucket -> candidate
+             pairs (only colliding docs meet).
+    Stage 3: verify candidates with exact jaccard on the shingle sets
+             (array_intersect/union on the already-computed gram arrays,
+             joined back by id — touches candidates only).
+    """
+    rows = num_hashes // bands
+    docs = (df.select(F.col(id_col).alias("d"),
+                      word_ngrams(F.col(text_col), n).alias("grams"))
+            .withColumn("sig", minhash_signature(F.col("grams"),
+                                                 num_hashes, seed)))
+    docs.cache()
+
+    band_key = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows))
+            .alias("bsig"))))
+    banded = docs.select("d", band_key.alias("bk"))
+    cand = (banded.alias("x").join(
+        banded.alias("y"),
+        (F.col("x.bk") == F.col("y.bk")) & (F.col("x.d") < F.col("y.d")))
+        .select(F.col("x.d").alias("d1"), F.col("y.d").alias("d2"))
+        .distinct())
+
+    g1 = docs.select(F.col("d").alias("d1"), F.col("grams").alias("g1"))
+    g2 = docs.select(F.col("d").alias("d2"), F.col("grams").alias("g2"))
+    verified = (cand.join(g1, "d1").join(g2, "d2")
+                .select(
+                    "d1", "d2",
+                    (F.size(F.array_intersect("g1", "g2"))
+                     / F.size(F.array_union("g1", "g2"))).cast("double")
+                    .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    return verified
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of an array-of-tokens column, as bigint.
+
+    Bit i is the sign of sum over tokens of ±1 by token-hash bit i —
+    computed with nested higher-order functions (no explode, no shuffle).
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # shift amounts must be literal ints (shiftleft/shiftright take no
+    # Column), so the 64 bit positions unroll in Python
+    def _vote(i: int):
+        # factory closure: HOF lambdas must have exactly (acc, x) arity
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(1) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        votes = F.aggregate(hashes, F.lit(0), _vote(i))
+        out = out.bitwiseOR(
+            F.when(votes > 0, F.lit(1 << i if i < 63 else -(1 << 63))
+                   .cast("long")).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash banded hamming distance.
+
+    4 bands of 16 bits: any pair within hamming<=3*16 shares >=1 exact
+    band with high probability (pigeonhole guarantees it for <=3 flipped
+    bands; per-band collisions catch the rest). Candidates verified with
+    bit_count(xor) <= max_hamming.
+    """
+    docs = df.select(
+        F.col(id_col).alias("d"),
+        simhash64(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("sh"))
+    docs.cache()
+    bands = docs.select("d", "sh", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), 16 * i)
+                 .bitwiseAND((1 << 16) - 1).alias("bits"))
+        for i in range(4)])).alias("bk"))
+    cand = (bands.alias("x").join(
+        bands.alias("y"),
+        (F.col("x.bk") == F.col("y.bk")) & (F.col("x.d") < F.col("y.d")))
+        .select(F.col("x.d").alias("d1"), F.col("x.sh").alias("sh1"),
+                F.col("y.d").alias("d2"), F.col("y.sh").alias("sh2"))
+        .distinct())
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (cand.select("d1", "d2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,1 +1,105 @@
-"""Placeholder — populated in a later milestone."""
+"""Driver-facing dedup queries on the documents table.
+
+exact + n-gram-jaccard have full DuckDB oracles (both engines compute the
+identical integer arithmetic). MinHash/SimHash rely on xxhash64 (no DuckDB
+twin) -> rows-only checks here; their recall/consistency is asserted
+against exact jaccard in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import dedup as D
+from g1_etl_spark.plans.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT d.doc_id, g.canonical_id, g.group_size
+    FROM documents d
+    JOIN (SELECT text, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS group_size
+          FROM documents GROUP BY text) g
+      ON d.text = g.text
+    """,
+    description="exact dedup: hash-groupBy on content, canonical=min(id)",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH k AS (SELECT doc_id,
+                      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                        AS key
+               FROM documents)
+    SELECT k.doc_id, g.canonical_id, g.group_size
+    FROM k JOIN (SELECT key, MIN(doc_id) AS canonical_id,
+                        COUNT(*) AS group_size
+                 FROM k GROUP BY key) g USING (key)
+    """,
+    description="exact dedup on normalized text (lower/trim/ws-collapse)",
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"),
+                         normalized=True)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2,
+           CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.5
+    """,
+    description="word-trigram Jaccard near-dup pairs via inverted-index "
+                "join (exact, skew-capped)",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; recall vs exact asserted in tests
+    description="MinHash-LSH near-dup pairs (32 hashes, 8 bands), "
+                "exact-jaccard verified",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; consistency asserted in tests
+    description="SimHash-64 near-dup pairs, banded hamming<=8",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"),
+                           max_hamming=8)

@@ -1,0 +1,100 @@
+"""Dedup operator tests: exactness where checkable, recall/consistency
+for the hash-based approximate families."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import dedup as D
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_exact_dedup_flags_planted_dupes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "unique")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.exact_dedup(df).collect()}
+    assert out[1]["canonical_id"] == 1 and out[1]["group_size"] == 2
+    assert out[2]["canonical_id"] == 1
+    assert out[3]["group_size"] == 1
+
+
+def test_normalized_dedup_catches_case_ws(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world "), (3, "different")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in D.exact_dedup(df, normalized=True).collect()}
+    assert out[1] == out[2] == 1
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact-jaccard>=0.6 pair must be found by LSH (r=4,b=8 gives
+    ~97% per-pair probability at j=0.6; the planted corpus pairs are
+    j>=0.8 where P(miss) < 1e-4)."""
+    docs = _docs(spark)
+    exact = {(r["d1"], r["d2"])
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    lsh = {(r["d1"], r["d2"])
+           for r in D.minhash_lsh_pairs(docs, threshold=0.6).collect()}
+    assert exact, "corpus should contain planted near-dup pairs"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs"
+    # and LSH must not invent pairs below threshold (it verifies exactly)
+    assert lsh <= exact
+
+
+def test_minhash_signature_similarity_correlates(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog end"),
+         (2, "the quick brown fox jumps over the lazy cat end"),
+         (3, "completely different words appear here nothing shared at all")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id",
+        D.minhash_signature(D.word_ngrams(F.col("text")), 64).alias("sig"))
+        .collect()}
+    sim12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
+    sim13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 64
+    assert sim12 > sim13
+    assert sim13 < 0.2
+
+
+def test_simhash_hamming_behavior(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine with hash join and window functions ok"),
+         (2, "spark query engine with hash join and window functions yes"),
+         (3, "zebra giraffe elephant rhino hippo lion tiger bear wolf fox")],
+        "doc_id long, text string")
+    out = {r["d"]: r["sh"] for r in df.select(
+        F.col("doc_id").alias("d"),
+        D.simhash64(F.split(F.col("text"), " ")).alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert ham(out[1], out[2]) <= 12
+
+
+def test_simhash_pairs_finds_corpus_neardups(spark):
+    docs = _docs(spark)
+    exact = {(r["d1"], r["d2"])
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    sim = {(r["d1"], r["d2"])
+           for r in D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert exact
+    # simhash is a different similarity notion; require substantial overlap
+    assert len(exact & sim) >= len(exact) * 0.6, (len(exact & sim), len(exact))
+
+
+def test_ngram_skew_cap_drops_hot_shingles(spark):
+    rows = [(i, "common phrase here " + f"unique{i} tail{i}")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # with the hot shingle capped at df<=10, no pairs survive
+    out = D.ngram_jaccard_pairs(df, threshold=0.1, max_df=10).collect()
+    assert out == []
