@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>) — the
+superset ANN surface (BASELINE.json north star).
+
+Two paths:
+  brute_force_topk   exact cosine top-k: broadcast the (small) query set,
+                     scan the corpus once, per-query window top-k. The
+                     correct baseline at any scale — one corpus scan, no
+                     O(n²).
+  lsh_topk / lsh_pairs
+                     random-hyperplane LSH: fixed seeded planes -> sign
+                     bits -> banded bucket join -> exact cosine only on
+                     bucket-colliding candidates. The 100 TB path: corpus
+                     is hashed once (narrow), candidates per query are
+                     ~bucket-sized, never corpus-sized.
+
+Dot products use F.aggregate/zip_with (strict left-to-right summation —
+deterministic and engine-reproducible); all arithmetic in double.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double dot-product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                     ) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    queries is broadcast (query sets are small); the corpus is scanned
+    once. Ties broken by neighbor id for determinism.
+    """
+    joined = corpus.join(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(q_vec_col), F.col(vec_col)).alias("score"),
+    ).filter(F.col(q_id_col) != F.col("neighbor_id"))
+    w = W.partitionBy(q_id_col).orderBy(F.desc("score"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(planes, dim).astype(float).tolist()
+
+
+def lsh_signature(vec: Column, dim: int, planes: int = 16,
+                  seed: int = 7) -> Column:
+    """Random-hyperplane sign signature as a long (bit i = sign of
+    dot(vec, plane_i)). Planes are fixed-seed literals — reproducible."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, planes, seed)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig.bitwiseOR(
+            F.when(dot(vec, p) > 0,
+                   F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def _banded(df: DataFrame, sig_col: str, bands: int, band_bits: int,
+            out: str) -> DataFrame:
+    mask = (1 << band_bits) - 1
+    return df.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col(sig_col), band_bits * i)
+                     .bitwiseAND(mask).alias("bits"))
+            for i in range(bands)])).alias(out))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             dim: int = 64, planes: int = 16, bands: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing >=1 LSH band
+    with the query; exact cosine + window top-k on candidates only."""
+    band_bits = planes // bands
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_signature(F.col(vec_col), dim, planes).alias("sig"))
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        lsh_signature(F.col(q_vec_col), dim, planes).alias("qsig"))
+    cb = _banded(c, "sig", bands, band_bits, "bk")
+    qb = _banded(q, "qsig", bands, band_bits, "qbk")
+    cand = (cb.join(F.broadcast(qb), cb.bk == qb.qbk)
+            .filter(F.col(q_id_col) != F.col(id_col))
+            .select(q_id_col, q_vec_col, id_col, vec_col)
+            .distinct())
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(q_vec_col), F.col(vec_col)).alias("score"))
+    w = W.partitionBy(q_id_col).orderBy(F.desc("score"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                         dim: int = 64, planes: int = 16, bands: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs via LSH bucketing + exact verify."""
+    band_bits = planes // bands
+    c = corpus.select(
+        F.col(id_col).alias("d"), F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), dim, planes).alias("sig"))
+    b = _banded(c, "sig", bands, band_bits, "bk")
+    cand = (b.alias("x").join(
+        b.alias("y"),
+        (F.col("x.bk") == F.col("y.bk")) & (F.col("x.d") < F.col("y.d")))
+        .select(F.col("x.d").alias("d1"), F.col("x.v").alias("v1"),
+                F.col("y.d").alias("d2"), F.col("y.v").alias("v2"))
+        .distinct())
+    return (cand.select("d1", "d2",
+                        cosine(F.col("v1"), F.col("v2")).alias("score"))
+            .filter(F.col("score") >= threshold))

@@ -1,0 +1,112 @@
+"""Text-analysis operators for a training-data pipeline (superset scope;
+no reference analog — BASELINE.json north star).
+
+All pure Column expressions (codegen'd, zero UDFs): token counting,
+quality scoring, language ID by marker-word voting, and content
+fingerprints. Everything is per-row/narrow — at 100 TB these run
+map-side with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators.dedup import normalize_text, word_ngrams
+
+# 'BPE-ish' lexer: runs of alphanumerics OR single non-space symbols —
+# the shape subword tokenizers see before merges. Kept to character
+# classes that behave identically in Java regex (Spark) and RE2 (DuckDB).
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# marker words per language for the voting heuristic (tiny fixed lists —
+# the classic cheap lang-id: count language-exclusive stopwords)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "ist", "nicht", "das", "ein", "ich"],
+    "en": ["the", "and", "of", "to", "is", "that", "it", "was"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: alphanumeric runs + standalone symbols."""
+    return F.regexp_count(text, F.lit(TOKEN_RE)).cast("long")
+
+
+def char_stats(text: Column) -> dict[str, Column]:
+    """Quality-score ingredients, each a named Column."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    space = F.length(F.regexp_replace(text, r"[^\s]", ""))
+    words = F.split(F.trim(text), r"\s+")
+    nwords = F.size(words).cast("double")
+    return {
+        "n_chars": n.cast("long"),
+        "alpha_ratio": (alpha / n).cast("double"),
+        "digit_ratio": (digit / n).cast("double"),
+        "punct_ratio": (punct / n).cast("double"),
+        "space_ratio": (space / n).cast("double"),
+        "n_words": nwords.cast("long"),
+        "avg_word_len": ((n - space) / nwords).cast("double"),
+        "distinct_word_ratio":
+            (F.size(F.array_distinct(words)) / nwords).cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length, low
+    alpha ratio, low vocabulary diversity. Fixed weights, deterministic."""
+    s = char_stats(text)
+    length_ok = F.when((s["n_chars"] >= 50) & (s["n_chars"] <= 10000),
+                       F.lit(1.0)).otherwise(F.lit(0.5))
+    return ((length_ok * 0.2
+             + s["alpha_ratio"] * 0.4
+             + s["distinct_word_ratio"] * 0.4)).cast("double")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    words = F.split(normalize_text(text), " ")
+    stops = F.filter(
+        words, lambda w: w.isin(*LANG_MARKERS[lang]))
+    return (F.size(stops) / F.size(words)).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word vote: language whose marker set has the most DISTINCT
+    hits in the text; ties and zero hits -> 'und' (undetermined).
+    Tie-break: language code order (deterministic)."""
+    words = F.array_distinct(F.split(normalize_text(text), " "))
+    scores = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier language codes win ties (when overwrites later)
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """md5 of normalized content — exact-dup fingerprint."""
+    return F.md5(normalize_text(text))
+
+
+def shingle_fingerprint(text: Column, n: int = 3) -> Column:
+    """md5 over the SORTED distinct word n-grams — order-insensitive
+    content fingerprint (bag-of-shingles identity)."""
+    grams = F.array_sort(word_ngrams(normalize_text(text), n))
+    return F.md5(F.array_join(grams, ""))

@@ -1,1 +1,126 @@
-"""Placeholder — populated in a later milestone."""
+"""Driver-facing similarity-search queries on the embeddings table.
+
+The exact brute-force top-k has a full DuckDB oracle (both engines sum
+dot products strictly left-to-right in double -> bit-identical scores).
+LSH variants are xxhash-free but involve 16 hyperplane dot signs whose
+SQL twin would be unwieldy -> rows-only + recall tests
+(tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import similarity as S
+from g1_etl_spark.plans.registry import register
+
+_NQUERIES = 5
+_K = 10
+
+_DOT = ("list_sum(list_transform(list_zip(q_vec, embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+_NORM_Q = ("sqrt(list_sum(list_transform(q_vec, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+_NORM_C = ("sqrt(list_sum(list_transform(embedding, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+
+@register(
+    "sim_brute_force_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {_NQUERIES}),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_C}) AS score
+      FROM embeddings, q
+      WHERE q_id <> vec_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT q_id, neighbor_id, score, rank FROM ranked WHERE rank <= {_K}
+    """,
+    description="exact cosine top-10 for 5 query vectors: broadcast "
+                "queries, single corpus scan, window top-k",
+    tags=("similarity",),
+)
+def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.brute_force_topk(emb, queries, k=_K)
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=None,  # recall vs brute force asserted in tests
+    description="LSH-bucketed approximate top-10 (16 hyperplanes, "
+                "4 bands): hash corpus once, score candidates only",
+    tags=("similarity",),
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.lsh_topk(emb, queries, k=_K)
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=None,  # superset-of check + threshold verify in tests
+    description="embedding near-dup pairs (cosine>=0.9) via LSH banding "
+                "+ exact verification",
+    tags=("similarity", "dedup"),
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.9)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # Pandas-UDF byte-histogram; verified vs numpy in tests
+    description="multimodal plumbing: binary media column -> mapInPandas "
+                "Arrow-batch byte-histogram features (decode stubbed)",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators import multimodal as M
+
+    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(media)
+
+
+@register(
+    "sim_label_centroid",
+    oracle="""
+    WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings)
+    SELECT label, i AS dim,
+           list_sum(list_sort(list(v))) / COUNT(*) AS centroid_val
+    FROM e GROUP BY label, i
+    HAVING i <= 4
+    ORDER BY label, dim
+    """,
+    description="per-label centroid components — order-deterministic "
+                "mean: values sorted, then summed sequentially (float->"
+                "decimal casts differ between engines; sorted double "
+                "summation is bit-identical)",
+    tags=("similarity", "agg"),
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("i0", "v"))
+    summed = F.aggregate(
+        F.array_sort(F.collect_list(F.col("v").cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (ex.select("label", (F.col("i0") + 1).alias("dim"), "v")
+            .filter(F.col("dim") <= 4)
+            .groupBy("label", "dim")
+            .agg((summed / F.count(F.lit(1))).alias("centroid_val"))
+            .orderBy("label", "dim"))

@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone."""
+"""Driver-facing text-analysis queries on the documents table, each with
+an exact DuckDB oracle (all integer/regex/md5 arithmetic is
+engine-identical; double divisions operate on identical operands)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import textops as T
+from g1_etl_spark.plans.registry import register
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    description="token counting: whitespace + BPE-ish regex lexer",
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        T.regex_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_stats",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^\s]', '', 'g')) AS space,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           alpha / n AS alpha_ratio,
+           digit / n AS digit_ratio,
+           punct / n AS punct_ratio,
+           CAST(len(words) AS BIGINT) AS n_words,
+           (n - space) / len(words) AS avg_word_len,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+             AS distinct_word_ratio,
+           (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (alpha / n) * 0.4
+             + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.4
+             AS quality
+    FROM s
+    """,
+    description="quality scoring: char-class ratios, vocabulary "
+                "diversity, composite score",
+    tags=("text",),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = T.char_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars"),
+        s["alpha_ratio"].alias("alpha_ratio"),
+        s["digit_ratio"].alias("digit_ratio"),
+        s["punct_ratio"].alias("punct_ratio"),
+        s["n_words"].alias("n_words"),
+        s["avg_word_len"].alias("avg_word_len"),
+        s["distinct_word_ratio"].alias("distinct_word_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_distinct(string_split(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))
+               AS words
+      FROM documents),
+    scores AS (
+      SELECT doc_id, labeled_lang,
+             len(list_intersect(words, {_MARKER_SQL['de']})) AS s_de,
+             len(list_intersect(words, {_MARKER_SQL['en']})) AS s_en,
+             len(list_intersect(words, {_MARKER_SQL['es']})) AS s_es,
+             len(list_intersect(words, {_MARKER_SQL['fr']})) AS s_fr
+      FROM w)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM scores
+    """,
+    description="language ID: distinct marker-word voting with "
+                "deterministic tie-break",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    g AS (
+      SELECT doc_id, norm,
+             list_sort(list_distinct([
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               FOR i IN range(1, len(w) - 1)])) AS grams
+      FROM (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM n)
+      WHERE len(w) >= 3)
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(array_to_string(grams, '')) AS shingle_fp
+    FROM g
+    """,
+    description="document fingerprints: md5 of normalized content + "
+                "order-insensitive shingle-set md5",
+    tags=("text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.content_fingerprint(F.col("text")).alias("content_fp"),
+        T.shingle_fingerprint(F.col("text")).alias("shingle_fp"),
+    )
+
+
+@register(
+    "text_stopword_ratio",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(words,
+                    x -> list_contains({_MARKER_SQL['en']}, x)))
+                AS DOUBLE) / len(words) AS en_stopword_ratio
+    FROM w
+    """,
+    description="stopword-ratio quality signal (en marker set)",
+    tags=("text",),
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.stopword_ratio(F.col("text"), "en").alias("en_stopword_ratio"),
+    )

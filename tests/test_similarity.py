@@ -1,0 +1,76 @@
+"""Similarity-search tests: exactness of brute force (vs numpy), LSH
+recall, near-dup verification."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def _queries(emb, n=3):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+
+def test_brute_force_matches_numpy(spark):
+    emb = _emb(spark)
+    out = S.brute_force_topk(emb, _queries(emb), k=5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def np_topk(qid, k=5):
+        q = vecs[qid]
+        scores = {
+            vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items() if vid != qid}
+        return [vid for vid, _ in sorted(scores.items(),
+                                         key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+    for qid in (0, 1, 2):
+        got = [r["neighbor_id"] for r in sorted(
+            (r for r in out if r["q_id"] == qid), key=lambda r: r["rank"])]
+        assert got == np_topk(qid), f"q{qid}: {got} != {np_topk(qid)}"
+
+
+def test_lsh_topk_recall(spark):
+    """LSH recall scales with band count: near-orthogonal random vectors
+    give ~1-(1-0.6^4)^4 = 0.43 at 4 bands of 4 bits, ~0.97 at 8 bands of
+    2 bits. Assert both the high-recall setting and the monotonicity."""
+    emb = _emb(spark)
+    q = _queries(emb, 5)
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=10).collect()}
+    approx8 = {(r["q_id"], r["neighbor_id"])
+               for r in S.lsh_topk(emb, q, k=10, bands=8).collect()}
+    recall8 = len(exact & approx8) / len(exact)
+    assert recall8 >= 0.8, f"8-band LSH recall too low: {recall8}"
+    approx4 = {(r["q_id"], r["neighbor_id"])
+               for r in S.lsh_topk(emb, q, k=10, bands=4).collect()}
+    recall4 = len(exact & approx4) / len(exact)
+    assert recall4 >= 0.25, f"4-band LSH recall too low: {recall4}"
+
+
+def test_neardup_pairs_verified(spark):
+    emb = _emb(spark)
+    pairs = S.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in pairs:
+        a, b = vecs[r["d1"]], vecs[r["d2"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.9 - 1e-9
+        assert abs(cos - r["score"]) < 1e-9
+
+
+def test_lsh_signature_deterministic(spark):
+    emb = _emb(spark)
+    a = emb.select(S.lsh_signature(F.col("embedding"), 64).alias("s")).collect()
+    b = emb.select(S.lsh_signature(F.col("embedding"), 64).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
