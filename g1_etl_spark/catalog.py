@@ -39,10 +39,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via
-        # spark.sql.legacy.parquet.nanosAsLong; the synthetic data is
-        # µs-precision so ns -> µs truncation is lossless.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # spark.sql.legacy.parquet.nanosAsLong. INTEGER division: epoch
+        # nanos (~1.7e18) exceeds double's 2^53 exact range, so a float
+        # divide would be off by ±1µs on some rows (matches DuckDB's
+        # ns->µs truncation in Python datetimes).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

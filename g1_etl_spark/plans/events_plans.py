@@ -1,1 +1,156 @@
-"""Placeholder — populated in a later milestone."""
+"""Driver-facing event-stream analytics on the events table (batch form;
+the streaming twins live in g1_etl_spark/streaming/windows.py and are
+exercised with memory-sink tests).
+
+Window alignment: Spark's window(ts, w) buckets are epoch-aligned, same
+as DuckDB's time_bucket — starts match exactly. Sums go through the
+exact-decimal pattern (plans/_util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.plans._util import dsum, sql_dsum
+from g1_etl_spark.plans.registry import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="tumbling 1h window: counts, distinct users, exact sum",
+    tags=("events", "window"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 dsum("value", "total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "n_users", "total_value"))
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes' AS window_start,
+             value
+      FROM events, offsets
+      WHERE ts < time_bucket(INTERVAL '15 minutes', ts)
+              - k * INTERVAL '15 minutes' + INTERVAL '1 hour')
+    SELECT window_start, COUNT(*) AS n_events,
+           {sql_dsum('value', 'total_value')}
+    FROM assigned GROUP BY 1
+    """,
+    description="sliding window 1h/15min: each event in 4 overlapping "
+                "windows",
+    tags=("events", "window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", "total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "total_value"))
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, us, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS duration_us,
+           {sql_dsum('value', 'session_value')}
+    FROM s GROUP BY user_id, session_id
+    """,
+    description="batch sessionization: 30-min-gap split via lag+cumsum "
+                "(streaming twin: session_window)",
+    tags=("events", "window"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    ws = W.partitionBy("user_id").orderBy("us").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return (ev
+            .withColumn("new_session",
+                        F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
+            .withColumn("session_id", F.sum("new_session").over(ws))
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("us") - F.min("us")).alias("duration_us"),
+                 dsum("value", "session_value")))
+
+
+@register(
+    "events_dedup_ids",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY ts) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    description="event-id dedup (batch twin of "
+                "dropDuplicatesWithinWatermark)",
+    tags=("events", "dedup"),
+)
+def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_id").orderBy("ts")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "ts", "user_id", "event_type", "value"))
+
+
+@register(
+    "events_rate_per_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total')},
+           COUNT(*) / (CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)
+                       / 1000000) AS events_per_sec
+    FROM events GROUP BY event_type
+    """,
+    description="per-type event rates over the observed span",
+    tags=("events", "agg"),
+)
+def events_rate_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span_sec = ((F.max(F.unix_micros("ts"))
+                 - F.min(F.unix_micros("ts"))).cast("double") / 1_000_000)
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value", "total"),
+                 (F.count(F.lit(1)) / span_sec).alias("events_per_sec")))

@@ -1,0 +1,99 @@
+"""Structured Streaming over the events schema — the rebuild's streaming
+surface (the reference is strictly request-driven batch, SURVEY §2.10;
+this is superset scope demanded by BASELINE.json).
+
+Each builder takes a STREAMING DataFrame (spark.readStream...) and
+returns the transformed streaming DataFrame; sinks are the caller's
+choice (tests use the memory sink; production uses kafka/parquet with
+checkpointing). Watermarks bound state for late data.
+
+State-size design at 100 TB/day: every aggregation here keys on
+(window x event_type) or (user_id session) with a watermark — state is
+bounded by (keys x open windows), never by stream length.
+`dropDuplicatesWithinWatermark` bounds the dedup buffer the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int = 1
+                       ) -> DataFrame:
+    """File-source stream over parquet event files (schema pinned —
+    streaming sources never infer)."""
+    return (spark.readStream
+            .schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums with a watermark: late events beyond
+    `watermark` are dropped and state for closed windows is evicted."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events"))
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (Spark 3.2+ session_window): a session
+    closes after `gap` of silence per user; watermark bounds open-session
+    state."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("session_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "user_id",
+                    "n_events", "session_value"))
+
+
+def dedup_within_watermark(events: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon — bounded-state
+    streaming dedup on event_id."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append"):
+    """Drive a streaming query to completion against the current backlog
+    (test/bench harness): memory sink + processAllAvailable."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .start())
+    q.processAllAvailable()
+    return q

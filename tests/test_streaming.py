@@ -1,0 +1,130 @@
+"""Structured Streaming tests: drive file-source streams to completion
+with the memory sink and compare against the batch twins.
+
+Stream input: the events parquet copied into a repo-local temp dir split
+into several files, so maxFilesPerTrigger yields multiple micro-batches.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from g1_etl_spark.streaming import windows as SW
+from tests.conftest import SF_SMOKE
+
+TMP = Path(__file__).resolve().parent.parent / ".tmp_stream"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    """Split events into 4 parquet files under a repo-local tmp dir."""
+    if TMP.exists():
+        shutil.rmtree(TMP)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from g1_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")  # ns->µs conversion
+    ev.repartition(4).write.mode("overwrite").parquet(str(TMP))
+    yield str(TMP)
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def _batch(spark, stream_dir):
+    return spark.read.parquet(stream_dir)
+
+
+def _batch_window_counts(spark, stream_dir):
+    batch = _batch(spark, stream_dir)
+    want_df = (batch.groupBy(F.window("ts", "1 hour").alias("w"),
+                             "event_type")
+               .agg(F.count(F.lit(1)).alias("n")))
+    return {(r["w"]["start"], r["event_type"]): r["n"]
+            for r in want_df.collect()}
+
+
+def test_tumbling_stream_complete_matches_batch(spark, stream_dir):
+    """Complete mode keeps all window state -> final result must equal
+    the batch computation exactly, regardless of file arrival order."""
+    stream = SW.read_events_stream(spark, stream_dir)
+    q = SW.run_to_memory(SW.tumbling_counts(stream), "t_tumbling_c",
+                         output_mode="complete")
+    try:
+        got = {(r["window_start"], r["event_type"]): r["n_events"]
+               for r in spark.sql("SELECT * FROM t_tumbling_c").collect()}
+        assert got == _batch_window_counts(spark, stream_dir)
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_append_drops_late(spark, stream_dir):
+    """Append mode emits a window once, when the watermark passes it;
+    events arriving in later micro-batches beyond the watermark are
+    dropped — emitted counts are <= the batch counts (the documented
+    late-data semantics), never >."""
+    stream = SW.read_events_stream(spark, stream_dir)
+    q = SW.run_to_memory(SW.tumbling_counts(stream), "t_tumbling_a",
+                         output_mode="append")
+    try:
+        got = {(r["window_start"], r["event_type"]): r["n_events"]
+               for r in spark.sql("SELECT * FROM t_tumbling_a").collect()}
+        want = _batch_window_counts(spark, stream_dir)
+        assert got, "no windows emitted"
+        assert set(got) <= set(want)
+        assert all(v <= want[k] for k, v in got.items())
+    finally:
+        q.stop()
+
+
+def test_session_stream_bounded_and_plausible(spark, stream_dir):
+    stream = SW.read_events_stream(spark, stream_dir, 2)
+    q = SW.run_to_memory(SW.session_aggregates(stream), "t_sessions",
+                         output_mode="append")
+    try:
+        rows = spark.sql("SELECT * FROM t_sessions").collect()
+        assert rows, "no sessions emitted"
+        for r in rows:
+            assert r["session_end"] >= r["session_start"]
+            assert r["n_events"] >= 1
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, stream_dir):
+    stream = SW.read_events_stream(spark, stream_dir, 4)
+    q = SW.run_to_memory(SW.dedup_within_watermark(stream), "t_dedup",
+                         output_mode="append")
+    try:
+        n = spark.sql("SELECT COUNT(DISTINCT event_id) c, COUNT(*) n "
+                      "FROM t_dedup").collect()[0]
+        assert n["c"] == n["n"], "dedup emitted duplicate event_ids"
+        total = _batch(spark, stream_dir).select("event_id").distinct().count()
+        assert n["n"] == total
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    from g1_etl_spark.streaming.stateful import running_user_totals
+
+    stream = SW.read_events_stream(spark, stream_dir, 2)
+    q = SW.run_to_memory(running_user_totals(stream), "t_state",
+                         output_mode="update")
+    try:
+        # last emission per user must equal the batch totals
+        rows = spark.sql("""
+            SELECT user_id, total_events FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY total_events DESC) rn
+              FROM t_state) WHERE rn = 1
+        """).collect()
+        got = {r["user_id"]: r["total_events"] for r in rows}
+        want = {r["user_id"]: r["n"] for r in
+                _batch(spark, stream_dir).groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == want
+    finally:
+        q.stop()
