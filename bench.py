@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...}
+
+Execution is forced with the noop sink (full plan runs, nothing is
+collected to the driver). Deterministic: fixed partitions, AQE on,
+fixed seeds everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from g1_etl_spark.plans import REGISTRY  # noqa: E402
+from g1_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship scan->join->agg pipelines, the window/cube
+# surface, and the scale-relevant superset operators.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "revenue_by_nation",
+    "agg_cube",
+    "window_analytics",
+    "topk_per_group",
+    "entity_members",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_brute_force_topk",
+    "text_quality_stats",
+    "events_sessionization",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="g1_etl_spark_bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm up JVM, codegen, and the parquet reader path on the tiny SF so
+    # steady-state query time isn't conflated with first-scan startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    _force(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+           .groupBy("l_returnflag").count())
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": f"headline_queries_total_sec_sf{sf}",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

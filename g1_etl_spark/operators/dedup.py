@@ -38,9 +38,15 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column as array<string>."""
-    words = F.split(col, " ")
+def ngrams_from_words(words: Column, fallback: Column,
+                      n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-SPLIT words array.
+
+    Pass a bound column for `words`, not a split(...) expression:
+    higher-order functions are interpreted (no codegen, no common-
+    subexpression elimination), so an embedded split would re-tokenize
+    the text for every element_at — ~3n× the work.
+    """
     return F.array_distinct(
         F.when(
             F.size(words) >= n,
@@ -50,8 +56,29 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
                     " ", *[F.element_at(words, (i + j + 1).cast("int"))
                            for j in range(n)]),
             ),
-        ).otherwise(F.array(col)),
+        ).otherwise(F.array(fallback)),
     )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column as array<string>.
+
+    Convenience form; for hot paths prefer projecting split(col) to a
+    column first and calling ngrams_from_words (see its docstring).
+    """
+    return ngrams_from_words(F.split(col, " "), col, n)
+
+
+def _grams_projected(df: DataFrame, text_col: str, id_col: str,
+                     n: int) -> DataFrame:
+    """(id, grams) with the words array materialized as a column between
+    the split and the n-gram transform — one tokenization per row."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(spread, id_col)
+            .select(F.col(id_col).alias("d"), F.col(text_col).alias("_t"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+            .select("d", ngrams_from_words(F.col("_w"), F.col("_t"), n)
+                    .alias("grams")))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -82,10 +109,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     `max_df` drops shingles appearing in more than that many docs (skew
     guard; a shingle shared by k docs contributes k² candidate pairs).
     """
-    sh = (df.select(F.col(id_col).alias("d"),
-                    word_ngrams(F.col(text_col), n).alias("grams"))
+    # repartition spreads a small input file across cores; cache because
+    # the shingle set feeds both join sides plus the hot-shingle scan
+    sh = (_grams_projected(df, text_col, id_col, n)
           .select("d", F.size("grams").alias("sz"),
                   F.explode("grams").alias("g")))
+    sh.cache()
     if max_df is not None:
         hot = (sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_df).select("g"))
@@ -107,20 +136,31 @@ def _perm_params(num: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num)]
 
 
-def minhash_signature(grams: Column, num_hashes: int = 32,
-                      seed: int = 42) -> Column:
-    """array<long> minhash signature of an array-of-shingles column.
+def base_hashes(grams: Column) -> Column:
+    """xxhash64 of each shingle reduced into [0, P)."""
+    return F.transform(grams, lambda g: F.abs(F.xxhash64(g)) % _P)
 
-    Base hash = xxhash64 (JVM, codegen'd); permutations = (a*h+b) mod P
-    with fixed-seed params, so signatures are reproducible run-to-run.
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 32,
+                        seed: int = 42) -> Column:
+    """array<long> minhash signature from a BOUND base-hash array column.
+
+    Permutations = (a*h+b) mod P with fixed-seed params — reproducible.
+    Bind base_hashes() to a column first: HOFs are interpreted, so an
+    embedded expression would re-hash every shingle num_hashes times.
     """
-    base = F.transform(grams, lambda g: F.abs(F.xxhash64(g)) % _P)
     mins = [
         F.array_min(F.transform(
-            base, lambda h: (h * F.lit(a) + F.lit(b)) % _P))
+            hashes, lambda h: (h * F.lit(a) + F.lit(b)) % _P))
         for a, b in _perm_params(num_hashes, seed)
     ]
     return F.array(*mins)
+
+
+def minhash_signature(grams: Column, num_hashes: int = 32,
+                      seed: int = 42) -> Column:
+    """Convenience form of minhash_from_hashes(base_hashes(grams))."""
+    return minhash_from_hashes(base_hashes(grams), num_hashes, seed)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -137,10 +177,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              joined back by id — touches candidates only).
     """
     rows = num_hashes // bands
-    docs = (df.select(F.col(id_col).alias("d"),
-                      word_ngrams(F.col(text_col), n).alias("grams"))
-            .withColumn("sig", minhash_signature(F.col("grams"),
-                                                 num_hashes, seed)))
+    # cache the base hashes BEFORE deriving the 32 permuted minima:
+    # Catalyst's CollapseProject would otherwise re-inline the xxhash
+    # transform into every permutation expression (HOFs get no CSE)
+    hashed = (_grams_projected(df, text_col, id_col, n)
+              .withColumn("hs", base_hashes(F.col("grams"))))
+    hashed.cache()
+    docs = (hashed
+            .withColumn("sig", minhash_from_hashes(F.col("hs"),
+                                                   num_hashes, seed))
+            .drop("hs"))
     docs.cache()
 
     band_key = F.explode(F.transform(
@@ -201,7 +247,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     bands; per-band collisions catch the rest). Candidates verified with
     bit_count(xor) <= max_hamming.
     """
-    docs = df.select(
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    docs = df.repartition(spread, id_col).select(
         F.col(id_col).alias("d"),
         simhash64(F.split(normalize_text(F.col(text_col)), " "))
         .alias("sh"))
