@@ -19,6 +19,7 @@ from g1_etl_spark.plans import text_plans  # noqa: E402,F401
 from g1_etl_spark.plans import similarity_plans  # noqa: E402,F401
 from g1_etl_spark.plans import events_plans  # noqa: E402,F401
 from g1_etl_spark.plans import entity_plans  # noqa: E402,F401
+from g1_etl_spark.plans import stats_plans  # noqa: E402,F401
 
 
 def all_queries():

@@ -1,0 +1,150 @@
+"""Statistical aggregation surface with deterministic oracles.
+
+stddev/variance/correlation are NOT oracle-safe via the built-ins (Spark
+and DuckDB use different accumulation algorithms -> last-ulp drift), so
+the oracle-checked forms compute the textbook formulas from exact decimal
+sums — identical double operands on both sides. The built-in variants are
+asserted within tolerance in tests/test_stats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.plans.registry import register
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact interpolated percentiles (percentile/quantile_cont)",
+    tags=("agg", "stats"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile("l_quantity", 0.5).alias("median_qty"),
+                 F.percentile("l_quantity", 0.9).alias("p90_qty"),
+                 F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+                 F.min("l_quantity").alias("min_qty"),
+                 F.max("l_quantity").alias("max_qty")))
+
+
+# Second-moment sums (x², xy) overflow double's 15.95 significant digits
+# when routed through wide decimals (the decimal->double cast then rounds
+# differently per engine), so they use the OTHER determinism tool: sort
+# the per-row products, sum sequentially — identical operation order in
+# both engines. The scale path for plain sums stays decimal (plans/_util).
+_SORTSUM = "list_sum(list_sort(list({expr})))"
+
+
+@register(
+    "agg_moments",
+    oracle=f"""
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+             AS corr_qty_price
+    FROM (SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 {_SORTSUM.format(expr='l_quantity')} AS sx,
+                 {_SORTSUM.format(expr='l_quantity * l_quantity')} AS sxx,
+                 {_SORTSUM.format(expr='l_extendedprice')} AS sy,
+                 {_SORTSUM.format(expr='l_extendedprice * l_extendedprice')}
+                   AS syy,
+                 {_SORTSUM.format(expr='l_quantity * l_extendedprice')}
+                   AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+    """,
+    description="variance/stddev/covariance/correlation from sorted "
+                "sequential-sum moments (textbook formulas, "
+                "bit-deterministic; see module docstring)",
+    tags=("agg", "stats"),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    base = (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 sortsum(q).alias("sx"),
+                 sortsum(q * q).alias("sxx"),
+                 sortsum(p).alias("sy"),
+                 sortsum(p * p).alias("syy"),
+                 sortsum(q * p).alias("sxy")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return base.select(
+        "l_returnflag", "n",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        ((sxy - sx * sy / n)
+         / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)))
+        .alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+    description="fixed-width histogram buckets over order totals",
+    tags=("agg", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 25000).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY COUNT(*) DESC,
+                                             o_orderpriority) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_orderpriority)
+    WHERE rn = 1
+    """,
+    description="mode (most frequent value) per group with deterministic "
+                "tie-break",
+    tags=("agg", "stats"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("c_mktsegment", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("n"), "o_orderpriority")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_mktsegment",
+                    F.col("o_orderpriority").alias("mode_priority"), "n"))

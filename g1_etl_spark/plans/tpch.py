@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
-from g1_etl_spark.plans._util import davg, dsum, sql_davg, sql_dsum
+from g1_etl_spark.plans._util import DEC, davg, dsum, sql_davg, sql_dsum
 from g1_etl_spark.plans.registry import register
 
 
@@ -146,6 +146,144 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 'revenue')}
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(year FROM l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+                 OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+            AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7: bilateral shipping volume by year "
+                "(nation self-join via two broadcast aliases)",
+    tags=("join", "agg", "flagship"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(((F.col("supp_nation") == "FRANCE")
+                 & (F.col("cust_nation") == "GERMANY"))
+                | ((F.col("supp_nation") == "GERMANY")
+                   & (F.col("cust_nation") == "FRANCE")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-10-01'
+      AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10: top customers by returned-item revenue",
+    tags=("join", "agg", "topk", "flagship"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity', 'total_qty')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 120)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    description="TPC-H Q18: large-quantity orders (agg-subquery semi "
+                "filter + re-aggregation)",
+    tags=("join", "agg", "flagship"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                .alias("tq"))
+           .filter(F.col("tq") > 120)
+           .select("l_orderkey"))
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select("c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
     )
 
 
