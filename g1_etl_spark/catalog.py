@@ -36,6 +36,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects unless this (runtime-settable) SQLConf
+        # is on. Set it on the CALLER's session — queries() may run under
+        # a driver-owned SparkSession that never went through get_spark().
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # immutable-conf session; fall through and let read try
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via

@@ -73,7 +73,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     oracle=f"""
     WITH g AS (
-      SELECT user_id, epoch_us(ts) AS us, value,
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > 1800000000
@@ -82,7 +82,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, us, value,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY us
+                                    ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM g)
     SELECT user_id, session_id,
@@ -100,7 +100,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us", F.unix_micros("ts"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
-    ws = W.partitionBy("user_id").orderBy("us").rowsBetween(
+    # (us, event_id) tie-break: two same-timestamp events for one user
+    # must fold into the cumsum in the same total order as the oracle
+    ws = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow)
     return (ev
             .withColumn("new_session",
@@ -117,7 +119,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, ts, user_id, event_type, value
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
-                                       ORDER BY ts) AS rn
+                                       ORDER BY ts, user_id, event_type,
+                                                value) AS rn
           FROM events)
     WHERE rn = 1
     """,
@@ -127,7 +130,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_id").orderBy("ts")
+    # full tie-break chain: duplicate event_ids sharing a ts must resolve
+    # to the same surviving row in Spark and the oracle
+    w = W.partitionBy("event_id").orderBy("ts", "user_id", "event_type",
+                                          "value")
     return (ev.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("event_id", "ts", "user_id", "event_type", "value"))
