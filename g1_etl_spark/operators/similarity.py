@@ -43,6 +43,26 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
 
 
+def _two_stage_topk(scored: DataFrame, q_id_col: str, k: int) -> DataFrame:
+    """Skew-free per-query top-k over a (q_id, neighbor_id, score) frame.
+
+    A single Window.partitionBy(q_id) funnels the whole scored corpus
+    into num_queries tasks — a straggler at scale. Instead: stage 1 takes
+    a local top-k per (query, input-partition) — the exchange hashes on
+    (q_id, partition_id), so it spreads over num_queries × P keys — and
+    stage 2's per-query window only sees the ≤ k·P survivors.
+    """
+    order = [F.desc("score"), "neighbor_id"]
+    lw = W.partitionBy(q_id_col, "_pid").orderBy(*order)
+    pruned = (scored.withColumn("_pid", F.spark_partition_id())
+              .withColumn("rank", F.row_number().over(lw))
+              .filter(F.col("rank") <= k)
+              .drop("_pid", "rank"))
+    w = W.partitionBy(q_id_col).orderBy(*order)
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id", q_vec_col: str = "q_vec",
@@ -52,15 +72,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     queries is broadcast (query sets are small); the corpus is scanned
     once. Ties broken by neighbor id for determinism.
     """
-    joined = corpus.join(F.broadcast(queries))
+    # Precompute norms BELOW the join: the join node is a CollapseProject
+    # barrier, so each row's norm is one array pass instead of being
+    # re-evaluated per (query, row) pair inside the cosine expression.
+    c = corpus.select(F.col(id_col), F.col(vec_col),
+                      l2_norm(F.col(vec_col)).alias("_cn"))
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       l2_norm(F.col(q_vec_col)).alias("_qn"))
+    joined = c.join(F.broadcast(q))
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(q_vec_col), F.col(vec_col)).alias("score"),
+        (dot(F.col(q_vec_col), F.col(vec_col))
+         / (F.col("_qn") * F.col("_cn"))).cast("double").alias("score"),
     ).filter(F.col(q_id_col) != F.col("neighbor_id"))
-    w = W.partitionBy(q_id_col).orderBy(F.desc("score"), "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _two_stage_topk(scored, q_id_col, k)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
@@ -106,19 +132,29 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(
         F.col(q_id_col), F.col(q_vec_col),
         lsh_signature(F.col(q_vec_col), dim, planes).alias("qsig"))
-    cb = _banded(c, "sig", bands, band_bits, "bk")
-    qb = _banded(q, "qsig", bands, band_bits, "qbk")
+    cb = _banded(c.drop(vec_col), "sig", bands, band_bits, "bk")
+    qb = _banded(q.drop(q_vec_col), "qsig", bands, band_bits, "qbk")
+    # candidate distinct on ids ONLY — shuffling the 64-dim vectors
+    # through the dedup exchange would move ~50× the bytes; vectors are
+    # joined back per-candidate afterwards (same shape as
+    # dedup.minhash_lsh_pairs)
     cand = (cb.join(F.broadcast(qb), cb.bk == qb.qbk)
             .filter(F.col(q_id_col) != F.col(id_col))
-            .select(q_id_col, q_vec_col, id_col, vec_col)
+            .select(q_id_col, id_col)
             .distinct())
-    scored = cand.select(
-        F.col(q_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(q_vec_col), F.col(vec_col)).alias("score"))
-    w = W.partitionBy(q_id_col).orderBy(F.desc("score"), "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    scored = (cand
+              .join(corpus.select(
+                  id_col, vec_col,
+                  l2_norm(F.col(vec_col)).alias("_cn")), id_col)
+              .join(F.broadcast(queries.select(
+                  q_id_col, q_vec_col,
+                  l2_norm(F.col(q_vec_col)).alias("_qn"))), q_id_col)
+              .select(F.col(q_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      (dot(F.col(q_vec_col), F.col(vec_col))
+                       / (F.col("_qn") * F.col("_cn"))).cast("double")
+                      .alias("score")))
+    return _two_stage_topk(scored, q_id_col, k)
 
 
 def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
@@ -128,15 +164,22 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
     """Embedding near-duplicate pairs via LSH bucketing + exact verify."""
     band_bits = planes // bands
     c = corpus.select(
-        F.col(id_col).alias("d"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("d"),
         lsh_signature(F.col(vec_col), dim, planes).alias("sig"))
     b = _banded(c, "sig", bands, band_bits, "bk")
+    # id-only candidate distinct (see lsh_topk) — vectors join back after
     cand = (b.alias("x").join(
         b.alias("y"),
         (F.col("x.bk") == F.col("y.bk")) & (F.col("x.d") < F.col("y.d")))
-        .select(F.col("x.d").alias("d1"), F.col("x.v").alias("v1"),
-                F.col("y.d").alias("d2"), F.col("y.v").alias("v2"))
+        .select(F.col("x.d").alias("d1"), F.col("y.d").alias("d2"))
         .distinct())
-    return (cand.select("d1", "d2",
-                        cosine(F.col("v1"), F.col("v2")).alias("score"))
+    v1 = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"),
+                       l2_norm(F.col(vec_col)).alias("_n1"))
+    v2 = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"),
+                       l2_norm(F.col(vec_col)).alias("_n2"))
+    return (cand.join(v1, "d1").join(v2, "d2")
+            .select("d1", "d2",
+                    (dot(F.col("v1"), F.col("v2"))
+                     / (F.col("_n1") * F.col("_n2"))).cast("double")
+                    .alias("score"))
             .filter(F.col("score") >= threshold))
