@@ -38,7 +38,9 @@ HEADLINE = [
     "entity_members",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_brute_force_topk",
+    "sim_lsh_topk",
     "text_quality_stats",
     "events_sessionization",
 ]
@@ -64,6 +66,10 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # dedup/similarity operators cache intermediates (signature reuse
+        # across join sides); drop them so queries are timed in isolation
+        # instead of under the previous query's memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

@@ -214,11 +214,54 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return verified
 
 
+def _assemble_simhash(vote_col) -> Column:
+    """OR together the sign bits of 64 vote columns into one bigint.
+
+    `vote_col(i)` must yield the (signed) vote total for bit i. Flat
+    64-term expression evaluated once per doc — cheap.
+    """
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(vote_col(i) > 0,
+                   F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(d, sh): single-pass 64-bit SimHash per document.
+
+    Explode tokens, xxhash64 each ONCE, then one codegen'd hash-aggregate
+    with 64 conditional SUMs (vote for bit i = ±1 by hash bit i). The
+    groupBy(doc) shuffle is cut to one row per doc per input partition by
+    map-side partial aggregation; every expression stays inside
+    whole-stage codegen — unlike the expression-form simhash64, which
+    re-traverses the token array 64× interpreted.
+    """
+    toks = df.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"))
+    hashed = toks.select("d", F.xxhash64("t").alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    grouped = hashed.groupBy("d").agg(*votes)
+    return grouped.select(
+        "d", _assemble_simhash(lambda i: F.col(f"_v{i}")).alias("sh"))
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash of an array-of-tokens column, as bigint.
 
-    Bit i is the sign of sum over tokens of ±1 by token-hash bit i —
-    computed with nested higher-order functions (no explode, no shuffle).
+    Expression form (nested higher-order functions, no shuffle): 64
+    interpreted traversals of the token array. Fine for short arrays /
+    already-aggregated rows; corpus-scale callers should prefer
+    simhash_signatures (one codegen'd pass). Both produce identical
+    signatures (asserted in tests/test_dedup.py).
     """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     # shift amounts must be literal ints (shiftleft/shiftright take no
@@ -242,16 +285,19 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash banded hamming distance.
 
-    4 bands of 16 bits: any pair within hamming<=3*16 shares >=1 exact
-    band with high probability (pigeonhole guarantees it for <=3 flipped
-    bands; per-band collisions catch the rest). Candidates verified with
-    bit_count(xor) <= max_hamming.
+    4 bands of 16 bits. Recall bound (pigeonhole): a pair is GUARANTEED
+    to share an exact band only when hamming <= 3; above that (up to the
+    default max_hamming=8) detection is probabilistic — the differing
+    bits must leave at least one band untouched, so e.g. 2 flipped bits
+    in each of the 4 bands produce no candidate and the pair is missed.
+    Widening the guarantee (8 bands × 8 bits covers hamming <= 7) is not
+    worth it at scale: 8-bit band keys have only 256 buckets, so random
+    non-dup collisions — and the candidate-pair count — blow up
+    quadratically. Candidates verified with bit_count(xor) <= max_hamming.
     """
     spread = df.sparkSession.sparkContext.defaultParallelism
-    docs = df.repartition(spread, id_col).select(
-        F.col(id_col).alias("d"),
-        simhash64(F.split(normalize_text(F.col(text_col)), " "))
-        .alias("sh"))
+    docs = simhash_signatures(
+        df.repartition(spread, id_col), text_col, id_col)
     docs.cache()
     bands = docs.select("d", "sh", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),

@@ -41,7 +41,14 @@ def write_mongo(df: DataFrame, uri: str, database: str,
                 collection: str) -> bool:
     """K2: write to MongoDB when the Spark connector is on the
     classpath; returns False (after writing a JSONL fallback is the
-    caller's choice) when it is not."""
+    caller's choice) when it is not.
+
+    Only the connector-absent case is swallowed; genuine write failures
+    (auth, network, bad URI) re-raise so data loss is never silently
+    reported as the benign fallback.
+    """
+    _MISSING = ("DATA_SOURCE_NOT_FOUND", "Failed to find the data source",
+                "ClassNotFoundException")
     try:
         (df.write.format("mongodb")
          .option("connection.uri", uri)
@@ -50,7 +57,9 @@ def write_mongo(df: DataFrame, uri: str, database: str,
          .mode("append")
          .save())
         return True
-    except Exception:
-        # connector jar absent in this environment — callers fall back
-        # to write_entity_json
-        return False
+    except Exception as exc:
+        if any(marker in str(exc) for marker in _MISSING):
+            # connector jar absent in this environment — callers fall
+            # back to write_entity_json
+            return False
+        raise

@@ -80,6 +80,19 @@ def test_simhash_hamming_behavior(spark):
     assert ham(out[1], out[2]) <= 12
 
 
+def test_simhash_signatures_match_expression_form(spark):
+    """The codegen'd groupBy path and the HOF expression form must emit
+    bit-identical signatures (same hash, same vote, same tie rule)."""
+    docs = _docs(spark).limit(50)
+    fast = {r["d"]: r["sh"]
+            for r in D.simhash_signatures(docs).collect()}
+    slow = {r["d"]: r["sh"] for r in docs.select(
+        F.col("doc_id").alias("d"),
+        D.simhash64(F.split(D.normalize_text(F.col("text")), " "))
+        .alias("sh")).collect()}
+    assert fast == slow
+
+
 def test_simhash_pairs_finds_corpus_neardups(spark):
     docs = _docs(spark)
     exact = {(r["d1"], r["d2"])

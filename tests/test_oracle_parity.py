@@ -1,6 +1,6 @@
 """Every registered query with an oracle must match DuckDB exactly at
-sf0.001 — a stricter local version of the driver's t2 gate (driver runs
-at sf0.01; see tests/test_oracle_parity_sf001.py marker for the slow run).
+sf0.001 — a local version of the driver's t2 gate (the driver runs the
+same comparison at sf0.01; .claude/skills/verify/SKILL.md has the recipe).
 """
 
 from __future__ import annotations
