@@ -3,11 +3,12 @@ columns with typed metadata (superset scope; BASELINE.json north star).
 
 The Spark-side machinery is REAL and tested: schema contract, Arrow-batch
 Pandas UDF signatures, `mapInPandas` partition-iterator plumbing, batch
-shaping, and deterministic feature extraction (byte histograms — pure
-numpy, no codec needed). The actual pixel/sample decoding is STUBBED:
-this container has no image/audio libraries, so `decode_image` raises
-NotImplementedError unless a PIL-compatible decoder is importable, and
-the deterministic fake (`fake_decode_meta`) stands in for tests.
+shaping, and deterministic feature extraction. Image DECODE is real for
+uncompressed formats — PPM (P6) and 24-bit BMP decode/encode with pure
+numpy, feeding pixel features and a real nearest-neighbor resize kernel
+end-to-end. Compressed formats (PNG/JPEG) need a PIL-compatible codec
+(absent in this container) and raise NotImplementedError; the byte-
+histogram path stands in for non-decodable content.
 
 Scale notes: media blobs ride the same partitioning as any fact table;
 mapInPandas streams Arrow batches so a 100 MB image row never requires
@@ -41,7 +42,7 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 16  # byte-histogram buckets
 
 _FEATURES_SCHEMA = ("media_id long, kind string, n_bytes long, "
-                    "features array<double>")
+                    "features array<double>, feature_src string")
 _FRAMES_SCHEMA = ("media_id long, frame_index int, frame_bytes binary")
 
 
@@ -63,19 +64,108 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - env-dependent
-    """Decode image bytes to an array. STUB: no codec in this container."""
-    try:
-        from PIL import Image  # noqa: F401
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the simplest
+    real image format; lets the decode path be exercised end-to-end with
+    no codec library."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM P6 requires 3 channels")
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Pure-numpy binary-PPM (P6) decoder -> (h, w, 3) uint8."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments '#...' allowed), then a single whitespace byte
+    # before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3,
+                           offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up, BGR, 4-byte row padding)."""
+    import struct
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("24-bit BMP requires 3 channels")
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        arr[y, :, ::-1].tobytes() + b"\x00" * pad  # RGB->BGR, bottom-up
+        for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return header + info + body
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BMP -> (h, w, 3) uint8."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(content, dtype=np.uint8, count=stride * h,
+                         offset=offset).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode image bytes to an (h, w, 3) uint8 array.
+
+    PPM (P6) and uncompressed 24-bit BMP decode with pure numpy — a real
+    end-to-end decode path with zero codec dependencies. Other formats
+    (PNG/JPEG/...) fall through to PIL when importable; otherwise
+    NotImplementedError (this container ships no codec library).
+    """
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    try:  # pragma: no cover - env-dependent
+        import io
+
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(content)))
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires a PIL-compatible codec, not present "
-            "in this environment; use fake_decode_meta for plumbing tests"
+            "compressed-format decoding requires a PIL-compatible codec, "
+            "not present in this environment; PPM/BMP decode natively"
         ) from exc
-    import io
-
-    from PIL import Image as _I
-    return np.asarray(_I.open(io.BytesIO(content)))
 
 
 def fake_decode_meta(content: bytes) -> dict:
@@ -96,19 +186,55 @@ def byte_histogram(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return hist / hist.sum()
 
 
+def pixel_features(arr: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Feature vector from DECODED pixels: per-channel mean+std (6 dims,
+    scaled to [0,1]) followed by an L1-normalized luminance histogram
+    filling the remaining dims."""
+    px = arr.astype(np.float64)
+    moments = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+    lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+    nbins = dim - 6
+    hist = np.histogram(lum, bins=nbins, range=(0.0, 256.0))[0]
+    return np.concatenate([moments / 255.0, hist / max(hist.sum(), 1)])
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, c) array — the real resize
+    kernel, pure numpy."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature row
-    per media item out."""
+    per media item out.
+
+    Image rows whose bytes decode natively (PPM/BMP) get PIXEL features
+    (decode -> per-channel moments + luminance histogram); everything
+    else gets the codec-free byte histogram. `feature_src` records which
+    path fired.
+    """
+
+    def _one(kind: str, content: bytes) -> tuple[list, str]:
+        if kind == "image":
+            try:
+                return pixel_features(decode_image(content)).tolist(), "pixels"
+            except (ValueError, NotImplementedError, IndexError):
+                pass
+        return byte_histogram(content).tolist(), "bytes"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [byte_histogram(b or b"").tolist()
-                     for b in pdf["content"]]
+            pairs = [_one(k, b or b"")
+                     for k, b in zip(pdf["kind"], pdf["content"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": [len(b or b"") for b in pdf["content"]],
-                "features": feats,
+                "features": [p[0] for p in pairs],
+                "feature_src": [p[1] for p in pairs],
             })
 
     return media.mapInPandas(op, schema=_FEATURES_SCHEMA)
@@ -139,24 +265,38 @@ def sample_frames(media: DataFrame, frame_size: int = 64,
         op, schema=_FRAMES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes bytes through a mapInPandas stage and
-    stamps the target dims into metadata (the real kernel would decode,
-    resample, re-encode in place of `_identity`)."""
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize through a mapInPandas stage. Decodable image bytes
+    (PPM/BMP) run the REAL kernel — decode, nearest-neighbor resample,
+    re-encode as PPM; non-decodable content passes through with the
+    target dims stamped (`resized` = false) so mixed corpora survive."""
 
-    def _identity(content: bytes) -> bytes:
-        return content
+    def _one(kind: str, content: bytes) -> tuple[bytes, bool]:
+        if kind == "image":
+            try:
+                arr = decode_image(content)
+                return encode_ppm(resize_nearest(arr, width, height)), True
+            except (ValueError, NotImplementedError, IndexError):
+                pass
+        return content, False
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pairs = [_one(k, b or b"")
+                     for k, b in zip(pdf["kind"], pdf["content"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "content": [_identity(b) for b in pdf["content"]],
+                "content": [p[0] for p in pairs],
                 "width": width,
                 "height": height,
+                "resized": [p[1] for p in pairs],
             })
 
     return media.mapInPandas(
         op, schema="media_id long, kind string, content binary, "
-                   "width int, height int")
+                   "width int, height int, resized boolean")
+
+
+# round-1 name; the plumbing is no longer a stub for PPM/BMP content
+resize_stub = resize_media

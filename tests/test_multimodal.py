@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: schema contract, mapInPandas batch shapes,
-determinism, 1->N frame fan-out, stubbed decode behavior."""
+"""Multimodal tests: schema contract, mapInPandas batch shapes,
+determinism, 1->N frame fan-out, and the REAL decode path (pure-numpy
+PPM/BMP -> pixel features -> resize kernel)."""
 
 from __future__ import annotations
 
@@ -66,6 +67,49 @@ def test_resize_stub_passthrough(spark):
     for r in rows:
         assert r["width"] == 224 and r["height"] == 224
         assert bytes(r["content"]) == orig[r["media_id"]]
+
+
+def _checker(w=8, h=6):
+    """Deterministic RGB checkerboard."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((x + y) % 2) * 255
+    return np.stack([r, 255 - r, np.full_like(r, 7)], axis=-1).astype(np.uint8)
+
+
+def test_ppm_bmp_roundtrip():
+    img = _checker()
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(img)), img)
+    # decode_image sniffs the magic for both
+    assert np.array_equal(M.decode_image(M.encode_ppm(img)), img)
+    assert np.array_equal(M.decode_image(M.encode_bmp(img)), img)
+
+
+def test_pixel_features_from_decoded_blobs(spark):
+    """End-to-end: binary image column -> mapInPandas -> decode actual
+    pixels -> pixel features (not byte histograms)."""
+    img = _checker(16, 12)
+    rows = [(1, "image", bytearray(M.encode_ppm(img)), None),
+            (2, "image", bytearray(M.encode_bmp(img)), None),
+            (3, "image", bytearray(b"\x89PNG not decodable"), None)]
+    m = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.extract_features(m).collect()}
+    assert out[1]["feature_src"] == out[2]["feature_src"] == "pixels"
+    assert out[3]["feature_src"] == "bytes"
+    # PPM and BMP carry identical pixels -> identical pixel features
+    assert out[1]["features"] == out[2]["features"]
+    assert np.allclose(out[1]["features"], M.pixel_features(img))
+
+
+def test_resize_real_kernel(spark):
+    img = _checker(32, 24)
+    m = spark.createDataFrame(
+        [(1, "image", bytearray(M.encode_ppm(img)), None)], M.MEDIA_SCHEMA)
+    out = M.resize_media(m, 8, 8).collect()[0]
+    assert out["resized"] is True
+    resized = M.decode_ppm(bytes(out["content"]))
+    assert resized.shape == (8, 8, 3)
+    assert np.array_equal(resized, M.resize_nearest(img, 8, 8))
 
 
 def test_decode_image_is_stubbed():
