@@ -1,7 +1,7 @@
 """Similarity search over an embedding column (array<float>) — the
 superset ANN surface (BASELINE.json north star).
 
-Two paths:
+Three paths:
   brute_force_topk   exact cosine top-k: broadcast the (small) query set,
                      scan the corpus once, per-query window top-k. The
                      correct baseline at any scale — one corpus scan, no
@@ -12,14 +12,22 @@ Two paths:
                      bucket-colliding candidates. The 100 TB path: corpus
                      is hashed once (narrow), candidates per query are
                      ~bucket-sized, never corpus-sized.
+  ivf_topk           IVF-Flat: deterministic mini-kmeans centroids (hash-
+                     ordered seed sample + distributed Lloyd steps),
+                     narrow cell assignment, queries probe n_probe cells
+                     -> exact cosine on in-cell candidates only.
 
-Dot products use F.aggregate/zip_with (strict left-to-right summation —
-deterministic and engine-reproducible); all arithmetic in double.
+Oracle-checked dot products use F.aggregate/zip_with (strict
+left-to-right summation — deterministic and engine-reproducible) in
+double; the approximate bucketing stages (LSH signature, IVF
+assignment) use Arrow-batched numpy matmuls — narrow, vectorized, and
+every candidate is exact-verified downstream.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -97,13 +105,47 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
 def lsh_signature(vec: Column, dim: int, planes: int = 16,
                   seed: int = 7) -> Column:
     """Random-hyperplane sign signature as a long (bit i = sign of
-    dot(vec, plane_i)). Planes are fixed-seed literals — reproducible."""
+    dot(vec, plane_i)). Planes are fixed-seed literals — reproducible.
+
+    Expression (HOF) form: `planes` interpreted array passes per row and
+    a planes×dim literal tree that Catalyst must analyze — correct but
+    heavy. The hot path uses lsh_signature_arrow (identical bit
+    semantics, one numpy matmul per Arrow batch); this form remains the
+    dependency-free fallback.
+    """
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, planes, seed)):
         p = F.array(*[F.lit(float(x)) for x in plane])
         sig = sig.bitwiseOR(
             F.when(dot(vec, p) > 0,
                    F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def lsh_signature_arrow(dim: int, planes: int = 16, seed: int = 7):
+    """Vectorized hyperplane signature: a scalar Pandas UDF computing
+    sign bits for a whole Arrow batch with one (batch × dim) @ (dim ×
+    planes) matmul. Narrow (no shuffle), SIMD-speed, and the plan
+    carries one UDF node instead of a planes×dim literal tree.
+
+    Bit semantics match lsh_signature (bit i set iff dot > 0); only the
+    float summation order differs, which can flip a sign exactly at the
+    dot==0 boundary — immaterial for bucketing (LSH is approximate and
+    every candidate is exact-verified downstream).
+    """
+    if not 1 <= planes <= 63:
+        raise ValueError("planes must be in [1, 63] for a signed long")
+    P = np.asarray(_hyperplanes(dim, planes, seed), dtype=np.float64)
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ P.T) > 0
+        return pd.Series(bits @ weights)
+
     return sig
 
 
@@ -122,18 +164,26 @@ def _banded(df: DataFrame, sig_col: str, bands: int, band_bits: int,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              dim: int = 64, planes: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             impl: str = "arrow") -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing >=1 LSH band
     with the query; exact cosine + window top-k on candidates only."""
     band_bits = planes // bands
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        lsh_signature(F.col(vec_col), dim, planes).alias("sig"))
-    q = queries.select(
-        F.col(q_id_col), F.col(q_vec_col),
-        lsh_signature(F.col(q_vec_col), dim, planes).alias("qsig"))
-    cb = _banded(c.drop(vec_col), "sig", bands, band_bits, "bk")
-    qb = _banded(q.drop(q_vec_col), "qsig", bands, band_bits, "qbk")
+    if impl == "arrow":
+        sig_udf = lsh_signature_arrow(dim, planes)
+        c = corpus.select(F.col(id_col),
+                          sig_udf(F.col(vec_col)).alias("sig"))
+        q = queries.select(F.col(q_id_col),
+                           sig_udf(F.col(q_vec_col)).alias("qsig"))
+    else:
+        c = corpus.select(
+            F.col(id_col),
+            lsh_signature(F.col(vec_col), dim, planes).alias("sig"))
+        q = queries.select(
+            F.col(q_id_col),
+            lsh_signature(F.col(q_vec_col), dim, planes).alias("qsig"))
+    cb = _banded(c, "sig", bands, band_bits, "bk")
+    qb = _banded(q, "qsig", bands, band_bits, "qbk")
     # candidate distinct on ids ONLY — shuffling the 64-dim vectors
     # through the dedup exchange would move ~50× the bytes; vectors are
     # joined back per-candidate afterwards (same shape as
@@ -157,15 +207,106 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _two_stage_topk(scored, q_id_col, k)
 
 
+def _assign_cells(n_probe: int, centroids: np.ndarray):
+    """Arrow UDF: nearest-`n_probe` centroid ids (by cosine) for each
+    vector in a batch — one matmul per Arrow batch."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ C.T
+        # argpartition = O(cells); exact order among the probed cells
+        top = np.argpartition(-sims, min(n_probe, sims.shape[1] - 1),
+                              axis=1)[:, :n_probe]
+        rows = np.arange(sims.shape[0])[:, None]
+        order = np.argsort(-sims[rows, top], axis=1)
+        return pd.Series([r.astype("int32").tolist()
+                          for r in np.take_along_axis(top, order, axis=1)])
+
+    return assign
+
+
+def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                        dim: int = 64, iters: int = 2,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic mini-kmeans: seed centroids are the corpus vectors
+    with the `n_cells` smallest xxhash64(id) (a reproducible pseudo-
+    random sample), refined by `iters` distributed Lloyd steps (assign =
+    narrow Arrow matmul; update = explode + groupBy mean — one shuffle
+    of (cell, dim, component) triples, never of vectors).
+
+    Only the (n_cells × dim) centroid matrix ever reaches the driver.
+    """
+    seed_rows = (corpus.select(F.col(vec_col).alias("v"),
+                               F.xxhash64(F.col(id_col)).alias("h"))
+                 .orderBy("h").limit(n_cells).collect())
+    cents = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assign = _assign_cells(1, cents)
+        assigned = corpus.select(
+            assign(F.col(vec_col))[0].alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("i", "x"))
+        means = (assigned.groupBy("cell", "i")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                 .collect())
+        nxt = cents.copy()  # empty cells keep their previous centroid
+        for r in means:
+            nxt[r["cell"], r["i"]] = r["m"]
+        cents = nxt
+    return cents
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors live in their nearest
+    centroid's cell (narrow assignment); each query probes its `n_probe`
+    nearest cells and exact-scores only those cells' vectors.
+
+    At scale the candidate set per query is ~n_probe/n_cells of the
+    corpus; recall/cost trades via n_probe. Pass a pre-trained
+    `centroids` matrix to amortize training across query batches.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, dim,
+                                        vec_col=vec_col, id_col=id_col)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        _assign_cells(1, centroids)(F.col(vec_col))[0].alias("cell"))
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        l2_norm(F.col(q_vec_col)).alias("_qn"),
+        F.explode(_assign_cells(n_probe, centroids)(F.col(q_vec_col)))
+        .alias("cell"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col(q_id_col) != F.col(id_col))
+              .select(F.col(q_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      (dot(F.col(q_vec_col), F.col(vec_col))
+                       / (F.col("_qn") * F.col("_cn"))).cast("double")
+                      .alias("score")))
+    return _two_stage_topk(scored, q_id_col, k)
+
+
 def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
                          dim: int = 64, planes: int = 16, bands: int = 4,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         impl: str = "arrow") -> DataFrame:
     """Embedding near-duplicate pairs via LSH bucketing + exact verify."""
     band_bits = planes // bands
-    c = corpus.select(
-        F.col(id_col).alias("d"),
-        lsh_signature(F.col(vec_col), dim, planes).alias("sig"))
+    if impl == "arrow":
+        sig_expr = lsh_signature_arrow(dim, planes)(F.col(vec_col))
+    else:
+        sig_expr = lsh_signature(F.col(vec_col), dim, planes)
+    c = corpus.select(F.col(id_col).alias("d"), sig_expr.alias("sig"))
     b = _banded(c, "sig", bands, band_bits, "bk")
     # id-only candidate distinct (see lsh_topk) — vectors join back after
     cand = (b.alias("x").join(

@@ -70,6 +70,21 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_topk",
+    oracle=None,  # recall vs brute force asserted in tests
+    description="IVF-Flat approximate top-10: deterministic mini-kmeans "
+                "cells, queries probe 4 of 16 cells, exact cosine on "
+                "in-cell candidates only",
+    tags=("similarity",),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.ivf_topk(emb, queries, k=_K)
+
+
+@register(
     "sim_embedding_neardup",
     oracle=None,  # superset-of check + threshold verify in tests
     description="embedding near-dup pairs (cosine>=0.9) via LSH banding "

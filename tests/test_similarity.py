@@ -74,3 +74,43 @@ def test_lsh_signature_deterministic(spark):
     a = emb.select(S.lsh_signature(F.col("embedding"), 64).alias("s")).collect()
     b = emb.select(S.lsh_signature(F.col("embedding"), 64).alias("s")).collect()
     assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+def test_arrow_signature_matches_hof(spark):
+    """Same planes, same bit rule — the Arrow and HOF signatures agree
+    except at exact dot==0 boundaries (absent in real-valued data)."""
+    emb = _emb(spark).limit(200)
+    hof = emb.select("vec_id",
+                     S.lsh_signature(F.col("embedding"), 64).alias("s"))
+    arrow = emb.select("vec_id",
+                       S.lsh_signature_arrow(64)(F.col("embedding"))
+                       .alias("s"))
+    assert ({r["vec_id"]: r["s"] for r in hof.collect()}
+            == {r["vec_id"]: r["s"] for r in arrow.collect()})
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = _emb(spark)
+    a = S.train_ivf_centroids(emb, n_cells=8, iters=1)
+    b = S.train_ivf_centroids(emb, n_cells=8, iters=1)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 64)
+
+
+def test_ivf_topk_recall(spark):
+    """Probing all cells must recover the exact result; fewer probes
+    trade recall (>= 0.5 at 4/8 on this corpus)."""
+    emb = _emb(spark)
+    q = _queries(emb, 5)
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=10).collect()}
+    cents = S.train_ivf_centroids(emb, n_cells=8)
+    full = {(r["q_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, q, k=10, n_cells=8, n_probe=8,
+                                centroids=cents).collect()}
+    assert full == exact, "probing every cell must equal brute force"
+    part = {(r["q_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, q, k=10, n_cells=8, n_probe=4,
+                                centroids=cents).collect()}
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.5, f"IVF 4/8-probe recall too low: {recall}"
