@@ -140,6 +140,82 @@ def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (
+      SELECT event_id, ts, user_id, value
+      FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.ts, c.user_id, c.value,
+           p.ts AS r_ts, p.purchase_value AS r_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    description="as-of join: each click joined to the user's most recent "
+                "purchase at-or-before it (union + per-key window carry-"
+                "forward; DuckDB native ASOF JOIN as oracle)",
+    tags=("events", "join", "temporal"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # right side deduped to one row per (user, ts): ASOF is otherwise
+    # nondeterministic when several right rows share the match timestamp
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("purchase_value")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "ts", "user_id", "value"))
+    return asof_join(clicks, purch, on="user_id")
+
+
+@register(
+    "events_range_join",
+    oracle=f"""
+    WITH win AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL '30 minutes' AS end_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT w.user_id, w.start_ts,
+           COUNT(c.ts) AS n_clicks,
+           {sql_dsum('COALESCE(c.value, 0)', 'click_value')}
+    FROM win w LEFT JOIN clicks c
+      ON w.user_id = c.user_id AND c.ts >= w.start_ts AND c.ts < w.end_ts
+    GROUP BY w.user_id, w.start_ts
+    """,
+    description="range join: clicks bucketed into 30-min post-purchase "
+                "windows via interval-bucket equi-join (never a cross "
+                "product), zero-click windows kept",
+    tags=("events", "join", "temporal"),
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts").alias("start_ts")).distinct()
+           .select("user_id", "start_ts",
+                   (F.col("start_ts") + F.expr("INTERVAL 30 MINUTES"))
+                   .alias("end_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    matched = range_join(clicks, win, on="user_id", bucket="30 minutes")
+    counts = (matched.groupBy("user_id", "start_ts")
+              .agg(F.count(F.lit(1)).alias("n_clicks"),
+                   dsum("value", "click_value")))
+    # left semantics: purchase windows with zero clicks survive
+    return (win.join(counts, ["user_id", "start_ts"], "left")
+            .select("user_id", "start_ts",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                    F.coalesce("click_value", F.lit(0.0))
+                    .alias("click_value")))
+
+
+@register(
     "events_rate_per_type",
     oracle=f"""
     SELECT event_type,

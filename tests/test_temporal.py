@@ -1,0 +1,71 @@
+"""asof_join / range_join unit semantics: tie inclusivity, direction,
+missing matches, bucket boundaries."""
+
+from __future__ import annotations
+
+import datetime
+
+from g1_etl_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m, 0)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (1, _ts(5), "early"),
+         (2, _ts(30), "c"), (3, _ts(30), "nomatch")],
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(15), 150.0), (2, _ts(25), 250.0)],
+        "k long, ts timestamp, v double")
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = {r["tag"]: r for r in
+           asof_join(left, right, on="k").collect()}
+    assert out["a"]["r_v"] == 100.0          # tie: rt == lt matches
+    assert out["b"]["r_v"] == 150.0          # latest at-or-before
+    assert out["early"]["r_v"] is None       # nothing before
+    assert out["c"]["r_v"] == 250.0
+    assert out["nomatch"]["r_v"] is None     # key absent on right
+    assert out["b"]["r_ts"] == _ts(15)
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _frames(spark)
+    out = {r["tag"]: r for r in
+           asof_join(left, right, on="k", direction="forward").collect()}
+    assert out["a"]["r_v"] == 100.0          # tie matches forward too
+    assert out["early"]["r_v"] == 100.0      # next at-or-after
+    assert out["b"]["r_v"] is None           # nothing after 20 for k=1
+    assert out["c"]["r_v"] is None
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(0), "on_start"), (1, _ts(14), "inside"),
+         (1, _ts(15), "on_end"), (1, _ts(16), "after"),
+         (2, _ts(5), "other_key")],
+        "k long, ts timestamp, tag string")
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(15))], "k long, start_ts timestamp, end_ts timestamp")
+    got = {r["tag"] for r in
+           range_join(points, intervals, on="k",
+                      bucket="5 minutes").collect()}
+    assert got == {"on_start", "inside"}  # [start, end) and key-scoped
+
+
+def test_range_join_interval_longer_than_bucket(spark):
+    """Intervals spanning many buckets still match every inner point."""
+    points = spark.createDataFrame(
+        [(1, _ts(m), f"p{m}") for m in range(0, 50, 7)],
+        "k long, ts timestamp, tag string")
+    intervals = spark.createDataFrame(
+        [(1, _ts(3), _ts(45))], "k long, start_ts timestamp, end_ts timestamp")
+    got = {r["tag"] for r in
+           range_join(points, intervals, on="k", bucket="5 minutes").collect()}
+    assert got == {f"p{m}" for m in range(0, 50, 7) if 3 <= m < 45}
