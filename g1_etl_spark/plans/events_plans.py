@@ -216,6 +216,119 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hypertable_rollup",
+    oracle=f"""
+    SELECT CASE res WHEN 0 THEN '15m' WHEN 1 THEN '1h' ELSE '1d' END
+             AS resolution,
+           bucket, event_type, n, total_value
+    FROM (
+      SELECT 0 AS res, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+             event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 1, time_bucket(INTERVAL '1 hour', ts), event_type,
+             COUNT(*), {sql_dsum('value', 'total_value')}
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 2, time_bucket(INTERVAL '1 day', ts), event_type,
+             COUNT(*), {sql_dsum('value', 'total_value')}
+      FROM events GROUP BY 2, 3)
+    """,
+    description="hypertable-style multi-resolution rollup (15m/1h/1d "
+                "continuous-aggregate shape): coarse resolutions fold "
+                "from the fine rollup, not from raw events",
+    tags=("events", "agg", "rollup"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale shape: raw events are scanned ONCE for the finest
+    resolution; 1h folds from 15m and 1d folds from 1h (decimal partial
+    sums re-aggregate exactly), so each coarser level aggregates
+    4-24 rows per bucket instead of re-reading the fact table — the
+    TimescaleDB continuous-aggregate / OLAP cube-refresh pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.sum(F.col("value").cast("decimal(38,6)"))
+    fine = (ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dec.alias("dv"))
+            .select(F.col("w.start").alias("bucket"), "event_type",
+                    "n", "dv"))
+    fine.cache()
+
+    def coarsen(df, width):
+        return (df.groupBy(F.window("bucket", width).alias("w"),
+                           "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
+                .select(F.col("w.start").alias("bucket"), "event_type",
+                        "n", "dv"))
+
+    hourly = coarsen(fine, "1 hour")
+    hourly.cache()
+    daily = coarsen(hourly, "1 day")
+
+    def finish(df, label):
+        return df.select(
+            F.lit(label).alias("resolution"), "bucket", "event_type", "n",
+            F.col("dv").cast("double").alias("total_value"))
+
+    return (finish(fine, "15m")
+            .unionByName(finish(hourly, "1h"))
+            .unionByName(finish(daily, "1d")))
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+      FROM events WHERE user_id < 10 GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b
+      GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM spans),
+    filled AS (
+      SELECT g.user_id, g.bucket,
+             COALESCE(b.n, 0) AS n,
+             b.total_value,
+             COUNT(b.total_value) OVER (PARTITION BY g.user_id
+                                        ORDER BY g.bucket) AS grp
+      FROM grid g LEFT JOIN b USING (user_id, bucket))
+    SELECT user_id, bucket, n,
+           FIRST_VALUE(total_value) OVER (PARTITION BY user_id, grp
+                                          ORDER BY bucket) AS locf_value
+    FROM filled
+    """,
+    description="time-series gap fill: dense hourly grid per user "
+                "(sequence explode) + last-observation-carried-forward "
+                "via window over observed rows",
+    tags=("events", "window", "timeseries"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    b = (ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+         .select("user_id", F.col("w.start").alias("bucket"), "n",
+                 "total_value"))
+    # dense grid: per-user [min, max] hourly sequence, exploded. The
+    # sequence is per-user span-sized (bounded), never global.
+    grid = (b.groupBy("user_id")
+            .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        "lo", "hi", F.expr("INTERVAL 1 HOUR")))
+                    .alias("bucket")))
+    filled = (grid.join(b, ["user_id", "bucket"], "left"))
+    w = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return (filled.select(
+        "user_id", "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value")))
+
+
+@register(
     "events_rate_per_type",
     oracle=f"""
     SELECT event_type,

@@ -86,6 +86,35 @@ def dedup_within_watermark(events: DataFrame,
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: the static dimension is broadcast
+    to every micro-batch (re-read per trigger, so slowly-changing dims
+    pick up updates). No state, no watermark needed — the canonical
+    dimension-lookup shape for a 100 TB/day stream."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def write_foreach_batch(stream_df: DataFrame, path: str,
+                        checkpoint: str, fmt: str = "parquet"):
+    """foreachBatch sink: each micro-batch lands as
+    `{path}/batch_id=N` via the batch writer — the escape hatch for
+    sinks without native streaming support (JDBC, Mongo, multi-table
+    fan-out). Restarted batches overwrite their own directory
+    (idempotent replay => effectively exactly-once on top of the
+    checkpointed source offsets)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .format(fmt)
+         .save(f"{path}/batch_id={batch_id}"))
+
+    return (stream_df.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .start())
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append"):
     """Drive a streaming query to completion against the current backlog

@@ -128,3 +128,39 @@ def test_stateful_running_totals(spark, stream_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark, stream_dir):
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"),
+         ("view", "engagement"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string")
+    stream = SW.read_events_stream(spark, stream_dir, 4)
+    q = SW.run_to_memory(SW.enrich_stream(stream, dim, "event_type"),
+                         "t_enrich", output_mode="append")
+    try:
+        rows = spark.sql(
+            "SELECT event_type, category, COUNT(*) n FROM t_enrich "
+            "GROUP BY 1, 2").collect()
+        got = {r["event_type"]: r["category"] for r in rows}
+        assert got["purchase"] == "revenue" and got["error"] == "ops"
+        n = spark.sql("SELECT COUNT(*) n FROM t_enrich").collect()[0]["n"]
+        assert n == _batch(spark, stream_dir).count()
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, stream_dir, tmp_path):
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    stream = SW.read_events_stream(spark, stream_dir, 2)
+    q = SW.write_foreach_batch(
+        stream.select("event_id", "ts", "user_id"), str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert len(batches) >= 2, "expected one dir per micro-batch"
+    total = spark.read.parquet(*(str(out / b) for b in batches)).count()
+    assert total == _batch(spark, stream_dir).count()
