@@ -281,6 +281,57 @@ def simhash64(tokens: Column) -> Column:
     return out
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         src: str = "d1", dst: str = "d2",
+                         max_iters: int = 20) -> DataFrame:
+    """(doc_id, component): connected components over near-dup pairs by
+    iterative min-label propagation — the cluster step that turns
+    pairwise near-dups into dedup groups (keep MIN(id) per component).
+
+    Each iteration: every node takes the minimum label among itself and
+    its neighbors (edges walked in both directions) — one shuffle per
+    iteration, converging in O(graph diameter) rounds, which for dedup
+    clusters (dense, tiny diameter) is 2-3. The loop is driver-side but
+    the data never is; `localCheckpoint` truncates the growing lineage
+    so iteration N doesn't recompute iterations 1..N-1.
+
+    Genuinely iterative — no single SQL equivalent (the driver records
+    a rows-only check); tests verify against a local union-find.
+    """
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(pairs.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b"))))
+    edges = edges.repartition("a").localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("a"),
+                          F.col(id_col).cast("long").alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels.withColumnRenamed("a", "b")
+                                   .withColumnRenamed("label", "nl"), "b")
+                        .groupBy("a").agg(F.min("nl").alias("nl")))
+        updated = (labels.join(neighbor_min, "a", "left")
+                   .select("a", F.least("label", "nl").alias("new_label"),
+                           "label"))
+        changed = updated.filter(
+            F.col("new_label") < F.col("label")).limit(1).count()
+        labels = (updated.select("a", F.col("new_label").alias("label"))
+                  .localCheckpoint())
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(id_col),
+                         F.col("label").alias("component"))
+
+
+def dedup_canonical(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id): canonical doc per near-dup cluster =
+    MIN(id) of its connected component; singleton docs map to
+    themselves. The standard keep-one-per-cluster dedup decision."""
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    return comp.select(id_col, F.col("component").alias("canonical_id"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash banded hamming distance.

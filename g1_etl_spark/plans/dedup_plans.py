@@ -82,6 +82,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_PAIRS_SQL = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM cand
+      JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.5)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    {_PAIRS_SQL},
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs)
+    SELECT a AS doc_id, MIN(label) AS component FROM (
+      WITH RECURSIVE walk(a, label) AS (
+          SELECT doc_id, doc_id FROM documents
+        UNION
+          SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
+      SELECT a, label FROM walk)
+    GROUP BY a
+    """,
+    description="near-dup clusters: connected components over exact "
+                "jaccard pairs via iterative min-label propagation "
+                "(component = min doc_id; DuckDB recursive-CTE oracle)",
+    tags=("dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based; recall vs exact asserted in tests

@@ -96,6 +96,47 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(emb, threshold=0.9)
 
 
+_DOT12 = ("list_sum(list_transform(list_zip(v1, v2), "
+          "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+_NORM = ("sqrt(list_sum(list_transform({v}, "
+         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+@register(
+    "sim_cosine_neardup_exact",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           {_DOT12.replace('v1', 'a.embedding').replace('v2', 'b.embedding')}
+             / ({_NORM.format(v='a.embedding')}
+                * {_NORM.format(v='b.embedding')}) AS score
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE {_DOT12.replace('v1', 'a.embedding').replace('v2', 'b.embedding')}
+            / ({_NORM.format(v='a.embedding')}
+               * {_NORM.format(v='b.embedding')}) >= 0.9
+    """,
+    description="exact cosine near-dup pairs on a bounded corpus slice "
+                "(broadcast nested-loop; the oracle-checkable exact twin "
+                "— LSH banding is the 100 TB path)",
+    tags=("similarity", "dedup"),
+)
+def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 500))
+    a = emb.select(F.col("vec_id").alias("d1"),
+                   F.col("embedding").alias("v1"),
+                   S.l2_norm(F.col("embedding")).alias("_n1"))
+    b = emb.select(F.col("vec_id").alias("d2"),
+                   F.col("embedding").alias("v2"),
+                   S.l2_norm(F.col("embedding")).alias("_n2"))
+    return (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+            .select("d1", "d2",
+                    (S.dot(F.col("v1"), F.col("v2"))
+                     / (F.col("_n1") * F.col("_n2"))).cast("double")
+                    .alias("score"))
+            .filter(F.col("score") >= 0.9))
+
+
 @register(
     "multimodal_features",
     oracle=None,  # Pandas-UDF byte-histogram; verified vs numpy in tests

@@ -104,6 +104,48 @@ def test_simhash_pairs_finds_corpus_neardups(spark):
     assert len(exact & sim) >= len(exact) * 0.6, (len(exact & sim), len(exact))
 
 
+def test_connected_components_matches_union_find(spark):
+    """Long chains (diameter > 1 iteration-hop), triangles, singletons —
+    verified against a local union-find on the same edges."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+             (10, 11), (11, 12), (10, 12),        # triangle
+             (20, 21)]                            # pair
+    node_ids = list(range(1, 6)) + [10, 11, 12, 20, 21, 30, 31]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    got = {r["doc_id"]: r["component"]
+           for r in D.connected_components(pairs, nodes).collect()}
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min node id per component
+    comp_min = {}
+    for n in node_ids:
+        root = find(n)
+        comp_min[root] = min(comp_min.get(root, n), n)
+    want = {n: comp_min[find(n)] for n in node_ids}
+    assert got == want
+    assert got[5] == 1 and got[12] == 10 and got[30] == 30
+
+
+def test_dedup_canonical_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (7, "zz yy xx ww")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in D.dedup_canonical(df, pairs).collect()}
+    assert out == {1: 1, 2: 1, 7: 7}
+
+
 def test_ngram_skew_cap_drops_hot_shingles(spark):
     rows = [(i, "common phrase here " + f"unique{i} tail{i}")
             for i in range(50)]
