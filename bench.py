@@ -60,9 +60,17 @@ def main() -> None:
     _force(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
            .groupBy("l_returnflag").count())
 
+    warm_dir = "/root/testdata/sf0.001"
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        # run the same plan shape at the smoke SF first: Spark caches
+        # generated code by plan structure, so this absorbs the one-time
+        # Janino codegen compile (several seconds for e.g. the 64-sum
+        # simhash aggregate) and the timed run measures execution
+        if os.path.isdir(warm_dir):
+            _force(fn(spark, warm_dir))
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)

@@ -81,6 +81,36 @@ def _grams_projected(df: DataFrame, text_col: str, id_col: str,
                     .alias("grams")))
 
 
+def gram_hashes_from_words(words: Column, fallback: Column,
+                           n: int = 3) -> Column:
+    """Distinct n-gram HASHES (xxhash64 of the n words at each position)
+    from an already-split words array — no shingle string is ever
+    materialized: hot paths only need an injective-enough gram key, so
+    the concat alloc + re-hash of the string form is pure overhead."""
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.xxhash64(
+                    *[F.element_at(words, (i + j + 1).cast("int"))
+                      for j in range(n)]),
+            ),
+        ).otherwise(F.array(F.xxhash64(fallback))),
+    )
+
+
+def _gram_hashes_projected(df: DataFrame, text_col: str, id_col: str,
+                           n: int) -> DataFrame:
+    """(d, grams: array<long>) — hashed-gram twin of _grams_projected."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(spread, id_col)
+            .select(F.col(id_col).alias("d"), F.col(text_col).alias("_t"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+            .select("d", gram_hashes_from_words(F.col("_w"), F.col("_t"), n)
+                    .alias("grams")))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", normalized: bool = False) -> DataFrame:
     """Exact duplicate groups: canonical id = MIN(id) per content key.
@@ -110,8 +140,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     guard; a shingle shared by k docs contributes k² candidate pairs).
     """
     # repartition spreads a small input file across cores; cache because
-    # the shingle set feeds both join sides plus the hot-shingle scan
-    sh = (_grams_projected(df, text_col, id_col, n)
+    # the shingle set feeds both join sides plus the hot-shingle scan.
+    # Shingles live as xxhash64 longs end-to-end (no shingle string is
+    # ever built): the inverted-index shuffle carries 8 bytes per key
+    # and jaccard only counts matches, so any injective-enough key
+    # works; 2^64 space makes collisions immaterial.
+    sh = (_gram_hashes_projected(df, text_col, id_col, n)
           .select("d", F.size("grams").alias("sz"),
                   F.explode("grams").alias("g")))
     sh.cache()
@@ -139,6 +173,11 @@ def _perm_params(num: int, seed: int) -> list[tuple[int, int]]:
 def base_hashes(grams: Column) -> Column:
     """xxhash64 of each shingle reduced into [0, P)."""
     return F.transform(grams, lambda g: F.abs(F.xxhash64(g)) % _P)
+
+
+def base_hashes_from_longs(gram_hashes: Column) -> Column:
+    """Already-hashed (long) shingles reduced into [0, P)."""
+    return F.transform(gram_hashes, lambda g: F.abs(g) % _P)
 
 
 def minhash_from_hashes(hashes: Column, num_hashes: int = 32,
@@ -178,10 +217,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     rows = num_hashes // bands
     # cache the base hashes BEFORE deriving the 32 permuted minima:
-    # Catalyst's CollapseProject would otherwise re-inline the xxhash
-    # transform into every permutation expression (HOFs get no CSE)
-    hashed = (_grams_projected(df, text_col, id_col, n)
-              .withColumn("hs", base_hashes(F.col("grams"))))
+    # Catalyst's CollapseProject would otherwise re-inline the hash
+    # transform into every permutation expression (HOFs get no CSE).
+    # Grams are xxhash64 longs (gram_hashes_from_words) — shingle
+    # strings are never materialized here either.
+    hashed = (_gram_hashes_projected(df, text_col, id_col, n)
+              .withColumn("hs", base_hashes_from_longs(F.col("grams"))))
     hashed.cache()
     docs = (hashed
             .withColumn("sig", minhash_from_hashes(F.col("hs"),
