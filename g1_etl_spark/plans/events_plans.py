@@ -246,9 +246,11 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-24 rows per bucket instead of re-reading the fact table — the
     TimescaleDB continuous-aggregate / OLAP cube-refresh pattern."""
     ev = load_table(spark, sf_dir, "events")
-    dec = F.sum(F.col("value").cast("decimal(38,6)"))
+    # scaled-long partials (see plans/_util.py): re-aggregate exactly
+    # across resolutions and stay in primitive codegen
+    scaled = F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
     fine = (ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"), dec.alias("dv"))
+            .agg(F.count(F.lit(1)).alias("n"), scaled.alias("dv"))
             .select(F.col("w.start").alias("bucket"), "event_type",
                     "n", "dv"))
     fine.cache()
@@ -267,7 +269,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def finish(df, label):
         return df.select(
             F.lit(label).alias("resolution"), "bucket", "event_type", "n",
-            F.col("dv").cast("double").alias("total_value"))
+            (F.col("dv").cast("double") / 1_000_000).alias("total_value"))
 
     return (finish(fine, "15m")
             .unionByName(finish(hourly, "1h"))
