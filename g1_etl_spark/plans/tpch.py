@@ -319,3 +319,128 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: priority counts for orders with a "
+                "returned line (EXISTS -> left-semi join; the synthetic "
+                "schema lacks commit/receipt dates, so the inner "
+                "predicate is returnflag='R')",
+    tags=("join", "agg", "flagship"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (o.filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+                     & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date")))
+            .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6: forecasting revenue change — pure pushed-down "
+                "filter + global aggregate, no join",
+    tags=("agg", "flagship"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.00
+           * (CAST(SUM(CAST(round((CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           / (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount))
+                 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             AS promo_revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-03-01'
+      AND l_shipdate < DATE '1997-04-01'
+    """,
+    description="TPC-H Q14: promo revenue share — broadcast part join, "
+                "conditional aggregate ratio",
+    tags=("join", "agg", "flagship"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+
+    def dsum_col(c):
+        return F.sum(F.round(c * 1_000_000).cast("long")).cast("double") / 1_000_000
+
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date")))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum_col(promo) / dsum_col(disc_price))
+             .alias("promo_revenue"),
+             F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    description="TPC-H Q19 shape: disjunctive brand/size/quantity "
+                "predicates over a broadcast part join (OR-of-ANDs "
+                "residual on an equi-join, never a cartesian)",
+    tags=("join", "agg", "flagship"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+            | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+            | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(pred)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"),
+                 F.count(F.lit(1)).alias("n")))
