@@ -122,6 +122,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based: bounded-error vs exact asserted in tests
+    description="approximate percentiles (GK sketch, accuracy 1e4): "
+                "mergeable one-pass summaries — the 100 TB path where "
+                "exact percentile's full sort/collect is off the table",
+    tags=("agg", "stats", "sketch"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_quantity", 0.5, 10_000)
+                 .alias("median_qty"),
+                 F.percentile_approx("l_extendedprice", 0.9, 10_000)
+                 .alias("p90_price")))
+
+
+@register(
     "agg_mode_per_group",
     oracle="""
     SELECT c_mktsegment, o_orderpriority AS mode_priority, n

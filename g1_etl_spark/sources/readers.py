@@ -1,0 +1,72 @@
+"""Sources beyond parquet — Spark-native rebuilds of the reference's
+input surface (SURVEY §2.1) plus the formats a pipeline meets in
+practice.
+
+The reference reads MySQL with hand-built `SELECT ... WHERE
+dispensary_id={id}` strings (mmj/utilities/utils.py:24-31, one
+connection, one cursor). The Spark twin is `read_jdbc_partitioned`:
+the same pushed-down predicate, but split across executors on a
+numeric column so a 10^9-row table arrives as N parallel range scans.
+
+CSV/JSONL readers pin an explicit schema — schema inference reads the
+data twice and silently drifts types between runs; at 100 TB both are
+unacceptable, so inference is opt-in never default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, delimiter: str = ",",
+             mode: str = "FAILFAST") -> DataFrame:
+    """CSV scan with explicit schema. FAILFAST by default: a malformed
+    row is a data bug, not something to null-fill silently; pass
+    mode='PERMISSIVE' + a corrupt-record column to quarantine instead."""
+    return (spark.read
+            .schema(schema)
+            .option("header", str(header).lower())
+            .option("sep", delimiter)
+            .option("mode", mode)
+            .csv(path))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType,
+               mode: str = "FAILFAST") -> DataFrame:
+    """JSON-lines scan with explicit schema (the K1 sink's inverse)."""
+    return (spark.read
+            .schema(schema)
+            .option("mode", mode)
+            .json(path))
+
+
+def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
+                          partition_col: str, lower: int, upper: int,
+                          num_partitions: int,
+                          predicate: str | None = None,
+                          fetch_size: int = 10_000,
+                          properties: dict | None = None):
+    """Partitioned JDBC source — the reference's MySQL reads
+    (utils.py:24-31) distributed: `num_partitions` executors each scan
+    one `partition_col` range; `predicate` reproduces the reference's
+    per-dispensary WHERE pushdown inside the database.
+
+    Returns the configured DataFrameReader result; requires the JDBC
+    driver jar on the classpath (not shipped in this environment —
+    construction is unit-tested, execution is an integration concern).
+    """
+    src = f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate \
+        else table
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", src)
+              .option("partitionColumn", partition_col)
+              .option("lowerBound", str(lower))
+              .option("upperBound", str(upper))
+              .option("numPartitions", str(num_partitions))
+              .option("fetchsize", str(fetch_size)))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -37,3 +37,22 @@ def test_builtin_moments_match_textbook(spark):
 def test_percentiles_bounded_by_min_max(spark):
     for r in agg_percentiles(spark, SF_SMOKE).collect():
         assert r["min_qty"] <= r["median_qty"] <= r["p90_qty"] <= r["max_qty"]
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """GK sketch at accuracy 1e4 → rank error <= n/1e4. Compare the
+    sketch's median against the exact rank window around 0.5."""
+    from g1_etl_spark.plans.stats_plans import agg_approx_percentile
+
+    approx = {r["l_returnflag"]: r["median_qty"]
+              for r in agg_approx_percentile(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for flag, med in approx.items():
+        vals = sorted(r["l_quantity"] for r in
+                      li.filter(F.col("l_returnflag") == flag)
+                      .select("l_quantity").collect())
+        n = len(vals)
+        eps = max(1, n // 10_000)
+        lo = vals[max(0, n // 2 - eps - 1)]
+        hi = vals[min(n - 1, n // 2 + eps + 1)]
+        assert lo <= med <= hi, (flag, lo, med, hi)
