@@ -149,6 +149,25 @@ def lsh_signature_arrow(dim: int, planes: int = 16, seed: int = 7):
     return sig
 
 
+def cosine_arrow():
+    """Vectorized cosine for candidate-verify stages: one batched numpy
+    kernel instead of per-pair interpreted HOF passes. Used only on
+    approximate (rows-only) paths — oracle-checked queries keep the
+    strict left-to-right HOF summation."""
+
+    @F.pandas_udf("double")
+    def cos(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        if v1.empty:
+            return pd.Series([], dtype="float64")
+        a = np.stack(v1.to_numpy()).astype(np.float64)
+        b = np.stack(v2.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return cos
+
+
 def _banded(df: DataFrame, sig_col: str, bands: int, band_bits: int,
             out: str) -> DataFrame:
     mask = (1 << band_bits) - 1
@@ -314,13 +333,13 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
         (F.col("x.bk") == F.col("y.bk")) & (F.col("x.d") < F.col("y.d")))
         .select(F.col("x.d").alias("d1"), F.col("y.d").alias("d2"))
         .distinct())
-    v1 = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"),
-                       l2_norm(F.col(vec_col)).alias("_n1"))
-    v2 = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"),
-                       l2_norm(F.col(vec_col)).alias("_n2"))
-    return (cand.join(v1, "d1").join(v2, "d2")
-            .select("d1", "d2",
-                    (dot(F.col("v1"), F.col("v2"))
-                     / (F.col("_n1") * F.col("_n2"))).cast("double")
-                    .alias("score"))
+    v1 = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    v2 = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    withv = cand.join(v1, "d1").join(v2, "d2")
+    if impl == "arrow":
+        score = cosine_arrow()(F.col("v1"), F.col("v2"))
+    else:
+        score = (dot(F.col("v1"), F.col("v2"))
+                 / (l2_norm(F.col("v1")) * l2_norm(F.col("v2"))))
+    return (withv.select("d1", "d2", score.cast("double").alias("score"))
             .filter(F.col("score") >= threshold))

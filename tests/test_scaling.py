@@ -1,0 +1,59 @@
+"""Bucketed co-located joins (no exchange in the plan) and salted skew
+joins (identical results to the plain join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import scaling as SC
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    SC.write_bucketed(orders.select("o_orderkey", "o_totalprice"),
+                      "t_orders_b", "o_orderkey", buckets=8)
+    SC.write_bucketed(lineitem.select("l_orderkey", "l_quantity")
+                      .withColumnRenamed("l_orderkey", "o_orderkey"),
+                      "t_lineitem_b", "o_orderkey", buckets=8)
+    a = SC.read_bucketed(spark, "t_orders_b")
+    b = SC.read_bucketed(spark, "t_lineitem_b")
+    joined = SC.colocated_join(a, b, "o_orderkey")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    # and it is still correct
+    want = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+            .join(spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"),
+                  F.col("o_orderkey") == F.col("l_orderkey")).count())
+    assert joined.count() == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    # pathological skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, f"v{i}") for i in range(1000)],
+        "k long, payload string")
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 200)], "k long, name string")
+    plain = (left.join(right, "k")
+             .select("k", "payload", "name"))
+    salted = (SC.salted_join(left, right, "k", salt=8)
+              .select("k", "payload", "name"))
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left = spark.createDataFrame([(1, i) for i in range(1000)],
+                                 "k long, i long")
+    right = spark.createDataFrame([(1, "hot")], "k long, name string")
+    l = left.select(
+        "*", (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % 8)
+        .alias("_salt"))
+    n_salts = l.select("_salt").distinct().count()
+    assert n_salts == 8, "hot key must spread across all salt subkeys"
+    assert SC.salted_join(left, right, "k", salt=8).count() == 1000
