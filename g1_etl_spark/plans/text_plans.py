@@ -4,7 +4,7 @@ engine-identical; double divisions operate on identical operands)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
@@ -154,6 +154,74 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.content_fingerprint(F.col("text")).alias("content_fp"),
         T.shingle_fingerprint(F.col("text")).alias("shingle_fp"),
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id,
+             (CASE WHEN length(text) >= 50 AND length(text) <= 10000
+                   THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS DOUBLE) / length(text)) * 0.4
+             + (CAST(len(list_distinct(
+                    regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+'))) * 0.4
+               AS quality
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS detected_lang
+      FROM (SELECT doc_id,
+                   len(list_intersect(words, {_MARKER_SQL['de']})) AS s_de,
+                   len(list_intersect(words, {_MARKER_SQL['en']})) AS s_en,
+                   len(list_intersect(words, {_MARKER_SQL['es']})) AS s_es,
+                   len(list_intersect(words, {_MARKER_SQL['fr']})) AS s_fr
+            FROM (SELECT doc_id, list_distinct(string_split(
+                    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+                    AS words FROM documents))),
+    k AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY regexp_replace(trim(lower(text)), '\s+', ' ',
+                                           'g')) AS canonical_id
+      FROM documents)
+    SELECT d.doc_id, l.detected_lang AS lang, q.quality,
+           CAST(CASE WHEN trim(d.text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END
+                AS BIGINT) AS ws_tokens
+    FROM documents d
+    JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)
+    WHERE q.quality >= 0.55
+      AND l.detected_lang <> 'und'
+      AND k.canonical_id = d.doc_id
+    """,
+    description="flagship LLM-pipeline composite: quality filter -> "
+                "language filter -> keep only dedup-canonical docs -> "
+                "token counts; the whole cleaning flow as one "
+                "declarative plan (each stage shares one corpus scan)",
+    tags=("text", "dedup", "pipeline"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.min("doc_id").over(W.partitionBy(normalize_text(F.col("text"))))
+    return (d.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        w.alias("_canon"))
+        .filter((F.col("quality") >= 0.55)
+                & (F.col("lang") != "und")
+                & (F.col("_canon") == F.col("doc_id")))
+        .drop("_canon"))
 
 
 @register(
