@@ -764,17 +764,20 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_totalprice >
           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                  / COUNT(*) * 2
+                  / COUNT(*) * 1.8
            FROM orders)
     """,
-    description="J8 decorrelation: filter vs scalar aggregate subquery",
+    description="J8 decorrelation: filter vs scalar aggregate subquery "
+                "(factor 1.8: the synthetic uniform price distribution "
+                "tops out below 2x the mean, which made the result "
+                "vacuously empty)",
     tags=("join", "agg"),
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     threshold = orders.agg(
         (F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
-         / F.count(F.lit(1)) * 2).alias("t"))
+         / F.count(F.lit(1)) * 1.8).alias("t"))
     return (
         orders.join(F.broadcast(threshold))
         .filter(F.col("o_totalprice") > F.col("t"))

@@ -87,13 +87,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_embedding_neardup",
     oracle=None,  # superset-of check + threshold verify in tests
-    description="embedding near-dup pairs (cosine>=0.9) via LSH banding "
+    description="embedding near-dup pairs (cosine>=0.4 — the synthetic "
+                "corpus tops out near 0.6) via LSH banding "
                 "+ exact verification",
     tags=("similarity", "dedup"),
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(emb, threshold=0.9)
+    return S.cosine_neardup_pairs(emb, threshold=0.4)
 
 
 _DOT12 = ("list_sum(list_transform(list_zip(v1, v2), "
@@ -113,7 +114,7 @@ _NORM = ("sqrt(list_sum(list_transform({v}, "
     FROM s a JOIN s b ON a.vec_id < b.vec_id
     WHERE {_DOT12.replace('v1', 'a.embedding').replace('v2', 'b.embedding')}
             / ({_NORM.format(v='a.embedding')}
-               * {_NORM.format(v='b.embedding')}) >= 0.9
+               * {_NORM.format(v='b.embedding')}) >= 0.4
     """,
     description="exact cosine near-dup pairs on a bounded corpus slice "
                 "(broadcast nested-loop; the oracle-checkable exact twin "
@@ -134,14 +135,15 @@ def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (S.dot(F.col("v1"), F.col("v2"))
                      / (F.col("_n1") * F.col("_n2"))).cast("double")
                     .alias("score"))
-            .filter(F.col("score") >= 0.9))
+            .filter(F.col("score") >= 0.4))
 
 
 @register(
     "multimodal_features",
     oracle=None,  # Pandas-UDF byte-histogram; verified vs numpy in tests
-    description="multimodal plumbing: binary media column -> mapInPandas "
-                "Arrow-batch byte-histogram features (decode stubbed)",
+    description="multimodal features: binary media column -> mapInPandas "
+                "Arrow batches -> pixel features for natively-decodable "
+                "images (PPM/BMP), byte-histogram fallback otherwise",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,14 +163,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN customer ON c_custkey = o_custkey
           JOIN nation n1 ON s_nationkey = n1.n_nationkey
           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-          WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-                 OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
             AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
-    description="TPC-H Q7: bilateral shipping volume by year "
-                "(nation self-join via two broadcast aliases)",
+    description="TPC-H Q7: bilateral shipping volume by year (nation "
+                "self-join via two broadcast aliases; synthetic nation "
+                "names NATION_1/NATION_2 so the pair actually matches)",
     tags=("join", "agg", "flagship"),
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,10 +191,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
-        .filter(((F.col("supp_nation") == "FRANCE")
-                 & (F.col("cust_nation") == "GERMANY"))
-                | ((F.col("supp_nation") == "GERMANY")
-                   & (F.col("cust_nation") == "FRANCE")))
+        .filter(((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1")))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
