@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     Revenue by customer nation: lineitem ⋈ orders ⋈ broadcast(customer)
-    ⋈ broadcast(nation) → groupBy → exact-decimal sum → sort.
+    ⋈ broadcast(nation) → groupBy → exact scaled-long sum → sort.
     """
     return revenue_by_nation(spark, SMOKE_SF_DIR)
 

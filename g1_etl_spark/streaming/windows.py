@@ -86,6 +86,38 @@ def dedup_within_watermark(events: DataFrame,
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def purchase_attribution(events: DataFrame,
+                         attribution_window: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-STREAM join: purchases joined to the clicks that preceded
+    them within the attribution window, per user.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range (click_ts in [purchase_ts - window, purchase_ts]), so state
+    for both streams is evicted once the watermark passes — the two
+    requirements for a bounded-state stream-stream join. The batch twin
+    is events_range_join/events_asof_join (plans/events_plans.py).
+    """
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("value").alias("click_value"))
+              .withWatermark("click_ts", watermark))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = ((clicks.user_id == purchases.p_user_id)
+            & (clicks.click_ts <= purchases.purchase_ts)
+            & (clicks.click_ts >=
+               purchases.purchase_ts - F.expr(
+                   f"INTERVAL {attribution_window}")))
+    return (clicks.join(purchases, cond)
+            .select("user_id", "click_ts", "click_value",
+                    "purchase_ts", "purchase_value"))
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str,
                   how: str = "left") -> DataFrame:
     """Stream-static enrichment join: the static dimension is broadcast
