@@ -157,6 +157,58 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, len(ws) AS nw, unnest(ws) AS t FROM w),
+    t1 AS (SELECT doc_id, nw, MAX(c) AS m1
+           FROM (SELECT doc_id, nw, t, COUNT(*) AS c
+                 FROM tok GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+    bg AS (SELECT doc_id, len(ws) - 1 AS nb,
+                  unnest([ws[i] || ' ' || ws[i+1]
+                          FOR i IN range(1, len(ws))]) AS b
+           FROM w WHERE len(ws) >= 2),
+    t2 AS (SELECT doc_id, nb, MAX(c) AS m2
+           FROM (SELECT doc_id, nb, b, COUNT(*) AS c
+                 FROM bg GROUP BY 1, 2, 3)
+           GROUP BY 1, 2)
+    SELECT t1.doc_id,
+           CAST(m1 AS DOUBLE) / nw AS top_word_frac,
+           CAST(m2 AS DOUBLE) / nb AS top_bigram_frac
+    FROM t1 LEFT JOIN t2 USING (doc_id)
+    """,
+    description="repetition quality signals (Gopher-style): fraction of "
+                "tokens taken by the most frequent word / bigram",
+    tags=("text",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("ws")))
+    tok = d.select("doc_id", F.size("ws").alias("nw"),
+                   F.explode("ws").alias("t"))
+    t1 = (tok.groupBy("doc_id", "nw", "t").count()
+          .groupBy("doc_id", "nw").agg(F.max("count").alias("m1")))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", (i + 1).cast("int")),
+            F.element_at("ws", (i + 2).cast("int"))))
+    bg = (d.filter(F.size("ws") >= 2)
+          .select("doc_id", (F.size("ws") - 1).alias("nb"),
+                  F.explode(bigrams).alias("b")))
+    t2 = (bg.groupBy("doc_id", "nb", "b").count()
+          .groupBy("doc_id", "nb").agg(F.max("count").alias("m2")))
+    return (t1.join(t2, "doc_id", "left")
+            .select("doc_id",
+                    (F.col("m1").cast("double") / F.col("nw"))
+                    .alias("top_word_frac"),
+                    (F.col("m2").cast("double") / F.col("nb"))
+                    .alias("top_bigram_frac")))
+
+
+@register(
     "pipeline_clean_corpus",
     oracle=rf"""
     WITH q AS (
