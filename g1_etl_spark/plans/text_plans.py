@@ -157,6 +157,37 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    description="deterministic train/valid/test assignment: md5-hash "
+                "bucket of the key — identical membership on any "
+                "engine, partitioning, or rerun (reproducible held-out "
+                "sets)",
+    tags=("text", "sampling"),
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sampling import hash_bucket, split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        split_assign(F.col("doc_id")).alias("split"))
+
+
+@register(
     "text_repetition",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -1,0 +1,60 @@
+"""Deterministic sampling: stability under reshuffles/reruns, split
+fractions, stratified plausibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import sampling as SA
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    d = _docs(spark)
+    a = {r["doc_id"] for r in
+         SA.deterministic_sample(d, "doc_id", 20).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         SA.deterministic_sample(d.repartition(7), "doc_id", 20)
+         .select("doc_id").collect()}
+    assert a == b, "sample membership must not depend on partitioning"
+    n = d.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20%
+
+
+def test_split_assign_partitions_completely(spark):
+    d = _docs(spark)
+    out = d.select("doc_id",
+                   SA.split_assign(F.col("doc_id")).alias("split"))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = d.count()
+    assert sum(counts.values()) == n
+    assert counts["train"] > counts["valid"] > 0
+    assert counts["train"] > counts["test"] > 0
+    assert 0.7 < counts["train"] / n < 0.9
+
+
+def test_sample_supersets_nest(spark):
+    """A 10% hash sample is a subset of the 20% sample — incremental
+    growth without resampling history."""
+    d = _docs(spark)
+    s10 = {r["doc_id"] for r in
+           SA.deterministic_sample(d, "doc_id", 10).select("doc_id").collect()}
+    s20 = {r["doc_id"] for r in
+           SA.deterministic_sample(d, "doc_id", 20).select("doc_id").collect()}
+    assert s10 <= s20
+
+
+def test_stratified_sample_fractions(spark):
+    d = _docs(spark).select("doc_id", (F.col("doc_id") % 3).alias("lab"))
+    out = SA.stratified_sample(d, "lab", {0: 0.5, 1: 0.1, 2: 0.9})
+    got = {r["lab"]: r["n"] for r in
+           out.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    per = {r["lab"]: r["n"] for r in
+           d.groupBy("lab").agg(F.count("*").alias("n")).collect()}
+    assert got.get(2, 0) / per[2] > got.get(0, 0) / per[0] \
+        > got.get(1, 0) / per[1]
