@@ -454,3 +454,56 @@ def entity_products_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_id").alias("product_id"),
         F.to_json(F.col("doc")).alias("doc_json"),
     )
+
+
+@register(
+    "entity_settings",
+    oracle=None,  # deeply-nested doc; semantics pinned by fixture goldens
+    description="settings pipeline end-to-end: last-row-wins dispensary "
+                "details fold, membership price nest, red-flag limits, "
+                "winner tax row (rows-only; goldens in "
+                "tests/test_entities.py)",
+    tags=("entity",),
+)
+def entity_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.entities.settings import transform
+
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    dd = n.select(
+        k.alias("id"), F.lit(1).cast("long").alias("dispensary_id"),
+        (k % 2).cast("int").alias("menu_show_tax"),
+        F.when(k % 3 != 0, F.concat(F.col("n_name"), F.lit(".png")))
+        .alias("logo_file_name"),
+        F.lit(30).cast("int").alias("inactivity_logout"),
+        (k % 2).cast("int").alias("calculate_even_totals"),
+        (k % 3 == 0).cast("int").alias("require_customer_referrer"),
+        (k % 2).cast("int").alias("membership_fee_enabled"),
+        F.lit(1).cast("int").alias("pp_enabled"),
+        (k % 10).cast("double").alias("pp_global_dollars_to_points"),
+        (k % 5).cast("double").alias("pp_global_points_to_dollars"),
+        F.lit(25.0).alias("pp_points_per_referral"),
+        (k % 2).cast("int").alias("allow_unpaid_visits"),
+        F.lit(1).cast("int").alias("red_flags_enabled"),
+        F.when(k % 4 == 0, F.lit("api-key")).alias("mmjrevu_api_key"),
+        F.lit(5.5).alias("grams_hold_at"),
+        F.lit(3.0).alias("units_hold_at"))
+    memberships = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, dispensary_id long")
+    prices = spark.createDataFrame(
+        [(1, 1, 5.0, 10.0, 18.0, 30.0, 55.0, 100.0, 190.0),
+         (2, 2, 4.0, 8.0, 15.0, 28.0, 50.0, 95.0, 180.0)],
+        "id long, membership_id long, price_half_gram double, "
+        "price_gram double, price_two_gram double, price_eigth double, "
+        "price_quarter double, price_half double, price_ounce double")
+    red_flags = spark.createDataFrame(
+        [(1, 100.0, 30.0, 3.0, 400.0)],
+        "dispensary_id long, daily_purchase_limit double, "
+        "visit_purchase_limit double, daily_visit_limit double, "
+        "two_week_purchase_limit double")
+    taxes = spark.createDataFrame(
+        [(1, 7.25, "state"), (1, 1.5, "city")],
+        "dispensary_id long, amount double, name string")
+    out = transform(dd, memberships, prices, red_flags, taxes, 1, 420)
+    return out.select(F.col("_id").alias("settings_id"),
+                      F.to_json(F.col("doc")).alias("doc_json"))
