@@ -445,3 +445,131 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                       "revenue"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13: customer order-count distribution (left join "
+                "preserving orderless customers, double aggregation)",
+    tags=("join", "agg", "flagship"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    description="TPC-H Q15: top supplier by quarterly revenue (view + "
+                "scalar max subquery, decorrelated to a broadcast join)",
+    tags=("join", "agg", "flagship"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "total_revenue")))
+    revenue.cache()
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    return (s.join(revenue, s.s_suppkey == revenue.supplier_no)
+            .join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem li2
+                        WHERE li2.l_partkey = lineitem.l_partkey)
+    """,
+    description="TPC-H Q17: small-quantity-order revenue — correlated "
+                "per-part average decorrelated into a pre-aggregated "
+                "join (one scan computes all per-part thresholds)",
+    tags=("join", "agg", "flagship"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23")
+    thresholds = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+                  .agg((F.lit(0.2) * F.avg("l_quantity")).alias("thresh")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(thresholds, li.l_partkey == thresholds.t_partkey)
+            .filter(F.col("l_quantity") < F.col("thresh"))
+            .agg((F.sum(F.round(F.col("l_extendedprice") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000 / 7.0)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS totacctbal
+    FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey))
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    description="TPC-H Q22 shape: high-balance customers with no orders "
+                "(scalar avg subquery + anti join; cntrycode derived "
+                "from nationkey — the synthetic schema has no phone)",
+    tags=("join", "agg", "flagship"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 (F.sum(F.round(F.col("c_acctbal") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000)
+                 .alias("totacctbal"))
+            .orderBy("cntrycode"))
