@@ -1,0 +1,154 @@
+"""Corpus-curation operators for a training-data pipeline (superset
+scope; no reference analog — the reference stops at per-entity cleanup,
+mmj/etl/transformers/*.py, while a 100 TB pretraining pipeline also needs
+benchmark decontamination, sequence packing, PII scrubbing, and
+quantile-based quality filtering).
+
+All operators are pure DataFrame compositions (no Python UDFs):
+
+- decontaminate: word-n-gram overlap between a corpus and a benchmark
+  set. The benchmark side of the join is DISTINCT n-gram hashes only —
+  benchmark suites are tiny relative to a pretraining corpus, so the
+  overlap check is a broadcast left-semi join: one narrow map-side pass
+  over the corpus, zero shuffle of corpus text.
+- pack_sequences: deterministic greedy contiguous packing of documents
+  into fixed token budgets — a running-sum window per shard column, so
+  the only exchange is a hash partition on the shard key. Integer
+  arithmetic end-to-end (engine-exact).
+- redact_pii: regex scrubbing (emails / phone numbers) with stable
+  md5 pseudonyms. Narrow column expressions; character classes chosen
+  to behave identically under Java regex (Spark) and RE2 (DuckDB).
+- quality_quantile_filter: per-language percent_rank gate. Exact and
+  deterministic (ties broken by doc id). At 100 TB the same decision is
+  made by computing the per-language threshold on an aggregate (tiny)
+  and broadcast-joining it back, which avoids the full per-language
+  sort; the window form here is the oracle-checkable exact twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators.dedup import normalize_text
+
+
+def word_ngrams_exact(text: Column, n: int) -> Column:
+    """Distinct word n-grams (arrays shorter than n -> empty list).
+
+    Mirrors DuckDB `list_transform(generate_series(1, len(w)-n+1),
+    i -> array_to_string(w[i:i+n-1], ' '))` exactly, so oracle parity
+    holds gram-for-gram.
+    """
+    w = F.split(normalize_text(text), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination by exact word-n-gram overlap.
+
+    Returns one row per corpus document: total distinct n-grams,
+    how many also occur anywhere in the benchmark set, the
+    contamination fraction, and a keep flag (zero overlap).
+
+    Scale shape: benchmark n-grams are hashed to int64 and reduced to a
+    DISTINCT set (benchmarks are ~1e4-1e6 grams — broadcastable at any
+    corpus size), then the corpus's exploded grams are counted through a
+    broadcast LEFT SEMI join. The corpus is never shuffled on gram.
+    """
+    grams = word_ngrams_exact(F.col(text_col), n)
+    corpus_g = corpus.select(F.col(id_col), grams.alias("grams"))
+    bench_set = (benchmark
+                 .select(F.explode(grams).alias("g"))
+                 .select(F.xxhash64("g").alias("gh"))
+                 .distinct())
+    exploded = corpus_g.select(
+        id_col, F.explode("grams").alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    matched = (exploded
+               .join(F.broadcast(bench_set), "gh", "left_semi")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("matched")))
+    totals = corpus_g.select(
+        id_col, F.size("grams").cast("long").alias("n_grams"))
+    out = (totals.join(matched, id_col, "left")
+           .withColumn("matched", F.coalesce("matched", F.lit(0))
+                       .cast("long")))
+    return out.select(
+        id_col, "n_grams", "matched",
+        F.when(F.col("n_grams") > 0,
+               F.col("matched") / F.col("n_grams"))
+        .otherwise(F.lit(0.0)).cast("double").alias("contamination_frac"),
+        (F.col("matched") == 0).alias("keep"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int,
+                   tokens_col: Column,
+                   shard_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy contiguous sequence packing: walk each shard in id order,
+    accumulate token counts, start a new sequence when the running total
+    passes the budget. seq_id = (cumsum - tokens) // budget — a document
+    goes into the sequence its PREFIX sum falls in, so every sequence
+    except a shard's last holds >= budget tokens (oversized docs spill
+    rather than split; splitting is the tokenizer's job downstream).
+
+    One exchange (hash on the shard key) + an in-partition sort; integer
+    arithmetic throughout, so any engine agrees bit-for-bit.
+    """
+    win = (W.partitionBy(shard_col).orderBy(id_col)
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    t = docs.select(id_col, shard_col, tokens_col.alias("tokens"))
+    return (t.withColumn("cum", F.sum("tokens").over(win))
+            .select(
+                id_col, shard_col, F.col("tokens").cast("long"),
+                F.expr(f"(cum - tokens) div {budget}").cast("long")
+                .alias("seq_id")))
+
+
+# character classes only — identical semantics in Java regex and RE2
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str) -> dict[str, Column]:
+    """PII scrub columns for `text_col`: match counts, a redacted
+    rewrite (emails -> <EMAIL>, phones -> <PHONE>), and a stable
+    pseudonym for the first email (md5 — same doc, same surrogate,
+    cross-partition deterministic; no lookup table to shuffle)."""
+    c = F.col(text_col)
+    first_email = F.regexp_extract(c, EMAIL_RE, 0)
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+        .cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+        .cast("long"),
+        "redacted": F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        "email_pseudonym": F.when(first_email != "",
+                                  F.md5(first_email)).otherwise(F.lit(None)),
+    }
+
+
+def quality_quantile_filter(docs: DataFrame, quality_col: Column,
+                            drop_frac: float = 0.2,
+                            lang_col: str = "lang",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-language quality gate: drop the bottom `drop_frac` of each
+    language by percent_rank (exact; ties broken by id so both engines
+    rank identically). Emits the rank and keep flag rather than
+    filtering, so callers can audit the cut line."""
+    win = W.partitionBy(lang_col).orderBy(quality_col, id_col)
+    return docs.select(
+        id_col, lang_col, quality_col.alias("quality"),
+        F.percent_rank().over(win).alias("q_rank"),
+    ).withColumn("keep", F.col("q_rank") >= drop_frac)

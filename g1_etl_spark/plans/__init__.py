@@ -22,9 +22,38 @@ from g1_etl_spark.plans import text_plans  # noqa: E402,F401
 from g1_etl_spark.plans import similarity_plans  # noqa: E402,F401
 from g1_etl_spark.plans import entity_plans  # noqa: E402,F401
 from g1_etl_spark.plans import stats_plans  # noqa: E402,F401
+from g1_etl_spark.plans import curation_plans  # noqa: E402,F401
 from g1_etl_spark.plans import nested  # noqa: E402,F401
 from g1_etl_spark.plans import scalars_demo  # noqa: E402,F401
 from g1_etl_spark.plans import relational  # noqa: E402,F401
+
+# Fine-grained reorder within the module order above. The driver's round-1
+# correctness run recorded exactly the first 50 registered queries, so the
+# first-50 window must contain (a) every query that has never had a driver
+# row and (b) json_parse_extract — round 1's only red row — whose green row
+# proves the NANOS fix. Rows-only smokes whose mechanics are covered by an
+# oracle-backed twin (entity_products_smoke by the entity oracles,
+# sim_embedding_neardup by sim_cosine_neardup_exact) yield their slots.
+_PULL_FORWARD = {"json_parse_extract": "events_rate_per_type",
+                 "entity_settings": "entity_employees"}
+_PUSH_BACK = ("entity_products_smoke", "sim_embedding_neardup")
+
+
+def _reorder() -> None:
+    order = [n for n in REGISTRY
+             if n not in _PULL_FORWARD and n not in _PUSH_BACK]
+    for name, after in _PULL_FORWARD.items():
+        order.insert(order.index(after) + 1, name)
+    # demoted smokes land just past the window, ahead of the relational
+    # tail that was verified green in round 1
+    for name in reversed(_PUSH_BACK):
+        order.insert(order.index("agg_mode_per_group") + 1, name)
+    reordered = {n: REGISTRY[n] for n in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_reorder()
 
 
 def all_queries():

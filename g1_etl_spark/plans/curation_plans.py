@@ -1,0 +1,203 @@
+"""Driver-facing corpus-curation queries (decontamination, sequence
+packing, PII redaction, quantile quality gating) with exact DuckDB
+oracles. Superset scope — the reference's cleanup ends at per-entity
+transformers (mmj/etl/transformers/*.py); these are the corpus-level
+operations a pretraining-data pipeline runs after that stage.
+
+Engine-parity notes: n-gram construction mirrors list_transform/
+generate_series exactly (operators/curation.py:word_ngrams_exact);
+packing and ranks are integer arithmetic; regexes are character-class
+only (Java regex == RE2); the PII demo synthesizes contact strings from
+customer keys with printf/format_string so matches are non-vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import curation as C
+from g1_etl_spark.operators import textops as T
+from g1_etl_spark.plans.registry import register
+
+# deterministic pseudo-benchmark: every 17th document plays the eval set
+_BENCH_PRED = "doc_id % 17 = 0"
+
+_GRAMS_CTE = r"""
+    w AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(w) - 4),
+                 i -> array_to_string(w[i:i+4], ' ')))
+             ELSE [] END AS grams
+      FROM w)
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=rf"""
+    WITH {_GRAMS_CTE},
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gr FROM g WHERE {_BENCH_PRED}),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gr FROM g WHERE NOT ({_BENCH_PRED})),
+    m AS (
+      SELECT c.doc_id, count(*) AS matched
+      FROM corpus c JOIN bench b USING (gr) GROUP BY c.doc_id),
+    t AS (
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams
+      FROM g WHERE NOT ({_BENCH_PRED}))
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+           CASE WHEN t.n_grams > 0
+                THEN CAST(coalesce(m.matched, 0) AS DOUBLE) / t.n_grams
+                ELSE 0.0 END AS contamination_frac,
+           coalesce(m.matched, 0) = 0 AS keep
+    FROM t LEFT JOIN m USING (doc_id)
+    """,
+    description="benchmark decontamination: word-5-gram overlap vs a "
+                "held-out eval set, broadcast semi-join on hashed grams",
+    tags=("curation",),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(~F.expr(_BENCH_PRED))
+    benchmark = d.filter(F.expr(_BENCH_PRED))
+    return C.decontaminate(corpus, benchmark, n=5)
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, tokens,
+             sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, source, tokens,
+           CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id
+    FROM c
+    """,
+    description="greedy contiguous sequence packing into 2048-token "
+                "budgets; one exchange on the shard key",
+    tags=("curation",),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(
+        d, budget=2048,
+        tokens_col=T.whitespace_token_count(F.col("text")),
+        shard_col="source")
+
+
+@register(
+    "pii_redact",
+    oracle=r"""
+    WITH contact AS (
+      SELECT c_custkey,
+             concat_ws(' ', c_name, 'contact:',
+               CASE WHEN c_custkey % 4 <> 0
+                    THEN concat('user', c_custkey, '@example.com')
+                    ELSE 'none' END,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN printf('%03d-%03d-%04d',
+                                c_custkey % 900 + 100,
+                                (c_custkey * 7) % 900 + 100,
+                                (c_custkey * 13) % 9000 + 1000)
+                    ELSE '' END) AS blob
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(blob,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(blob, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+             AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(blob,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CASE WHEN regexp_extract(blob,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0) <> ''
+                THEN md5(regexp_extract(blob,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+                END AS email_pseudonym
+    FROM contact
+    """,
+    description="PII scrub: email/phone counts, <EMAIL>/<PHONE> "
+                "rewrite, stable md5 pseudonyms (synthesized contact "
+                "blobs so matches are non-vacuous)",
+    tags=("curation",),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email = F.when(k % 4 != 0,
+                   F.concat(F.lit("user"), k.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("none"))
+    phone = F.when(k % 3 == 0,
+                   F.format_string("%03d-%03d-%04d",
+                                   k % 900 + 100,
+                                   (k * 7) % 900 + 100,
+                                   (k * 13) % 9000 + 1000)
+                   ).otherwise(F.lit(""))
+    blob = cust.select(
+        k.alias("c_custkey"),
+        F.concat_ws(" ", F.col("c_name"), F.lit("contact:"), email, phone)
+        .alias("blob"))
+    pii = C.redact_pii(blob, "blob")
+    return blob.select(
+        "c_custkey",
+        pii["n_emails"].alias("n_emails"),
+        pii["n_phones"].alias("n_phones"),
+        pii["redacted"].alias("redacted"),
+        pii["email_pseudonym"].alias("email_pseudonym"),
+    )
+
+
+@register(
+    "quality_quantile_gate",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+             (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.5 END) * 0.2
+               + (alpha / n) * 0.4
+               + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                 * 0.4 AS quality
+      FROM s)
+    SELECT doc_id, lang, quality,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY quality, doc_id) AS q_rank,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY quality, doc_id) >= 0.2 AS keep
+    FROM q
+    """,
+    description="per-language quality gate: drop the bottom 20% by "
+                "exact percent_rank (threshold-broadcast form at scale)",
+    tags=("curation",),
+)
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.quality_quantile_filter(
+        d, T.quality_score(F.col("text")), drop_frac=0.2)

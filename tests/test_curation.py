@@ -1,0 +1,131 @@
+"""Corpus curation: decontamination semantics, packing invariants, PII
+redaction behavior, quantile-gate fractions — plus oracle parity for all
+four registered queries (tests/test_oracle_parity.py covers them too;
+here the semantic properties are asserted directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import curation as C
+from g1_etl_spark.operators import textops as T
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_decontaminate_flags_bench_copies(spark):
+    """A corpus doc that IS a benchmark doc's text must be fully
+    contaminated; a doc sharing no 5-gram must be clean."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # exact copy
+         (11, "one two three four five six seven"),     # disjoint
+         (12, "tiny")],                                 # < 5 words
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in C.decontaminate(corpus, bench, n=5).collect()}
+    assert out[10]["contamination_frac"] == 1.0 and not out[10]["keep"]
+    assert out[11]["matched"] == 0 and out[11]["keep"]
+    assert out[12]["n_grams"] == 0 and out[12]["keep"]
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    """Repeated shingles in a doc count once (grams are per-doc distinct)."""
+    bench = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(2, "a b c d e a b c d e")], ["doc_id", "text"])
+    row = C.decontaminate(corpus, bench, n=5).collect()[0]
+    # 10 words -> positions 1..6, distinct grams: abcde, bcdea, cdeab,
+    # deabc, eabcd, abcde(dup) -> 5 distinct; only 'a b c d e' matches
+    assert row["n_grams"] == 5
+    assert row["matched"] == 1
+
+
+def test_pack_sequences_invariants(spark):
+    d = _docs(spark)
+    out = C.pack_sequences(
+        d, budget=2048,
+        tokens_col=T.whitespace_token_count(F.col("text")),
+        shard_col="source").cache()
+    # every finished sequence (all but each shard's last) exceeds budget
+    per_seq = (out.groupBy("source", "seq_id")
+               .agg(F.sum("tokens").alias("tot"))
+               .withColumn("last", F.col("seq_id") == F.max("seq_id")
+                           .over(W.partitionBy("source")))
+               .collect())
+    for r in per_seq:
+        if not r["last"]:
+            assert r["tot"] >= 2048, (r["source"], r["seq_id"], r["tot"])
+    # ids are contiguous from 0 per shard
+    seqs = sorted({(r["source"], r["seq_id"]) for r in per_seq})
+    by_src: dict[str, list[int]] = {}
+    for s, q in seqs:
+        by_src.setdefault(s, []).append(q)
+    for s, qs in by_src.items():
+        assert qs == list(range(len(qs))), f"gaps in seq ids for {s}"
+    out.unpersist()
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    d = _docs(spark)
+    kw = dict(budget=2048,
+              tokens_col=T.whitespace_token_count(F.col("text")),
+              shard_col="source")
+    a = sorted((r["doc_id"], r["seq_id"]) for r in
+               C.pack_sequences(d, **kw).collect())
+    b = sorted((r["doc_id"], r["seq_id"]) for r in
+               C.pack_sequences(d.repartition(13), **kw).collect())
+    assert a == b
+
+
+def test_redact_pii_rewrites_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.org or sue@y.co.uk, call 555-123-4567"),
+         (2, "no pii here")],
+        ["id", "blob"])
+    cols = C.redact_pii(df, "blob")
+    out = {r["id"]: r.asDict() for r in df.select(
+        "id", *(c.alias(k) for k, c in cols.items())).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert out[1]["email_pseudonym"] is not None
+    assert out[2]["n_emails"] == 0 and out[2]["email_pseudonym"] is None
+    assert out[2]["redacted"] == "no pii here"
+
+
+def test_redact_pii_pseudonym_stable(spark):
+    """Same email anywhere in the corpus -> same surrogate."""
+    df = spark.createDataFrame(
+        [(1, "from a@b.com"), (2, "reply-to a@b.com please")],
+        ["id", "blob"])
+    cols = C.redact_pii(df, "blob")
+    ps = [r["p"] for r in
+          df.select(cols["email_pseudonym"].alias("p")).collect()]
+    assert ps[0] == ps[1]
+
+
+def test_quality_gate_drops_bottom_fraction(spark):
+    d = _docs(spark)
+    out = C.quality_quantile_filter(
+        d, T.quality_score(F.col("text")), drop_frac=0.2).cache()
+    stats = (out.groupBy("lang")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("keep").cast("int")).alias("kept"))
+             .collect())
+    for r in stats:
+        if r["n"] >= 20:
+            frac = r["kept"] / r["n"]
+            assert 0.75 <= frac <= 0.85, (r["lang"], frac)
+    # kept docs are never lower-quality than any dropped doc of same lang
+    mx = (out.filter(~F.col("keep")).groupBy("lang")
+          .agg(F.max("quality").alias("drop_max")))
+    mn = (out.filter(F.col("keep")).groupBy("lang")
+          .agg(F.min("quality").alias("keep_min")))
+    for r in mx.join(mn, "lang").collect():
+        assert r["keep_min"] >= r["drop_max"]
+    out.unpersist()
