@@ -573,3 +573,76 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")).cast("double") / 1_000_000)
                  .alias("totacctbal"))
             .orderBy("cntrycode"))
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           num / den AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(SUM(CAST(round((CASE WHEN n2.n_name = 'NATION_3'
+                    THEN l_extendedprice * (1 - l_discount)
+                    ELSE 0 END) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS num,
+             CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount))
+                    * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS den
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      GROUP BY 1)
+    ORDER BY o_year
+    """,
+    description="TPC-H Q8 shape: national market share — 8-table join "
+                "(every dimension broadcast; lineitem never shuffles for "
+                "them), per-year share of one supplier nation's revenue",
+    tags=("join", "agg", "flagship"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    # customer nations restricted to the AMERICA region (semi via inner
+    # join on a pre-reduced dim — stays broadcast at any corpus scale)
+    amer = (n.join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+                   n.n_regionkey == r.r_regionkey)
+            .select(F.col("n_nationkey").alias("cn_key")))
+    n2 = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_vol = F.when(F.col("supp_nation") == "NATION_3", vol) \
+        .otherwise(F.lit(0.0))
+    joined = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == p.p_partkey)
+        .join(o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))),
+            li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(amer), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    grouped = (joined
+               .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+               .agg(dsum(share_vol, "num"), dsum(vol, "den")))
+    return (grouped
+            .select("o_year",
+                    (F.col("num") / F.col("den")).alias("mkt_share"))
+            .orderBy("o_year"))

@@ -34,8 +34,10 @@ def test_q6_filter_pushdown_and_pruning(spark):
 
 @pytest.mark.parametrize("name", ["q3_shipping_priority",
                                   "q5_local_supplier_volume",
+                                  "q8_market_share",
                                   "q14_promo_revenue",
-                                  "revenue_by_nation"])
+                                  "revenue_by_nation",
+                                  "corpus_decontaminate"])
 def test_dim_joins_broadcast(spark, name):
     plan = _formatted(spark, name)
     assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
