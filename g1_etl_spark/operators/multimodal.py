@@ -6,9 +6,12 @@ Pandas UDF signatures, `mapInPandas` partition-iterator plumbing, batch
 shaping, and deterministic feature extraction. Image DECODE is real for
 uncompressed formats — PPM (P6) and 24-bit BMP decode/encode with pure
 numpy, feeding pixel features and a real nearest-neighbor resize kernel
-end-to-end. Compressed formats (PNG/JPEG) need a PIL-compatible codec
-(absent in this container) and raise NotImplementedError; the byte-
-histogram path stands in for non-decodable content.
+end-to-end. Audio DECODE is real for 16-bit PCM RIFF/WAVE (chunk-walking
+parser, stereo downmix), feeding signal features (RMS / zero-crossing /
+spectral centroid+rolloff via rfft). Compressed formats (PNG/JPEG/MP3)
+need a codec library (absent in this container) and raise
+NotImplementedError; the byte-histogram path stands in for non-decodable
+content.
 
 Scale notes: media blobs ride the same partitioning as any fact table;
 mapInPandas streams Arrow batches so a 100 MB image row never requires
@@ -168,6 +171,75 @@ def decode_image(content: bytes) -> np.ndarray:
         ) from exc
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode a float array in [-1, 1] as 16-bit PCM mono RIFF/WAVE —
+    pure struct+numpy, no codec library."""
+    import struct
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+           * 32767.0).astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    return (b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data))
+            + b"WAVE" + fmt + data)
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE decoder for 16-bit PCM -> (samples float64
+    in [-1, 1] mono-averaged, sample_rate). Walks the chunk list, so
+    extra chunks (LIST/INFO) before `data` are fine."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, n_channels, bits, raw = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, sz = content[pos:pos + 4], struct.unpack_from("<I", content,
+                                                           pos + 4)[0]
+        body = content[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples, rate
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real signal features from decoded PCM: duration, RMS, zero-
+    crossing rate, spectral centroid + rolloff (rfft), then a log-power
+    spectrum histogram filling the remaining dims. Deterministic."""
+    if len(samples) == 0:
+        return np.zeros(dim)
+    dur = len(samples) / rate
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(int)))))
+    spec = np.abs(np.fft.rfft(samples)) ** 2
+    freqs = np.fft.rfftfreq(len(samples), d=1.0 / rate)
+    power = spec.sum()
+    centroid = float((freqs * spec).sum() / power) if power > 0 else 0.0
+    cum = np.cumsum(spec)
+    roll_i = int(np.searchsorted(cum, 0.85 * power)) if power > 0 else 0
+    rolloff = float(freqs[min(roll_i, len(freqs) - 1)])
+    nyquist = rate / 2.0
+    head = np.array([min(dur / 60.0, 1.0), rms, zcr,
+                     centroid / nyquist, rolloff / nyquist])
+    nbins = dim - len(head)
+    hist = np.histogram(np.log1p(spec), bins=nbins)[0].astype(np.float64)
+    return np.concatenate([head, hist / max(hist.sum(), 1.0)])
+
+
 def fake_decode_meta(content: bytes) -> dict:
     """Deterministic decode stand-in: derives 'dimensions' from content
     length (a real decoder returns the same dict shape)."""
@@ -212,9 +284,11 @@ def extract_features(media: DataFrame) -> DataFrame:
     per media item out.
 
     Image rows whose bytes decode natively (PPM/BMP) get PIXEL features
-    (decode -> per-channel moments + luminance histogram); everything
-    else gets the codec-free byte histogram. `feature_src` records which
-    path fired.
+    (decode -> per-channel moments + luminance histogram); audio rows
+    that parse as 16-bit PCM WAV get SIGNAL features (RMS / zero-
+    crossing / spectral centroid+rolloff via rfft); everything else gets
+    the codec-free byte histogram. `feature_src` records which path
+    fired.
     """
 
     def _one(kind: str, content: bytes) -> tuple[list, str]:
@@ -222,6 +296,11 @@ def extract_features(media: DataFrame) -> DataFrame:
             try:
                 return pixel_features(decode_image(content)).tolist(), "pixels"
             except (ValueError, NotImplementedError, IndexError):
+                pass
+        if kind == "audio":
+            try:
+                return audio_features(*decode_wav(content)).tolist(), "signal"
+            except (ValueError, IndexError):
                 pass
         return byte_histogram(content).tolist(), "bytes"
 

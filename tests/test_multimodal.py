@@ -126,3 +126,66 @@ def test_fake_decode_meta_deterministic():
     a = M.fake_decode_meta(b"x" * 1000)
     assert a == M.fake_decode_meta(b"y" * 1000)
     assert a["n_bytes"] == 1000
+
+
+def test_wav_roundtrip_and_signal_features():
+    """A 440 Hz sine decodes back bit-close and yields the physically
+    expected signal features (ZCR ~ 2f/sr, centroid ~ 440 Hz)."""
+    import numpy as np
+
+    from g1_etl_spark.operators import multimodal as M
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    blob = M.encode_wav(sine, sr)
+    samples, rate = M.decode_wav(blob)
+    assert rate == sr and len(samples) == sr
+    assert np.max(np.abs(samples - sine)) < 1e-3  # 16-bit quantization
+
+    f = M.audio_features(samples, rate)
+    assert len(f) == M.FEATURE_DIM
+    assert abs(f[0] - 1.0 / 60.0) < 1e-9            # duration
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-3      # RMS of 0.5 sine
+    assert abs(f[2] - 2 * 440.0 / sr) < 1e-3        # zero-crossing rate
+    assert abs(f[3] * (sr / 2) - 440.0) < 5.0       # spectral centroid
+
+
+def test_wav_stereo_averages_channels():
+    import numpy as np
+    import struct
+
+    from g1_etl_spark.operators import multimodal as M
+
+    # build a 2-channel WAV by hand: L = +0.5, R = -0.5 -> mono 0
+    pcm = np.tile(np.array([0.5 * 32767, -0.5 * 32767], dtype="<i2"), 100)
+    data = pcm.tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    chunk = b"data" + struct.pack("<I", len(data)) + data
+    blob = (b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(chunk))
+            + b"WAVE" + fmt + chunk)
+    samples, rate = M.decode_wav(blob)
+    assert rate == 8000 and len(samples) == 100
+    assert np.max(np.abs(samples)) < 1e-4
+
+
+def test_signal_features_through_map_in_pandas(spark):
+    """Audio rows carrying real WAV bytes take the signal path inside
+    the Arrow-batched operator; non-WAV audio falls back to bytes."""
+    import numpy as np
+
+    from g1_etl_spark.operators import multimodal as M
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    wav = M.encode_wav(0.3 * np.sin(2 * np.pi * 220.0 * t), sr)
+    rows = [
+        (1, "audio", bytearray(wav), None),
+        (2, "audio", bytearray(b"not a wav"), None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    assert out[1]["feature_src"] == "signal"
+    assert out[2]["feature_src"] == "bytes"
+    expect = M.audio_features(*M.decode_wav(wav))
+    assert np.allclose(out[1]["features"], expect)
