@@ -105,3 +105,33 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
             .filter((F.col(point_ts) >= F.col(start_col))
                     & (F.col(point_ts) < F.col(end_col)))
             .drop("_bk"))
+
+
+def scd2_intervals(updates: DataFrame, key_col: str, ts_col: str,
+                   state_col: str, tie_col: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log:
+    collapse consecutive identical states per key, emit one validity
+    interval per real change — (key, state, valid_from, valid_to,
+    is_current), half-open [valid_from, valid_to).
+
+    Classic warehouse ETL the reference's update flows imply but never
+    materialize (mmj/etl_import.py re-imports full snapshots).
+
+    Two window passes over ONE hash partitioning on the key: pass 1
+    drops rows whose state equals the previous row's (lag), pass 2
+    closes each surviving interval with the next change's timestamp
+    (lead). Sort order is (ts, tie) so same-timestamp updates resolve
+    identically in any engine. At scale this is a single shuffle;
+    both windows reuse the same exchange.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tie_col)
+    changes = (updates
+               .withColumn("_prev", F.lag(state_col).over(w))
+               .filter(F.col("_prev").isNull()
+                       | (F.col(state_col) != F.col("_prev"))))
+    w2 = W.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return (changes
+            .select(key_col, state_col,
+                    F.col(ts_col).alias("valid_from"),
+                    F.lead(ts_col).over(w2).alias("valid_to"))
+            .withColumn("is_current", F.col("valid_to").isNull()))

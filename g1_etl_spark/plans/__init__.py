@@ -36,7 +36,12 @@ from g1_etl_spark.plans import relational  # noqa: E402,F401
 # sim_embedding_neardup by sim_cosine_neardup_exact) yield their slots.
 _PULL_FORWARD = {"json_parse_extract": "events_rate_per_type",
                  "entity_settings": "entity_employees"}
-_PUSH_BACK = ("entity_products_smoke", "sim_embedding_neardup")
+# events_scd2_intervals registers inside the events block but is new
+# this round — parked just past the window so it can't displace a
+# never-checked query under a 50-entry cap (it still gets a row when the
+# driver checks everything).
+_PUSH_BACK = ("entity_products_smoke", "sim_embedding_neardup",
+              "multimodal_features", "events_scd2_intervals")
 
 
 def _reorder() -> None:

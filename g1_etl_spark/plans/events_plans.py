@@ -351,3 +351,36 @@ def events_rate_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum("value", "total"),
                  (F.count(F.lit(1)) / span_sec).alias("events_per_sec")))
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    description="SCD2 dimension history: per-user event_type treated as "
+                "a changing attribute; consecutive duplicates collapse, "
+                "each change opens a half-open validity interval "
+                "(operators/temporal.py:scd2_intervals)",
+    tags=("events", "temporal", "scd"),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev, key_col="user_id", ts_col="ts",
+                          state_col="event_type", tie_col="event_id")

@@ -69,3 +69,38 @@ def test_range_join_interval_longer_than_bucket(spark):
     got = {r["tag"] for r in
            range_join(points, intervals, on="k", bucket="5 minutes").collect()}
     assert got == {f"p{m}" for m in range(0, 50, 7) if 3 <= m < 45}
+
+
+def test_scd2_collapses_consecutive_and_closes_intervals(spark):
+    from g1_etl_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # key 1: A A B A -> three intervals (the repeat A collapses)
+        (1, 10, "A", 100), (1, 20, "A", 101), (1, 30, "B", 102),
+        (1, 40, "A", 103),
+        # key 2: single state -> one open interval
+        (2, 15, "X", 200),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "state", "eid"])
+    out = sorted(
+        ((r["k"], r["state"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in
+         scd2_intervals(df, "k", "ts", "state", "eid").collect()))
+    assert out == [
+        (1, "A", 10, 30, False),
+        (1, "A", 40, None, True),
+        (1, "B", 30, 40, False),
+        (2, "X", 15, None, True),
+    ]
+
+
+def test_scd2_same_ts_ties_deterministic(spark):
+    from g1_etl_spark.operators.temporal import scd2_intervals
+
+    rows = [(1, 10, "A", 2), (1, 10, "B", 1)]  # same ts, tie on eid
+    df = spark.createDataFrame(rows, ["k", "ts", "state", "eid"])
+    out = sorted(
+        ((r["state"], r["valid_to"] is None) for r in
+         scd2_intervals(df, "k", "ts", "state", "eid").collect()))
+    # eid=1 (B) sorts first, A closes it -> A is current
+    assert out == [("A", True), ("B", False)]
