@@ -49,6 +49,19 @@ def word_ngrams_exact(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngram_hashes(text: Column, n: int) -> Column:
+    """Distinct word-n-gram HASHES (xxhash64 of the length-n word
+    slice; no gram string is ever built). Same distinct cardinality as
+    word_ngrams_exact barring 2^-64 collisions — the hot-path twin."""
+    w = F.split(normalize_text(text), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        lambda i: F.xxhash64(F.slice(w, i, n)))),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 5) -> DataFrame:
@@ -60,28 +73,26 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 
     Scale shape: benchmark n-grams are hashed to int64 and reduced to a
     DISTINCT set (benchmarks are ~1e4-1e6 grams — broadcastable at any
-    corpus size), then the corpus's exploded grams are counted through a
-    broadcast LEFT SEMI join. The corpus is never shuffled on gram.
+    corpus size), then the corpus makes ONE pass: grams bound to a
+    column, explode_outer (docs with no gram survive), broadcast left
+    join against the benchmark set, count hits per doc. The corpus is
+    never shuffled on gram and the gram transform runs once per doc.
     """
-    grams = word_ngrams_exact(F.col(text_col), n)
-    corpus_g = corpus.select(F.col(id_col), grams.alias("grams"))
+    spread = corpus.sparkSession.sparkContext.defaultParallelism
+    grams = word_ngram_hashes(F.col(text_col), n)
+    ex = (corpus.repartition(spread, id_col)
+          .select(F.col(id_col), grams.alias("grams"))
+          .select(id_col, F.size("grams").cast("long").alias("n_grams"),
+                  F.explode_outer("grams").alias("gh")))
     bench_set = (benchmark
-                 .select(F.explode(grams).alias("g"))
-                 .select(F.xxhash64("g").alias("gh"))
-                 .distinct())
-    exploded = corpus_g.select(
-        id_col, F.explode("grams").alias("g")
-    ).select(id_col, F.xxhash64("g").alias("gh"))
-    matched = (exploded
-               .join(F.broadcast(bench_set), "gh", "left_semi")
+                 .select(F.explode(grams).alias("gh"))
+                 .distinct()
+                 .withColumn("_hit", F.lit(1)))
+    counted = (ex.join(F.broadcast(bench_set), "gh", "left")
                .groupBy(id_col)
-               .agg(F.count("*").alias("matched")))
-    totals = corpus_g.select(
-        id_col, F.size("grams").cast("long").alias("n_grams"))
-    out = (totals.join(matched, id_col, "left")
-           .withColumn("matched", F.coalesce("matched", F.lit(0))
-                       .cast("long")))
-    return out.select(
+               .agg(F.first("n_grams").alias("n_grams"),
+                    F.count("_hit").alias("matched")))
+    return counted.select(
         id_col, "n_grams", "matched",
         F.when(F.col("n_grams") > 0,
                F.col("matched") / F.col("n_grams"))
