@@ -43,6 +43,9 @@ HEADLINE = [
     "sim_lsh_topk",
     "text_quality_stats",
     "events_sessionization",
+    # round-2 additions (r1 entries above are unchanged for 1:1 grading)
+    "q8_market_share",
+    "corpus_decontaminate",
 ]
 
 

@@ -148,7 +148,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = (_gram_hashes_projected(df, text_col, id_col, n)
           .select("d", F.size("grams").alias("sz"),
                   F.explode("grams").alias("g")))
-    sh.cache()
+    # eager localCheckpoint, not lazy cache: three consumers (hot-gram
+    # scan + both join sides) otherwise race to materialize the same
+    # partitions concurrently and can each recompute the (expensive)
+    # shingling — observed as 3-5x run-to-run bench variance. Eager
+    # checkpoint computes the shingles exactly once, up front. (On a
+    # real cluster prefer reliable checkpoint/persist-to-disk if
+    # executor loss matters; local mode has no such failure domain.)
+    sh = sh.localCheckpoint(eager=True)
     if max_df is not None:
         hot = (sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_df).select("g"))
