@@ -384,3 +384,90 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return scd2_intervals(ev, key_col="user_id", ts_col="ts",
                           state_col="event_type", tie_col="event_id")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                WHEN c.t_click IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_depth
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    description="ordered 3-step funnel (view -> click -> purchase): "
+                "strictly-increasing step timestamps per user; every "
+                "stage aggregates and joins on user_id so the exchanges "
+                "co-locate and AQE reuses them",
+    tags=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel progression per user. Each step's earliest qualifying
+    timestamp must come strictly after the previous step's.
+
+    All three aggregates and both joins key on user_id — one hash
+    partitioning serves the whole plan, so the extra passes cost no
+    extra shuffles of the big table beyond the per-step filters (which
+    push down to the scan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("us").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("us") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("us").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("us") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("us").alias("t_purchase")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase",
+                    F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+                    .when(F.col("t_click").isNotNull(), F.lit(2))
+                    .otherwise(F.lit(1)).alias("funnel_depth")))
+
+
+@register(
+    "events_rolling_1h",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                AS DOUBLE) / 1000000 AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    description="per-user rolling 1h count+sum via a RANGE window frame "
+                "over epoch-micros (exact scaled-long sum)",
+    tags=("events", "window"),
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (not ROWS): the frame holds every event
+    of the same user in the trailing hour, ties included — identical
+    set semantics in Spark and DuckDB, so no tie-break is needed. The
+    sum accumulates scaled longs (exact, order-insensitive)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("sv"))
+    w = (W.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-(3_600_000_000 - 1), 0))
+    return ev.select(
+        "user_id", "event_id", "us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum("sv").over(w).cast("double") / 1_000_000).alias("sum_1h"))

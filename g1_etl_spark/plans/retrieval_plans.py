@@ -1,0 +1,102 @@
+"""Driver-facing lexical-retrieval queries (vocabulary + BM25) with
+exact DuckDB oracles.
+
+Determinism contract: every double that feeds a SUM is quantized to a
+scaled long first (see operators/retrieval docstring); float literals
+are embedded in the oracle SQL via ``repr()`` of the SAME Python floats
+the Spark plan uses, so both engines parse bit-identical constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import retrieval as R
+from g1_etl_spark.plans.registry import register
+
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+         "t -> t <> '')")
+_MIN_COUNT = 2
+_K = 10
+_K1, _B = 1.2, 0.75
+# the exact doubles the Spark plan computes in Python, round-tripped
+_K1P1 = repr(_K1 + 1.0)          # tf * (k1+1)
+_ONE_MINUS_B = repr(1.0 - _B)
+
+# (q_id, term) — fixed query set over the synthetic corpus vocabulary
+_QUERIES = [
+    (1, "window"), (1, "sort"), (1, "merge"),
+    (2, "hash"), (2, "join"),
+    (3, "query"), (3, "plan"), (3, "scan"),
+]
+_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _QUERIES)
+
+
+@register(
+    "text_vocab",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS term FROM documents),
+    counts AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+      HAVING COUNT(*) >= {_MIN_COUNT})
+    SELECT term, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS term_id
+    FROM counts
+    """,
+    description="frequency-ordered vocabulary with contiguous ids via "
+                "distributed total-order rank (no single-partition window)",
+    tags=("retrieval", "text"),
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.build_vocab(docs, min_count=_MIN_COUNT)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS d, unnest({_TOKS}) AS term FROM documents),
+    postings AS (SELECT d, term, COUNT(*) AS tf FROM toks GROUP BY d, term),
+    dl AS (SELECT d, COUNT(*) AS dl FROM toks GROUP BY d),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    q(q_id, term) AS (VALUES {_QUERY_VALUES}),
+    per AS (
+      SELECT q.q_id, p.d AS neighbor_id,
+             CAST(round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                        * 1000000) AS BIGINT)
+             * CAST(round((p.tf * {_K1P1})
+                          / (p.tf + {_K1!r} * ({_ONE_MINUS_B}
+                             + ({_B!r} * l.dl)
+                               / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                          * 1000000) AS BIGINT) AS sc
+      FROM postings p
+      JOIN q ON p.term = q.term
+      JOIN dft f ON p.term = f.term
+      JOIN dl l ON p.d = l.d
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT q_id, neighbor_id,
+             CAST(SUM(sc) AS DOUBLE) / 1000000000000.0 AS score
+      FROM per GROUP BY q_id, neighbor_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT CAST(q_id AS BIGINT) AS q_id, neighbor_id, score, rank
+    FROM ranked WHERE rank <= {_K}
+    """,
+    description="BM25 top-10 docs for 3 term queries: broadcast query "
+                "terms, one corpus scan, quantized-exact score sums, "
+                "skew-free two-stage top-k",
+    tags=("retrieval", "text"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_QUERIES, ["q_id", "term"])
+    return R.bm25_topk(docs, q, k=_K, k1=_K1, b=_B)

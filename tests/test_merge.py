@@ -1,0 +1,38 @@
+"""Unit tests for operators/merge (oracle parity for the registered
+query runs in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from g1_etl_spark.operators.merge import merge_scd1, upsert
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "amt"])
+
+
+def test_upsert_update_insert_passthrough(spark):
+    upd = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], ["k", "name", "amt"])
+    got = {r["k"]: (r["name"], r["amt"])
+           for r in upsert(_base(spark), upd, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_upsert_plan_broadcasts_and_skips_base_shuffle(spark):
+    upd = spark.createDataFrame([(2, "B2", 99.0)], ["k", "name", "amt"])
+    plan = (upsert(_base(spark), upd, ["k"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_merge_scd1_partial_columns(spark):
+    # NULL amt on k=2 keeps the old value; k=4 inserts with NULL name
+    upd = spark.createDataFrame(
+        [(2, "B2", None), (4, None, 40.0)], ["k", "name", "amt"])
+    got = {r["k"]: (r["name"], r["amt"])
+           for r in merge_scd1(_base(spark), upd, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 20.0),
+                   3: ("c", 30.0), 4: (None, 40.0)}

@@ -1,0 +1,75 @@
+"""Unit tests for operators/retrieval: distributed global rank, vocab,
+BM25 ranking behavior. (Oracle parity for the registered queries runs in
+test_oracle_parity.py automatically.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import retrieval as R
+
+
+def test_global_rank_matches_single_window(spark):
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 101).alias("key"), F.col("id").alias("tie"))
+    got = R.global_rank(df, [F.col("key").desc(), F.col("tie").asc()],
+                        rank_col="r", partitions=7)
+    w = W.orderBy(F.col("key").desc(), F.col("tie").asc())
+    want = df.withColumn("r", F.row_number().over(w).cast("long"))
+    assert (got.orderBy("r").collect()
+            == want.orderBy("r").collect())
+    # ranks are a contiguous 1..N permutation
+    n = df.count()
+    assert got.agg(F.min("r"), F.max("r"),
+                   F.countDistinct("r")).first() == (1, n, n)
+
+
+def test_build_vocab_ids_and_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c b a a"), (3, "z")],
+        ["doc_id", "text"])
+    out = {r["term"]: (r["cnt"], r["term_id"])
+           for r in R.build_vocab(docs, min_count=2).collect()}
+    # counts: c=4, a=3, b=3; z dropped (min_count)
+    assert out == {"c": (4, 1), "a": (3, 2), "b": (3, 3)}
+
+
+def test_bm25_prefers_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join shuffle"),
+         (2, "spark join"),
+         (3, "broadcast join strategy"),
+         (4, "unrelated text entirely"),
+         (5, "the shuffle service")],
+        ["doc_id", "text"])
+    q = spark.createDataFrame([(1, "shuffle"), (1, "join")],
+                              ["q_id", "term"])
+    rows = (R.bm25_topk(docs, q, k=3).orderBy("rank").collect())
+    # doc 1 matches both terms (tf 2+1) -> best; doc 4 never appears
+    assert rows[0]["neighbor_id"] == 1
+    assert all(r["neighbor_id"] != 4 for r in rows)
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert all(rows[i]["score"] >= rows[i + 1]["score"]
+               for i in range(len(rows) - 1))
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'the' in every doc, 'rare' in one: a doc matching only 'rare'
+    # must outscore a doc matching only 'the'
+    docs = spark.createDataFrame(
+        [(i, "the filler words") for i in range(1, 9)]
+        + [(9, "rare gem"), (10, "the common one")],
+        ["doc_id", "text"])
+    q = spark.createDataFrame([(1, "the"), (1, "rare")], ["q_id", "term"])
+    rows = R.bm25_topk(docs, q, k=10).collect()
+    scores = {r["neighbor_id"]: r["score"] for r in rows}
+    assert scores[9] > max(s for d, s in scores.items() if d != 9)
+
+
+def test_bm25_broadcasts_queries(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                 ["doc_id", "text"])
+    q = spark.createDataFrame([(1, "b")], ["q_id", "term"])
+    plan = R.bm25_topk(docs, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
