@@ -1,0 +1,67 @@
+"""Unit tests for operators/features and the k-means assignment query.
+(Oracle parity for registered queries runs in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import features as FE
+from tests.conftest import SF_SMOKE
+
+
+def test_zscore_group_stats(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)], ["g", "x"])
+    rows = {(r["g"], r["x"]): r
+            for r in FE.zscore_per_group(df, "x", ["g"]).collect()}
+    assert rows[("a", 2.0)]["z"] == 0.0
+    assert math.isclose(rows[("a", 3.0)]["z"], 1.0)  # std = 1.0
+    assert rows[("b", 5.0)]["z"] is None  # single-row group
+
+
+def test_minmax_bounds_and_constant_group(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 15.0), ("c", 7.0), ("c", 7.0)],
+        ["g", "x"])
+    rows = FE.minmax_per_group(df, "x", ["g"]).collect()
+    scaled = {(r["g"], r["x"]): r["scaled"] for r in rows}
+    assert scaled[("a", 10.0)] == 0.0 and scaled[("a", 20.0)] == 1.0
+    assert scaled[("a", 15.0)] == 0.5
+    assert scaled[("c", 7.0)] is None  # zero range
+
+
+def test_equidepth_bin_sizes_differ_by_at_most_one(spark):
+    df = spark.range(0, 103).select(
+        F.col("id"), (F.col("id") * 17 % 97).alias("x"))
+    out = FE.equidepth_bins(df, "x", ["id"], n_bins=10)
+    sizes = [r["cnt"] for r in out.groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()]
+    assert len(sizes) == 10 and max(sizes) - min(sizes) <= 1
+    assert out.count() == 103
+
+
+def test_equidepth_bins_are_value_ordered(spark):
+    df = spark.range(0, 50).select(
+        F.col("id"), (49 - F.col("id")).alias("x"))
+    rows = FE.equidepth_bins(df, "x", ["id"], n_bins=5).collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin"], []).append(r["x"])
+    for b in range(1, 5):
+        assert max(by_bin[b]) < min(by_bin[b + 1])
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    from g1_etl_spark.operators.similarity import (_assign_cells,
+                                                   train_ivf_centroids)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, n_cells=4, iters=3)
+    c2 = train_ivf_centroids(emb, n_cells=4, iters=3)
+    assert (c1 == c2).all()  # hash-seeded init + exact means
+    assigned = emb.select(
+        _assign_cells(1, c1)(F.col("embedding"))[0].alias("c"))
+    n_cells = assigned.distinct().count()
+    assert 2 <= n_cells <= 4 and assigned.count() == emb.count()
