@@ -97,12 +97,26 @@ def main(argv: list[str] | None = None) -> str:
     pe = sub.add_parser("entity", help="one entity -> distributed json")
     common(pe)
     pe.add_argument("--entity", required=True)
+    ps = sub.add_parser(
+        "sql", help="ad-hoc SQL over the testdata tables (temp views)")
+    ps.add_argument("query", help="SQL text; tables region/nation/.../"
+                                  "documents/embeddings are views")
+    ps.add_argument("--data", required=True,
+                    help="directory of {table}.parquet sources")
+    ps.add_argument("--limit", type=int, default=20)
 
     args = parser.parse_args(argv)
 
     # imported lazily so --help works without a JVM
     from g1_etl_spark.session import get_spark
     spark = get_spark(app_name=f"g1_etl_{args.cmd}")
+
+    if args.cmd == "sql":
+        from g1_etl_spark.plans.sql_plans import run_sql
+        df = run_sql(spark, args.data, args.query)
+        df.show(args.limit, truncate=False)
+        return "sql"
+
     sources = load_sources(spark, args.data)
     os.makedirs(args.out, exist_ok=True)
 

@@ -417,3 +417,30 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     return (cand.select("d1", "d2", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def incremental_exact_flags(batch: DataFrame, corpus: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            normalized: bool = True) -> DataFrame:
+    """(id, is_dup): flag batch docs whose (normalized) content already
+    exists in the corpus — the production incremental-ingest dedup shape
+    (dedup TODAY's crawl against the accumulated corpus, not the whole
+    corpus against itself).
+
+    One join keyed on the content string. At 100 TB the batch side is
+    the small one, so the right plan broadcasts the BATCH keys and
+    semi-scans the corpus (Spark chooses this when batch fits the
+    broadcast threshold); the corpus is never shuffled, only scanned.
+    Cross-batch NEAR-dup detection composes the existing pieces: run
+    `minhash_lsh_pairs` over batch ∪ corpus-signatures with band-bucket
+    join — signatures for the corpus are computed once and persisted,
+    not recomputed per batch.
+    """
+    key = (normalize_text(F.col(text_col)) if normalized
+           else F.col(text_col))
+    b = batch.select(F.col(id_col), key.alias("_k"))
+    c = corpus.select(key.alias("_k")).distinct() \
+        .withColumn("_hit", F.lit(1))
+    return (b.join(c, "_k", "left")
+            .select(id_col, F.col("_hit").isNotNull().alias("is_dup")))

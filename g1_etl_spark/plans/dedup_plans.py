@@ -146,3 +146,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"),
                            max_hamming=8)
+
+
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH b AS (SELECT doc_id,
+                      regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                        AS k
+               FROM documents WHERE doc_id % 5 = 0),
+    c AS (SELECT DISTINCT
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k
+          FROM documents WHERE doc_id % 5 <> 0)
+    SELECT b.doc_id, c.k IS NOT NULL AS is_dup
+    FROM b LEFT JOIN c ON b.k = c.k
+    """,
+    description="incremental ingest dedup: flag a new batch (doc_id%5=0 "
+                "as the simulated crawl) against the accumulated corpus "
+                "by normalized content — corpus scanned, never shuffled "
+                "(operators/dedup.py:incremental_exact_flags)",
+    tags=("dedup",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_exact_flags(batch, corpus)

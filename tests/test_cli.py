@@ -56,3 +56,13 @@ def test_cli_unknown_entity(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["entity", "--entity", "nope", "--dispensary", "1",
               "--org", "420", "--out", str(tmp_path)])
+
+
+def test_cli_sql_adhoc(spark, capsys):
+    from tests.conftest import SF_SMOKE
+
+    assert main(["sql",
+                 "SELECT COUNT(*) AS n FROM documents",
+                 "--data", SF_SMOKE]) == "sql"
+    out = capsys.readouterr().out
+    assert "500" in out and "n" in out
