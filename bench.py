@@ -46,11 +46,26 @@ HEADLINE = [
     # round-2 additions (r1 entries above are unchanged for 1:1 grading)
     "q8_market_share",
     "corpus_decontaminate",
+    "text_bm25_topk",
+    "merge_upsert_orders",
+    "feat_equidepth_bins",
+    "dedup_incremental",
 ]
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _drop_cached(spark) -> None:
+    """Free SQL cache AND pinned RDD blocks (cache() intermediates plus
+    localCheckpoint data, which clearCache alone does not release) so
+    each query is timed in isolation, not under the previous queries'
+    block-manager pressure."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist()
 
 
 def main() -> None:
@@ -73,14 +88,11 @@ def main() -> None:
         # simhash aggregate) and the timed run measures execution
         if os.path.isdir(warm_dir):
             _force(fn(spark, warm_dir))
-            spark.catalog.clearCache()
+            _drop_cached(spark)
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)
-        # dedup/similarity operators cache intermediates (signature reuse
-        # across join sides); drop them so queries are timed in isolation
-        # instead of under the previous query's memory pressure
-        spark.catalog.clearCache()
+        _drop_cached(spark)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

@@ -67,3 +67,32 @@ def test_lsh_candidate_exchange_carries_ids_only(spark):
     m = re.findall(r"Keys \[2\]: \[(.*?)\]", plan)
     assert any("q_id" in keys and "vec_id" in keys
                and "embedding" not in keys for keys in m), m
+
+
+def test_bm25_broadcasts_queries_not_corpus(spark):
+    plan = _formatted(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    # the final top-k must be the two-stage form: a (q_id, _pid)-keyed
+    # local prune before the per-query window
+    assert "_pid" in plan
+
+
+def test_upsert_never_shuffles_base(spark):
+    plan = _formatted(spark, "merge_upsert_orders")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_equidepth_has_no_global_window(spark):
+    # the distributed rank partitions its window by _pid — a bare
+    # global window would show 'Window' with an empty partition spec
+    plan = _formatted(spark, "feat_equidepth_bins")
+    assert "_pid" in plan
+    for line in plan.splitlines():
+        if "Arguments" in line and "windowspecdefinition(" in line:
+            assert "windowspecdefinition(_pid" in line or \
+                "windowspecdefinition(spark_partition_id" in line
+
+
+def test_zscore_stats_joinback_broadcasts(spark):
+    plan = _formatted(spark, "feat_zscore")
+    assert "BroadcastHashJoin" in plan
