@@ -152,3 +152,34 @@ def bm25_topk(docs: DataFrame, query_terms: DataFrame, k: int = 10,
               .agg((F.sum("s").cast("double") / F.lit(float(_SCALE) ** 2))
                    .alias("score")))
     return _two_stage_topk(scored, "q_id", k)
+
+
+def tokenize_to_ids(df: DataFrame, vocab: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ids, n_tokens, n_oov): each document as its in-order
+    vocabulary-id sequence — the tokenize step that feeds sequence
+    packing (operators/curation.pack_sequences) in a training pipeline.
+
+    Out-of-vocabulary tokens (dropped by the vocab's min_count) are
+    excluded from `ids` and counted in `n_oov`. The vocab is broadcast
+    (it is orders of magnitude smaller than the corpus), so the only
+    wide op is the per-document groupBy; order is restored by sorting
+    the (pos, id) pairs inside each group — no window, no skew.
+    Zero-token documents vanish with the explode (both engines agree).
+    """
+    toks = df.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"))
+    joined = toks.join(F.broadcast(vocab.select("term", "term_id")),
+                       "term", "left")
+    hit = F.col("term_id").isNotNull()
+    return (joined.groupBy("d")
+            .agg(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.when(hit, F.struct("pos", "term_id")))),
+                     lambda x: x["term_id"]).alias("ids"),
+                 F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(hit, F.lit(0)).otherwise(F.lit(1)))
+                 .alias("n_oov"))
+            .withColumnRenamed("d", id_col))

@@ -100,3 +100,38 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame(_QUERIES, ["q_id", "term"])
     return R.bm25_topk(docs, q, k=_K, k1=_K1, b=_B)
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, arr[i] AS term
+      FROM arrs, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)),
+    counts AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+      HAVING COUNT(*) >= {_MIN_COUNT}),
+    vocab AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS term_id
+      FROM counts),
+    j AS (
+      SELECT t.doc_id, t.pos, v.term_id
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+    SELECT doc_id,
+           list(term_id ORDER BY pos) FILTER (term_id IS NOT NULL)
+             AS ids,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (term_id IS NULL) AS n_oov
+    FROM j GROUP BY doc_id
+    """,
+    description="corpus tokenization to in-order vocab-id sequences "
+                "(broadcast vocab, OOV counted) — the input to sequence "
+                "packing (operators/retrieval.py:tokenize_to_ids)",
+    tags=("retrieval", "text"),
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = R.build_vocab(docs, min_count=_MIN_COUNT)
+    return R.tokenize_to_ids(docs, vocab)

@@ -73,3 +73,16 @@ def test_bm25_broadcasts_queries(spark):
     q = spark.createDataFrame([(1, "b")], ["q_id", "term"])
     plan = R.bm25_topk(docs, q)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_tokenize_to_ids_order_and_oov(spark):
+    from g1_etl_spark.operators.retrieval import build_vocab, tokenize_to_ids
+
+    docs = spark.createDataFrame(
+        [(1, "b a b zz"), (2, "a b"), (3, "zz qq")], ["doc_id", "text"])
+    vocab = build_vocab(docs, min_count=2)  # b:3->1, a:2->2, zz:2->3
+    rows = {r["doc_id"]: r for r in tokenize_to_ids(docs, vocab).collect()}
+    assert rows[1]["ids"] == [1, 2, 1, 3] and rows[1]["n_oov"] == 0
+    assert rows[2]["ids"] == [2, 1]
+    assert rows[3]["ids"] == [3] and rows[3]["n_oov"] == 1  # qq is OOV
+    assert rows[1]["n_tokens"] == 4
