@@ -1,0 +1,68 @@
+"""Data-quality validation operators — declarative "expectations" over a
+frame, evaluated in ONE aggregate pass (no per-check scans), plus
+referential-integrity checks between tables.
+
+The reference's analog is its per-entity validation counters (the
+valid/invalid summary the payload assembler emits; see
+entities/assemble.py:69-73 and /root/reference/mmj/etl_import.py) —
+this module generalizes that to arbitrary column expectations the way
+production pipelines gate data before training runs.
+
+Scale design: `profile` folds every metric into a single groupBy-less
+agg — one scan, map-side partial aggregation, a one-row result. RI
+checks are left-anti joins keyed on the FK (broadcast when the parent
+key set is small; at 100 TB prefer the bloom-prefilter then exact
+anti-join). Nothing here ever collects data rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-row frame of per-column quality metrics: ``<col>_nulls`` and
+    ``<col>_distinct`` for each column, plus ``n_rows``. Single scan."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"{c}_nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
+    return df.agg(*aggs)
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., n_dup): key tuples appearing more than once."""
+    return (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dup"))
+            .filter(F.col("n_dup") > 1))
+
+
+def orphans(child: DataFrame, parent: DataFrame,
+            fk: str, pk: str) -> DataFrame:
+    """Child rows whose FK has no matching parent PK (NULL FKs are not
+    orphans — SQL RI semantics)."""
+    return (child.filter(F.col(fk).isNotNull())
+            .join(parent.select(F.col(pk).alias(fk)).distinct(),
+                  fk, "left_anti"))
+
+
+def expect(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Evaluate named boolean expectations in one pass.
+
+    Returns one row per check: (check, n_violations, pass) — a row
+    FAILS a check when its expression is false or NULL. The whole
+    suite is one aggregate over one scan however many checks there are.
+    """
+    aggs = [
+        F.sum(F.when(expr, 0).otherwise(1)).alias(name)
+        for name, expr in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack({n}, {pairs}) as (check, n_violations)".format(
+            n=len(checks),
+            pairs=", ".join(f"'{name}', {name}" for name in checks)))
+    return stacked.select(
+        "check", "n_violations",
+        (F.col("n_violations") == 0).alias("pass"))

@@ -27,6 +27,7 @@ from g1_etl_spark.plans import retrieval_plans  # noqa: E402,F401
 from g1_etl_spark.plans import merge_plans  # noqa: E402,F401
 from g1_etl_spark.plans import feature_plans  # noqa: E402,F401
 from g1_etl_spark.plans import sql_plans  # noqa: E402,F401
+from g1_etl_spark.plans import quality_plans  # noqa: E402,F401
 from g1_etl_spark.plans import nested  # noqa: E402,F401
 from g1_etl_spark.plans import scalars_demo  # noqa: E402,F401
 from g1_etl_spark.plans import relational  # noqa: E402,F401

@@ -1,0 +1,86 @@
+"""Driver-facing data-quality queries with exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import quality as Q
+from g1_etl_spark.plans.registry import register
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH w AS (
+      SELECT SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+               AS orderkey_not_null,
+             SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+               AS totalprice_positive,
+             SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0
+                 ELSE 1 END) AS status_in_domain,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+                 THEN 0 ELSE 1 END) AS orderdate_in_range
+      FROM orders)
+    SELECT u."check", u.n_violations, u.n_violations = 0 AS pass
+    FROM w, LATERAL (VALUES
+      ('orderkey_not_null', w.orderkey_not_null),
+      ('totalprice_positive', w.totalprice_positive),
+      ('status_in_domain', w.status_in_domain),
+      ('orderdate_in_range', w.orderdate_in_range))
+      AS u("check", n_violations)
+    """,
+    description="declarative expectation suite (not-null, positive, "
+                "domain, range) evaluated in ONE aggregate scan "
+                "(operators/quality.py:expect)",
+    tags=("quality",),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return Q.expect(o, {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range":
+            F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
+    })
+
+
+@register(
+    "dq_profile_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS o_custkey_nulls,
+           COUNT(DISTINCT o_custkey) AS o_custkey_distinct,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS o_orderstatus_nulls,
+           COUNT(DISTINCT o_orderstatus) AS o_orderstatus_distinct
+    FROM orders
+    """,
+    description="single-pass column profile: null + distinct counts for "
+                "audited columns (operators/quality.py:profile)",
+    tags=("quality",),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return Q.profile(o, ["o_custkey", "o_orderstatus"])
+
+
+@register(
+    "dq_orphan_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL
+    """,
+    description="referential-integrity audit: orders whose customer is "
+                "missing (anti join on FK; operators/quality.py:orphans)",
+    tags=("quality",),
+)
+def dq_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    return Q.orphans(o, c, fk="o_custkey", pk="c_custkey")

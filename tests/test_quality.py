@@ -1,0 +1,43 @@
+"""Unit tests for operators/quality (registered queries get oracle
+parity via test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from g1_etl_spark.operators import quality as Q
+
+
+def test_profile_counts_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["k", "v"])
+    row = Q.profile(df, ["v"]).first()
+    assert (row["n_rows"], row["v_nulls"], row["v_distinct"]) == (4, 1, 2)
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (3, "v"), (3, "u")],
+        ["k", "v"])
+    got = {r["k"]: r["n_dup"] for r in Q.duplicate_keys(df, ["k"]).collect()}
+    assert got == {1: 2, 3: 3}
+
+
+def test_orphans_ignore_null_fk(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], ["id", "fk"])
+    parent = spark.createDataFrame([(10,)], ["pk"])
+    got = [r["id"] for r in Q.orphans(child, parent, "fk", "pk").collect()]
+    assert got == [2]  # null FK is not an orphan
+
+
+def test_expect_null_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], ["k", "x"])
+    rows = {r["check"]: (r["n_violations"], r["pass"])
+            for r in Q.expect(df, {
+                "x_positive": F.col("x") > 0,
+                "k_not_null": F.col("k").isNotNull(),
+            }).collect()}
+    assert rows["x_positive"] == (2, False)  # -1 and NULL both fail
+    assert rows["k_not_null"] == (0, True)
