@@ -471,3 +471,49 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "us",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.sum("sv").over(w).cast("double") / 1_000_000).alias("sum_1h"))
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '7 days', MIN(ts),
+                         TIMESTAMP '1970-01-01') AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id,
+             time_bucket(INTERVAL '7 days', ts,
+                         TIMESTAMP '1970-01-01') AS act_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM first f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    description="weekly cohort retention matrix: users bucketed by "
+                "first-seen week x activity-week offset (epoch-aligned "
+                "7-day windows; DuckDB needs the explicit 1970-01-01 "
+                "origin — its default day-bucket origin is 2000-01-03)",
+    tags=("events",),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both aggregates key on user_id (one co-located exchange); the
+    retention matrix itself is tiny (weeks x offsets)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = (ev.groupBy("user_id")
+             .agg(F.min("ts").alias("_first_ts"))
+             .select("user_id", F.window("_first_ts", "7 days").start
+                     .alias("cohort_week")))
+    act = (ev.select("user_id",
+                     F.window("ts", "7 days").start.alias("act_week"))
+           .distinct())
+    return (first.join(act, "user_id")
+            .select("cohort_week",
+                    (F.datediff("act_week", "cohort_week") / 7)
+                    .cast("long").alias("week_offset"),
+                    "user_id")
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))

@@ -194,3 +194,54 @@ def test_stream_stream_attribution_join(spark, stream_dir):
         assert len(got) == want
     finally:
         q.stop()
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    from g1_etl_spark.streaming.stateful import streaming_funnel
+
+    # two time-ordered files written sequentially -> the file source
+    # (oldest modification first) replays them as in-order micro-batches
+    from g1_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", F.unix_micros("ts").alias("us"))
+    mid = ev.approxQuantile("us", [0.5], 0.0)[0]
+    d = tmp_path / "funnel_src"
+    (ev.filter(F.col("us") <= mid).sort("us").coalesce(1)
+     .write.mode("append").parquet(str(d)))
+    (ev.filter(F.col("us") > mid).sort("us").coalesce(1)
+     .write.mode("append").parquet(str(d)))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = SW.run_to_memory(streaming_funnel(stream), "t_funnel",
+                         output_mode="update")
+    try:
+        got = {r["user_id"]: (r["funnel_depth"], r["t1_us"], r["t2_us"],
+                              r["t3_us"])
+               for r in spark.sql("""
+                 SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY funnel_depth DESC) rn FROM t_funnel)
+                 WHERE rn = 1""").collect()
+               if r["funnel_depth"] > 0}
+    finally:
+        q.stop()
+
+    # batch twin: earliest qualifying chain per user
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("us").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("us") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("us").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("us") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("us").alias("t3")))
+    want = {}
+    rows = (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .collect())
+    for r in rows:
+        depth = 3 if r["t3"] is not None else (
+            2 if r["t2"] is not None else 1)
+        want[r["user_id"]] = (depth, r["t1"], r["t2"], r["t3"])
+    assert got == want
