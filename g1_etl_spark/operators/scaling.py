@@ -77,3 +77,28 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
         .alias("_s"))
         .withColumn("_salt", F.col("_s").cast("long")).drop("_s"))
     return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
+def enable_runtime_bloom_pruning(spark: SparkSession,
+                                 apply_below_scan_bytes: int | None = None
+                                 ) -> None:
+    """Turn on Catalyst's runtime Bloom-filter join pruning: for a
+    shuffle join whose creation side is selective (a filtered dim),
+    Spark injects ``bloom_filter_agg(xxhash64(key))`` over that side and
+    prunes the fact scan with ``might_contain`` BEFORE the shuffle —
+    the fact rows that cannot match never leave the mappers.
+
+    This is the third fact-join scale knob next to bucketing and
+    salting: it needs no rewrite of the query, only the session conf.
+    By default Spark applies it when the application side scans >10 GB
+    — i.e. exactly the 100 TB regime; `apply_below_scan_bytes` lowers
+    that threshold so tests (and small-SF benches) can see the filter
+    in the plan.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                   "true")
+    if apply_below_scan_bytes is not None:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            str(apply_below_scan_bytes))

@@ -57,3 +57,36 @@ def test_salted_join_spreads_hot_key(spark):
     n_salts = l.select("_salt").distinct().count()
     assert n_salts == 8, "hot key must spread across all salt subkeys"
     assert SC.salted_join(left, right, "k", salt=8).count() == 1000
+
+
+def test_runtime_bloom_pruning_injected_and_correct(spark):
+    from g1_etl_spark.operators.scaling import enable_runtime_bloom_pruning
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+         .filter(F.col("o_totalprice") > 400000))
+
+    def q():
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    want = sorted(map(tuple, q().collect()))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join so the runtime filter is applicable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_bloom_pruning(spark, apply_below_scan_bytes=0)
+        plan = q()._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        got = sorted(map(tuple, q().collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold")
+    assert got == want
