@@ -86,7 +86,9 @@ def global_rank(df: DataFrame, order_cols: list[Column],
     for pid in sorted(sizes):
         offsets.append((pid, offset))
         offset += sizes[pid]
-    off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
+    # explicit schema: offsets may be empty (empty input frame), and
+    # inference would also widen _pid (int from spark_partition_id)
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
     lw = W.partitionBy("_pid").orderBy(*order_cols)
     return (parts.withColumn("_rn", F.row_number().over(lw))
             .join(F.broadcast(off_df), "_pid")

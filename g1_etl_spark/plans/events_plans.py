@@ -419,18 +419,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel progression per user. Each step's earliest qualifying
     timestamp must come strictly after the previous step's.
 
-    All three aggregates and both joins key on user_id — one hash
-    partitioning serves the whole plan, so the extra passes cost no
-    extra shuffles of the big table beyond the per-step filters (which
-    push down to the scan)."""
+    The per-step frames (v, c) are eagerly checkpointed: each is a tiny
+    one-row-per-user aggregate that THREE downstream subtrees reference
+    — without the barrier Catalyst inlines the subtree everywhere and
+    the events table is scanned five times instead of three (once per
+    step, with the event_type filter pushed down). The checkpointed
+    step frames then broadcast into the next step's join."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us"))
     v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("us").alias("t_view")))
+         .groupBy("user_id").agg(F.min("us").alias("t_view"))
+         .localCheckpoint(eager=True))
     c = (ev.filter(F.col("event_type") == "click")
          .join(v, "user_id")
          .filter(F.col("us") > F.col("t_view"))
-         .groupBy("user_id").agg(F.min("us").alias("t_click")))
+         .groupBy("user_id").agg(F.min("us").alias("t_click"))
+         .localCheckpoint(eager=True))
     p = (ev.filter(F.col("event_type") == "purchase")
          .join(c, "user_id")
          .filter(F.col("us") > F.col("t_click"))

@@ -86,3 +86,13 @@ def test_tokenize_to_ids_order_and_oov(spark):
     assert rows[2]["ids"] == [2, 1]
     assert rows[3]["ids"] == [3] and rows[3]["n_oov"] == 1  # qq is OOV
     assert rows[1]["n_tokens"] == 4
+
+
+def test_global_rank_and_vocab_on_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "key int, tie int")
+    assert R.global_rank(
+        empty, [F.col("key").asc(), F.col("tie").asc()]).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert R.build_vocab(docs).count() == 0
