@@ -104,7 +104,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 def pack_sequences(docs: DataFrame, budget: int,
                    tokens_col: Column,
                    shard_col: str = "source",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   keep_cols: tuple = ()) -> DataFrame:
     """Greedy contiguous sequence packing: walk each shard in id order,
     accumulate token counts, start a new sequence when the running total
     passes the budget. seq_id = (cumsum - tokens) // budget — a document
@@ -114,13 +115,17 @@ def pack_sequences(docs: DataFrame, budget: int,
 
     One exchange (hash on the shard key) + an in-partition sort; integer
     arithmetic throughout, so any engine agrees bit-for-bit.
+    `keep_cols` pass through unchanged (lets composites carry metadata
+    without a join-back).
     """
     win = (W.partitionBy(shard_col).orderBy(id_col)
            .rowsBetween(W.unboundedPreceding, W.currentRow))
-    t = docs.select(id_col, shard_col, tokens_col.alias("tokens"))
+    t = docs.select(id_col, shard_col, *keep_cols,
+                    tokens_col.alias("tokens"))
     return (t.withColumn("cum", F.sum("tokens").over(win))
             .select(
-                id_col, shard_col, F.col("tokens").cast("long"),
+                id_col, shard_col, *keep_cols,
+                F.col("tokens").cast("long"),
                 F.expr(f"(cum - tokens) div {budget}").cast("long")
                 .alias("seq_id")))
 

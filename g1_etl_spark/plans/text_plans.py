@@ -331,3 +331,97 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.stopword_ratio(F.col("text"), "en").alias("en_stopword_ratio"),
     )
+
+
+@register(
+    "pipeline_train_prep",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id,
+             (CASE WHEN length(text) >= 50 AND length(text) <= 10000
+                   THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS DOUBLE) / length(text)) * 0.4
+             + (CAST(len(list_distinct(
+                    regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+'))) * 0.4
+               AS quality
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS detected_lang
+      FROM (SELECT doc_id,
+                   len(list_intersect(words, {_MARKER_SQL['de']})) AS s_de,
+                   len(list_intersect(words, {_MARKER_SQL['en']})) AS s_en,
+                   len(list_intersect(words, {_MARKER_SQL['es']})) AS s_es,
+                   len(list_intersect(words, {_MARKER_SQL['fr']})) AS s_fr
+            FROM (SELECT doc_id, list_distinct(string_split(
+                    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+                    AS words FROM documents))),
+    k AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY regexp_replace(trim(lower(text)), '\s+', ' ',
+                                           'g')) AS canonical_id
+      FROM documents),
+    survivors AS (
+      SELECT d.doc_id, d.source, l.detected_lang AS lang, q.quality,
+             CAST(CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END
+                  AS BIGINT) AS tokens
+      FROM documents d
+      JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN k USING (doc_id)
+      WHERE q.quality >= 0.55
+        AND l.detected_lang <> 'und'
+        AND k.canonical_id = d.doc_id),
+    packed AS (
+      SELECT *, sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+      FROM survivors)
+    SELECT doc_id, source, lang, quality, tokens,
+           CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id,
+           CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM packed
+    """,
+    description="end-to-end training-data prep in ONE declarative plan: "
+                "quality gate -> language filter -> dedup-canonical -> "
+                "greedy sequence packing per source shard -> "
+                "deterministic train/valid/test split; composes "
+                "textops + dedup + curation.pack_sequences + "
+                "sampling.split_assign",
+    tags=("text", "curation", "pipeline"),
+)
+def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.curation import pack_sequences
+    from g1_etl_spark.operators.dedup import normalize_text
+    from g1_etl_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.min("doc_id").over(W.partitionBy(normalize_text(F.col("text"))))
+    clean = (d.select(
+        "doc_id", "source",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.whitespace_token_count(F.col("text")).alias("tokens"),
+        w.alias("_canon"))
+        .filter((F.col("quality") >= 0.55)
+                & (F.col("lang") != "und")
+                & (F.col("_canon") == F.col("doc_id"))))
+    packed = pack_sequences(clean, budget=2048,
+                            tokens_col=F.col("tokens"),
+                            shard_col="source",
+                            keep_cols=("lang", "quality"))
+    return (packed.withColumn("split", split_assign(F.col("doc_id")))
+            .select("doc_id", "source", "lang", "quality", "tokens",
+                    "seq_id", "split"))
