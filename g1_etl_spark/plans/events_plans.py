@@ -521,3 +521,33 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "user_id")
             .groupBy("cohort_week", "week_offset")
             .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n
+    FROM j WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    description="user-journey transition matrix: (event, next event) "
+                "bigram counts per user via LEAD over (ts, event_id) — "
+                "the Markov-chain view of event streams",
+    tags=("events", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exchange on user_id for the window, then a partial+final
+    count on the (from, to) pair — the matrix is |event_types|^2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(F.col("event_type").alias("from_type"),
+                      F.lead("event_type").over(w).alias("to_type"))
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n")))
