@@ -1,0 +1,108 @@
+"""Hypothesis property tests for the operator algebra — invariants that
+hold for ANY input, not just the fixtures. Examples are deliberately
+small (Spark job launch dominates), with shrinking on failure.
+
+Each property pins a law the rest of the repo relies on:
+  - pack_sequences: every sequence except a shard's last reaches the
+    budget; packing preserves rows; seq_ids are contiguous from 0.
+  - global_rank: exactly the permutation a single-partition
+    row_number() would produce.
+  - upsert: update rows win, base-only rows survive, key set is the
+    union — for any disjoint/overlapping key mix.
+  - exact_dedup: canonical ids are group minima; group sizes sum to
+    the row count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window, functions as F
+
+_settings = settings(max_examples=12, deadline=None,
+                     suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(tokens=st.lists(st.integers(min_value=0, max_value=500),
+                       min_size=1, max_size=40),
+       budget=st.integers(min_value=1, max_value=600))
+@_settings
+def test_pack_sequences_budget_law(spark, tokens, budget):
+    from g1_etl_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(tokens)],
+        ["doc_id", "source", "tokens"])
+    out = pack_sequences(df, budget, F.col("tokens")).collect()
+    assert len(out) == len(tokens)  # no row lost or duplicated
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    seq_ids = sorted(by_seq)
+    assert seq_ids[0] == 0
+    # prefix-sum packing: doc goes into the sequence its prefix falls in
+    prefix = 0
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert r["seq_id"] == prefix // budget
+        prefix += r["tokens"]
+
+
+@given(keys=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=60),
+       parts=st.integers(min_value=1, max_value=5))
+@_settings
+def test_global_rank_is_total_order_permutation(spark, keys, parts):
+    from g1_etl_spark.operators.retrieval import global_rank
+
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], ["k", "tie"])
+    got = global_rank(df, [F.col("k").desc(), F.col("tie").asc()],
+                      rank_col="r", partitions=parts)
+    want = df.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.col("k").desc(), F.col("tie").asc()))
+        .cast("long"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+@given(base_keys=st.sets(st.integers(min_value=0, max_value=30),
+                         min_size=1, max_size=15),
+       upd_keys=st.sets(st.integers(min_value=0, max_value=30),
+                        min_size=0, max_size=15))
+@_settings
+def test_upsert_key_algebra(spark, base_keys, upd_keys):
+    from g1_etl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(k, "old") for k in base_keys],
+                                 ["k", "v"])
+    upd = spark.createDataFrame([(k, "new") for k in upd_keys],
+                                ["k", "v"]) if upd_keys else \
+        spark.createDataFrame([], "k bigint, v string")
+    got = {r["k"]: r["v"] for r in upsert(base, upd, ["k"]).collect()}
+    assert set(got) == base_keys | upd_keys
+    for k in upd_keys:
+        assert got[k] == "new"
+    for k in base_keys - upd_keys:
+        assert got[k] == "old"
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12),
+    min_size=1, max_size=25))
+@_settings
+def test_exact_dedup_group_laws(spark, texts):
+    from g1_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               ["doc_id", "text"])
+    rows = exact_dedup(df).collect()
+    assert len(rows) == len(texts)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["canonical_id"], []).append(r)
+    for canon, members in groups.items():
+        ids = [m["doc_id"] for m in members]
+        assert canon == min(ids)  # canonical = group min
+        assert all(m["group_size"] == len(members) for m in members)
