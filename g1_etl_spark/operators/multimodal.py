@@ -379,3 +379,24 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
 # round-1 name; the plumbing is no longer a stub for PPM/BMP content
 resize_stub = resize_media
+
+
+def image_neardup_pairs(media: DataFrame, threshold: float = 0.98,
+                        bands: int = 4) -> DataFrame:
+    """(d1, d2, score): near-duplicate IMAGES — the multimodal twin of
+    text dedup, composed from the existing pieces: real decode ->
+    pixel-feature vectors (Arrow mapInPandas) -> hyperplane-LSH banded
+    near-dup pairs (operators/similarity.cosine_neardup_pairs).
+
+    The feature stage is narrow; the pair stage inherits similarity's
+    scale shape (banded bucket join, id-only candidate distinct,
+    exact verify on candidates only). Near-identical renders (small
+    noise, re-encodes) land in the same LSH bucket through their
+    pixel-moment features without any byte-level equality.
+    """
+    from g1_etl_spark.operators.similarity import cosine_neardup_pairs
+
+    feats = extract_features(media).select("media_id", "features")
+    return cosine_neardup_pairs(
+        feats, threshold=threshold, dim=FEATURE_DIM, bands=bands,
+        id_col="media_id", vec_col="features")

@@ -189,3 +189,32 @@ def test_signal_features_through_map_in_pandas(spark):
     assert out[2]["feature_src"] == "bytes"
     expect = M.audio_features(*M.decode_wav(wav))
     assert np.allclose(out[1]["features"], expect)
+
+
+def test_image_neardup_pairs_finds_noisy_copies(spark):
+    import numpy as np
+
+    from g1_etl_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                   encode_ppm,
+                                                   image_neardup_pairs)
+
+    rng = np.random.default_rng(7)
+    base_a = rng.integers(0, 255, (12, 12, 3)).astype(np.uint8)
+    noisy_a = np.clip(base_a.astype(int)
+                      + rng.integers(-2, 3, base_a.shape), 0, 255
+                      ).astype(np.uint8)
+    base_b = rng.integers(0, 255, (12, 12, 3)).astype(np.uint8)
+    gradient = np.tile(np.arange(144).reshape(12, 12, 1) % 256,
+                       (1, 1, 3)).astype(np.uint8)
+    rows = [
+        (1, "image", encode_ppm(base_a), None),
+        (2, "image", encode_ppm(noisy_a), None),
+        (3, "image", encode_ppm(base_b), None),
+        (4, "image", encode_ppm(gradient), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r["d1"], r["d2"]): r["score"]
+             for r in image_neardup_pairs(media, threshold=0.999).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert all({d1, d2} == {1, 2} or d1 == d2
+               for d1, d2 in pairs) or len(pairs) == 1
