@@ -78,7 +78,22 @@ def _reorder() -> None:
     # merge) outrank them for window slots
     _new_tpch = [n for n in tier1 if n.startswith("q")
                  and n.split("_")[0][1:].isdigit()]
-    tier1 = [n for n in tier1 if n not in _new_tpch] + _new_tpch
+    # family diversity under a hard cap: a query mechanically near-
+    # identical to an in-window sibling yields its slot to the first
+    # representative of a family that would otherwise sit entirely
+    # outside the window
+    _demote = [n for n in ("dedup_exact_normalized",
+                           "events_sliding_window", "events_range_join",
+                           "text_stopword_ratio", "agg_approx_percentile",
+                           "sim_ivf_topk") if n in tier1]
+    _promote = [n for n in ("text_vocab", "text_bm25_topk",
+                            "merge_upsert_orders", "feat_zscore",
+                            "dq_expectations", "sql_passthrough")
+                if n in tier1]
+    moved = set(_new_tpch) | set(_demote) | set(_promote)
+    core = [n for n in tier1 if n not in moved]
+    at = core.index("quality_quantile_gate") + 1
+    tier1 = core[:at] + _promote + core[at:] + _demote + _new_tpch
     tier2 = [n for n in _SMOKES if n in REGISTRY]
     tier3 = [n for n in REGISTRY if n in _R1_GREEN]
     reordered = {n: REGISTRY[n] for n in tier1 + tier2 + tier3}
