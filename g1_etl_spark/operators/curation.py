@@ -168,3 +168,26 @@ def quality_quantile_filter(docs: DataFrame, quality_col: Column,
         id_col, lang_col, quality_col.alias("quality"),
         F.percent_rank().over(win).alias("q_rank"),
     ).withColumn("keep", F.col("q_rank") >= drop_frac)
+
+
+def mix_upsample(df: DataFrame, whole: Column, frac_pct: Column,
+                 key: Column, copy_col: str = "copy_idx") -> DataFrame:
+    """Deterministic domain-mix upsampling: each row is repeated
+    ``whole`` times plus one more for the ``frac_pct``% of keys whose
+    hash bucket falls under the fraction — fractional epoch weights
+    (e.g. books×2.5) realized exactly and reproducibly, the way
+    training mixes repeat high-value domains.
+
+    ``hash_bucket`` (md5-based, engine-portable) decides WHICH keys get
+    the extra copy, so membership is stable across engines, reruns, and
+    repartitions — no RNG. The explode is narrow (no shuffle); the
+    copies stream out of the same partition that read the row.
+    """
+    from g1_etl_spark.operators.sampling import hash_bucket
+
+    n = (whole + F.when(hash_bucket(key, 100) < frac_pct, 1)
+         .otherwise(0)).cast("int")
+    return (df.withColumn("_n", n)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1), F.col("_n"))))
+            .drop("_n"))

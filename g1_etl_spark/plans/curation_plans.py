@@ -201,3 +201,36 @@ def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return C.quality_quantile_filter(
         d, T.quality_score(F.col("text")), drop_frac=0.2)
+
+
+@register(
+    "corpus_mix_upsample",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             1 + CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1)
+                           AS INT) % 4 >= 2 THEN 1 ELSE 0 END
+               + CASE WHEN (CAST(regexp_extract(source, '([0-9]+)', 1)
+                            AS INT) % 4) % 2 = 1
+                       AND CAST(concat('0x',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 < 50
+                      THEN 1 ELSE 0 END AS n
+      FROM documents)
+    SELECT doc_id, source, i AS copy_idx
+    FROM w, LATERAL unnest(range(1, n + 1)) AS t(i)
+    """,
+    description="deterministic domain-mix upsampling: per-source epoch "
+                "weights 1.0/1.5/2.0/2.5 realized as exact fractional "
+                "repetition (md5-bucket membership, no RNG) "
+                "(operators/curation.py:mix_upsample)",
+    tags=("curation", "sampling"),
+)
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 4
+    whole = F.lit(1) + F.when(m >= 2, 1).otherwise(0)
+    frac_pct = (m % 2) * 50
+    out = C.mix_upsample(d, whole, frac_pct, F.col("doc_id"))
+    return out.select("doc_id", "source",
+                      F.col("copy_idx").cast("long").alias("copy_idx"))

@@ -129,3 +129,25 @@ def test_quality_gate_drops_bottom_fraction(spark):
     for r in mx.join(mn, "lang").collect():
         assert r["keep_min"] >= r["drop_max"]
     out.unpersist()
+
+
+def test_mix_upsample_copy_counts(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.curation import mix_upsample
+    from g1_etl_spark.operators.sampling import hash_bucket
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    out = mix_upsample(df, F.lit(2), F.lit(50), F.col("k"))
+    counts = {r["k"]: r["n"] for r in
+              out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts.values()) <= {2, 3}
+    # membership of the extra copy is exactly the hash-bucket rule
+    want3 = {r["k"] for r in
+             df.filter(hash_bucket(F.col("k"), 100) < 50).collect()}
+    assert {k for k, n in counts.items() if n == 3} == want3
+    # copy indexes are 1..n per key
+    idx = [tuple(sorted(r["idxs"])) for r in
+           out.groupBy("k").agg(F.collect_list("copy_idx").alias("idxs"))
+           .collect()]
+    assert all(t == tuple(range(1, len(t) + 1)) for t in idx)
