@@ -36,6 +36,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    try:
+        # timestamps collect via the session timezone; the DuckDB oracle
+        # is UTC-naive, so a non-UTC caller session (the driver owns its
+        # own SparkSession) would shift every timestamp value. Runtime-
+        # settable, so pin it here rather than trusting session.py ran.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects unless this (runtime-settable) SQLConf
