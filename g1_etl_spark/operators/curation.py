@@ -170,6 +170,42 @@ def quality_quantile_filter(docs: DataFrame, quality_col: Column,
     ).withColumn("keep", F.col("q_rank") >= drop_frac)
 
 
+def chunk_token_windows(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", size: int = 64,
+                        stride: int = 48) -> DataFrame:
+    """Explode documents into overlapping fixed-size token windows —
+    the context-window chunking step between raw docs and the tokenizer
+    (RAG indexing and long-doc training prep both need it).
+
+    Chunk i covers tokens [i*stride, i*stride + size); the last chunk
+    starts at ceil((n_tokens - size) / stride) * stride, so every token
+    is covered and consecutive chunks overlap by (size - stride). Docs
+    with <= size tokens yield exactly one chunk.
+
+    Scale shape: one narrow pass — split once, generate chunk starts
+    with `sequence`, explode, slice. No shuffle, no UDF; the 1->N
+    fan-out streams out of the partition that read the row. Integer
+    arithmetic only (ceil done as (a + b - 1) div b), so any engine
+    agrees exactly.
+    """
+    split = df.select(F.col(id_col),
+                      F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"))
+    nw = F.size("_w")
+    last = F.when(nw <= size, F.lit(0).cast("long")).otherwise(
+        F.expr(f"(size(_w) - {size} + {stride - 1}) div {stride}")
+        .cast("long"))
+    t = split.select(
+        F.col(id_col), "_w", nw.cast("long").alias("_nw"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last)).alias("chunk_id"))
+    start = (F.col("chunk_id") * stride).cast("long")
+    return t.select(
+        id_col, "chunk_id", start.alias("start"),
+        F.least(F.lit(size).cast("long"),
+                F.col("_nw") - start).alias("n_tokens"),
+        F.array_join(F.slice("_w", (start + 1).cast("int"), size), " ")
+        .alias("chunk_text"))
+
+
 def mix_upsample(df: DataFrame, whole: Column, frac_pct: Column,
                  key: Column, copy_col: str = "copy_idx") -> DataFrame:
     """Deterministic domain-mix upsampling: each row is repeated

@@ -480,3 +480,43 @@ def incremental_exact_flags(batch: DataFrame, corpus: DataFrame,
         .withColumn("_hit", F.lit(1))
     return (b.join(c, "_k", "left")
             .select(id_col, F.col("_hit").isNotNull().alias("is_dup")))
+
+
+def fuzzy_blocked_pairs(df: DataFrame, name_col: str,
+                        max_dist: int = 2,
+                        block_col: Column | None = None) -> DataFrame:
+    """(name_a, name_b, dist): entity-resolution fuzzy matching —
+    distinct values of `name_col` paired when their Levenshtein
+    distance is <= max_dist, found via blocking rather than an O(n²)
+    cross join.
+
+    Blocking key defaults to the first word; candidate generation joins
+    only within a block AND within a length band of max_dist (an exact
+    Levenshtein lower bound — |len(a)-len(b)| <= dist — so the band
+    introduces no false negatives inside a block). Blocked fuzzy join
+    is the operator: pairs whose first words differ are out of scope by
+    contract, exactly as in production record linkage, where several
+    complementary blocking passes (first-word, soundex, length) union
+    their candidates. At scale the distinct + block join shuffles only
+    (block, name) string pairs; per-block pair counts are the classic
+    skew knob — cap or split oversized blocks as with max_df in
+    ngram_jaccard_pairs.
+    """
+    # blocking key computed over the aliased "name" column (block_col,
+    # when given, must be an expression over F.col("name"))
+    blk = (block_col if block_col is not None
+           else F.split(F.col("name"), " ").getItem(0))
+    names = (df.select(F.col(name_col).alias("name")).distinct()
+             .select("name", blk.alias("_blk"),
+                     F.length("name").alias("_len")))
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("_blk").alias("b1"), F.col("_len").alias("l1"))
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("_blk").alias("b2"), F.col("_len").alias("l2"))
+    cand = a.join(b, (F.col("b1") == F.col("b2"))
+                  & (F.col("name_a") < F.col("name_b"))
+                  & (F.abs(F.col("l1") - F.col("l2")) <= max_dist))
+    dist = F.levenshtein("name_a", "name_b")
+    return (cand.select("name_a", "name_b",
+                        dist.cast("long").alias("dist"))
+            .filter(F.col("dist") <= max_dist))

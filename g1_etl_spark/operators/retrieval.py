@@ -185,3 +185,37 @@ def tokenize_to_ids(df: DataFrame, vocab: DataFrame,
                  F.sum(F.when(hit, F.lit(0)).otherwise(F.lit(1)))
                  .alias("n_oov"))
             .withColumnRenamed("d", id_col))
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf, score, rank): top-k characteristic terms per
+    document by TF-IDF — keyword extraction for corpus exploration,
+    topic labeling, and per-domain vocabulary drift monitoring.
+
+    score = tf * ln(N / df), quantized for cross-engine exactness:
+    the idf factor is rounded at 1e6 scale and multiplied by the
+    integer tf, so ranking and output compare exactly (ties broken by
+    term). Two token-count shuffles (postings, df) — the same shape as
+    word-count; the per-doc top-k window partitions on doc_id, whose
+    cardinality IS the corpus, so there is no skewed partition.
+    """
+    terms = doc_terms(docs, text_col, id_col)
+    postings = terms.groupBy("d", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    scored = (postings.join(df_t, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("d", "term", "tf",
+                      (F.col("tf") * F.round(idf * _SCALE).cast("long"))
+                      .alias("_s")))
+    w = W.partitionBy("d").orderBy(F.col("_s").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("d").alias(id_col), "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    (F.col("_s").cast("double") / _SCALE).alias("score"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -48,3 +48,32 @@ def stratified_sample(df: DataFrame, label_col: str,
     reproducible; use deterministic_sample when cross-engine/rerun
     stability matters more than exact per-label fractions."""
     return df.sampleBy(label_col, fractions, seed)
+
+
+def stratified_exact_k(df: DataFrame, strata_col: str, key_col: str,
+                       k: int) -> DataFrame:
+    """Exactly k rows per stratum, chosen uniformly by key hash —
+    balanced eval-set construction (k docs per language/domain) with
+    cross-engine, rerun-stable membership.
+
+    Selection order is the md5 hex string of the key (engine-portable,
+    uniformly distributed), tie-broken by the key itself. Implemented
+    skew-free: a naive Window.partitionBy(stratum) pulls each stratum
+    — possibly 1/5th of a 100 TB corpus — into ONE task, so stage 1
+    takes a local top-k per (stratum, input partition) and the final
+    per-stratum window ranks only the <= k*P survivors.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.col(key_col).cast("string"))
+    base = df.select(F.col(strata_col), F.col(key_col), h.alias("_h"))
+    order = [F.col("_h"), F.col(key_col)]
+    lw = W.partitionBy(strata_col, "_pid").orderBy(*order)
+    pruned = (base.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_r", F.row_number().over(lw))
+              .filter(F.col("_r") <= k).drop("_pid", "_r"))
+    w = W.partitionBy(strata_col).orderBy(*order)
+    return (pruned.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .select(strata_col, key_col,
+                    F.col("sample_rank").cast("long").alias("sample_rank")))

@@ -135,3 +135,37 @@ def scd2_intervals(updates: DataFrame, key_col: str, ts_col: str,
                     F.col(ts_col).alias("valid_from"),
                     F.lead(ts_col).over(w2).alias("valid_to"))
             .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def hll_sketch_rollup(events: DataFrame, ts_col: str = "ts",
+                      key_col: str = "user_id",
+                      group_col: str = "event_type",
+                      fine: str = "1 day",
+                      coarse: str = "1 week") -> DataFrame:
+    """(group, window_start, n_fine_buckets, approx_users): mergeable
+    HLL-sketch pre-aggregation — THE pattern for distinct-counting at
+    100 TB. COUNT(DISTINCT) over a month cannot reuse daily results
+    (distinct doesn't add), but HLL sketches union losslessly: sketch
+    once per (group, day) at ingest, then any coarser rollup (week,
+    month, arbitrary range) is a cheap merge of the tiny fixed-size
+    sketch blobs — no rescan of the raw events.
+
+    Stage 1 groups by (group, fine window) building binary sketches
+    (map-side partial merge keeps the shuffle at sketch-count rows);
+    stage 2 re-windows the fine starts into the coarse bucket and
+    merges with hll_union_agg. Estimates are deterministic for fixed
+    input (HLL is a pure hash construction) but engine-specific, so the
+    driver records a rows-only check; tests assert the estimate lands
+    within HLL error bounds of the exact count.
+    """
+    fine_b = (events.groupBy(
+        F.col(group_col), F.window(ts_col, fine).alias("_fw"))
+        .agg(F.hll_sketch_agg(key_col).alias("_sk")))
+    return (fine_b.groupBy(
+        F.col(group_col),
+        F.window(F.col("_fw.start"), coarse).alias("_cw"))
+        .agg(F.count(F.lit(1)).alias("n_fine_buckets"),
+             F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk")))
+             .alias("approx_users"))
+        .select(group_col, F.col("_cw.start").alias("window_start"),
+                "n_fine_buckets", "approx_users"))

@@ -234,3 +234,36 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = C.mix_upsample(d, whole, frac_pct, F.col("doc_id"))
     return out.select("doc_id", "source",
                       F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+@register(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, w, len(w) AS nw,
+             CASE WHEN len(w) <= 64 THEN 0
+                  ELSE (len(w) - 64 + 47) // 48 END AS last
+      FROM s),
+    e AS (
+      SELECT doc_id, w, nw,
+             unnest(generate_series(0, last)) AS i
+      FROM c)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 48 AS BIGINT) AS chunk_start,
+           CAST(least(64, nw - i * 48) AS BIGINT) AS n_tokens,
+           array_to_string(w[(i * 48 + 1):(i * 48 + 64)], ' ')
+             AS chunk_text
+    FROM e
+    """,
+    description="overlapping token-window chunking (size 64, stride 48) "
+                "— context-window prep; narrow 1->N fan-out, no shuffle",
+    tags=("curation", "text"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.chunk_token_windows(docs, size=64, stride=48)
+    return out.withColumnRenamed("start", "chunk_start")

@@ -172,3 +172,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return D.incremental_exact_flags(batch, corpus)
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    b AS (SELECT name, split_part(name, ' ', 1) AS blk,
+                 length(name) AS len
+          FROM names)
+    SELECT a.name AS name_a, x.name AS name_b,
+           CAST(levenshtein(a.name, x.name) AS BIGINT) AS dist
+    FROM b a JOIN b x
+      ON a.blk = x.blk AND a.name < x.name AND abs(a.len - x.len) <= 2
+    WHERE levenshtein(a.name, x.name) <= 2
+    """,
+    description="entity-resolution fuzzy matching: blocked Levenshtein "
+                "pairs over distinct part names (first-word block + "
+                "length band, no O(n^2) cross join)",
+    tags=("dedup", "entity-resolution"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return D.fuzzy_blocked_pairs(part, "p_name", max_dist=2)

@@ -551,3 +551,19 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("to_type").isNotNull())
             .groupBy("from_type", "to_type")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "events_hll_rollup",
+    oracle=None,  # HLL estimates are engine-specific; accuracy vs the
+    # exact distinct count is asserted in tests/test_temporal.py
+    description="mergeable HLL sketches: daily per-type user sketches "
+                "merged to weekly estimates without rescanning raw "
+                "events — the 100 TB distinct-count rollup pattern",
+    tags=("events", "sketch"),
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import hll_sketch_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_sketch_rollup(ev)

@@ -135,3 +135,36 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = R.build_vocab(docs, min_count=_MIN_COUNT)
     return R.tokenize_to_ids(docs, vocab)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS d, unnest({_TOKS}) AS term FROM documents),
+    postings AS (
+      SELECT d, term, COUNT(*) AS tf FROM toks GROUP BY d, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT d, term, tf,
+             tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000)
+                       AS BIGINT) AS s
+      FROM postings JOIN dft USING (term) CROSS JOIN nd),
+    ranked AS (
+      SELECT d, term, tf, s,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY s DESC, term)
+               AS rank
+      FROM scored)
+    SELECT d AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(s AS DOUBLE) / 1000000 AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    description="TF-IDF keyword extraction: top-3 characteristic terms "
+                "per doc, idf quantized at 1e6 for engine exactness",
+    tags=("retrieval", "text"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.tfidf_topk_terms(docs, k=3)

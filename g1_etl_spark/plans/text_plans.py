@@ -425,3 +425,28 @@ def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.withColumn("split", split_assign(F.col("doc_id")))
             .select("doc_id", "source", "lang", "quality", "tokens",
                     "seq_id", "split"))
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    WITH h AS (
+      SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents),
+    r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+               AS sample_rank
+      FROM h)
+    SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 50
+    """,
+    description="exact-k-per-stratum sample (50 docs per language) by "
+                "portable md5 order; skew-free two-stage top-k",
+    tags=("sampling", "text"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sampling import stratified_exact_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_exact_k(docs, "lang", "doc_id", k=50)

@@ -151,3 +151,32 @@ def test_mix_upsample_copy_counts(spark):
            out.groupBy("k").agg(F.collect_list("copy_idx").alias("idxs"))
            .collect()]
     assert all(t == tuple(range(1, len(t) + 1)) for t in idx)
+
+
+def test_chunk_token_windows_coverage_and_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.curation import chunk_token_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))),   # 3 chunks
+         (2, " ".join(f"t{i}" for i in range(64))),    # exactly one
+         (3, "one two"),                               # short doc
+         (4, " ".join(f"t{i}" for i in range(65)))],   # boundary +1
+        ["doc_id", "text"])
+    out = chunk_token_windows(docs, size=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    by_doc = {}
+    for (d, c), r in rows.items():
+        by_doc.setdefault(d, []).append(r)
+    # doc 1: 150 tokens -> last start = ceil((150-64)/48)*48 = 96
+    assert sorted(r["start"] for r in by_doc[1]) == [0, 48, 96]
+    # every token position covered; consecutive chunks overlap by 16
+    assert {r["start"] + r["n_tokens"] for r in by_doc[1]} >= {150}
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 64
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "one two"
+    assert sorted(r["start"] for r in by_doc[4]) == [0, 48]
+    # chunk text round-trips to the right token slice
+    r = rows[(1, 2)]
+    assert r["chunk_text"].split(" ")[0] == "t96"
+    assert r["n_tokens"] == 150 - 96

@@ -153,3 +153,21 @@ def test_ngram_skew_cap_drops_hot_shingles(spark):
     # with the hot shingle capped at df<=10, no pairs survive
     out = D.ngram_jaccard_pairs(df, threshold=0.1, max_df=10).collect()
     assert out == []
+
+
+def test_fuzzy_blocked_pairs(spark):
+    from g1_etl_spark.operators.dedup import fuzzy_blocked_pairs
+
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgett",), ("red gadget",),
+         ("blue widget",), ("red widget",)],  # dup name collapses
+        ["p_name"])
+    out = {(r["name_a"], r["name_b"]): r["dist"]
+           for r in fuzzy_blocked_pairs(df, "p_name", max_dist=2)
+           .collect()}
+    # within-block pair at distance 1
+    assert out[("red widget", "red widgett")] == 1
+    # "blue widget" blocks apart from the red ones despite distance 2
+    assert not any("blue" in a or "blue" in b for a, b in out)
+    # distance > max_dist filtered ("widget" vs "gadget" = 2 is kept)
+    assert ("red gadget", "red widget") in out

@@ -96,3 +96,24 @@ def test_global_rank_and_vocab_on_empty_input(spark):
         empty, [F.col("key").asc(), F.col("tie").asc()]).count() == 0
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert R.build_vocab(docs).count() == 0
+
+
+def test_tfidf_topk_terms(spark):
+    from g1_etl_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple common common"),
+         (2, "banana common common"),
+         (3, "cherry common")],
+        ["doc_id", "text"])
+    out = tfidf_topk_terms(docs, k=2)
+    rows = sorted((r["doc_id"], r["rank"], r["term"], r["tf"])
+                  for r in out.collect())
+    # the corpus-wide term scores 0 (idf = ln(3/3) = 0); unique terms win
+    assert rows[0] == (1, 1, "apple", 3)
+    assert rows[2] == (2, 1, "banana", 1)
+    assert rows[4] == (3, 1, "cherry", 1)
+    # scores of rank-1 rows are tf * ln(N/df)
+    import math
+    s = {r["doc_id"]: r["score"] for r in out.collect() if r["rank"] == 1}
+    assert abs(s[1] - 3 * round(math.log(3.0) * 1e6) / 1e6) < 1e-9

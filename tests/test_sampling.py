@@ -58,3 +58,30 @@ def test_stratified_sample_fractions(spark):
            d.groupBy("lab").agg(F.count("*").alias("n")).collect()}
     assert got.get(2, 0) / per[2] > got.get(0, 0) / per[0] \
         > got.get(1, 0) / per[1]
+
+
+def test_stratified_exact_k(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.sampling import stratified_exact_k
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"))
+    out = stratified_exact_k(df, "lang", "doc_id", k=10)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10, "3": 10}
+    # membership is a pure function of the key: repartitioning the
+    # input must select the identical sample
+    again = stratified_exact_k(df.repartition(13), "lang", "doc_id", k=10)
+    a = sorted((r["lang"], r["doc_id"], r["sample_rank"])
+               for r in out.collect())
+    b = sorted((r["lang"], r["doc_id"], r["sample_rank"])
+               for r in again.collect())
+    assert a == b
+    # stratum smaller than k -> whole stratum kept
+    small = df.filter((F.col("lang") == "0") & (F.col("doc_id") < 20))
+    got = stratified_exact_k(small, "lang", "doc_id", k=10).count()
+    assert got == 5

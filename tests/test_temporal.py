@@ -104,3 +104,22 @@ def test_scd2_same_ts_ties_deterministic(spark):
          scd2_intervals(df, "k", "ts", "state", "eid").collect()))
     # eid=1 (B) sorts first, A closes it -> A is current
     assert out == [("A", True), ("B", False)]
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.temporal import hll_sketch_rollup
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    est = {(r["event_type"], r["window_start"]): r["approx_users"]
+           for r in hll_sketch_rollup(ev).collect()}
+    exact = {(r["event_type"], r["w"]["start"]): r["n"] for r in
+             ev.groupBy("event_type", F.window(
+                 F.date_trunc("day", "ts"), "1 week").alias("w"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        # default HLL lgConfigK=12 -> ~1.6% relative error; allow 5%
+        assert abs(est[k] - v) <= max(2, 0.05 * v), (k, est[k], v)
