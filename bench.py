@@ -50,6 +50,8 @@ HEADLINE = [
     "merge_upsert_orders",
     "feat_equidepth_bins",
     "dedup_incremental",
+    "text_tfidf_topk",
+    "text_chunk_windows",
 ]
 
 

@@ -197,17 +197,22 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 3,
     score = tf * ln(N / df), quantized for cross-engine exactness:
     the idf factor is rounded at 1e6 scale and multiplied by the
     integer tf, so ranking and output compare exactly (ties broken by
-    term). Two token-count shuffles (postings, df) — the same shape as
-    word-count; the per-doc top-k window partitions on doc_id, whose
-    cardinality IS the corpus, so there is no skewed partition.
+    term). Plan shape: one token-count shuffle for postings, then df
+    comes from an unbounded COUNT window over term (postings are unique
+    per (doc, term)) instead of a separate aggregate + self-join — that
+    saves recomputing the posting scan and one join exchange. The worst
+    term partition is a corpus-wide stopword = one row per doc it
+    appears in — the same width the df aggregate would shuffle anyway.
+    The per-doc top-k window partitions on doc_id, whose cardinality IS
+    the corpus, so there is no skewed partition.
     """
     terms = doc_terms(docs, text_col, id_col)
     postings = terms.groupBy("d", "term").agg(
         F.count(F.lit(1)).alias("tf"))
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_w = F.count(F.lit(1)).over(W.partitionBy("term"))
     idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
-    scored = (postings.join(df_t, "term")
+    scored = (postings.withColumn("df", df_w)
               .crossJoin(F.broadcast(n_docs))
               .select("d", "term", "tf",
                       (F.col("tf") * F.round(idf * _SCALE).cast("long"))
