@@ -169,3 +169,51 @@ def hll_sketch_rollup(events: DataFrame, ts_col: str = "ts",
              .alias("approx_users"))
         .select(group_col, F.col("_cw.start").alias("window_start"),
                 "n_fine_buckets", "approx_users"))
+
+
+def interval_overlap_pairs(df: DataFrame, key_col: str, id_col: str,
+                           start_col: str, end_col: str,
+                           bucket_days: int = 7) -> DataFrame:
+    """(key, id_a, id_b, overlap_days): same-key pairs of half-open date
+    intervals [start, end) that overlap — the interval×interval join
+    primitive (conflicting bookings, concurrent sessions, overlapping
+    validity ranges) that neither equi-join nor as-of join expresses.
+
+    A naive theta-join (key equality + range predicates) degenerates to
+    a per-key cross join. Instead each interval explodes into the
+    bucket_days-wide epoch buckets it covers, candidates meet via an
+    EQUI-join on (key, bucket) — shuffle-partitionable, Catalyst picks
+    a hash join — and the exact overlap predicate filters candidates
+    before a distinct on (key, id_a, id_b) collapses multi-bucket
+    meetings. Bucket width tunes candidate fan-out: ~the typical
+    interval length, so each interval lands in O(1) buckets while
+    buckets stay narrow enough to keep per-(key, bucket) groups small.
+    Long-interval skew (one interval covering thousands of buckets) is
+    the knob to watch at scale — cap explode width by splitting
+    outliers into a separate broadcast pass, as with max_df in
+    ngram_jaccard_pairs.
+    """
+    epoch = F.datediff(F.col("_s"), F.lit("1970-01-01").cast("date"))
+    epoch_e = F.datediff(F.col("_e"), F.lit("1970-01-01").cast("date"))
+    first_b = F.floor(epoch / bucket_days).cast("long")
+    last_b = F.floor((epoch_e - 1) / bucket_days).cast("long")
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(id_col).alias("_id"),
+        F.col(start_col).alias("_s"), F.col(end_col).alias("_e"))
+    bucketed = base.select(
+        "_k", "_id", "_s", "_e",
+        F.explode(F.sequence(first_b, last_b)).alias("_b"))
+    a = bucketed.select(F.col("_k"), F.col("_id").alias("id_a"),
+                        F.col("_s").alias("s_a"), F.col("_e").alias("e_a"),
+                        "_b")
+    b = bucketed.select(F.col("_k"), F.col("_id").alias("id_b"),
+                        F.col("_s").alias("s_b"), F.col("_e").alias("e_b"),
+                        "_b")
+    overlap = (F.col("s_a") < F.col("e_b")) & (F.col("s_b") < F.col("e_a"))
+    return (a.join(b, ["_k", "_b"])
+            .filter((F.col("id_a") < F.col("id_b")) & overlap)
+            .select(F.col("_k").alias(key_col), "id_a", "id_b",
+                    F.datediff(F.least("e_a", "e_b"),
+                               F.greatest("s_a", "s_b"))
+                    .cast("long").alias("overlap_days"))
+            .distinct())

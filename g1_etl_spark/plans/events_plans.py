@@ -567,3 +567,36 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return hll_sketch_rollup(ev)
+
+
+@register(
+    "orders_overlap_pairs",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders),
+    f AS (SELECT * FROM o WHERE o_custkey % 10 = 0)
+    SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+           CAST(datediff('day', greatest(a.s, b.s), least(a.e, b.e))
+                AS BIGINT) AS overlap_days
+    FROM f a JOIN f b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+    description="interval x interval overlap join (7-day order windows "
+                "per customer) via epoch-bucket equi-join — no per-key "
+                "cross join; exact predicate verifies candidates",
+    tags=("events", "join", "temporal"),
+)
+def orders_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import interval_overlap_pairs
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = (o.filter(F.col("o_custkey") % 10 == 0)
+          .select("o_custkey", "o_orderkey",
+                  F.to_date("o_orderdate").alias("s"),
+                  F.date_add("o_orderdate", 7).alias("e")))
+    return interval_overlap_pairs(iv, "o_custkey", "o_orderkey", "s", "e",
+                                  bucket_days=7)

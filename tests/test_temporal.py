@@ -123,3 +123,36 @@ def test_hll_sketch_rollup_accuracy(spark):
     for k, v in exact.items():
         # default HLL lgConfigK=12 -> ~1.6% relative error; allow 5%
         assert abs(est[k] - v) <= max(2, 0.05 * v), (k, est[k], v)
+
+
+def test_interval_overlap_pairs_vs_naive(spark):
+    import datetime as dt
+    import itertools
+
+    from g1_etl_spark.operators.temporal import interval_overlap_pairs
+
+    d = dt.date
+    rows = [
+        # key 1: chain of overlapping + one disjoint; spans bucket edges
+        (1, 1, d(2024, 1, 1), d(2024, 1, 10)),
+        (1, 2, d(2024, 1, 9), d(2024, 1, 20)),   # overlaps 1 by 1 day
+        (1, 3, d(2024, 1, 10), d(2024, 1, 12)),  # touches 1 (no overlap)
+        (1, 4, d(2024, 3, 1), d(2024, 3, 5)),    # disjoint
+        # key 2: long interval spanning many buckets overlaps short one
+        (2, 5, d(2024, 1, 1), d(2024, 2, 15)),
+        (2, 6, d(2024, 2, 10), d(2024, 2, 11)),
+        # key separation: same dates as key 1 but different key
+        (3, 7, d(2024, 1, 1), d(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "s", "e"])
+    got = sorted((r["k"], r["id_a"], r["id_b"], r["overlap_days"])
+                 for r in interval_overlap_pairs(
+                     df, "k", "id", "s", "e", bucket_days=7).collect())
+    # naive reference: all same-key pairs with s<e overlap (half-open)
+    want = sorted(
+        (a[0], a[1], b[1], (min(a[3], b[3]) - max(a[2], b[2])).days)
+        for a, b in itertools.combinations(rows, 2)
+        if a[0] == b[0] and a[2] < b[3] and b[2] < a[3])
+    assert got == want
+    # the 1-day overlap and the cross-bucket long-interval pair made it
+    assert (1, 1, 2, 1) in got and (2, 5, 6, 1) in got
