@@ -96,3 +96,39 @@ def test_equidepth_has_no_global_window(spark):
 def test_zscore_stats_joinback_broadcasts(spark):
     plan = _formatted(spark, "feat_zscore")
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_narrow(spark):
+    """Token-window chunking must be a pure map-side fan-out — any
+    Exchange means a shuffle crept into a 1->N explode."""
+    plan = _formatted(spark, "text_chunk_windows")
+    assert "Exchange" not in plan, "chunking plan shuffles"
+    assert "BatchEvalPython" not in plan
+
+
+def test_overlap_join_is_equi_not_cross(spark):
+    """The interval-overlap join must meet candidates via a shuffled or
+    broadcast HASH join on (key, bucket) — never a nested-loop/cartesian
+    theta-join."""
+    plan = _formatted(spark, "orders_overlap_pairs")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_stratified_sample_prereduces(spark):
+    """Exact-k stratified sampling must take its local top-k BEFORE the
+    per-stratum exchange (WindowGroupLimit under the first window), so
+    no stratum-sized partition ever materializes."""
+    plan = _formatted(spark, "sample_stratified_exact")
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_single_posting_scan(spark):
+    """TF-IDF reads the documents parquet exactly twice (postings +
+    the scalar doc count) — the df-per-term window must not add a third
+    scan the way an aggregate self-join would."""
+    plan = _formatted(spark, "text_tfidf_topk")
+    # each physical scan appears once as a numbered detail header
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "BatchEvalPython" not in plan
