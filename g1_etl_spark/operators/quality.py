@@ -66,3 +66,23 @@ def expect(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     return stacked.select(
         "check", "n_violations",
         (F.col("n_violations") == 0).alias("pass"))
+
+
+def observed(df: DataFrame, name: str,
+             metrics: dict[str, Column]):
+    """(frame, Observation): attach free pipeline telemetry via
+    ``df.observe`` — the named aggregate metrics are folded into
+    whatever action later consumes the frame, so you count
+    rejects/nulls/totals WHILE writing, with zero extra scans
+    (``expect``/``profile`` cost one dedicated pass; this costs none).
+
+    After any action on the returned frame, ``observation.get`` yields
+    the metrics dict (it blocks until an action ran). The same
+    ``observe`` API powers streaming progress metrics — in a
+    writeStream the values arrive per-batch in the
+    StreamingQueryListener's progress events instead.
+    """
+    from pyspark.sql import Observation
+
+    ob = Observation(name)
+    return df.observe(ob, *[c.alias(n) for n, c in metrics.items()]), ob

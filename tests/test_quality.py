@@ -41,3 +41,23 @@ def test_expect_null_counts_as_violation(spark):
             }).collect()}
     assert rows["x_positive"] == (2, False)  # -1 and NULL both fail
     assert rows["k_not_null"] == (0, True)
+
+
+def test_observed_metrics_free_telemetry(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.quality import observed
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+        .alias("v"))
+    obs, ob = observed(df, "writeside", {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+        "sum_id": F.sum("id"),
+    })
+    # the consuming action is a WRITE — metrics ride along with it
+    obs.write.format("noop").mode("overwrite").save()
+    assert ob.get == {"n_rows": 1000, "n_null_v": 100,
+                      "sum_id": 999 * 1000 // 2}
