@@ -245,3 +245,37 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
             2 if r["t2"] is not None else 1)
         want[r["user_id"]] = (depth, r["t1"], r["t2"], r["t3"])
     assert got == want
+
+
+def test_incremental_backfill_processes_only_new_files(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.streaming.windows import (EVENTS_STREAM_SCHEMA,
+                                                incremental_backfill)
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, 0, i), i, "click", 1.0, "{}")
+             for i in rows], EVENTS_STREAM_SCHEMA)
+
+    mk(range(0, 10)).write.mode("append").parquet(src)
+    n1 = incremental_backfill(spark, src, dest, ckpt)
+    assert n1 >= 1
+    got1 = {r["event_id"] for r in spark.read.parquet(dest).collect()}
+    assert got1 == set(range(0, 10))
+
+    # second run with no new files: nothing reprocessed
+    incremental_backfill(spark, src, dest, ckpt)
+    assert spark.read.parquet(dest).count() == 10
+
+    # new files land -> ONLY they are ingested (no batch-1 duplicates)
+    mk(range(10, 15)).write.mode("append").parquet(src)
+    incremental_backfill(spark, src, dest, ckpt)
+    got3 = sorted(r["event_id"] for r in spark.read.parquet(dest).collect())
+    assert got3 == list(range(15))
