@@ -600,3 +600,55 @@ def orders_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.date_add("o_orderdate", 7).alias("e")))
     return interval_overlap_pairs(iv, "o_custkey", "o_orderkey", "s", "e",
                                   bucket_days=7)
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    framed AS (
+      SELECT event_type, hr, cnt,
+             COUNT(*) OVER w AS n,
+             SUM(cnt) OVER w AS s,
+             SUM(cnt * cnt) OVER w AS ss
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+           (cnt - CAST(s AS DOUBLE) / n)
+             / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS z,
+           abs((cnt - CAST(s AS DOUBLE) / n)
+               / sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))) > 3.0
+             AS is_anomaly
+    FROM framed
+    WHERE n >= 12
+      AND (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+    """,
+    description="rolling z-score anomaly flags on hourly event rates: "
+                "trailing-24h mean/std from exact integer window sums "
+                "(engine-identical doubles), |z| > 3 flagged",
+    tags=("events", "window", "stats"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (W.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(-24, -1))
+    framed = hourly.select(
+        "event_type", "hr", "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"))
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss - s.cast("double") * s / n) / (n - 1)
+    z = (F.col("cnt") - s.cast("double") / n) / F.sqrt(var)
+    return (framed.filter((n >= 12) & (var > 0))
+            .select("event_type", "hr",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    z.alias("z"),
+                    (F.abs(z) > 3.0).alias("is_anomaly")))

@@ -84,3 +84,29 @@ def dq_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer")
     return Q.orphans(o, c, fk="o_custkey", pk="c_custkey")
+
+
+@register(
+    "dq_table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CAST(concat('0x', substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus)), 1, 8)) AS BIGINT)) AS checksum
+    FROM orders
+    """,
+    description="order-insensitive table fingerprint: exact integer sum "
+                "of per-row md5 prefixes — engine/partitioning/rerun- "
+                "stable; the cheap cross-run reproducibility audit "
+                "(same checksum = same rows, any order)",
+    tags=("quality",),
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"), F.col("o_orderstatus"))
+    row_h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return o.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(row_h).alias("checksum"))

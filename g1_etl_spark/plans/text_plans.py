@@ -450,3 +450,44 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return stratified_exact_k(docs, "lang", "doc_id", k=50)
+
+
+@register(
+    "corpus_composition",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS toks
+      FROM documents),
+    g AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(toks) AS n_tokens
+      FROM t GROUP BY source, lang)
+    SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / SUM(n_tokens) OVER () AS token_share
+    FROM g
+    """,
+    description="training-mix composition report: docs/tokens per "
+                "(source, language) with corpus-wide token share — "
+                "the what-is-my-mix audit behind upsampling decisions",
+    tags=("text", "curation"),
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from g1_etl_spark.operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.select("source", "lang",
+                  T.whitespace_token_count(F.col("text")).alias("toks"))
+         .groupBy("source", "lang")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("toks").alias("n_tokens")))
+    return g.select(
+        "source", "lang", "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens").cast("double")
+         / F.sum("n_tokens").over(W.partitionBy())).alias("token_share"))
