@@ -62,3 +62,32 @@ def merge_scd1(base: DataFrame, updates: DataFrame,
           for k in keys],
         *[F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
           for c in non_keys])
+
+
+def merge_partial_aggregates(base_agg: DataFrame, delta_agg: DataFrame,
+                             keys: list[str],
+                             spec: dict[str, str]) -> DataFrame:
+    """Incremental aggregate maintenance: combine a STORED aggregate
+    with a fresh delta batch's aggregate — the materialized-view
+    refresh that never rescans the base table. At 100 TB the nightly
+    rollup is petabytes of scans; merging partial states makes each
+    refresh cost O(delta + |agg|).
+
+    `spec` maps measure column -> merge function: 'sum' and 'count'
+    merge by adding (a count IS a sum of partial counts), 'min'/'max'
+    by the extremum. Only algebraic aggregates merge this way — derive
+    avg as merged_sum/merged_count downstream, and keep exactness by
+    storing sums as scaled longs (plans/_util.py) in the stored agg.
+    Non-algebraic exact aggregates (COUNT DISTINCT, MEDIAN) don't
+    compose from partials — that is precisely what the mergeable-sketch
+    rollup (operators/temporal.hll_sketch_rollup) is for.
+
+    One union + one hash-agg on the (small) aggregate frames; the base
+    TABLE is never touched.
+    """
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    bad = {c: f for c, f in spec.items() if f not in _MERGE}
+    assert not bad, f"non-mergeable spec entries: {bad}"
+    merged = base_agg.unionByName(delta_agg)
+    return merged.groupBy(*keys).agg(
+        *[_MERGE[f](c).alias(c) for c, f in spec.items()])

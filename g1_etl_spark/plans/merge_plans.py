@@ -48,3 +48,46 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("o_orderkey") + 100_000_000)
                .withColumn("o_orderstatus", F.lit("N")))
     return upsert(base, changed.unionByName(inserts), ["o_orderkey"])
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+             AS total_scaled,
+           MIN(CAST(o_orderdate AS DATE)) AS first_date,
+           MAX(CAST(o_orderdate AS DATE)) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    description="incremental aggregate maintenance: stored pre-1997 "
+                "rollup merged with the 1997+ delta's partial "
+                "aggregate — algebraic-state merge, base never "
+                "rescanned; must equal the full GROUP BY",
+    tags=("merge", "agg"),
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.merge import merge_partial_aggregates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 1_000_000).cast("long")
+        .alias("price_scaled"),
+        F.to_date("o_orderdate").alias("d"))
+    cut = F.lit("1997-01-01").cast("date")
+
+    def rollup(df):
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_scaled").alias("total_scaled"),
+            F.min("d").alias("first_date"),
+            F.max("d").alias("last_date"))
+
+    base_agg = rollup(o.filter(F.col("d") < cut))     # the stored rollup
+    delta_agg = rollup(o.filter(F.col("d") >= cut))   # today's batch
+    return merge_partial_aggregates(
+        base_agg, delta_agg, ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": "count", "total_scaled": "sum",
+         "first_date": "min", "last_date": "max"})

@@ -36,3 +36,29 @@ def test_merge_scd1_partial_columns(spark):
            for r in merge_scd1(_base(spark), upd, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("B2", 20.0),
                    3: ("c", 30.0), 4: (None, 40.0)}
+
+
+def test_merge_partial_aggregates_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.merge import merge_partial_aggregates
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    spec = {"n": "count", "s": "sum", "lo": "min", "hi": "max"}
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    base, delta = df.filter("v < 600"), df.filter("v >= 600")
+    merged = merge_partial_aggregates(
+        rollup(base), rollup(delta), ["k"], spec)
+    full = rollup(df)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # keys present only in the delta still appear (group 'new' regions)
+    only_delta = merge_partial_aggregates(
+        rollup(base.filter("k < 3")), rollup(delta), ["k"], spec)
+    assert only_delta.filter("k >= 3").count() == 4
