@@ -85,7 +85,12 @@ def _reorder() -> None:
     _demote = [n for n in ("dedup_exact_normalized",
                            "events_sliding_window", "events_range_join",
                            "text_stopword_ratio", "agg_approx_percentile",
-                           "sim_ivf_topk") if n in tier1]
+                           "sim_ivf_topk",
+                           # round-2 events-family additions: their window
+                           # mechanics are covered by in-window siblings;
+                           # yield slots to first-of-family entries
+                           "events_hll_rollup", "orders_overlap_pairs",
+                           "events_rate_anomaly") if n in tier1]
     _promote = [n for n in ("text_vocab", "text_bm25_topk",
                             "merge_upsert_orders", "feat_zscore",
                             "dq_expectations", "sql_passthrough")
