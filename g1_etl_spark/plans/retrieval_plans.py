@@ -168,3 +168,71 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return R.tfidf_topk_terms(docs, k=3)
+
+
+# ---- RAG index prep composite: chunk -> BM25 over chunks ----
+# The oracle is the registered BM25 oracle re-pointed at a chunk CTE
+# (same chunking SQL as text_chunk_windows), so the two stay in sync
+# by construction. Chunk key packs (doc_id, chunk_id) into one sortable
+# long: doc_id * 1000 + chunk_id (chunk counts are far below 1000).
+_CHUNK_CTES = r"""
+    WITH s0 AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents),
+    c0 AS (
+      SELECT doc_id, w, len(w) AS nw,
+             CASE WHEN len(w) <= 64 THEN 0
+                  ELSE (len(w) - 64 + 47) // 48 END AS last
+      FROM s0),
+    e0 AS (
+      SELECT doc_id, w, unnest(generate_series(0, last)) AS i FROM c0),
+    chunks AS (
+      SELECT doc_id * 1000 + i AS doc_id,
+             array_to_string(w[(i * 48 + 1):(i * 48 + 64)], ' ') AS text
+      FROM e0),"""
+
+_RAG_FINAL = ("SELECT CAST(q_id AS BIGINT) AS q_id, neighbor_id,\n"
+              "           neighbor_id // 1000 AS doc_id,\n"
+              "           neighbor_id % 1000 AS chunk_id, score, rank\n"
+              "    FROM ranked")
+
+
+def _rag_oracle() -> str:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    base = REGISTRY["text_bm25_topk"].oracle
+    # repoint the corpus at the chunk CTE BEFORE splicing the chunk
+    # CTEs in (they legitimately read FROM documents themselves)
+    out = base.replace("FROM documents", "FROM chunks")
+    out = out.replace("WITH toks AS (", _CHUNK_CTES + "\n    toks AS (", 1)
+    out = out.replace(
+        "SELECT CAST(q_id AS BIGINT) AS q_id, neighbor_id, score, rank\n"
+        "    FROM ranked", _RAG_FINAL)
+    assert "neighbor_id // 1000" in out, "final-select splice failed"
+    return out
+
+
+@register(
+    "pipeline_rag_index",
+    oracle=_rag_oracle(),
+    description="RAG index prep composite: token-window chunking "
+                "(64/48) -> BM25 top-10 CHUNKS per query, packed "
+                "(doc, chunk) keys — chunk store + lexical index in "
+                "one plan",
+    tags=("retrieval", "curation", "pipeline"),
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.curation import chunk_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_token_windows(docs, size=64, stride=48)
+    chunk_docs = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"))
+    q = spark.createDataFrame(_QUERIES, ["q_id", "term"])
+    out = R.bm25_topk(chunk_docs, q, k=_K, k1=_K1, b=_B)
+    return out.select(
+        "q_id", "neighbor_id",
+        F.expr("neighbor_id div 1000").alias("doc_id"),
+        (F.col("neighbor_id") % 1000).alias("chunk_id"),
+        "score", "rank")
