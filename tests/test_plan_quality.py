@@ -132,3 +132,49 @@ def test_tfidf_single_posting_scan(spark):
     # each physical scan appears once as a numbered detail header
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "BatchEvalPython" not in plan
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every one broadcasts a SCALAR or constant-tiny side (a global count /
+# avg / 5x3 cross), where BNLJ with a one-row build side IS the right
+# plan. New entries here need the same justification.
+_BNLJ_OK = {
+    "sim_brute_force_topk", "sim_cosine_neardup_exact", "entity_settings",
+    "text_bm25_topk", "text_tfidf_topk", "pipeline_rag_index",
+    "feat_equidepth_bins", "q22_global_sales_opportunity",
+    "entity_products_smoke", "join_cross", "scalar_subquery",
+}
+# Single-partition exchanges carrying partial-aggregate rows (one per
+# input partition) or an already-aggregated tiny frame — not raw data.
+_SINGLE_PART_OK = {
+    "corpus_composition", "text_bm25_topk", "dq_expectations",
+    "text_tfidf_topk", "pipeline_rag_index", "feat_equidepth_bins",
+    "dq_profile_orders", "dq_table_checksum", "q6_forecast_revenue",
+    "q14_promo_revenue", "q19_discounted_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+    "scalar_subquery",
+}
+
+
+def test_plan_lint_every_registered_query(spark):
+    """Fleet-wide physical-plan lint: NO registered query may contain a
+    cartesian product, a Python row-UDF, or an unexpected BNLJ /
+    single-partition exchange. This is the regression tripwire for the
+    100 TB properties — a refactor that de-broadcasts a join or drags
+    raw rows into one partition fails here, not in production."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    bad = []
+    for name, spec in REGISTRY.items():
+        plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution() \
+            .explainString(mode)
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "Python row-UDF"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            bad.append((name, "unexpected BNLJ"))
+        if ("Arguments: SinglePartition" in plan
+                and name not in _SINGLE_PART_OK):
+            bad.append((name, "unexpected single-partition exchange"))
+    assert not bad, f"plan lint violations: {bad}"
