@@ -50,6 +50,44 @@ def stratified_sample(df: DataFrame, label_col: str,
     return df.sampleBy(label_col, fractions, seed)
 
 
+def uniform_from_key(col: Column) -> Column:
+    """Deterministic uniform in (0, 1]: first 52 bits of md5(key) — 52
+    so the integer is exact in a double — shifted to (0, 1]. The same
+    key yields the same uniform on any engine or partitioning."""
+    v = (F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10)
+         .cast("double"))
+    return (v + F.lit(1.0)) / F.lit(float(1 << 52))
+
+
+def weighted_sample_k(df: DataFrame, key_col: str, weight_col: str,
+                      k: int) -> DataFrame:
+    """Weighted order sampling (Efraimidis–Spirakis A-ES): each row
+    draws rank key u^(1/w) from its deterministic uniform u and weight
+    w; the global top-k by that key is a weighted-without-replacement
+    sample — inclusion probability rises with weight, membership is a
+    pure function of the key (rerun/engine stable), and the plan is a
+    TakeOrderedAndProject (per-partition top-k, merge of k·P rows — no
+    full sort, no single giant partition).
+
+    Training-data use: quality- or length-weighted subcorpus selection
+    where the draw must be reproducible across pipeline reruns.
+    """
+    u = uniform_from_key(F.col(key_col))
+    skey = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    top = (df.select(F.col(key_col), F.col(weight_col),
+                     skey.alias("_skey"))
+           .orderBy(F.col("_skey").desc(), F.col(key_col))
+           .limit(k))
+    # rank the k survivors; the window's single-partition exchange sees
+    # exactly k rows (post-limit), never the corpus
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("_skey").desc(), F.col(key_col))
+    return (top.withColumn("sample_rank",
+                           F.row_number().over(w).cast("long"))
+            .drop("_skey"))
+
+
 def stratified_exact_k(df: DataFrame, strata_col: str, key_col: str,
                        k: int) -> DataFrame:
     """Exactly k rows per stratum, chosen uniformly by key hash —

@@ -453,6 +453,37 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_k",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) + 1) / 4503599627370496.0 AS u
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id)
+               AS sample_rank
+      FROM u)
+    SELECT doc_id, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 200
+    """,
+    description="weighted order sampling (Efraimidis-Spirakis A-ES): "
+                "top-200 docs by u^(1/n_chars) with deterministic md5 "
+                "uniforms — length-weighted without-replacement draw, "
+                "reproducible on any engine/partitioning",
+    tags=("sampling", "text"),
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=200)
+
+
+@register(
     "corpus_composition",
     oracle=r"""
     WITH t AS (

@@ -85,3 +85,27 @@ def test_stratified_exact_k(spark):
     small = df.filter((F.col("lang") == "0") & (F.col("doc_id") < 20))
     got = stratified_exact_k(small, "lang", "doc_id", k=10).count()
     assert got == 5
+
+
+def test_weighted_sample_k(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.sampling import weighted_sample_k
+
+    # two weight classes: heavy rows (w=500) vs light rows (w=5).
+    # A-ES inclusion probability rises with weight, so the 200-row
+    # sample from a 50/50 population must be dominated by heavy rows.
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 500).otherwise(5).alias("w"))
+    out = weighted_sample_k(df, "doc_id", "w", k=200)
+    rows = out.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r["w"] == 500)
+    assert heavy > 150
+    # ranks are exactly 1..k
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 201))
+    # membership is a pure function of (key, weight): repartitioned
+    # input selects the identical sample in the identical order
+    again = weighted_sample_k(df.repartition(17), "doc_id", "w", k=200)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
