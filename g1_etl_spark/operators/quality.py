@@ -68,6 +68,40 @@ def expect(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         (F.col("n_violations") == 0).alias("pass"))
 
 
+def key_skew_profile(df: DataFrame, key_col: str,
+                     top: int = 20) -> DataFrame:
+    """Hot-key diagnosis for a prospective join/groupBy key: the top-N
+    heaviest keys with (cnt, share-of-rows, skew_factor = cnt / mean
+    rows-per-key, hot_rank). skew_factor >> 1 on the head keys is the
+    signal to salt the shuffle or lean on AQE skew-join before running
+    the real job — the 100 TB failure mode this catches is one executor
+    absorbing a power-law head key while the rest idle.
+
+    Shape: groupBy(key) count (map-side partial agg) feeding a
+    TakeOrderedAndProject for the top-N head, plus a second single-
+    column census pass reduced to a ONE-row broadcast totals frame.
+    The census is aggregated but never globally sorted or collected;
+    the deliberate trade is two cheap column-pruned scans over caching
+    the full key census (distinct-key-sized — unbounded at 100 TB).
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("_total"),
+                        F.count(F.lit(1)).alias("_nkeys"))
+    head = counts.orderBy(F.desc("cnt"), F.col(key_col)).limit(top)
+    w = W.orderBy(F.desc("cnt"), F.col(key_col))
+    return (head.join(F.broadcast(totals))
+            .select(F.col(key_col),
+                    F.col("cnt"),
+                    (F.col("cnt").cast("double") / F.col("_total"))
+                    .alias("share"),
+                    (F.col("cnt").cast("double") * F.col("_nkeys")
+                     / F.col("_total")).alias("skew_factor"))
+            .withColumn("hot_rank",
+                        F.row_number().over(w).cast("long")))
+
+
 def observed(df: DataFrame, name: str,
              metrics: dict[str, Column]):
     """(frame, Observation): attach free pipeline telemetry via

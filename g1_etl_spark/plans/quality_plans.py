@@ -110,3 +110,33 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
     return o.agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(row_h).alias("checksum"))
+
+
+@register(
+    "dq_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt
+               FROM events GROUP BY user_id),
+    t AS (SELECT SUM(cnt) AS total, COUNT(*) AS nkeys FROM c),
+    r AS (SELECT user_id, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id)
+                   AS hot_rank
+          FROM c)
+    SELECT user_id, cnt,
+           CAST(cnt AS DOUBLE) / total AS share,
+           CAST(cnt AS DOUBLE) * nkeys / total AS skew_factor,
+           CAST(hot_rank AS BIGINT) AS hot_rank
+    FROM r, t WHERE hot_rank <= 20
+    """,
+    description="hot-key diagnosis before a join/groupBy: top-20 "
+                "heaviest events.user_id keys with share and "
+                "skew_factor (cnt / mean-rows-per-key) — the salt-or-"
+                "AQE decision input (operators/quality.py:"
+                "key_skew_profile)",
+    tags=("quality", "scale"),
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.quality import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top=20)

@@ -143,6 +143,7 @@ _BNLJ_OK = {
     "text_bm25_topk", "text_tfidf_topk", "pipeline_rag_index",
     "feat_equidepth_bins", "q22_global_sales_opportunity",
     "entity_products_smoke", "join_cross", "scalar_subquery",
+    "dq_key_skew",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -152,7 +153,7 @@ _SINGLE_PART_OK = {
     "dq_profile_orders", "dq_table_checksum", "q6_forecast_revenue",
     "q14_promo_revenue", "q19_discounted_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_global_sales_opportunity",
-    "scalar_subquery",
+    "scalar_subquery", "dq_key_skew",
 }
 
 
