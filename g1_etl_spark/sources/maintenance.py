@@ -69,3 +69,63 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
         out = df.repartition(n_files)
         out.write.mode("overwrite").parquet(dst)
     return parquet_file_stats(dst)
+
+
+def interleave_bits(cols: list, bits: int) -> F.Column:
+    """Round-robin bit interleave of already-scaled non-negative longs:
+    bit i of column j lands at output bit ``i*len(cols)+j``. Flat
+    shift/and/or expression (bits x k terms) — whole-stage codegen,
+    no UDF."""
+    out = F.lit(0).cast("long")
+    k = len(cols)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            out = out.bitwiseOR(F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)).cast("long"),
+                i * k + j))
+    return out
+
+
+def zorder_column(df: DataFrame, cols: list[str],
+                  bits: int = 12) -> F.Column:
+    """Z-order (Morton) key over `cols`: each column min-max scaled to
+    `bits` bits (one metadata-sized agg pass for the bounds — two
+    scalar rows to the driver, never data), then bit-interleaved so
+    rows close in EVERY dimension get close keys.
+    """
+    row = df.agg(*[F.min(F.col(c).cast("double")).alias(f"lo_{c}")
+                   for c in cols],
+                 *[F.max(F.col(c).cast("double")).alias(f"hi_{c}")
+                   for c in cols]).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        s = F.floor((F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span) * top).cast("long")
+        scaled.append(F.least(F.greatest(s, F.lit(0)), F.lit(top)))
+    return interleave_bits(scaled, bits)
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   bits: int = 12, num_files: int | None = None) -> None:
+    """Multi-dimensionally clustered parquet write (the OPTIMIZE
+    ZORDER BY job of the lakehouse formats, on plain parquet).
+
+    A single-column sort gives perfect row-group skipping on that
+    column and none on any other; interleaving the bits of k columns
+    gives every column ~1/k of the key's locality, so parquet min/max
+    row-group stats prune scans filtered on ANY of the z-ordered
+    columns. repartitionByRange on the z-key is the scalable global
+    ordering (sampled range boundaries, no single-partition sort);
+    sortWithinPartitions orders rows inside each file so row groups
+    within a file stay tight too.
+    """
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    z = zorder_column(df, cols, bits)
+    (df.withColumn("_z", z)
+     .repartitionByRange(n, F.col("_z"))
+     .sortWithinPartitions("_z")
+     .drop("_z")
+     .write.mode("overwrite").parquet(path))
