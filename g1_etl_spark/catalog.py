@@ -54,13 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass  # immutable-conf session; fall through and let read try
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long via
-        # spark.sql.legacy.parquet.nanosAsLong. INTEGER division: epoch
-        # nanos (~1.7e18) exceeds double's 2^53 exact range, so a float
-        # divide would be off by ±1µs on some rows (matches DuckDB's
-        # ns->µs truncation in Python datetimes).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read as long via
+            # spark.sql.legacy.parquet.nanosAsLong. INTEGER division: epoch
+            # nanos (~1.7e18) exceeds double's 2^53 exact range, so a float
+            # divide would be off by ±1µs on some rows (matches DuckDB's
+            # ns->µs truncation in Python datetimes).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] parquet without tz reads as TIMESTAMP_NTZ,
+            # which unix_micros()/window() reject or treat differently.
+            # The session tz is pinned UTC above, so this cast reinterprets
+            # the same wall-clock instant as a regular TIMESTAMP with
+            # identical collected values (what the DuckDB oracle sees).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
