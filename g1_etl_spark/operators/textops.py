@@ -63,15 +63,25 @@ def char_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_from_stats(n_chars: Column, alpha_ratio: Column,
+                       distinct_word_ratio: Column) -> Column:
+    """Composite quality from already-computed stat columns — pure
+    arithmetic, so a plan that selects ``char_stats`` columns can derive
+    quality without re-running the five regex passes (Spark does not
+    reliably CSE across independent select expressions)."""
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 10000),
+                       F.lit(1.0)).otherwise(F.lit(0.5))
+    return ((length_ok * 0.2
+             + alpha_ratio * 0.4
+             + distinct_word_ratio * 0.4)).cast("double")
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: penalize extreme length, low
     alpha ratio, low vocabulary diversity. Fixed weights, deterministic."""
     s = char_stats(text)
-    length_ok = F.when((s["n_chars"] >= 50) & (s["n_chars"] <= 10000),
-                       F.lit(1.0)).otherwise(F.lit(0.5))
-    return ((length_ok * 0.2
-             + s["alpha_ratio"] * 0.4
-             + s["distinct_word_ratio"] * 0.4)).cast("double")
+    return quality_from_stats(s["n_chars"], s["alpha_ratio"],
+                              s["distinct_word_ratio"])
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:

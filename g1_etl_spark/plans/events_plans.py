@@ -75,15 +75,20 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, event_id, epoch_us(ts) AS us, value,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
                        > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     s AS (
+      -- CAST: DuckDB's windowed SUM(int) promotes to HUGEINT (INT128);
+      -- Spark emits BIGINT. The driver's value hasher distinguishes the
+      -- representations even when every value is identical (round-2 red).
       SELECT user_id, us, value,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
@@ -98,7 +103,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros("ts"))
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
     # (us, event_id) tie-break: two same-timestamp events for one user
     # must fold into the cumsum in the same total order as the oracle

@@ -74,7 +74,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     s = T.char_stats(F.col("text"))
-    return d.select(
+    stats = d.select(
         "doc_id",
         s["n_chars"].alias("n_chars"),
         s["alpha_ratio"].alias("alpha_ratio"),
@@ -83,8 +83,14 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["n_words"].alias("n_words"),
         s["avg_word_len"].alias("avg_word_len"),
         s["distinct_word_ratio"].alias("distinct_word_ratio"),
-        T.quality_score(F.col("text")).alias("quality"),
     )
+    # quality as arithmetic over the aliased stat columns: each regex
+    # pass runs once (the aliases are multi-referenced and non-cheap, so
+    # CollapseProject keeps the projections separate)
+    return stats.withColumn(
+        "quality",
+        T.quality_from_stats(F.col("n_chars"), F.col("alpha_ratio"),
+                             F.col("distinct_word_ratio")))
 
 
 @register(
