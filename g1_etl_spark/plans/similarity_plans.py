@@ -70,6 +70,36 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_lsh_recall",
+    oracle=None,  # n_hits depends on hyperplane signs — not
+    # SQL-expressible; the per-query recall VALUES are the signal (the
+    # synthetic corpus tops out near cosine 0.51, where 16-plane banding
+    # recall is genuinely partial — tests/test_similarity.py pins the
+    # floor)
+    description="ANN recall audit: exact top-10 left-joined against the "
+                "LSH top-10 per query; emits (q_id, n_exact, n_hits, "
+                "recall) so the approximation quality is a measured, "
+                "driver-visible number instead of a test-only assertion",
+    tags=("similarity", "contract"),
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = S.brute_force_topk(emb, queries, k=_K).select("q_id",
+                                                       "neighbor_id")
+    ann = (S.lsh_topk(emb, queries, k=_K)
+           .select("q_id", "neighbor_id").withColumn("_hit", F.lit(1)))
+    return (bf.join(ann, ["q_id", "neighbor_id"], "left")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+            .withColumn("recall",
+                        (F.col("n_hits") / F.col("n_exact"))
+                        .cast("double")))
+
+
+@register(
     "sim_ivf_topk",
     oracle=None,  # recall vs brute force asserted in tests
     description="IVF-Flat approximate top-10: deterministic mini-kmeans "
