@@ -403,14 +403,9 @@ def entity_employees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "entity_products_smoke",
-    oracle=None,  # full nested doc; semantics pinned by fixture goldens
-    description="menu_items pipeline end-to-end (broadcast decorrelation "
-                "of S4, nested locationProductDetails) — rows-only check",
-    tags=("entity",),
-)
-def entity_products_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _products_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """menu_items pipeline over part/supplier-derived inputs; shared by
+    the rows-only smoke and the oracle-backed flat projection."""
     from g1_etl_spark.entities.menu_items import transform
 
     p = load_table(spark, sf_dir, "part")
@@ -449,23 +444,28 @@ def entity_products_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(7, 1, 5.5, 3.0)],
         "id long, dispensary_id long, grams_hold_at double, "
         "units_hold_at double")
-    out = transform(menu_items, categories, prices, wm, dd, 1, 420)
+    return transform(menu_items, categories, prices, wm, dd, 1, 420)
+
+
+@register(
+    "entity_products_smoke",
+    oracle=None,  # full nested doc; flat twin entity_products_flat is
+    # oracle-backed; goldens in tests/test_entities.py pin the nesting
+    description="menu_items pipeline end-to-end (broadcast decorrelation "
+                "of S4, nested locationProductDetails) — rows-only check",
+    tags=("entity",),
+)
+def entity_products_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _products_doc(spark, sf_dir)
     return out.select(
         F.col("_id").alias("product_id"),
         F.to_json(F.col("doc")).alias("doc_json"),
     )
 
 
-@register(
-    "entity_settings",
-    oracle=None,  # deeply-nested doc; semantics pinned by fixture goldens
-    description="settings pipeline end-to-end: last-row-wins dispensary "
-                "details fold, membership price nest, red-flag limits, "
-                "winner tax row (rows-only; goldens in "
-                "tests/test_entities.py)",
-    tags=("entity",),
-)
-def entity_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _settings_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """settings pipeline over nation-derived inputs; shared by the
+    rows-only smoke and the oracle-backed flat projection."""
     from g1_etl_spark.entities.settings import transform
 
     n = load_table(spark, sf_dir, "nation")
@@ -504,6 +504,265 @@ def entity_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
     taxes = spark.createDataFrame(
         [(1, 7.25, "state"), (1, 1.5, "city")],
         "dispensary_id long, amount double, name string")
-    out = transform(dd, memberships, prices, red_flags, taxes, 1, 420)
+    return transform(dd, memberships, prices, red_flags, taxes, 1, 420)
+
+
+@register(
+    "entity_settings",
+    oracle=None,  # deeply-nested doc; flat twin entity_settings_flat is
+    # oracle-backed; goldens in tests/test_entities.py pin the nesting
+    description="settings pipeline end-to-end: last-row-wins dispensary "
+                "details fold, membership price nest, red-flag limits, "
+                "winner tax row (rows-only; goldens in "
+                "tests/test_entities.py)",
+    tags=("entity",),
+)
+def entity_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _settings_doc(spark, sf_dir)
     return out.select(F.col("_id").alias("settings_id"),
                       F.to_json(F.col("doc")).alias("doc_json"))
+
+
+@register(
+    "entity_settings_flat",
+    oracle="""
+    WITH dd AS (
+      SELECT n_nationkey AS id,
+             n_nationkey % 2 AS menu_show_tax,
+             CASE WHEN n_nationkey % 3 <> 0 THEN n_name || '.png' END
+               AS logo_file_name,
+             n_nationkey % 2 AS calculate_even_totals,
+             CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END
+               AS require_customer_referrer,
+             n_nationkey % 2 AS membership_fee_enabled,
+             CAST(n_nationkey % 10 AS DOUBLE) AS pp_d2p,
+             CAST(n_nationkey % 5 AS DOUBLE) AS pp_p2d,
+             n_nationkey % 2 AS allow_unpaid_visits,
+             CASE WHEN n_nationkey % 4 = 0 THEN 'api-key' END
+               AS mmjrevu_api_key
+      FROM nation ORDER BY id DESC LIMIT 1),
+    tax AS (SELECT name, CAST(amount AS DOUBLE) AS amount
+            FROM (VALUES ('state', 7.25), ('city', 1.5)) t(name, amount)
+            ORDER BY name DESC, amount DESC LIMIT 1),
+    price AS (SELECT pid,
+                     CAST(half_gram AS DOUBLE) AS half_gram,
+                     CAST(gram AS DOUBLE) AS gram,
+                     CAST(two_gram AS DOUBLE) AS two_gram,
+                     CAST(eigth AS DOUBLE) AS eigth,
+                     CAST(quarter AS DOUBLE) AS quarter,
+                     CAST(half AS DOUBLE) AS half,
+                     CAST(ounce AS DOUBLE) AS ounce
+              FROM (VALUES
+                (1, 5.0, 10.0, 18.0, 30.0, 55.0, 100.0, 190.0),
+                (2, 4.0, 8.0, 15.0, 28.0, 50.0, 95.0, 180.0))
+              p(pid, half_gram, gram, two_gram, eigth, quarter, half,
+                ounce)
+              ORDER BY pid ASC LIMIT 1),
+    rf AS (SELECT CAST(100.0 AS DOUBLE) AS daily_purchase_limit,
+                  CAST(30.0 AS DOUBLE) AS visit_purchase_limit,
+                  CAST(3.0 AS DOUBLE) AS daily_visit_limit,
+                  CAST(400.0 AS DOUBLE) AS two_week_purchase_limit)
+    SELECT CAST(dd.id AS BIGINT) AS settings_id,
+           '420' AS organization_id,
+           CAST(30 AS BIGINT) AS session_timeout,
+           CASE WHEN logo_file_name IS NOT NULL
+                 AND mmjrevu_api_key IS NOT NULL
+                THEN 'https://wm-mmjmenu-images-production.s3.amazonaws'
+                     || '.com/logos/' || CAST(dd.id AS VARCHAR)
+                     || '/original/' || logo_file_name END AS image_out,
+           CASE WHEN logo_file_name IS NOT NULL
+                 AND mmjrevu_api_key IS NOT NULL
+                THEN mmjrevu_api_key END AS api_key_out,
+           membership_fee_enabled = 1 AS crm_levels_enabled,
+           pp_d2p AS crm_dollars_per_point,
+           pp_p2d AS crm_points_per_dollar,
+           CAST(25.0 AS DOUBLE) AS crm_referral_points,
+           mmjrevu_api_key AS loc_api_key,
+           allow_unpaid_visits = 1 AS paid_visits_enabled,
+           require_customer_referrer = 1 AS mandatory_referral,
+           TRUE AS has_limits,
+           CAST(daily_purchase_limit AS BIGINT) AS daily_purchase_limit,
+           CAST(visit_purchase_limit AS BIGINT) AS visit_purchase_limit,
+           CAST(daily_visit_limit AS BIGINT) AS daily_visit_limit,
+           CAST(two_week_purchase_limit * 2 AS BIGINT)
+             AS monthly_purchase_limit,
+           menu_show_tax = 1 AS enable_taxes_in,
+           calculate_even_totals = 1 AS has_price_rounding,
+           'Default' AS wp_name,
+           TRUE AS wp_default_tier,
+           CAST(trunc(half_gram * 100) AS BIGINT) AS bp_half_gram,
+           CAST(trunc(gram * 100) AS BIGINT) AS bp_gram,
+           CAST(trunc(two_gram * 100) AS BIGINT) AS bp_two_gram,
+           CAST(trunc(eigth * 100) AS BIGINT) AS bp_eighth,
+           CAST(trunc(quarter * 100) AS BIGINT) AS bp_quarter,
+           CAST(trunc(half * 100) AS BIGINT) AS bp_half,
+           CAST(trunc(ounce * 100) AS BIGINT) AS bp_ounce,
+           tax.name AS tax_code,
+           tax.amount / 100 AS tax_percent,
+           'sales' AS tax_type,
+           CAST(1 AS BIGINT) AS keys_dispensary_id,
+           CAST(dd.id AS BIGINT) AS keys_id
+    FROM dd, tax, price, rf
+    """,
+    description="settings pipeline, scalar leaves flattened for an exact "
+                "DuckDB oracle: driver-verifies the last-row-wins "
+                "dispensary fold, winner tax row, red-flag limits and "
+                "cents breakpoints (reference settings.py:169-204) that "
+                "the nested smoke could only rows-only check",
+    tags=("entity",),
+)
+def entity_settings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _settings_doc(spark, sf_dir)
+    d = F.col("doc")
+    ml = d["location_specific"]["members"]["medicalLimits"]
+    bp = d["location_specific"]["inventory"]["weightPricing"]["breakpoints"]
+    crm = d["crm_member_settings"]["membershipLevel"]
+    return out.select(
+        F.col("_id").cast("long").alias("settings_id"),
+        d["organizationId"].alias("organization_id"),
+        d["sessionTimeoutDuration"].cast("long").alias("session_timeout"),
+        d["image"].alias("image_out"),
+        d["apiKey"].alias("api_key_out"),
+        crm["membershipLevelsEnabled"].alias("crm_levels_enabled"),
+        crm["dollarsPerPoint"].alias("crm_dollars_per_point"),
+        crm["pointsPerDollar"].alias("crm_points_per_dollar"),
+        crm["referralPoints"].alias("crm_referral_points"),
+        d["location_specific"]["apiKey"].alias("loc_api_key"),
+        d["location_specific"]["members"]["paidVisitsEnabled"]
+        .alias("paid_visits_enabled"),
+        d["location_specific"]["members"]["mandatoryReferral"]
+        .alias("mandatory_referral"),
+        ml["hasLimits"].alias("has_limits"),
+        ml["dailyPurchaseLimit"].cast("long").alias("daily_purchase_limit"),
+        ml["visitPurchaseLimit"].cast("long").alias("visit_purchase_limit"),
+        ml["dailyVisitLimit"].cast("long").alias("daily_visit_limit"),
+        ml["monthlyPurchaseLimit"].cast("long")
+        .alias("monthly_purchase_limit"),
+        d["location_specific"]["sales"]["enableTaxesIn"]
+        .alias("enable_taxes_in"),
+        d["location_specific"]["sales"]["hasPriceRounding"]
+        .alias("has_price_rounding"),
+        d["location_specific"]["inventory"]["weightPricing"]["name"]
+        .alias("wp_name"),
+        d["location_specific"]["inventory"]["weightPricing"]["defaultTier"]
+        .alias("wp_default_tier"),
+        bp["price_half_gram"].cast("long").alias("bp_half_gram"),
+        bp["price_gram"].cast("long").alias("bp_gram"),
+        bp["price_two_gram"].cast("long").alias("bp_two_gram"),
+        bp["price_eighth"].cast("long").alias("bp_eighth"),
+        bp["price_quarter"].cast("long").alias("bp_quarter"),
+        bp["price_half"].cast("long").alias("bp_half"),
+        bp["price_ounce"].cast("long").alias("bp_ounce"),
+        d["sales_settings_taxes"]["taxes"]["code"].alias("tax_code"),
+        d["sales_settings_taxes"]["taxes"]["percent"].alias("tax_percent"),
+        d["sales_settings_taxes"]["taxes"]["type"].alias("tax_type"),
+        d["keys"]["dispensary_id"].cast("long").alias("keys_dispensary_id"),
+        d["keys"]["id"].cast("long").alias("keys_id"),
+    )
+
+
+@register(
+    "entity_products_flat",
+    oracle="""
+    WITH cats AS (SELECT * FROM (VALUES
+                    (0, 'Cannabis', 2), (1, 'Edibles', 1),
+                    (2, 'Paraphernalia', 1), (3, 'Widget', 2))
+                  c(cid, cname, measurement)),
+    price AS (SELECT CAST(abs(s_acctbal % 100) AS DOUBLE) AS pv
+              FROM supplier ORDER BY s_suppkey DESC LIMIT 1),
+    mi AS (
+      SELECT p_partkey AS id,
+             p_partkey % 7 AS vendor_id,
+             p_partkey % 4 AS category_id,
+             p_name AS name,
+             (p_size * 7) % 101 AS sativa,
+             (p_size * 13) % 101 AS indica,
+             p_partkey % 2 AS on_hold,
+             p_partkey % 2 + 1 AS product_type,
+             CASE WHEN p_partkey % 3 = 0 THEN p_brand || '.jpg' END
+               AS image_file_name,
+             p_retailprice AS medicine_amount
+      FROM part WHERE p_partkey % 2 = 1),
+    j AS (SELECT mi.*, cname, measurement,
+                 CASE WHEN measurement = 1 THEN 2 ELSE 1 END AS uom,
+                 pv
+          FROM mi LEFT JOIN cats ON mi.category_id = cats.cid
+          CROSS JOIN price)
+    SELECT CAST(id AS BIGINT) AS product_id,
+           name,
+           strftime(TIMESTAMP '1995-03-04 10:20:30', '%Y-%m-%dT%H:%M:%S')
+             AS created_at_iso,
+           CAST(epoch(TIMESTAMP '1995-03-04 10:20:30') AS BIGINT)
+             AS created_epoch,
+           id % 5 = 0 AS share_on_wm,
+           CAST(uom AS BIGINT) AS unit_of_measure,
+           CASE WHEN lower(cname) = 'cannabis' AND sativa > 0
+                     AND indica > 0 AND sativa > 80 THEN 'Sativa'
+                WHEN lower(cname) = 'cannabis' AND sativa > 0
+                     AND indica > 0 AND indica > 80 THEN 'Indica'
+                WHEN lower(cname) = 'cannabis'
+                     AND NOT (sativa > 0 AND indica > 0) THEN 'Hybrid'
+                WHEN lower(cname) = 'paraphernalia' THEN 'Gear'
+                WHEN cname = 'Edibles' THEN 'Edible'
+                WHEN cname NOT IN ('Indica', 'Sativa', 'Hybrid', 'Edible',
+                                   'Concentrate', 'Drink', 'Clone', 'Seed',
+                                   'Tinctures', 'Gear', 'Topicals',
+                                   'Preroll', 'Wax', 'Hash') THEN 'Other'
+                ELSE cname END AS category_out,
+           CASE WHEN uom = 2 THEN CAST(trunc(medicine_amount) AS BIGINT)
+             END AS net_marijuana,
+           CAST(medicine_amount AS DOUBLE) AS medicine_amount,
+           CASE WHEN image_file_name IS NOT NULL
+                THEN 'https://wm-mmjmenu-images-production.s3.amazonaws'
+                     || '.com/menu_items/images/' || CAST(id AS VARCHAR)
+                     || '/large/' || image_file_name END AS image_url_out,
+           TRUE AS lpd_active,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_half_gram,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_gram,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_two_gram,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_eighth,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_quarter,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_half,
+           CAST(trunc(pv * 100) AS BIGINT) AS bp_ounce,
+           CAST(3.0 AS DOUBLE) AS restock_level,
+           CASE WHEN id % 7 <> 0 THEN CAST(id % 7 AS BIGINT) END
+             AS keys_vendor_id,
+           CASE WHEN id % 4 <> 0 THEN CAST(id % 4 AS BIGINT) END
+             AS keys_category_id
+    FROM j
+    """,
+    description="menu_items pipeline, scalar leaves flattened for an "
+                "exact DuckDB oracle: driver-verifies the active-only "
+                "purge intent (F3), category normalization chain (C13), "
+                "uom flip (C12), menu_item_active (C11), cents "
+                "breakpoints and last-wins price fold (N4) that the "
+                "nested smoke could only rows-only check",
+    tags=("entity",),
+)
+def entity_products_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _products_doc(spark, sf_dir)
+    d = F.col("doc")
+    bp = d["locationProductDetails"]["weightPricing"]
+    return out.select(
+        F.col("_id").cast("long").alias("product_id"),
+        d["name"].alias("name"),
+        d["createdAt"].alias("created_at_iso"),
+        d["createdAtEpoch"].cast("long").alias("created_epoch"),
+        d["shareOnWM"].alias("share_on_wm"),
+        d["unitOfMeasure"].cast("long").alias("unit_of_measure"),
+        d["categoryId"].alias("category_out"),
+        d["netMarijuana"].cast("long").alias("net_marijuana"),
+        d["medicine_amount"].cast("double").alias("medicine_amount"),
+        d["image_file_name"].alias("image_url_out"),
+        d["locationProductDetails"]["active"].alias("lpd_active"),
+        bp["price_half_gram"].cast("long").alias("bp_half_gram"),
+        bp["price_gram"].cast("long").alias("bp_gram"),
+        bp["price_two_gram"].cast("long").alias("bp_two_gram"),
+        bp["price_eighth"].cast("long").alias("bp_eighth"),
+        bp["price_quarter"].cast("long").alias("bp_quarter"),
+        bp["price_half"].cast("long").alias("bp_half"),
+        bp["price_ounce"].cast("long").alias("bp_ounce"),
+        d["restockLevel"].cast("double").alias("restock_level"),
+        d["keys"]["vendor_id"].cast("long").alias("keys_vendor_id"),
+        d["keys"]["category_id"].cast("long").alias("keys_category_id"),
+    )

@@ -144,6 +144,11 @@ _BNLJ_OK = {
     "feat_equidepth_bins", "q22_global_sales_opportunity",
     "entity_products_smoke", "join_cross", "scalar_subquery",
     "dq_key_skew",
+    # flat twins / recall contract reuse the already-justified plans:
+    # one-row dispensary aggregates (settings/products) and the 5-query
+    # constant-tiny broadcast side (brute-force top-k inside the recall
+    # join)
+    "entity_settings_flat", "entity_products_flat", "sim_lsh_recall",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
