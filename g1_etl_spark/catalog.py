@@ -12,6 +12,7 @@ assumes single-file inputs.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +45,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    try:
+        _tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # pragma: no cover - conf.get never raises today
+        _tz = None
+    if _tz != "UTC":
+        # The set above was silently swallowed (immutable-conf session).
+        # Instant derivation below is zone-free either way, but collected
+        # timestamp RENDERINGS go through the session zone — surface it
+        # instead of shifting values silently.
+        warnings.warn(
+            f"spark.sql.session.timeZone is {_tz!r} and could not be set "
+            "to UTC; events.ts instants are derived zone-free, but "
+            "collected timestamp renderings will be zone-shifted",
+            RuntimeWarning, stacklevel=2)
     if name == "events":
         # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects unless this (runtime-settable) SQLConf
@@ -66,10 +81,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # timestamp[us] parquet without tz reads as TIMESTAMP_NTZ,
             # which unix_micros()/window() reject or treat differently.
-            # The session tz is pinned UTC above, so this cast reinterprets
-            # the same wall-clock instant as a regular TIMESTAMP with
-            # identical collected values (what the DuckDB oracle sees).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # NTZ minus the NTZ epoch is pure wall-clock integer
+            # arithmetic — no session-zone dependence — so the resulting
+            # instant is the parquet wall clock interpreted as UTC even
+            # on an immutable-conf session stuck in a non-UTC zone (a
+            # plain cast would shift every value there; the readback
+            # warning above covers the rendering side).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
     return df
 
 
