@@ -26,8 +26,11 @@ from g1_etl_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship scan->join->agg pipelines, the window/cube
-# surface, and the scale-relevant superset operators.
-HEADLINE = [
+# surface, and the scale-relevant superset operators. The per-round
+# subsets are PINNED — each round appends, never edits, so totals over
+# R1_SET (and R1_SET+R2_ADD) compare 1:1 across BENCH_r{N}.json without
+# manual set intersection.
+R1_SET = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -43,7 +46,8 @@ HEADLINE = [
     "sim_lsh_topk",
     "text_quality_stats",
     "events_sessionization",
-    # round-2 additions (r1 entries above are unchanged for 1:1 grading)
+]
+R2_ADD = [
     "q8_market_share",
     "corpus_decontaminate",
     "text_bm25_topk",
@@ -53,6 +57,11 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_chunk_windows",
 ]
+R3_ADD = [
+    "pipeline_clean_corpus",
+    "entity_products_flat",
+]
+HEADLINE = R1_SET + R2_ADD + R3_ADD
 
 
 def _force(df) -> None:
@@ -72,6 +81,9 @@ def _drop_cached(spark) -> None:
 
 def main() -> None:
     spark = get_spark(app_name="g1_etl_spark_bench")
+    # block-manager unpersist of localCheckpoint RDDs logs harmless WARNs
+    # that pollute the one-line-JSON contract's surroundings
+    spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     # warm up JVM, codegen, and the parquet reader path on the tiny SF so
@@ -103,6 +115,11 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf),
+        # pinned-subset totals for round-over-round comparison
+        "r1_common_total_sec": round(
+            sum(per_query[n] for n in R1_SET), 3),
+        "r1r2_common_total_sec": round(
+            sum(per_query[n] for n in R1_SET + R2_ADD), 3),
     }))
 
 
