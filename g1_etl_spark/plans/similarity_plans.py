@@ -59,7 +59,8 @@ def sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_lsh_topk",
     oracle=None,  # recall vs brute force asserted in tests
     description="LSH-bucketed approximate top-10 (16 hyperplanes, "
-                "4 bands): hash corpus once, score candidates only",
+                "4 bands, Hamming-1 multi-probe on the query side): "
+                "hash corpus once, score candidates only",
     tags=("similarity",),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,10 +73,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_recall",
     oracle=None,  # n_hits depends on hyperplane signs — not
-    # SQL-expressible; the per-query recall VALUES are the signal (the
-    # synthetic corpus tops out near cosine 0.51, where 16-plane banding
-    # recall is genuinely partial — tests/test_similarity.py pins the
-    # floor)
+    # SQL-expressible; the per-query recall VALUES are the signal
+    # (multi-probe banding reaches ~0.98 on this corpus —
+    # tests/test_similarity.py pins the floor)
     description="ANN recall audit: exact top-10 left-joined against the "
                 "LSH top-10 per query; emits (q_id, n_exact, n_hits, "
                 "recall) so the approximation quality is a measured, "
@@ -119,12 +119,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # superset-of check + threshold verify in tests
     description="embedding near-dup pairs (cosine>=0.4 — the synthetic "
                 "corpus tops out near 0.6) via LSH banding "
-                "+ exact verification",
+                "+ exact verification; multi-probed (Hamming-1) because "
+                "0.4 cosine sits at the 16-plane band-match cliff",
     tags=("similarity", "dedup"),
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(emb, threshold=0.4)
+    return S.cosine_neardup_pairs(emb, threshold=0.4, probe_flips=1)
 
 
 _DOT12 = ("list_sum(list_transform(list_zip(v1, v2), "
