@@ -202,6 +202,42 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 5,
+                   min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated n-token span census — the discovery stage
+    of substring-level dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): every n-token span occurring in
+    >= min_docs DISTINCT documents, with its document frequency and the
+    canonical (minimum) carrier id. Downstream consumers clip or drop
+    the repeated spans from non-canonical docs.
+
+    Same lead-window shingling shape as _gram_hashes_projected (one
+    exchange, all codegen), but materializing the span TEXT — the census
+    output is human-facing and oracle-comparable. At 100 TB swap the
+    concat for the hashed-gram form and join text back for survivors
+    only; the group key is the span either way, and document frequency
+    aggregates distributively (partial counts per map side), so hot
+    boilerplate spans do not single-task the plan.
+    """
+    base = df.select(F.col(id_col).alias("d"),
+                     F.split(F.col(text_col), " ").alias("_w"))
+    toks = (base.filter(F.size("_w") >= n)
+            .select("d", F.posexplode("_w").alias("pos", "w")))
+    wspec = W.partitionBy("d").orderBy("pos")
+    leads = [F.lead("w", j).over(wspec).alias(f"_l{j}")
+             for j in range(1, n)]
+    spans = (toks.select("d", "w", *leads)
+             .filter(F.col(f"_l{n-1}").isNotNull())
+             .select("d", F.concat_ws(
+                 " ", "w", *[f"_l{j}" for j in range(1, n)]).alias("span")))
+    return (spans.distinct()
+            .groupBy("span")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("d").alias("first_doc"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
 def _perm_params(num: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num)]

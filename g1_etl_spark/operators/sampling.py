@@ -14,7 +14,7 @@ within-Spark reproducibility (rows-only checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -32,6 +32,25 @@ def split_assign(col: Column, train: int = 80, valid: int = 10,
     return (F.when(b < train, "train")
             .when(b < train + valid, "valid")
             .otherwise("test"))
+
+
+def shuffle_shard_assign(df: DataFrame, key_col: str = "doc_id",
+                         n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle for training-data writes: md5 of the
+    key is a uniform pseudo-permutation, so (shard, pos) is a stable,
+    engine-portable random order — rand() is neither. shard = first 32
+    md5 bits mod n_shards (co-locates a shard's rows for the write);
+    pos = rank of the md5 WITHIN the shard, so each shard orders
+    independently — a window partitioned by shard, never a global sort.
+    Trainers then read shards in any order and rows within a shard in
+    pos order for a reproducible corpus-level shuffle."""
+    h = F.md5(F.col(key_col).cast("string"))
+    keyed = df.select(F.col(key_col), h.alias("_h"),
+                      (F.conv(F.substring(h, 1, 8), 16, 10)
+                       .cast("long") % n_shards).alias("shard"))
+    w = W.partitionBy("shard").orderBy("_h", key_col)
+    return (keyed.select(key_col, "shard",
+                         F.row_number().over(w).cast("long").alias("pos")))
 
 
 def deterministic_sample(df: DataFrame, key: str, pct: int,

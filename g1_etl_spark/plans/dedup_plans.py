@@ -138,6 +138,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_census",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    spans AS (SELECT DISTINCT doc_id,
+                     array_to_string(w[i:i+4], ' ') AS span
+              FROM words, LATERAL unnest(range(1, len(w) - 3)) t(i)
+              WHERE len(w) >= 5)
+    SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM spans GROUP BY span HAVING COUNT(*) >= 2
+    """,
+    description="substring-dedup span census (Lee et al. 2021): 5-token "
+                "spans occurring in >=2 distinct documents, with doc "
+                "frequency and canonical carrier — the discovery stage "
+                "feeding span clipping",
+    tags=("dedup",),
+)
+def dedup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.repeated_spans(load_table(spark, sf_dir, "documents"),
+                            n=5, min_docs=2)
+
+
+@register(
     "dedup_minhash_recall",
     oracle=f"""
     {_PAIRS_SQL}

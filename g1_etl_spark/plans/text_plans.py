@@ -314,6 +314,62 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+                   FROM documents),
+    pairs AS (SELECT substr(w, i, 2) AS pair
+              FROM words, LATERAL unnest(range(1, length(w))) t(i)
+              WHERE length(w) >= 2)
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+    description="BPE-trainer counting kernel: corpus-wide frequency of "
+                "adjacent character pairs inside tokens (the argmax of "
+                "round 1 of byte-pair-encoding training), top-50 with "
+                "deterministic tie-break — map-side explode, one count "
+                "shuffle, distributed top-k",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+             .filter(F.length("w") >= 2))
+    pairs = words.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair").limit(50))
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents)
+    SELECT doc_id,
+           CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 16 AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY CAST(concat('0x', substr(hx, 1, 8))
+                               AS BIGINT) % 16
+                  ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    description="deterministic global shuffle for training writes: "
+                "md5-permutation -> (shard, intra-shard pos); "
+                "engine-portable random order with per-shard windows, "
+                "never a global sort",
+    tags=("text", "sampling"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sampling import shuffle_shard_assign
+
+    return shuffle_shard_assign(load_table(spark, sf_dir, "documents"),
+                                key_col="doc_id", n_shards=16)
+
+
+@register(
     "text_stopword_ratio",
     oracle=f"""
     WITH w AS (
