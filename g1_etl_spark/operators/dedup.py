@@ -202,6 +202,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def doc_spans(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """(d, span): DISTINCT n-token spans per document, span text
+    materialized. Same lead-window shingling shape as
+    _gram_hashes_projected (one exchange, all codegen); docs shorter
+    than n tokens contribute nothing."""
+    base = df.select(F.col(id_col).alias("d"),
+                     F.split(F.col(text_col), " ").alias("_w"))
+    toks = (base.filter(F.size("_w") >= n)
+            .select("d", F.posexplode("_w").alias("pos", "w")))
+    wspec = W.partitionBy("d").orderBy("pos")
+    leads = [F.lead("w", j).over(wspec).alias(f"_l{j}")
+             for j in range(1, n)]
+    return (toks.select("d", "w", *leads)
+            .filter(F.col(f"_l{n-1}").isNotNull())
+            .select("d", F.concat_ws(
+                " ", "w", *[f"_l{j}" for j in range(1, n)]).alias("span"))
+            .distinct())
+
+
 def repeated_spans(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 5,
                    min_docs: int = 2) -> DataFrame:
@@ -212,30 +232,47 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     canonical (minimum) carrier id. Downstream consumers clip or drop
     the repeated spans from non-canonical docs.
 
-    Same lead-window shingling shape as _gram_hashes_projected (one
-    exchange, all codegen), but materializing the span TEXT — the census
-    output is human-facing and oracle-comparable. At 100 TB swap the
-    concat for the hashed-gram form and join text back for survivors
-    only; the group key is the span either way, and document frequency
-    aggregates distributively (partial counts per map side), so hot
-    boilerplate spans do not single-task the plan.
+    The census materializes the span TEXT — the output is human-facing
+    and oracle-comparable. At 100 TB swap the concat for the hashed-gram
+    form and join text back for survivors only; the group key is the
+    span either way, and document frequency aggregates distributively
+    (partial counts per map side), so hot boilerplate spans do not
+    single-task the plan.
     """
-    base = df.select(F.col(id_col).alias("d"),
-                     F.split(F.col(text_col), " ").alias("_w"))
-    toks = (base.filter(F.size("_w") >= n)
-            .select("d", F.posexplode("_w").alias("pos", "w")))
-    wspec = W.partitionBy("d").orderBy("pos")
-    leads = [F.lead("w", j).over(wspec).alias(f"_l{j}")
-             for j in range(1, n)]
-    spans = (toks.select("d", "w", *leads)
-             .filter(F.col(f"_l{n-1}").isNotNull())
-             .select("d", F.concat_ws(
-                 " ", "w", *[f"_l{j}" for j in range(1, n)]).alias("span")))
-    return (spans.distinct()
+    return (doc_spans(df, text_col, id_col, n)
             .groupBy("span")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("d").alias("first_doc"))
             .filter(F.col("n_docs") >= min_docs))
+
+
+def span_boilerplate_flags(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 5,
+                           min_docs: int = 2) -> DataFrame:
+    """Per-document boilerplate coverage from the span census — the
+    decision stage of substring-level dedup: for each document, the
+    count of its distinct n-token spans, how many of those also occur in
+    >= min_docs documents, and the repeated fraction. Consumers gate on
+    the ratio ("drop documents dominated by cross-corpus boilerplate")
+    or route high-ratio docs to span clipping.
+
+    One span derivation feeds both the census and the per-doc rollup
+    (eager checkpoint — same multi-consumer race rationale as
+    ngram_jaccard_pairs); the census side aggregates to (span, df>=k)
+    before joining back, so the join input is already collapsed.
+    """
+    spans = doc_spans(df, text_col, id_col, n).localCheckpoint(eager=True)
+    census = (spans.groupBy("span")
+              .agg(F.count(F.lit(1)).alias("_df"))
+              .filter(F.col("_df") >= min_docs)
+              .select("span", F.lit(1).alias("_rep")))
+    return (spans.join(census, "span", "left")
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.count("_rep").alias("n_repeated"))
+            .select(F.col("d").alias(id_col), "n_spans", "n_repeated",
+                    (F.col("n_repeated") / F.col("n_spans"))
+                    .cast("double").alias("boilerplate_ratio")))
 
 
 def _perm_params(num: int, seed: int) -> list[tuple[int, int]]:

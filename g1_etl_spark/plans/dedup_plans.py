@@ -161,6 +161,34 @@ def dedup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_flags",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    spans AS (SELECT DISTINCT doc_id,
+                     array_to_string(w[i:i+4], ' ') AS span
+              FROM words, LATERAL unnest(range(1, len(w) - 3)) t(i)
+              WHERE len(w) >= 5),
+    census AS (SELECT span FROM spans GROUP BY span
+               HAVING COUNT(*) >= 2)
+    SELECT s.doc_id, COUNT(*) AS n_spans,
+           COUNT(c.span) AS n_repeated,
+           CAST(COUNT(c.span) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+    FROM spans s LEFT JOIN census c USING (span)
+    GROUP BY s.doc_id
+    """,
+    description="substring-dedup decision stage: per-doc distinct-span "
+                "count, cross-corpus repeated-span count, and "
+                "boilerplate fraction — the gate feeding drop/clip "
+                "routing",
+    tags=("dedup",),
+)
+def dedup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_boilerplate_flags(load_table(spark, sf_dir, "documents"),
+                                    n=5, min_docs=2)
+
+
+@register(
     "dedup_minhash_recall",
     oracle=f"""
     {_PAIRS_SQL}
