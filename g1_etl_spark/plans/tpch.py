@@ -646,3 +646,65 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_year",
                     (F.col("num") / F.col("den")).alias("mkt_share"))
             .orderBy("o_year"))
+
+
+@register(
+    "q21_late_supplier_blame",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+    blamed AS (
+      SELECT t.l_orderkey, t.l_suppkey
+      FROM late t
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = t.l_orderkey
+                      AND l2.l_suppkey <> t.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = t.l_orderkey
+                          AND l3.l_suppkey <> t.l_suppkey))
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    description="TPC-H Q21 shape: suppliers solely to blame for late "
+                "multi-supplier orders — EXISTS -> left-semi and NOT "
+                "EXISTS -> left-anti with mixed equi+inequality "
+                "predicates, the double-decorrelation composition the "
+                "rest of the suite doesn't exercise (lateness adapted "
+                "to the synthetic schema: shipped > 90 days after "
+                "order date)",
+    tags=("join", "agg", "flagship"),
+)
+def q21_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    s = load_table(spark, sf_dir, "supplier")
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") > F.date_add("o_orderdate", 90))
+            .select("l_orderkey", "l_suppkey").distinct())
+    # EXISTS another supplier on the order (late or not) -> left-semi;
+    # the suppkey inequality rides the equi-join as a residual predicate
+    other = li.select(F.col("l_orderkey").alias("o_k"),
+                      F.col("l_suppkey").alias("o_s")).distinct()
+    has_other = late.join(
+        other, (late.l_orderkey == other.o_k)
+        & (late.l_suppkey != other.o_s), "left_semi")
+    # NOT EXISTS another LATE supplier on the order -> left-anti
+    late2 = late.select(F.col("l_orderkey").alias("t_k"),
+                        F.col("l_suppkey").alias("t_s"))
+    blamed = has_other.join(
+        late2, (has_other.l_orderkey == late2.t_k)
+        & (has_other.l_suppkey != late2.t_s), "left_anti")
+    return (blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
