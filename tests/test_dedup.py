@@ -171,3 +171,34 @@ def test_fuzzy_blocked_pairs(spark):
     assert not any("blue" in a or "blue" in b for a, b in out)
     # distance > max_dist filtered ("widget" vs "gadget" = 2 is kept)
     assert ("red gadget", "red widget") in out
+
+
+def test_repeated_spans_census_and_flags(spark):
+    from g1_etl_spark.operators.dedup import (repeated_spans,
+                                              span_boilerplate_flags)
+
+    boiler = "all rights reserved by the site"          # 6 tokens
+    rows = [
+        (1, "unique one text here today " + boiler),
+        (2, "different words entirely now okay " + boiler),
+        (3, "totally fresh content nothing shared at all"),
+        (4, "short doc"),                               # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    census = {r["span"]: (r["n_docs"], r["first_doc"])
+              for r in repeated_spans(df, n=5, min_docs=2).collect()}
+    # the 6-token boilerplate yields two overlapping repeated 5-spans
+    assert census["all rights reserved by the"] == (2, 1)
+    assert census["rights reserved by the site"] == (2, 1)
+    # no span from the unique prefixes or doc 3 is repeated
+    assert all(s.startswith(("all rights", "rights reserved"))
+               for s in census)
+
+    flags = {r["doc_id"]: r for r in
+             span_boilerplate_flags(df, n=5, min_docs=2).collect()}
+    assert 4 not in flags                  # too short to shingle
+    assert flags[3]["n_repeated"] == 0
+    # doc 1: 11 tokens -> 7 spans, 2 repeated
+    assert flags[1]["n_spans"] == 7
+    assert flags[1]["n_repeated"] == 2
+    assert abs(flags[1]["boilerplate_ratio"] - 2 / 7) < 1e-12

@@ -109,3 +109,31 @@ def test_weighted_sample_k(spark):
     # input selects the identical sample in the identical order
     again = weighted_sample_k(df.repartition(17), "doc_id", "w", k=200)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_shuffle_shard_assign_is_permutation(spark):
+    from g1_etl_spark.operators.sampling import shuffle_shard_assign
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = shuffle_shard_assign(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 1000
+    # every row lands in a valid shard; positions per shard are 1..n
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # the order is a real shuffle, not key order: within some shard the
+    # pos ranking must disagree with doc_id ranking
+    scrambled = any(
+        [r["doc_id"] for r in sorted(out, key=lambda r: (r["shard"] == s,
+                                                         r["pos"]))
+         if r["shard"] == s]
+        != sorted(r["doc_id"] for r in out if r["shard"] == s)
+        for s in by_shard)
+    assert scrambled
+    # pure function of the key: repartitioned input, identical result
+    again = shuffle_shard_assign(df.repartition(13), "doc_id",
+                                 n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
