@@ -344,7 +344,16 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
     query side this multiplies corpus-side rows by (1 + band_bits), so
     it is an explicit recall-vs-cost knob, off by default; turn it on
     when the similarity regime of interest sits near the band-match
-    probability cliff (e.g. mid-0.4s cosine with 16 planes)."""
+    probability cliff (e.g. mid-0.4s cosine with 16 planes).
+
+    Threshold-vs-dimension caveat (measured, scripts/scale_probe.py):
+    random-pair cosine at dim d has sigma ~ 1/sqrt(d) — 0.125 at d=64 —
+    so a 0.4 threshold is only ~3.2 sigma and the O(N^2) random-pair
+    tail overtakes true near-dups as the corpus grows (10x corpus ->
+    ~100x pairs; runtime stayed sub-linear PER OUTPUT PAIR). At
+    production embedding dims (768+) the same threshold is 11+ sigma
+    and the tail vanishes; for low-dim corpora raise the threshold with
+    corpus size."""
     band_bits = planes // bands
     if impl == "arrow":
         sig_expr = lsh_signature_arrow(dim, planes)(F.col(vec_col))

@@ -17,6 +17,18 @@ Measured on local[32] (2026-08-13, round 3):
     text_quality_stats     1x= 0.54s  10x= 3.92s  ratio= 7.2
     corpus_shuffle_shards  1x= 0.23s  10x= 0.29s  ratio= 1.3
 
+Embeddings family (10x corpus built from per-copy sign masks —
+within-copy cosines preserved exactly):
+
+    lsh_topk (multi-probe)   1x= 1.15s  10x=   1.59s  ratio=  1.4
+    cosine_neardup (mp=1)    1x= 3.41s  10x= 253.06s  ratio= 74.1
+      -> NOT an engine cliff: the OUTPUT grew 106x (882 -> 93,436
+         pairs). At dim=64 random-pair cosine sigma ~ 0.125, so the
+         0.4 threshold is ~3.2 sigma and the O(N^2) random tail
+         dominates as the corpus grows — runtime per output pair is
+         sub-linear. See the threshold-vs-dimension caveat on
+         cosine_neardup_pairs.
+
 Usage: python scripts/scale_probe.py [copies]
 """
 
