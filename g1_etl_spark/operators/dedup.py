@@ -2,8 +2,9 @@
 superset surface (BASELINE.json north star; no reference analog).
 
 Four families, all expressed as compositions of built-in DataFrame ops
-(zero Python UDFs; shingling/hashing/banding use higher-order functions
-that stay inside whole-stage codegen):
+(no row-at-a-time Python UDFs anywhere; the minhash signature uses one
+Arrow-batched pandas UDF on the hot path with a bit-identical
+expression fallback):
 
   exact_dedup          hash-groupBy on (normalized) content
   ngram_jaccard_pairs  inverted-index join on word n-grams -> exact jaccard
@@ -24,6 +25,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -312,10 +315,44 @@ def minhash_signature(grams: Column, num_hashes: int = 32,
     return minhash_from_hashes(base_hashes(grams), num_hashes, seed)
 
 
+def minhash_signature_arrow(num_hashes: int = 32, seed: int = 42):
+    """Vectorized minhash: base-hash reduction AND all permutation
+    minima in one numpy pass per Arrow batch — bit-identical to
+    minhash_from_hashes(base_hashes_from_longs(...)) (integer-exact:
+    np.abs/np.fmod reproduce Java's abs/% semantics, and a*h+b stays
+    under 2^62 for the 31-bit modulus). Replaces (1 + num_hashes)
+    interpreted HOF array passes and, with them, the extra
+    localCheckpoint barrier that guarded the base-hash column from
+    CollapseProject re-inlining into every permutation expression.
+
+    Precondition: every gram array is non-empty (gram_hashes_from_words
+    guarantees a whole-text fallback gram)."""
+    params = np.asarray(_perm_params(num_hashes, seed), dtype=np.int64)
+    A, B = params[:, 0][:, None], params[:, 1][:, None]
+
+    @F.pandas_udf("array<long>")
+    def sig(grams: pd.Series) -> pd.Series:
+        if grams.empty:
+            return pd.Series([], dtype="object")
+        lens = np.fromiter((len(v) for v in grams), dtype=np.int64,
+                           count=len(grams))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64)
+                               for v in grams])
+        hs = np.fmod(np.abs(flat), _P)       # Java abs/% semantics
+        perm = (hs[None, :] * A + B) % _P    # (num_hashes, total_grams)
+        offs = np.zeros(len(lens), dtype=np.intp)
+        np.cumsum(lens[:-1], out=offs[1:])
+        mins = np.minimum.reduceat(perm, offs, axis=1)
+        return pd.Series(list(mins.T))
+
+    return sig
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+                      threshold: float = 0.5, seed: int = 42,
+                      impl: str = "arrow") -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-jaccard verification.
 
     Stage 1 (narrow): shingle + signature per doc.
@@ -324,26 +361,32 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Stage 3: verify candidates with exact jaccard on the shingle sets
              (array_intersect/union on the already-computed gram arrays,
              joined back by id — touches candidates only).
+
+    impl="arrow" computes signatures with one numpy pass per Arrow
+    batch (bit-identical to the HOF form, asserted in tests) and needs
+    a single checkpoint; impl="hof" is the dependency-free expression
+    fallback with a second barrier guarding the base-hash column from
+    CollapseProject re-inlining (HOFs get no CSE).
     """
     rows = num_hashes // bands
-    # cache the base hashes BEFORE deriving the 32 permuted minima:
-    # Catalyst's CollapseProject would otherwise re-inline the hash
-    # transform into every permutation expression (HOFs get no CSE).
     # Grams are xxhash64 longs (gram_hashes_from_words) — shingle
-    # strings are never materialized here either.
-    hashed = (_gram_hashes_projected(df, text_col, id_col, n)
-              .withColumn("hs", base_hashes_from_longs(F.col("grams"))))
-    # eager checkpoints, not lazy cache: the signature frame feeds FOUR
+    # strings are never materialized here.
+    hashed = _gram_hashes_projected(df, text_col, id_col, n)
+    if impl == "arrow":
+        docs = hashed.withColumn(
+            "sig", minhash_signature_arrow(num_hashes, seed)(F.col("grams")))
+    else:
+        hashed = (hashed
+                  .withColumn("hs", base_hashes_from_longs(F.col("grams")))
+                  .localCheckpoint(eager=True))
+        docs = (hashed
+                .withColumn("sig", minhash_from_hashes(F.col("hs"),
+                                                       num_hashes, seed))
+                .drop("hs"))
+    # eager checkpoint, not lazy cache: the signature frame feeds FOUR
     # consumers (both band-join sides + both verify joins), which race
     # to materialize a lazy cache and can each recompute the shuffle-
-    # bearing gram aggregate; the first barrier also stops
-    # CollapseProject from inlining the base-hash transform into all 32
-    # permutation expressions (HOFs get no CSE).
-    hashed = hashed.localCheckpoint(eager=True)
-    docs = (hashed
-            .withColumn("sig", minhash_from_hashes(F.col("hs"),
-                                                   num_hashes, seed))
-            .drop("hs"))
+    # bearing gram aggregate.
     docs = docs.localCheckpoint(eager=True)
 
     band_key = F.explode(F.transform(

@@ -202,3 +202,27 @@ def test_repeated_spans_census_and_flags(spark):
     assert flags[1]["n_spans"] == 7
     assert flags[1]["n_repeated"] == 2
     assert abs(flags[1]["boilerplate_ratio"] - 2 / 7) < 1e-12
+
+
+def test_minhash_arrow_bit_identical_to_hof(spark):
+    """The Arrow signature path must produce byte-for-byte the HOF
+    signatures (np.abs/np.fmod == Java abs/%), so candidates — and the
+    driver's recall contract — cannot drift between impls."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} epsilon zeta") for i in
+         range(40)] + [(100, "xy")],        # short-doc fallback gram
+        "doc_id long, text string")
+    hashed = D._gram_hashes_projected(docs, "text", "doc_id", 3)
+    hof = {r["d"]: list(r["sig"]) for r in hashed.withColumn(
+        "hs", D.base_hashes_from_longs(F.col("grams"))).withColumn(
+        "sig", D.minhash_from_hashes(F.col("hs"), 32, 42)).select(
+        "d", "sig").collect()}
+    arr = {r["d"]: list(r["sig"]) for r in hashed.withColumn(
+        "sig", D.minhash_signature_arrow(32, 42)(F.col("grams"))).select(
+        "d", "sig").collect()}
+    assert hof == arr
+    pairs_hof = {(r["d1"], r["d2"])
+                 for r in D.minhash_lsh_pairs(docs, impl="hof").collect()}
+    pairs_arr = {(r["d1"], r["d2"])
+                 for r in D.minhash_lsh_pairs(docs, impl="arrow").collect()}
+    assert pairs_hof == pairs_arr
