@@ -55,8 +55,8 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
-             AS total_scaled,
+           CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                AS BIGINT) AS total_scaled,
            MIN(CAST(o_orderdate AS DATE)) AS first_date,
            MAX(CAST(o_orderdate AS DATE)) AS last_date
     FROM orders

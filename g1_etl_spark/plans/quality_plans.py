@@ -23,7 +23,11 @@ from g1_etl_spark.plans.registry import register
              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
                  THEN 0 ELSE 1 END) AS orderdate_in_range
       FROM orders)
-    SELECT u."check", u.n_violations, u.n_violations = 0 AS pass
+    SELECT u."check",
+           -- DuckDB SUM(int) promotes to HUGEINT; Spark emits BIGINT
+           -- and the driver hasher distinguishes the widths
+           CAST(u.n_violations AS BIGINT) AS n_violations,
+           u.n_violations = 0 AS pass
     FROM w, LATERAL (VALUES
       ('orderkey_not_null', w.orderkey_not_null),
       ('totalprice_positive', w.totalprice_positive),
@@ -51,11 +55,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_profile_orders",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-             AS o_custkey_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS o_custkey_nulls,
            COUNT(DISTINCT o_custkey) AS o_custkey_distinct,
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
-             AS o_orderstatus_nulls,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS o_orderstatus_nulls,
            COUNT(DISTINCT o_orderstatus) AS o_orderstatus_distinct
     FROM orders
     """,
@@ -90,10 +94,11 @@ def dq_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_table_checksum",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(concat('0x', substr(md5(concat_ws('|',
+           CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|',
                  CAST(o_orderkey AS VARCHAR),
                  CAST(o_custkey AS VARCHAR),
-                 o_orderstatus)), 1, 8)) AS BIGINT)) AS checksum
+                 o_orderstatus)), 1, 8)) AS BIGINT)) AS BIGINT)
+             AS checksum
     FROM orders
     """,
     description="order-insensitive table fingerprint: exact integer sum "
