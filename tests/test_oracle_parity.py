@@ -42,3 +42,24 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_no_oracle_emits_hugeint_or_decimal(duck):
+    """DuckDB promotes SUM over integers to HUGEINT (INT128) and leaves
+    bare decimal literals as DECIMAL; the driver's value hasher
+    distinguishes both from Spark's BIGINT/DOUBLE even when every value
+    matches (round 2's only red row). Every oracle must CAST such
+    columns — this pure-DuckDB sweep fails the moment a new oracle
+    reintroduces the class. (JSON/UBIGINT columns are excluded: the
+    nested family carried them through round 1 green.)"""
+    from g1_etl_spark.plans import REGISTRY
+
+    bad = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        rel = duck.sql(spec.oracle)
+        for col, t in zip(rel.columns, [str(x) for x in rel.types]):
+            if "HUGEINT" in t or t.startswith("DECIMAL"):
+                bad.append((name, col, t))
+    assert not bad, f"oracles with driver-hostile output types: {bad}"
