@@ -84,6 +84,59 @@ def quality_score(text: Column) -> Column:
                               s["distinct_word_ratio"])
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """Gopher corpus-quality rule ingredients (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1): word count,
+    mean word length, alphabetic-word fraction, #/ellipsis symbol
+    ratio, and distinct-stopword hits. Each rule is a named boolean so
+    filters can be composed or audited per-rule; all built-in
+    expressions, no UDFs."""
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("long")
+    nw_d = n_words.cast("double")
+    # mean chars per word = non-whitespace chars / words
+    mean_len = (F.length(F.regexp_replace(text, r"\s", "")) / nw_d) \
+        .cast("double")
+    alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")))
+    symbol_hits = (F.regexp_count(text, F.lit("#"))
+                   + F.regexp_count(text, F.lit(r"\.\.\.")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "alpha_word_ratio": (alpha_words / nw_d).cast("double"),
+        "symbol_ratio": (symbol_hits / nw_d).cast("double"),
+        "n_stop_hits": stop_hits,
+    }
+
+
+def gopher_rules(s: dict[str, Column]) -> dict[str, Column]:
+    """Rule booleans over gopher_stats output, thresholds per the
+    paper: 50 <= words <= 100k, 3 <= mean word length <= 10, symbol
+    ratio < 0.1, alphabetic-word fraction > 0.8, >= 2 distinct
+    stopwords present."""
+    rules = {
+        "rule_word_count": (s["n_words"] >= 50) & (s["n_words"] <= 100_000),
+        "rule_word_length": (s["mean_word_len"] >= 3.0)
+        & (s["mean_word_len"] <= 10.0),
+        "rule_symbol_ratio": s["symbol_ratio"] < 0.1,
+        "rule_alpha_words": s["alpha_word_ratio"] > 0.8,
+        "rule_stopwords": s["n_stop_hits"] >= 2,
+    }
+    acc = F.lit(True)
+    for c in rules.values():
+        acc = acc & c
+    rules["gopher_pass"] = acc
+    return rules
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of `lang`."""
     words = F.split(normalize_text(text), " ")

@@ -314,6 +314,57 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             length(regexp_replace(text, '\s', '', 'g')) AS nsp,
+             length(text)
+               - length(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\.\.\.')) AS sym
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(nsp AS DOUBLE) / len(w) AS mean_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(w) AS alpha_word_ratio,
+             CAST(sym AS DOUBLE) / len(w) AS symbol_ratio,
+             CAST(len(list_intersect(
+                    list_distinct(list_transform(w, x -> lower(x))),
+                    ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS n_stop_hits
+      FROM s)
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+           symbol_ratio, n_stop_hits,
+           n_words BETWEEN 50 AND 100000 AS rule_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS rule_word_length,
+           symbol_ratio < 0.1 AS rule_symbol_ratio,
+           alpha_word_ratio > 0.8 AS rule_alpha_words,
+           n_stop_hits >= 2 AS rule_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+             AND n_stop_hits >= 2 AS gopher_pass
+    FROM m
+    """,
+    description="Gopher corpus-quality rules (Rae et al. 2021 A1.1): "
+                "word count / mean word length / symbol ratio / "
+                "alphabetic-word fraction / stopword-presence booleans "
+                "plus the conjunction — the canonical pre-training "
+                "filter, per-rule auditable",
+    tags=("text", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = T.gopher_stats(F.col("text"))
+    stats = d.select("doc_id", *[v.alias(k) for k, v in s.items()])
+    r = T.gopher_rules({k: F.col(k) for k in s})
+    return stats.select("*", *[v.alias(k) for k, v in r.items()])
+
+
+@register(
     "text_bpe_pair_counts",
     oracle=r"""
     WITH words AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
