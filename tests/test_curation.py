@@ -180,3 +180,35 @@ def test_chunk_token_windows_coverage_and_overlap(spark):
     r = rows[(1, 2)]
     assert r["chunk_text"].split(" ")[0] == "t96"
     assert r["n_tokens"] == 150 - 96
+
+
+def test_gopher_rules_pass_and_fail_paths(spark):
+    """The driver corpus never satisfies the stopword rule (synthetic
+    vocabulary), so the gopher_pass=true path must be proven here: a
+    realistic English doc passes every rule; targeted mutations flip
+    exactly the intended rule."""
+    from g1_etl_spark.operators.textops import gopher_rules, gopher_stats
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs "
+            "back to the barn with great speed because it wants to be "
+            "fed before the other animals have any chance of eating "
+            "that food which farmers left out near the gate this "
+            "morning while everyone was still asleep in their beds") * 2
+    rows = [
+        (1, good),                                   # all rules pass
+        (2, "short text only"),                      # fails word count
+        (3, good.replace("the", "###")),             # symbols + stopwords
+        (4, " ".join(["9999"] * 80)),                # fails alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = gopher_stats(F.col("text"))
+    stats = df.select("doc_id", *[v.alias(k) for k, v in s.items()])
+    r = gopher_rules({k: F.col(k) for k in s})
+    out = {row["doc_id"]: row for row in
+           stats.select("*", *[v.alias(k) for k, v in r.items()]).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["rule_word_count"] is False
+    assert out[3]["rule_symbol_ratio"] is False
+    assert out[4]["rule_alpha_words"] is False
+    assert out[4]["rule_stopwords"] is False
+    assert all(not out[i]["gopher_pass"] for i in (2, 3, 4))
