@@ -227,3 +227,51 @@ def mix_upsample(df: DataFrame, whole: Column, frac_pct: Column,
             .withColumn(copy_col,
                         F.explode(F.sequence(F.lit(1), F.col("_n"))))
             .drop("_n"))
+
+
+def budget_fill(docs: DataFrame, order_cols: list, tokens_col: Column,
+                budget: int, keep_cols: tuple = (),
+                partitions: int | None = None) -> DataFrame:
+    """Quality-ranked token-budget fill: walk the corpus in
+    ``order_cols`` order (best first; caller supplies a TOTAL order)
+    accumulating tokens, and keep every document whose running total
+    stays within ``budget`` — the "take the best docs until N tokens"
+    step of a training-data recipe.
+
+    The running total is a GLOBAL prefix sum, but a bare
+    ``SUM() OVER (ORDER BY ...)`` collapses to one task at scale, so
+    this uses the same distributed total-order shape as
+    retrieval.global_rank: range-repartition on the sort key, local
+    running sum per partition, then add the (partition-count-sized,
+    driver-held) prefix of earlier partitions' token totals.
+
+    Returns doc rows (id ordering columns + keep_cols) with `tokens`
+    and `cum_tokens`; filter semantics: a doc is kept iff its own
+    cumulative total <= budget (greedy prefix, no partial docs).
+    """
+    spark = docs.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    base = docs.select(*order_cols, *keep_cols,
+                       tokens_col.cast("long").alias("tokens"))
+    parts = (base.repartitionByRange(n, *order_cols)
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint())  # freeze pid assignment
+    sizes = {r["_pid"]: r["t"] for r in
+             parts.groupBy("_pid").agg(F.sum("tokens").alias("t"))
+             .collect()}
+    offset = 0
+    offsets = []
+    for pid in sorted(sizes):
+        offsets.append((pid, offset))
+        offset += int(sizes[pid])
+    # explicit schema: offsets may be empty, and inference would widen
+    # _pid (same idiom as retrieval.global_rank)
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
+    w = (W.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (parts.withColumn("_cum_local", F.sum("tokens").over(w))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn("cum_tokens",
+                        (F.col("_cum_local") + F.col("_off")).cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("_pid", "_cum_local", "_off"))

@@ -120,6 +120,50 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_pattern_seq",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(epoch_us(ts), 2) OVER w AS us2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    SELECT user_id, event_id AS start_event_id, us AS start_us,
+           us2 AS end_us, us2 - us AS duration_us
+    FROM o
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND us2 - us <= 86400000000
+    """,
+    description="MATCH_RECOGNIZE-style strict-sequence detection: "
+                "view -> click -> purchase adjacent in a user's event "
+                "stream within 24 hours — per-user lead window, no "
+                "self-joins (the funnel counts stage reach; this emits "
+                "the concrete matched sequences)",
+    tags=("events", "window"),
+)
+def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    t1 = F.lead("event_type", 1).over(w)
+    t2 = F.lead("event_type", 2).over(w)
+    us2 = F.lead("us", 2).over(w)
+    return (ev
+            .select("user_id", "event_id", "event_type", "us",
+                    t1.alias("t1"), t2.alias("t2"), us2.alias("us2"))
+            .filter((F.col("event_type") == "view")
+                    & (F.col("t1") == "click")
+                    & (F.col("t2") == "purchase")
+                    & (F.col("us2") - F.col("us") <= 86_400_000_000))
+            .select("user_id",
+                    F.col("event_id").alias("start_event_id"),
+                    F.col("us").alias("start_us"),
+                    F.col("us2").alias("end_us"),
+                    (F.col("us2") - F.col("us")).alias("duration_us")))
+
+
+@register(
     "events_dedup_ids",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value

@@ -314,6 +314,55 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_budget_fill",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS tokens,
+             CAST(length(text) AS DOUBLE) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents),
+    q AS (
+      SELECT doc_id, tokens,
+             (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.5 END)
+               * 0.2
+               + (alpha / n) * 0.4
+               + (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                 * 0.4 AS quality
+      FROM s),
+    c AS (
+      SELECT doc_id, quality, tokens,
+             CAST(SUM(tokens) OVER (ORDER BY quality DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM q)
+    SELECT doc_id, quality, tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 12000
+    """,
+    description="quality-ranked token-budget fill: take the best docs "
+                "until 12k tokens — the data-recipe selection step, "
+                "built as a distributed prefix sum (range partition + "
+                "per-partition running sum + driver-held offsets), "
+                "never a single-task global window",
+    tags=("text", "curation"),
+)
+def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.curation import budget_fill
+
+    d = load_table(spark, sf_dir, "documents")
+    prep = (d.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("tok"),
+        T.quality_score(F.col("text")).alias("quality"))
+        .withColumn("_nq", -F.col("quality")))
+    out = budget_fill(prep, ["_nq", "doc_id"], F.col("tok"),
+                      budget=12_000, keep_cols=("quality",))
+    return out.select("doc_id", "quality", "tokens", "cum_tokens")
+
+
+@register(
     "text_gopher_rules",
     oracle=r"""
     WITH s AS (
