@@ -109,3 +109,89 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
                 stateStructType=_FUNNEL_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_PAT_STEPS = ("view", "click", "purchase")
+_PAT_OUT = "user_id long, start_us long, end_us long, duration_us long"
+# buffered events awaiting watermark closure (types + event times + ids
+# for a total order on timestamp ties)
+_PAT_STATE = "types array<string>, uss array<long>, ids array<long>"
+_PAT_MAX_GAP_US = 86_400_000_000  # 24h, matches the batch plan
+
+
+def _match_pattern(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct strict-sequence matcher. Buffer the user's
+    events in state; a triple (i, i+1, i+2) is CLOSED once the
+    watermark passes us[i+2] — no late event can land inside it
+    anymore, because any not-yet-arrived event has ts > watermark >=
+    us[i+2]. Emit matches among closed triples only, keep the last two
+    closed events plus everything open, and arm an event-time timeout
+    so the tail flushes when the watermark advances past it even if
+    the user never appears in another batch."""
+    (user_id,) = key
+    types, uss, ids = (list(state.get[0]), list(state.get[1]),
+                       list(state.get[2])) if state.exists else ([], [], [])
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            types.extend(pdf["event_type"])
+            uss.extend(int(u) for u in pdf["us"])
+            ids.extend(int(i) for i in pdf["event_id"])
+    order = sorted(range(len(uss)), key=lambda i: (uss[i], ids[i]))
+    types = [types[i] for i in order]
+    uss = [uss[i] for i in order]
+    ids = [ids[i] for i in order]
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    rows = []
+    # last index whose triple-closing position is within the watermark
+    closed = sum(1 for u in uss if u <= wm_us)
+    for i in range(max(0, closed - 2)):
+        if (types[i] == _PAT_STEPS[0] and types[i + 1] == _PAT_STEPS[1]
+                and types[i + 2] == _PAT_STEPS[2]
+                and uss[i + 2] - uss[i] <= _PAT_MAX_GAP_US):
+            rows.append({"user_id": user_id, "start_us": uss[i],
+                         "end_us": uss[i + 2],
+                         "duration_us": uss[i + 2] - uss[i]})
+    # retain the last two closed events (possible prefix of an open
+    # triple) and every open one
+    keep_from = max(0, closed - 2)
+    types, uss, ids = types[keep_from:], uss[keep_from:], ids[keep_from:]
+    if types:
+        state.update((types, uss, ids))
+        # flush when the watermark passes the newest buffered event;
+        # must stay strictly above the current watermark or Spark
+        # rejects the timestamp (fully-closed leftovers keep a nominal
+        # future timeout and clean up on their next invocation)
+        state.setTimeoutTimestamp(
+            max(max(uss) // 1000, state.getCurrentWatermarkMs()) + 1)
+    else:
+        state.remove()
+    yield pd.DataFrame(rows, columns=["user_id", "start_us", "end_us",
+                                      "duration_us"])
+
+
+def streaming_pattern_seq(events: DataFrame,
+                          delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_pattern_seq: strict
+    view->click->purchase adjacency per user within 24h, detected with
+    buffered arbitrary-stateful processing. Unlike the greedy funnel,
+    this is ORDER-CORRECT under out-of-order arrival: events buffer in
+    state until the event-time watermark closes their triple, so the
+    emitted matches equal the batch plan's on any arrival order (for
+    events inside the watermark). EventTimeTimeout flushes users the
+    stream stops mentioning."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id", "event_type",
+                        F.unix_micros("ts").alias("us"), "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _match_pattern,
+                outputStructType=_PAT_OUT,
+                stateStructType=_PAT_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -279,3 +279,70 @@ def test_incremental_backfill_processes_only_new_files(spark, tmp_path):
     incremental_backfill(spark, src, dest, ckpt)
     got3 = sorted(r["event_id"] for r in spark.read.parquet(dest).collect())
     assert got3 == list(range(15))
+
+
+def test_streaming_pattern_seq_matches_batch(spark):
+    """The buffered watermark-correct matcher must emit EXACTLY the
+    batch plan's matches for triples the final watermark closed. The
+    stream arrives as consecutive TIME RANGES (what a real event feed
+    looks like); a zero-delay watermark then drops nothing and every
+    match except possibly the final-millisecond tail must appear."""
+    from g1_etl_spark.streaming.stateful import streaming_pattern_seq
+
+    tmp = str(TMP) + "_ranges"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from g1_etl_spark.catalog import load_table
+
+    ev0 = load_table(spark, SF_SMOKE, "events").cache()
+    # four consecutive time-range files written SEQUENTIALLY: the file
+    # source orders by modification time, so arrival order = time order
+    # (a real feed's property; random mod-time ties would reintroduce
+    # artificial disorder the watermark is not configured to absorb)
+    import time as _time
+
+    ev0 = ev0.withColumn("_us", F.unix_micros("ts"))
+    qs = ev0.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *[int(q) for q in qs], None]
+    for k in range(4):
+        part = ev0
+        if bounds[k] is not None:
+            part = part.filter(F.col("_us") >= bounds[k])
+        if bounds[k + 1] is not None:
+            part = part.filter(F.col("_us") < bounds[k + 1])
+        part.drop("_us").coalesce(1).write.mode("append").parquet(tmp)
+        _time.sleep(1.1)
+    try:
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_pattern_seq(stream), "t_pat",
+                             output_mode="append")
+        try:
+            got = {(r["user_id"], r["start_us"], r["end_us"])
+                   for r in spark.sql("SELECT * FROM t_pat").collect()}
+        finally:
+            q.stop()
+        ev = spark.read.parquet(tmp).withColumn(
+            "us", F.unix_micros("ts"))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        batch = (ev.select("user_id", "event_type", "us",
+                           F.lead("event_type", 1).over(w).alias("t1"),
+                           F.lead("event_type", 2).over(w).alias("t2"),
+                           F.lead("us", 2).over(w).alias("us2"))
+                 .filter((F.col("event_type") == "view")
+                         & (F.col("t1") == "click")
+                         & (F.col("t2") == "purchase")
+                         & (F.col("us2") - F.col("us")
+                            <= 86_400_000_000)))
+        # watermark is ms-truncated max event time; triples closing in
+        # the final open millisecond may legitimately still be buffered
+        wm_us = (ev.agg(F.max("us")).collect()[0][0] // 1000) * 1000
+        want = {(r["user_id"], r["us"], r["us2"])
+                for r in batch.collect() if r["us2"] < wm_us}
+        assert got >= want, f"missing matches: {want - got}"
+        # and nothing emitted that the batch plan doesn't contain
+        want_all = {(r["user_id"], r["us"], r["us2"])
+                    for r in batch.collect()}
+        assert got <= want_all, f"spurious matches: {got - want_all}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
