@@ -27,9 +27,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship scan->join->agg pipelines, the window/cube
 # surface, and the scale-relevant superset operators. The per-round
-# subsets are PINNED — each round appends, never edits, so totals over
-# R1_SET (and R1_SET+R2_ADD) compare 1:1 across BENCH_r{N}.json without
-# manual set intersection.
+# subsets are PINNED by NAME — each round appends, never edits, so
+# totals over R1_SET (and R1_SET+R2_ADD) compare across BENCH_r{N}.json
+# without manual set intersection. Semantics caveat: sim_lsh_topk
+# gained Hamming-1 multi-probe in round 3 (~5x broadcast-side band rows,
+# different candidate set, recall 0.44 -> 0.98), so its entry measures
+# the improved operator, not the identical plan.
 R1_SET = [
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -251,8 +251,13 @@ def budget_fill(docs: DataFrame, order_cols: list, tokens_col: Column,
     """
     spark = docs.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
+    # NULL token counts become 0 explicitly: the window SUM would skip
+    # them (silently inheriting the previous cumulative total and
+    # passing the budget gate for free), and an all-NULL partition
+    # would return a None partition total below
     base = docs.select(*order_cols, *keep_cols,
-                       tokens_col.cast("long").alias("tokens"))
+                       F.coalesce(tokens_col.cast("long"), F.lit(0))
+                       .alias("tokens"))
     parts = (base.repartitionByRange(n, *order_cols)
              .withColumn("_pid", F.spark_partition_id())
              .localCheckpoint())  # freeze pid assignment

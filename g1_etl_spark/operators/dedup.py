@@ -338,8 +338,11 @@ def minhash_signature_arrow(num_hashes: int = 32, seed: int = 42):
                            count=len(grams))
         flat = np.concatenate([np.asarray(v, dtype=np.int64)
                                for v in grams])
-        hs = np.fmod(np.abs(flat), _P)       # Java abs/% semantics
-        perm = (hs[None, :] * A + B) % _P    # (num_hashes, total_grams)
+        # np.fmod (sign of dividend) == Java % on BOTH modulos: hs can
+        # be negative in the abs(Long.MIN_VALUE) edge, and numpy's %
+        # (sign of divisor) would diverge from the HOF path there
+        hs = np.fmod(np.abs(flat), _P)
+        perm = np.fmod(hs[None, :] * A + B, _P)   # (num_hashes, total)
         offs = np.zeros(len(lens), dtype=np.intp)
         np.cumsum(lens[:-1], out=offs[1:])
         mins = np.minimum.reduceat(perm, offs, axis=1)

@@ -323,7 +323,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(text) AS DOUBLE) AS n,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
              regexp_split_to_array(trim(text), '\s+') AS words
-      FROM documents),
+      FROM documents
+      -- empty/whitespace-only docs excluded in BOTH engines: they
+      -- tokenize to 0 (Spark) vs 1 (DuckDB split) and their quality
+      -- divides by zero differently (NULL vs NaN) — out of scope for
+      -- a budget fill either way
+      WHERE trim(text) <> ''),
     q AS (
       SELECT doc_id, tokens,
              (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.5 END)
@@ -351,7 +356,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.curation import budget_fill
 
-    d = load_table(spark, sf_dir, "documents")
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.trim(F.col("text")) != ""))
     prep = (d.select(
         "doc_id",
         T.whitespace_token_count(F.col("text")).alias("tok"),

@@ -144,8 +144,11 @@ def _match_pattern(key, pdfs: Iterator[pd.DataFrame],
 
     wm_us = state.getCurrentWatermarkMs() * 1000
     rows = []
-    # last index whose triple-closing position is within the watermark
-    closed = sum(1 for u in uss if u <= wm_us)
+    # last index whose triple-closing position the watermark PASSED.
+    # Strictly below: an event with ts exactly at the watermark can
+    # still arrive (only ts < watermark is guaranteed dropped), so a
+    # triple closing at the boundary stays open one more advance.
+    closed = sum(1 for u in uss if u < wm_us)
     for i in range(max(0, closed - 2)):
         if (types[i] == _PAT_STEPS[0] and types[i + 1] == _PAT_STEPS[1]
                 and types[i + 2] == _PAT_STEPS[2]
@@ -159,12 +162,15 @@ def _match_pattern(key, pdfs: Iterator[pd.DataFrame],
     types, uss, ids = types[keep_from:], uss[keep_from:], ids[keep_from:]
     if types:
         state.update((types, uss, ids))
-        # flush when the watermark passes the newest buffered event;
-        # must stay strictly above the current watermark or Spark
-        # rejects the timestamp (fully-closed leftovers keep a nominal
-        # future timeout and clean up on their next invocation)
-        state.setTimeoutTimestamp(
-            max(max(uss) // 1000, state.getCurrentWatermarkMs()) + 1)
+        # arm a flush timeout ONLY while something is still open: a
+        # fully-closed <=2-event leftover can only ever emit when a NEW
+        # event arrives (which re-invokes this function anyway), and
+        # re-arming it at watermark+1 would fire every quiet user's
+        # timer on every subsequent watermark advance — O(users) empty
+        # invocations per micro-batch
+        if any(u >= wm_us for u in uss):
+            state.setTimeoutTimestamp(
+                max(max(uss) // 1000, state.getCurrentWatermarkMs()) + 1)
     else:
         state.remove()
     yield pd.DataFrame(rows, columns=["user_id", "start_us", "end_us",
