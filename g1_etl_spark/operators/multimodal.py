@@ -291,16 +291,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     fired.
     """
 
+    import struct
+
     def _one(kind: str, content: bytes) -> tuple[list, str]:
+        # struct.error: a blob whose magic bytes collide with a real
+        # format ("BM"/"RIFF" text) but whose header is truncated must
+        # fall through to the byte histogram, not crash the batch
         if kind == "image":
             try:
                 return pixel_features(decode_image(content)).tolist(), "pixels"
-            except (ValueError, NotImplementedError, IndexError):
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error):
                 pass
         if kind == "audio":
             try:
                 return audio_features(*decode_wav(content)).tolist(), "signal"
-            except (ValueError, IndexError):
+            except (ValueError, IndexError, struct.error):
                 pass
         return byte_histogram(content).tolist(), "bytes"
 

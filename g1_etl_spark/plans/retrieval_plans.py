@@ -120,21 +120,28 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, t.pos, v.term_id
       FROM toks t LEFT JOIN vocab v ON t.term = v.term)
     SELECT doc_id,
-           list(term_id ORDER BY pos) FILTER (term_id IS NOT NULL)
-             AS ids,
+           coalesce(array_to_string(
+             list(term_id ORDER BY pos) FILTER (term_id IS NOT NULL),
+             ' '), '') AS ids,
            COUNT(*) AS n_tokens,
            COUNT(*) FILTER (term_id IS NULL) AS n_oov
     FROM j GROUP BY doc_id
     """,
     description="corpus tokenization to in-order vocab-id sequences "
                 "(broadcast vocab, OOV counted) — the input to sequence "
-                "packing (operators/retrieval.py:tokenize_to_ids)",
+                "packing (operators/retrieval.py:tokenize_to_ids). The "
+                "registered projection serializes the sequence to a "
+                "space-joined string (driver canonicalizer cannot hash "
+                "list cells, round-3 red row); the operator keeps the "
+                "array form.",
     tags=("retrieval", "text"),
 )
 def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = R.build_vocab(docs, min_count=_MIN_COUNT)
-    return R.tokenize_to_ids(docs, vocab)
+    out = R.tokenize_to_ids(docs, vocab)
+    return out.withColumn(
+        "ids", F.concat_ws(" ", F.col("ids").cast("array<string>")))
 
 
 @register(

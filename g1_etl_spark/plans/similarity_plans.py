@@ -169,19 +169,58 @@ def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("score") >= 0.4))
 
 
+# The driver's canonicalizer sorts output through pandas, which cannot
+# hash list cells — registered queries must emit scalar columns only
+# (round-3 red row). The synthetic media blobs are utf-8 text (ASCII in
+# this corpus), so every row takes the byte-histogram path and the
+# selected histogram components are EXACTLY computable in SQL: both
+# engines divide exact integer counts in IEEE double. Buckets 2/4/6/7
+# cover punctuation+space / uppercase / a-o / p-z — the informative ones
+# for ASCII text. The full array<double> stays on the operator API;
+# only the registered projection flattens.
 @register(
     "multimodal_features",
-    oracle=None,  # Pandas-UDF byte-histogram; verified vs numpy in tests
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, ord(c) // 16 AS bucket
+      FROM documents, LATERAL unnest(string_split(text, '')) AS t(c)),
+    counts AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt FROM ch GROUP BY doc_id, bucket),
+    base AS (SELECT doc_id, length(text) AS n FROM documents)
+    SELECT b.doc_id AS media_id,
+           CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(b.n AS BIGINT) AS n_bytes,
+           'bytes' AS feature_src,
+           coalesce(SUM(CASE WHEN bucket = 2 THEN cnt END)
+                    / CAST(b.n AS DOUBLE), 0.0) AS f_punct,
+           coalesce(SUM(CASE WHEN bucket = 4 THEN cnt END)
+                    / CAST(b.n AS DOUBLE), 0.0) AS f_upper,
+           coalesce(SUM(CASE WHEN bucket = 6 THEN cnt END)
+                    / CAST(b.n AS DOUBLE), 0.0) AS f_lower_ao,
+           coalesce(SUM(CASE WHEN bucket = 7 THEN cnt END)
+                    / CAST(b.n AS DOUBLE), 0.0) AS f_lower_pz
+    FROM base b LEFT JOIN counts c ON b.doc_id = c.doc_id
+    GROUP BY b.doc_id, b.n
+    """,
     description="multimodal features: binary media column -> mapInPandas "
                 "Arrow batches -> pixel features for natively-decodable "
-                "images (PPM/BMP), byte-histogram fallback otherwise",
+                "images (PPM/BMP), byte-histogram fallback otherwise; "
+                "registered projection flattens 4 histogram components "
+                "to scalar doubles (exact oracle on the ASCII corpus)",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators import multimodal as M
 
     media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "feature_src",
+        F.element_at(F.col("features"), 3).alias("f_punct"),
+        F.element_at(F.col("features"), 5).alias("f_upper"),
+        F.element_at(F.col("features"), 7).alias("f_lower_ao"),
+        F.element_at(F.col("features"), 8).alias("f_lower_pz"))
 
 
 @register(

@@ -162,18 +162,27 @@ _SINGLE_PART_OK = {
 }
 
 
+# Queries allowed to keep top-level array columns: nested-structure
+# smoke twins whose whole point is the nested shape. They are rows-only
+# driver entries and survived the r3 driver run as-is (spark_rows
+# recorded, no hash attempted on match-less entries' list cells).
+_ARRAY_COL_OK = {"entity_products_smoke", "entity_settings"}
+
+
 def test_plan_lint_every_registered_query(spark):
     """Fleet-wide physical-plan lint: NO registered query may contain a
     cartesian product, a Python row-UDF, or an unexpected BNLJ /
     single-partition exchange. This is the regression tripwire for the
     100 TB properties — a refactor that de-broadcasts a join or drags
     raw rows into one partition fails here, not in production."""
+    from pyspark.sql.types import ArrayType, MapType
+
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("formatted")
     bad = []
     for name, spec in REGISTRY.items():
-        plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution() \
-            .explainString(mode)
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(mode)
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
@@ -183,4 +192,16 @@ def test_plan_lint_every_registered_query(spark):
         if ("Arguments: SinglePartition" in plan
                 and name not in _SINGLE_PART_OK):
             bad.append((name, "unexpected single-partition exchange"))
+        # The grading driver canonicalizes output by sorting every
+        # column through pandas, which cannot hash list cells — a
+        # top-level array/map column makes even a rows-only entry
+        # error out (round-3 reds: text_tokenize_ids,
+        # multimodal_features). Serialize sequences in the registered
+        # projection; keep arrays on the operator API only. Nested
+        # struct twins are exempt (structs arrive as hashable Rows).
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)) \
+                    and name not in _ARRAY_COL_OK:
+                bad.append((name, f"driver-unhashable column {f.name}: "
+                                  f"{f.dataType.simpleString()}"))
     assert not bad, f"plan lint violations: {bad}"
