@@ -66,6 +66,11 @@ R3_ADD = [
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD
 
+# Pinned-name entries whose operator semantics changed in a later round
+# (emitted in the JSON so subset totals aren't silently compared
+# apples-to-oranges; see the r1 caveat above).
+SEMANTICS_CHANGED = {"sim_lsh_topk"}
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -123,6 +128,18 @@ def main() -> None:
             sum(per_query[n] for n in R1_SET), 3),
         "r1r2_common_total_sec": round(
             sum(per_query[n] for n in R1_SET + R2_ADD), 3),
+        # queries whose operator semantics changed after their subset
+        # was pinned — their entries measure the CURRENT operator, not
+        # the round-1 plan (sim_lsh_topk: Hamming-1 multi-probe since
+        # r3, recall 0.44 -> 0.98). The *_stable twins exclude them so
+        # a like-for-like total is always available.
+        "semantics_changed": sorted(SEMANTICS_CHANGED),
+        "r1_common_stable_total_sec": round(
+            sum(per_query[n] for n in R1_SET
+                if n not in SEMANTICS_CHANGED), 3),
+        "r1r2_common_stable_total_sec": round(
+            sum(per_query[n] for n in R1_SET + R2_ADD
+                if n not in SEMANTICS_CHANGED), 3),
     }))
 
 

@@ -25,10 +25,23 @@ from __future__ import annotations
 
 import random
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+# The Arrow signature path is an optional fast path; every dedup
+# operator must keep working (impl="hof") without the pandas stack.
+# pyarrow is probed too: pandas_udf fails only at EXECUTION time when
+# Arrow is missing, which would turn a soft dependency into a runtime
+# surprise.
+try:  # pragma: no cover - env-dependent
+    import numpy as np
+    import pandas as pd
+    import pyarrow  # noqa: F401
+    _ARROW_OK = True
+except ImportError:  # pragma: no cover - env-dependent
+    np = None  # type: ignore[assignment]
+    pd = None  # type: ignore[assignment]
+    _ARROW_OK = False
 
 # 31-bit Mersenne prime — (a*h+b) % P universal hashing on xxhash64 values
 # reduced into [0, P). 31 bits keeps a*h < 2^62, inside int64 (ANSI mode
@@ -372,6 +385,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     CollapseProject re-inlining (HOFs get no CSE).
     """
     rows = num_hashes // bands
+    if impl == "arrow" and not _ARROW_OK:
+        impl = "hof"  # automatic dependency-free fallback
     # Grams are xxhash64 longs (gram_hashes_from_words) — shingle
     # strings are never materialized here.
     hashed = _gram_hashes_projected(df, text_col, id_col, n)

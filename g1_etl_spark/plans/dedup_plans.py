@@ -198,8 +198,13 @@ def dedup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(threshold 0.5) left-joined against the LSH candidate "
                 "pairs; the oracle expects found_by_lsh TRUE for all "
                 "rows, so any banding/signature regression that loses a "
-                "pair turns this row red (32x8 banding: P[candidate] > "
-                "0.98 at s=0.5, verified exhaustive on this corpus)",
+                "pair turns this row red. Margin: 8 bands of 4 rows "
+                "give P[candidate] = 1-(1-s^4)^8 — only ~0.40 at "
+                "s=0.5, but every exact pair on this corpus has "
+                "jaccard >= 0.8, where P[miss] <= (1-0.8^4)^8 ~= 1.5% "
+                "per pair (0 missed observed at sf0.01/sf0.1); "
+                "re-evaluate the bound if the corpus gains genuine "
+                "jaccard~0.5 pairs",
     tags=("dedup", "contract"),
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

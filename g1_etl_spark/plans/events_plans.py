@@ -602,20 +602,50 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+# Contract row: the HLL estimate is engine-specific, but the bucket
+# keys, the fine-bucket counts, the EXACT weekly distinct count, and
+# the estimate's error bound are all checkable. lgConfigK=12 gives
+# ~1.6% relative error; the contract allows max(2, 5%) — the same
+# margin tests/test_temporal.py pins. DuckDB's time_bucket with an
+# explicit 1970-01-01 origin matches Spark's epoch-aligned week
+# windows (both land Thursday-aligned 7-day buckets).
 @register(
     "events_hll_rollup",
-    oracle=None,  # HLL estimates are engine-specific; accuracy vs the
-    # exact distinct count is asserted in tests/test_temporal.py
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01')
+             AS window_start,
+           CAST(COUNT(DISTINCT time_bucket(INTERVAL '1 day', ts))
+                AS BIGINT) AS n_fine_buckets,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS err_ok
+    FROM events GROUP BY event_type, window_start
+    """,
     description="mergeable HLL sketches: daily per-type user sketches "
                 "merged to weekly estimates without rescanning raw "
-                "events — the 100 TB distinct-count rollup pattern",
-    tags=("events", "sketch"),
+                "events — the 100 TB distinct-count rollup pattern; "
+                "registered with the exact weekly distinct joined in "
+                "and err_ok = |estimate - exact| <= max(2, 5% exact)",
+    tags=("events", "sketch", "contract"),
 )
 def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.temporal import hll_sketch_rollup
 
     ev = load_table(spark, sf_dir, "events")
-    return hll_sketch_rollup(ev)
+    roll = hll_sketch_rollup(ev)
+    exact = (ev.groupBy("event_type",
+                        F.window(F.date_trunc("day", "ts"),
+                                 "1 week").alias("_w"))
+             .agg(F.countDistinct("user_id").alias("exact_users"))
+             .select("event_type", F.col("_w.start").alias("window_start"),
+                     "exact_users"))
+    return (roll.join(exact, ["event_type", "window_start"])
+            .select("event_type", "window_start", "n_fine_buckets",
+                    "exact_users",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= F.greatest(F.lit(2.0),
+                                   F.col("exact_users") * 0.05))
+                    .alias("err_ok")))
 
 
 @register(

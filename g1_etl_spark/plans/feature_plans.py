@@ -1,6 +1,7 @@
 """Driver-facing feature-engineering queries with exact DuckDB oracles,
-plus the k-means cluster-assignment query (iterative — rows-only check,
-like the driver's other non-SQL-expressible entries)."""
+plus the k-means cluster-assignment query, registered as a
+nearest-centroid contract row (the Lloyd iteration itself has no SQL
+twin, but the assignment invariant is oracle-checkable)."""
 
 from __future__ import annotations
 
@@ -97,25 +98,66 @@ def feat_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_bins=_BINS)
 
 
+# Contract row: Lloyd iteration has no SQL twin, but the assignment
+# INVARIANT does — every vector's assigned cluster must score at least
+# as high as every other cluster against the final centroids. The
+# re-check runs through a second, independent implementation (JVM
+# expression dot products over exploded centroid literals) of the
+# Arrow-matmul assignment, so a drift between the two paths (wrong
+# centroid broadcast, normalization bug, argmax tie handling) turns
+# the row red. Tolerance 1e-9 absorbs matmul-vs-sequential float
+# reassociation on genuine near-ties.
 @register(
     "sim_kmeans_clusters",
-    oracle=None,  # iterative Lloyd refinement — no single SQL equivalent;
-    # determinism + convergence asserted in tests/test_features.py
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_nearest_ok,
+           TRUE AS all_nearest
+    FROM embeddings
+    """,
     description="k-means cluster assignment over embeddings: "
                 "deterministic hash-seeded centroids, distributed Lloyd "
-                "steps (Arrow matmul assign + per-component mean), "
-                "cells sized by one groupBy "
-                "(operators/similarity.py:train_ivf_centroids)",
-    tags=("similarity", "clustering"),
+                "steps (Arrow matmul assign + per-component mean); "
+                "registered as the nearest-centroid contract — JVM "
+                "re-scoring must agree with the Arrow assignment for "
+                "every vector",
+    tags=("similarity", "clustering", "contract"),
 )
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from g1_etl_spark.operators.similarity import (_assign_cells,
+    from g1_etl_spark.operators.similarity import (_assign_cells, dot,
                                                    train_ivf_centroids)
+
+    import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_cells=8, iters=4)
-    return (emb.select(
-        "vec_id",
+    assigned = emb.select(
+        "vec_id", "embedding",
         _assign_cells(1, cents)(F.col("embedding"))[0].alias("cluster"))
-        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"),
-                                F.min("vec_id").alias("min_member")))
+    # assignment is argmax over COSINE — both sides normalized. The
+    # per-row vector normalization is a positive row-constant (argmax-
+    # invariant), but the per-CELL centroid normalization is not, so
+    # the literals must carry the same unit centroids _assign_cells
+    # uses. 8x row explode, zero joins/exchanges on the re-check path.
+    unit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cent_lit = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in unit[i]])
+                 .alias("cvec"))
+        for i in range(len(unit))])
+    pairs = assigned.select(
+        "vec_id", "cluster", F.explode(cent_lit).alias("c"),
+        "embedding")
+    scored = pairs.select(
+        "vec_id", "cluster", F.col("c.cell").alias("cell"),
+        dot(F.col("embedding"), F.col("c.cvec")).alias("s"))
+    per_vec = (scored.groupBy("vec_id", "cluster")
+               .agg(F.max("s").alias("best"),
+                    F.max(F.when(F.col("cell") == F.col("cluster"),
+                                 F.col("s"))).alias("mine")))
+    flags = per_vec.select(
+        (F.col("mine") >= F.col("best") - F.lit(1e-9)).alias("ok"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("ok").cast("long")).alias("n_nearest_ok"),
+        F.min("ok").alias("all_nearest"))

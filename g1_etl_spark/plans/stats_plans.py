@@ -121,21 +121,43 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_totalprice").alias("hi")))
 
 
+# Contract row: the sketch value itself is engine-specific, but its
+# ERROR BOUND is checkable. percentile_approx(accuracy=1e4) guarantees
+# rank error <= 1e-4; the contract brackets the approx value between
+# the exact interpolated quantiles at p +/- 0.001 (10x the guaranteed
+# rank error, so value-level monotonicity absorbs interpolation) and
+# ships the booleans to the driver — a sketch regression breaking the
+# GK guarantee turns the row red.
 @register(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based: bounded-error vs exact asserted in tests
+    oracle="""
+    SELECT DISTINCT l_returnflag, TRUE AS median_ok, TRUE AS p90_ok
+    FROM lineitem
+    """,
     description="approximate percentiles (GK sketch, accuracy 1e4): "
                 "mergeable one-pass summaries — the 100 TB path where "
-                "exact percentile's full sort/collect is off the table",
-    tags=("agg", "stats", "sketch"),
+                "exact percentile's full sort/collect is off the table; "
+                "registered as an error-bound contract vs the exact "
+                "quantiles at p +/- 0.001",
+    tags=("agg", "stats", "sketch", "contract"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.percentile_approx("l_quantity", 0.5, 10_000)
-                 .alias("median_qty"),
-                 F.percentile_approx("l_extendedprice", 0.9, 10_000)
-                 .alias("p90_price")))
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.percentile_approx("l_quantity", 0.5, 10_000)
+                .alias("median_qty"),
+                F.percentile_approx("l_extendedprice", 0.9, 10_000)
+                .alias("p90_price"),
+                F.expr("percentile(l_quantity, 0.499)").alias("_q_lo"),
+                F.expr("percentile(l_quantity, 0.501)").alias("_q_hi"),
+                F.expr("percentile(l_extendedprice, 0.899)").alias("_p_lo"),
+                F.expr("percentile(l_extendedprice, 0.901)").alias("_p_hi")))
+    return agg.select(
+        "l_returnflag",
+        ((F.col("median_qty") >= F.col("_q_lo"))
+         & (F.col("median_qty") <= F.col("_q_hi"))).alias("median_ok"),
+        ((F.col("p90_price") >= F.col("_p_lo"))
+         & (F.col("p90_price") <= F.col("_p_hi"))).alias("p90_ok"))
 
 
 @register(

@@ -159,6 +159,8 @@ _SINGLE_PART_OK = {
     "q14_promo_revenue", "q19_discounted_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_global_sales_opportunity",
     "scalar_subquery", "dq_key_skew",
+    # one-row global contract aggregate over per-partition partials
+    "sim_kmeans_clusters",
 }
 
 
