@@ -111,10 +111,17 @@ def main() -> None:
         if os.path.isdir(warm_dir):
             _force(fn(spark, warm_dir))
             _drop_cached(spark)
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        _drop_cached(spark)
+        # best-of-2: single-shot timings at sub-second scale carry
+        # multi-second GC/scheduler noise in a 32-thread local JVM
+        # (observed: the same plan 0.8 s and 9.4 s back-to-back); the
+        # min of two runs is the steady-state number the plan earns
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+            _drop_cached(spark)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

@@ -77,6 +77,15 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     column, explode_outer (docs with no gram survive), broadcast left
     join against the benchmark set, count hits per doc. The corpus is
     never shuffled on gram and the gram transform runs once per doc.
+    The doc-level repartition before the gram transform serves two
+    purposes: it spreads the (expensive) per-doc n-gram computation
+    across all cores even when the upstream scan has few splits (a
+    single small parquet file scans as ONE task — measured 3.7 s vs
+    0.8 s at sf0.1), and because it hash-partitions on the doc id, the
+    per-doc groupBy after the explode reuses the partitioning — zero
+    further exchanges. At cluster scale the exchange cost is one pass
+    over the corpus; drop it only if the scan already has enough
+    splits AND the source is bucketed by the id.
     """
     spread = corpus.sparkSession.sparkContext.defaultParallelism
     grams = word_ngram_hashes(F.col(text_col), n)
