@@ -603,8 +603,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     description="TPC-H Q8 shape: national market share — 8-table join "
-                "(every dimension broadcast; lineitem never shuffles for "
-                "them), per-year share of one supplier nation's revenue",
+                "(tiny dims broadcast; customer/supplier dim-reduced and "
+                "key-pruned, join strategy left to AQE since both are "
+                "fact-sized at scale), per-year supplier-nation share",
     tags=("join", "agg", "flagship"),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,6 +628,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     share_vol = F.when(F.col("supp_nation") == "NATION_3", vol) \
         .otherwise(F.lit(0.0))
+    # customer and supplier are FACT-sized at cluster scale (sf x 150k /
+    # sf x 10k rows), so they are never explicitly broadcast: each is
+    # first reduced against its genuinely tiny dim (region-filtered
+    # nations / nation names, both broadcast) and pruned to the join key
+    # (+ carried name), then joined with no hint — AQE picks broadcast
+    # while the reduced side fits and falls back to a shuffle join at
+    # scale instead of OOMing the driver on a forced broadcast.
+    cust_amer = (c.join(F.broadcast(amer),
+                        c.c_nationkey == F.col("cn_key"))
+                 .select("c_custkey"))
+    supp_n = (s.join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+              .select("s_suppkey", "supp_nation"))
     joined = (
         li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
                 li.l_partkey == p.p_partkey)
@@ -634,10 +647,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
             & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))),
             li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(amer), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust_amer, o.o_custkey == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
     )
     grouped = (joined
                .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
