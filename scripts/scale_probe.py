@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
-"""10x scale probe for the dedup/text family: replicate the sf0.1
-documents corpus 10-fold with copy-disjoint vocabularies (every token
-prefixed with its copy index — identical WITHIN-copy duplicate
-structure, zero cross-copy gram overlap), then time each query at 1x vs
-10x. Sub-linear-to-linear ratios mean no hidden quadratic stage or
-shuffle cliff; anything well above 10x is a scale bug.
+"""10x scale probe: replicate a table 10-fold with structure-preserving,
+copy-disjoint transforms, then time each registered query at 1x vs 10x.
+Sub-linear-to-linear ratios mean no hidden quadratic stage or shuffle
+cliff; anything well above 10x is a scale bug (or 10x more OUTPUT — the
+probe prints both so the two are never conflated).
 
-Measured on local[32] (2026-08-13, round 3):
+Family builders (each preserves WITHIN-copy structure exactly and makes
+cross-copy interaction vanish, so the honest expectation is ~10x work):
+
+- documents: every token prefixed with its copy index — identical
+  within-copy duplicate structure, zero cross-copy gram overlap.
+- embeddings: per-copy deterministic +/-1 sign mask applied
+  component-wise (a diagonal orthogonal matrix: within-copy cosines are
+  preserved bit-for-bit, cross-copy cosines become sign-scrambled
+  noise); vec_id and label offset per copy.
+- events: event_id/user_id offset per copy — 10x disjoint users with
+  identical per-user timelines; timestamps unchanged, so time-window
+  aggregates see 10x density and per-key state sees 10x keys.
+
+Measured on local[32] (2026-08-13 r3 documents; 2026-08-14 r4 the rest):
 
     dedup_exact            1x= 0.52s  10x= 1.08s  ratio= 2.1
     dedup_ngram_jaccard    1x= 4.19s  10x= 7.25s  ratio= 1.7
@@ -17,19 +29,35 @@ Measured on local[32] (2026-08-13, round 3):
     text_quality_stats     1x= 0.54s  10x= 3.92s  ratio= 7.2
     corpus_shuffle_shards  1x= 0.23s  10x= 0.29s  ratio= 1.3
 
-Embeddings family (10x corpus built from per-copy sign masks —
-within-copy cosines preserved exactly):
+    == embeddings x10 ==          (rows out 1x -> 10x)
+    sim_brute_force_topk   1x= 0.87s  10x=  1.48s  ratio= 1.7  50 -> 50
+    sim_lsh_topk           1x= 1.55s  10x=  2.06s  ratio= 1.3  50 -> 50
+    sim_ivf_topk           1x= 2.88s  10x= 10.12s  ratio= 3.5  50 -> 50
+    sim_label_centroid     1x= 0.25s  10x=  0.26s  ratio= 1.0  40 -> 400
+    == events x10 ==
+    events_sessionization  1x= 0.48s  10x=  1.08s  ratio= 2.3  10x rows
+    events_tumbling_window 1x= 0.43s  10x=  0.62s  ratio= 1.4
+    events_sliding_window  1x= 0.41s  10x=  0.50s  ratio= 1.2
+    events_asof_join       1x= 0.28s  10x=  0.27s  ratio= 1.0  10x rows
+    events_range_join      1x= 0.31s  10x=  0.41s  ratio= 1.3  10x rows
+    events_hypertable_roll 1x= 2.63s  10x=  1.21s  ratio= 0.5
+    events_funnel          1x= 0.50s  10x=  0.67s  ratio= 1.3  10x rows
+    events_transition_mat  1x= 0.42s  10x=  0.67s  ratio= 1.6
+    events_cohort_retent   1x= 0.42s  10x=  0.55s  ratio= 1.3
+    events_rate_anomaly    1x= 0.62s  10x=  0.94s  ratio= 1.5
+    events_pattern_seq     1x= 0.69s  10x=  1.89s  ratio= 2.8  10x rows
+    events_hll_rollup      1x= 0.75s  10x=  2.61s  ratio= 3.5
+    events_dedup_ids       1x= 0.36s  10x=  0.63s  ratio= 1.7  10x rows
+    events_scd2_intervals  1x= 0.35s  10x=  0.53s  ratio= 1.5  10x rows
 
-    lsh_topk (multi-probe)   1x= 1.15s  10x=   1.59s  ratio=  1.4
-    cosine_neardup (mp=1)    1x= 3.41s  10x= 253.06s  ratio= 74.1
-      -> NOT an engine cliff: the OUTPUT grew 106x (882 -> 93,436
-         pairs). At dim=64 random-pair cosine sigma ~ 0.125, so the
-         0.4 threshold is ~3.2 sigma and the O(N^2) random tail
-         dominates as the corpus grows — runtime per output pair is
-         sub-linear. See the threshold-vs-dimension caveat on
-         cosine_neardup_pairs.
+No super-linear query in either family: the worst ratios (ivf 3.5 —
+kmeans assignment scans 10x vectors per iteration; hll 3.5 — 10x
+distinct users per sketch) are well under the 10x data growth.
+(The cosine_neardup 74x output-growth caveat from r3 is recorded on
+sim_cosine_neardup_exact's docstring — at dim=64 a 0.4 threshold is
+~3.2 sigma, so the O(N^2) random tail dominates output as N grows.)
 
-Usage: python scripts/scale_probe.py [copies]
+Usage: python scripts/scale_probe.py [copies] [family ...]
 """
 
 from __future__ import annotations
@@ -40,23 +68,33 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.1/documents.parquet"
+SRC_SF = "/root/testdata/sf0.1"
 BASE = "/tmp/scale_probe"
-QUERIES = [
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_span_census", "dedup_span_flags",
-    "text_quality_stats", "corpus_shuffle_shards",
-]
+
+FAMILIES = {
+    "documents": [
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_span_census", "dedup_span_flags",
+        "text_quality_stats", "corpus_shuffle_shards",
+    ],
+    "embeddings": [
+        "sim_brute_force_topk", "sim_lsh_topk", "sim_ivf_topk",
+        "sim_label_centroid",
+    ],
+    "events": [
+        "events_sessionization", "events_tumbling_window",
+        "events_sliding_window", "events_asof_join", "events_range_join",
+        "events_hypertable_rollup", "events_funnel",
+        "events_transition_matrix", "events_cohort_retention",
+        "events_rate_anomaly", "events_pattern_seq", "events_hll_rollup",
+        "events_dedup_ids", "events_scd2_intervals",
+    ],
+}
 
 
-def build(copies: int) -> tuple[str, str]:
-    import duckdb
-
-    one, many = f"{BASE}/x1", f"{BASE}/x{copies}"
-    os.makedirs(one, exist_ok=True)
-    os.makedirs(many, exist_ok=True)
-    con = duckdb.connect()
-    con.execute(f"COPY (SELECT * FROM read_parquet('{SRC}')) "
+def build_documents(con, copies: int, one: str, many: str) -> None:
+    src = f"{SRC_SF}/documents.parquet"
+    con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) "
                 f"TO '{one}/documents.parquet' (FORMAT parquet)")
     con.execute(f"""
     COPY (
@@ -67,38 +105,84 @@ def build(copies: int) -> tuple[str, str]:
              lang, source,
              length(array_to_string(list_transform(string_split(text, ' '),
                                     w -> 'k' || k || w), ' ')) AS n_chars
-      FROM read_parquet('{SRC}'),
+      FROM read_parquet('{src}'),
            (SELECT unnest(range({copies})) AS k)
     ) TO '{many}/documents.parquet' (FORMAT parquet)
     """)
-    return one, many
+
+
+def build_events(con, copies: int, one: str, many: str) -> None:
+    src = f"{SRC_SF}/events.parquet"
+    con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) "
+                f"TO '{one}/events.parquet' (FORMAT parquet)")
+    con.execute(f"""
+    COPY (
+      SELECT event_id + k * 1000000000 AS event_id, ts,
+             user_id + k * 100000000 AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}'),
+           (SELECT unnest(range({copies})) AS k)
+    ) TO '{many}/events.parquet' (FORMAT parquet)
+    """)
+
+
+def build_embeddings(spark, copies: int, one: str, many: str) -> None:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(f"{one}/embeddings.parquet")
+    ks = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
+    sign = lambda x, i: (  # noqa: E731 — +/-1 from (copy, component)
+        x * F.when(F.pmod(F.xxhash64(F.col("k") * 67 + i), 2) == 0,
+                   F.lit(1.0)).otherwise(F.lit(-1.0))).cast("float")
+    (emb.select("*", ks)
+        .select((F.col("vec_id") + F.col("k") * 10_000_000).alias("vec_id"),
+                F.transform("embedding", sign).alias("embedding"),
+                (F.col("label") + F.col("k") * 1000).cast("int")
+                .alias("label"))
+        .write.mode("overwrite").parquet(f"{many}/embeddings.parquet"))
 
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    one, many = build(copies)
+    families = sys.argv[2:] or list(FAMILIES)
+
+    import duckdb
 
     from g1_etl_spark.plans import REGISTRY
     from g1_etl_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
 
-    def run(name: str, sf_dir: str) -> float:
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        fn = REGISTRY[name].fn
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
+        out_rows = fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
         for r in spark.sparkContext._jsc.getPersistentRDDs().values():
             r.unpersist()
-        return dt
+        return dt, out_rows
 
-    for q in QUERIES:
-        run(q, one)  # absorb plan/codegen warmup
-        t1, tn = run(q, one), run(q, many)
-        print(f"{q:24s} 1x={t1:6.2f}s  {copies}x={tn:7.2f}s  "
-              f"ratio={tn / t1:5.1f}")
+    for fam in families:
+        one, many = f"{BASE}/{fam}_x1", f"{BASE}/{fam}_x{copies}"
+        os.makedirs(one, exist_ok=True)
+        os.makedirs(many, exist_ok=True)
+        if fam == "embeddings":
+            build_embeddings(spark, copies, one, many)
+        elif fam == "documents":
+            build_documents(con, copies, one, many)
+        else:
+            build_events(con, copies, one, many)
+        print(f"== {fam} x{copies} ==")
+        for q in FAMILIES[fam]:
+            run(q, one)  # absorb plan/codegen warmup
+            (t1, r1), (tn, rn) = run(q, one), run(q, many)
+            print(f"{q:26s} 1x={t1:6.2f}s  {copies}x={tn:7.2f}s  "
+                  f"ratio={tn / t1:5.1f}  rows {r1} -> {rn} "
+                  f"({rn / max(r1, 1):.1f}x)", flush=True)
 
 
 if __name__ == "__main__":
