@@ -162,19 +162,177 @@ def _match_pattern(key, pdfs: Iterator[pd.DataFrame],
     types, uss, ids = types[keep_from:], uss[keep_from:], ids[keep_from:]
     if types:
         state.update((types, uss, ids))
-        # arm a flush timeout ONLY while something is still open: a
+        # arm a flush timeout ONLY while something is still open (a
         # fully-closed <=2-event leftover can only ever emit when a NEW
-        # event arrives (which re-invokes this function anyway), and
-        # re-arming it at watermark+1 would fire every quiet user's
-        # timer on every subsequent watermark advance — O(users) empty
-        # invocations per micro-batch
-        if any(u >= wm_us for u in uss):
+        # event arrives, which re-invokes this function anyway), and arm
+        # it at the EARLIEST open event: the next watermark advance past
+        # it seals new positions, so each firing does real emission work
+        # and the tail drains progressively. An arm at max(uss) can
+        # exceed the final watermark and strand the last user's
+        # sealed-but-unemitted matches forever.
+        open_us = [u for u in uss if u >= wm_us]
+        if open_us:
             state.setTimeoutTimestamp(
-                max(max(uss) // 1000, state.getCurrentWatermarkMs()) + 1)
+                max(min(open_us) // 1000,
+                    state.getCurrentWatermarkMs()) + 1)
     else:
         state.remove()
     yield pd.DataFrame(rows, columns=["user_id", "start_us", "end_us",
                                       "duration_us"])
+
+
+_TRANS_OUT = "user_id long, from_type string, to_type string, n long"
+_TRANS_STATE = "types array<string>, uss array<long>, ids array<long>"
+
+
+def _emit_transitions(key, pdfs: Iterator[pd.DataFrame],
+                      state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct bigram counter (the pairs version of
+    _match_pattern): buffer the user's events; the adjacent pair
+    (i, i+1) is CLOSED once the watermark passes us[i+1] — no late
+    event can land between them anymore. Emit each closed pair's
+    (from, to) delta exactly once, trim everything before the last
+    closed event (it may still pair with a future arrival), and arm an
+    event-time timeout so the tail flushes on quiet users."""
+    (user_id,) = key
+    types, uss, ids = (list(state.get[0]), list(state.get[1]),
+                       list(state.get[2])) if state.exists else ([], [], [])
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            types.extend(pdf["event_type"])
+            uss.extend(int(u) for u in pdf["us"])
+            ids.extend(int(i) for i in pdf["event_id"])
+    order = sorted(range(len(uss)), key=lambda i: (uss[i], ids[i]))
+    types = [types[i] for i in order]
+    uss = [uss[i] for i in order]
+    ids = [ids[i] for i in order]
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    # ts == watermark can still arrive; only ts < watermark is sealed
+    closed = sum(1 for u in uss if u < wm_us)
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    for i in range(max(0, closed - 1)):
+        pairs[(types[i], types[i + 1])] += 1
+    rows = [{"user_id": user_id, "from_type": f, "to_type": t, "n": n}
+            for (f, t), n in sorted(pairs.items())]
+    keep_from = max(0, closed - 1)
+    types, uss, ids = types[keep_from:], uss[keep_from:], ids[keep_from:]
+    if types:
+        state.update((types, uss, ids))
+        open_us = [u for u in uss if u >= wm_us]
+        if open_us:
+            # arm at the EARLIEST open event: the next watermark advance
+            # past it seals at least one new pair, so each firing does
+            # real emission work and the tail drains progressively (an
+            # arm at max(uss) can exceed the final watermark and strand
+            # the last user's sealed-but-unemitted pairs forever)
+            state.setTimeoutTimestamp(
+                max(min(open_us) // 1000,
+                    state.getCurrentWatermarkMs()) + 1)
+    else:
+        state.remove()
+    yield pd.DataFrame(rows, columns=["user_id", "from_type", "to_type",
+                                      "n"])
+
+
+def streaming_transition_matrix(events: DataFrame,
+                                delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_transition_matrix: per-user
+    (event, next event) bigram DELTAS, watermark-correct under
+    out-of-order arrival (pairs seal when the watermark passes the
+    second element, exactly mirroring LEAD over the total order).
+
+    Emits deltas rather than the folded matrix because Spark allows one
+    arbitrary-stateful operator per query: the consumer folds them with
+    SUM(n) GROUP BY (from_type, to_type) — in deployment a foreachBatch
+    MERGE into the matrix table, in tests a sum over the memory sink.
+    Delta rows are tiny (bounded by |types|^2 per user per batch), so
+    the downstream fold touches no raw events — the same
+    sketch-then-merge economics as the HLL rollup."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id", "event_type",
+                        F.unix_micros("ts").alias("us"), "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _emit_transitions,
+                outputStructType=_TRANS_OUT,
+                stateStructType=_TRANS_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+_COHORT_OUT = ("user_id long, cohort_week_us long, act_week_us long, "
+               "week_offset long, emit_seq long")
+_COHORT_STATE = "cohort_us long, act_weeks array<long>, seq long"
+
+
+def _update_cohort(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user cohort state: first-seen epoch-aligned week + the set
+    of distinct activity weeks (bounded by the observation span in
+    weeks, not event volume). Emits (cohort_week, act_week, offset)
+    rows for NEW activity weeks; if a late-arriving earlier event moves
+    the user's cohort week, every week is re-emitted under the
+    corrected cohort with a higher emit_seq — consumers keep each
+    user's rows at max emit_seq's cohort (latest-correction-wins)."""
+    (user_id,) = key
+    cohort, weeks, seq = ((state.get[0], list(state.get[1]), state.get[2])
+                          if state.exists else (None, [], 0))
+    new_min = None
+    batch_weeks: set[int] = set()
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        mn = int(pdf["us"].min())
+        new_min = mn if new_min is None else min(new_min, mn)
+        batch_weeks.update(int(u) // _WEEK_US * _WEEK_US
+                           for u in pdf["us"])
+    old_cohort = cohort
+    if new_min is not None:
+        c_week = new_min // _WEEK_US * _WEEK_US
+        cohort = c_week if cohort is None else min(cohort, c_week)
+    fresh = sorted(batch_weeks - set(weeks))
+    weeks = sorted(set(weeks) | batch_weeks)
+    seq += 1
+    emit = weeks if cohort != old_cohort else fresh
+    rows = [{"user_id": user_id, "cohort_week_us": cohort,
+             "act_week_us": w, "week_offset": (w - cohort) // _WEEK_US,
+             "emit_seq": seq} for w in emit]
+    state.update((cohort, weeks, seq))
+    yield pd.DataFrame(rows, columns=["user_id", "cohort_week_us",
+                                      "act_week_us", "week_offset",
+                                      "emit_seq"])
+
+
+def streaming_cohort_retention(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch events_cohort_retention: per-user
+    (cohort week, activity week) pairs maintained incrementally. The
+    consumer folds COUNT(DISTINCT user) by (cohort_week, offset) —
+    deployment: foreachBatch MERGE; tests: SQL over the memory sink.
+
+    Correctness contract mirrors streaming_funnel's: on in-order
+    streams the folded output equals the batch plan exactly; under
+    out-of-order arrival a cohort-moving late event triggers a full
+    re-emit with a higher emit_seq, so latest-correction-wins consumers
+    converge to the batch answer for all events inside the watermark."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select("user_id", F.unix_micros("ts").alias("us"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_cohort,
+                outputStructType=_COHORT_OUT,
+                stateStructType=_COHORT_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
 
 
 def streaming_pattern_seq(events: DataFrame,

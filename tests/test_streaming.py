@@ -346,3 +346,135 @@ def test_streaming_pattern_seq_matches_batch(spark):
         assert got <= want_all, f"spurious matches: {got - want_all}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _time_range_files(spark, tmp: str, n_parts: int = 4):
+    """Write events as consecutive time-range files (sequentially, so
+    the file source's mod-time order = time order — a real feed)."""
+    import time as _time
+
+    from g1_etl_spark.catalog import load_table
+
+    ev0 = load_table(spark, SF_SMOKE, "events").cache()
+    ev0 = ev0.withColumn("_us", F.unix_micros("ts"))
+    qs = ev0.approxQuantile(
+        "_us", [i / n_parts for i in range(1, n_parts)], 0.0)
+    bounds = [None, *[int(q) for q in qs], None]
+    for k in range(n_parts):
+        part = ev0
+        if bounds[k] is not None:
+            part = part.filter(F.col("_us") >= bounds[k])
+        if bounds[k + 1] is not None:
+            part = part.filter(F.col("_us") < bounds[k + 1])
+        part.drop("_us").coalesce(1).write.mode("append").parquet(tmp)
+        _time.sleep(1.1)
+    return ev0.unpersist()
+
+
+def test_streaming_transition_matrix_matches_batch(spark):
+    """Summed deltas from the watermark-correct bigram emitter must
+    equal the batch LEAD-based matrix over pairs the final watermark
+    closed (and never exceed the full batch matrix)."""
+    from g1_etl_spark.streaming.stateful import streaming_transition_matrix
+
+    tmp = str(TMP) + "_trans"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_transition_matrix(stream),
+                             "t_trans", output_mode="append")
+        try:
+            got = {(r["from_type"], r["to_type"]): r["total"]
+                   for r in spark.sql(
+                       "SELECT from_type, to_type, SUM(n) AS total "
+                       "FROM t_trans GROUP BY 1, 2").collect()}
+        finally:
+            q.stop()
+
+        ev = spark.read.parquet(tmp).withColumn("us", F.unix_micros("ts"))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        pairs = (ev.select("user_id", "event_type", "us",
+                           F.lead("event_type").over(w).alias("to_type"),
+                           F.lead("us").over(w).alias("us2"))
+                 .filter(F.col("to_type").isNotNull()))
+        # pairs whose SECOND element the ms-truncated final watermark
+        # passed are guaranteed emitted; the final-ms tail may buffer
+        wm_us = (ev.agg(F.max("us")).collect()[0][0] // 1000) * 1000
+        closed = {(r["event_type"], r["to_type"]): r["n"] for r in
+                  (pairs.filter(F.col("us2") < wm_us)
+                   .groupBy("event_type", "to_type")
+                   .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        full = {(r["event_type"], r["to_type"]): r["n"] for r in
+                (pairs.groupBy("event_type", "to_type")
+                 .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        for k, n in closed.items():
+            assert got.get(k, 0) >= n, f"undercounted {k}"
+        for k, n in got.items():
+            assert n <= full.get(k, 0), f"overcounted {k}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_cohort_retention_matches_batch(spark, tmp_path):
+    """Folded (cohort_week, offset) distinct-user counts from the
+    streaming state machine must equal the batch cohort matrix on an
+    in-order stream."""
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.streaming.stateful import streaming_cohort_retention
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us"))
+    mid = ev.approxQuantile("us", [0.5], 0.0)[0]
+    d = tmp_path / "cohort_src"
+    (ev.filter(F.col("us") <= mid).sort("us").coalesce(1)
+     .write.mode("append").parquet(str(d)))
+    (ev.filter(F.col("us") > mid).sort("us").coalesce(1)
+     .write.mode("append").parquet(str(d)))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = SW.run_to_memory(streaming_cohort_retention(stream), "t_cohort",
+                         output_mode="update")
+    try:
+        # latest-correction-wins fold: keep each user's rows at the
+        # cohort from their max emit_seq, then count distinct users
+        got = {(r["cohort_week_us"], r["week_offset"]): r["n_users"]
+               for r in spark.sql("""
+            WITH latest AS (
+              SELECT user_id,
+                     MAX_BY(cohort_week_us, emit_seq) AS final_cohort
+              FROM t_cohort GROUP BY user_id)
+            SELECT c.cohort_week_us, c.week_offset,
+                   COUNT(DISTINCT c.user_id) AS n_users
+            FROM t_cohort c JOIN latest l
+              ON c.user_id = l.user_id
+             AND c.cohort_week_us = l.final_cohort
+            GROUP BY 1, 2""").collect()}
+    finally:
+        q.stop()
+
+    batch = spark.read.parquet(str(d))
+    first = (batch.groupBy("user_id")
+             .agg(F.min("ts").alias("_f"))
+             .select("user_id",
+                     F.unix_micros(F.window("_f", "7 days").start)
+                     .alias("cohort_week_us")))
+    act = (batch.select("user_id",
+                        F.unix_micros(F.window("ts", "7 days").start)
+                        .alias("act_week_us"))
+           .distinct())
+    want = {(r["cohort_week_us"], r["week_offset"]): r["n_users"]
+            for r in (first.join(act, "user_id")
+                      .select("cohort_week_us",
+                              ((F.col("act_week_us")
+                                - F.col("cohort_week_us"))
+                               / (7 * 86_400 * 1_000_000))
+                              .cast("long").alias("week_offset"),
+                              "user_id")
+                      .groupBy("cohort_week_us", "week_offset")
+                      .agg(F.countDistinct("user_id").alias("n_users"))
+                      ).collect()}
+    assert got == want
