@@ -37,3 +37,23 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_driver_scale():
+    """DuckDB views at sf0.01 — the EXACT scale the grading driver
+    compares at, so banked green rows can't silently rot between
+    driver-window visits (sf0.001 parity alone misses data-dependent
+    regressions that only appear with 10x rows)."""
+    import duckdb
+
+    from g1_etl_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()

@@ -63,3 +63,18 @@ def test_no_oracle_emits_hugeint_or_decimal(duck):
             if "HUGEINT" in t or t.startswith("DECIMAL"):
                 bad.append((name, col, t))
     assert not bad, f"oracles with driver-hostile output types: {bad}"
+
+
+@pytest.mark.parametrize("name,spec",
+                         [(n, s) for n, s in _specs() if s.oracle],
+                         ids=[n for n, s in _specs() if s.oracle])
+def test_oracle_parity_driver_scale(spark, duck_driver_scale, name, spec):
+    """The same hash comparison at sf0.01 — the driver's own scale.
+    sf0.001 catches logic breaks cheaply; this catches the
+    data-dependent class (quantile boundaries, banding collisions,
+    contract margins) that only shows up with 10x rows, BEFORE the
+    driver's window does."""
+    from tests.conftest import SF_ORACLE
+
+    compare(spec.fn(spark, SF_ORACLE), duck_driver_scale, spec.oracle,
+            name=name)
