@@ -80,11 +80,16 @@ def _drop_cached(spark) -> None:
     """Free SQL cache AND pinned RDD blocks (cache() intermediates plus
     localCheckpoint data, which clearCache alone does not release) so
     each query is timed in isolation, not under the previous queries'
-    block-manager pressure."""
+    block-manager pressure. The explicit System.gc() then collects the
+    freed blocks OUTSIDE the timed region — without it, G1 pauses from
+    the previous query's garbage land inside the next query's timing
+    (measured: the same minhash plan 1.2 s vs 5.4 s depending on where
+    the collection happens)."""
     spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rdd in jmap.values():
         rdd.unpersist()
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
@@ -111,12 +116,12 @@ def main() -> None:
         if os.path.isdir(warm_dir):
             _force(fn(spark, warm_dir))
             _drop_cached(spark)
-        # best-of-2: single-shot timings at sub-second scale carry
+        # best-of-3: single-shot timings at sub-second scale carry
         # multi-second GC/scheduler noise in a 32-thread local JVM
         # (observed: the same plan 0.8 s and 9.4 s back-to-back); the
-        # min of two runs is the steady-state number the plan earns
+        # min of three runs is the steady-state number the plan earns
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
