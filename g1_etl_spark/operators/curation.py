@@ -289,3 +289,46 @@ def budget_fill(docs: DataFrame, order_cols: list, tokens_col: Column,
                         (F.col("_cum_local") + F.col("_off")).cast("long"))
             .filter(F.col("cum_tokens") <= budget)
             .drop("_pid", "_cum_local", "_off"))
+
+
+def source_overlap(docs: DataFrame, text_col: str = "text",
+                   source_col: str = "source", n: int = 5) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word-n-grams they share and the gram-level jaccard.
+    The audit a pretraining pipeline runs before declaring two subsets
+    independent (train/eval splits, crawl snapshots, vendor drops).
+
+    Scale shape: docs reduce to DISTINCT (gram_hash, source) — one
+    exchange on the gram hash; text never shuffles. The per-gram group
+    after that is bounded by the number of SOURCES (not docs), so the
+    self-join per gram emits at most |sources|^2 rows and the folded
+    matrix is |sources|^2 — no hot-key cap needed, unlike doc-level
+    pair joins. Per-source distinct totals reuse the same reduced
+    frame; the matrix join-back is a broadcast.
+    """
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    grams = word_ngram_hashes(F.col(text_col), n)
+    gs = (docs.repartition(spread)
+          .select(F.col(source_col).alias("source"),
+                  F.explode(grams).alias("gh"))
+          .distinct())
+    per = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (gs.alias("a").join(
+        gs.alias("b"),
+        (F.col("a.gh") == F.col("b.gh"))
+        & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared")))
+    pa = per.select(F.col("source").alias("source_a"),
+                    F.col("n_grams").alias("grams_a"))
+    pb = per.select(F.col("source").alias("source_b"),
+                    F.col("n_grams").alias("grams_b"))
+    return (shared.join(F.broadcast(pa), "source_a")
+            .join(F.broadcast(pb), "source_b")
+            .select("source_a", "source_b", "grams_a", "grams_b",
+                    "n_shared",
+                    (F.col("n_shared")
+                     / (F.col("grams_a") + F.col("grams_b")
+                        - F.col("n_shared"))).cast("double")
+                    .alias("gram_jaccard")))

@@ -97,6 +97,51 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _two_stage_topk(scored, q_id_col, k)
 
 
+def hard_negative_mining(corpus: DataFrame, queries: DataFrame,
+                         k: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         q_id_col: str = "q_id",
+                         q_vec_col: str = "q_vec",
+                         q_label_col: str = "q_label") -> DataFrame:
+    """Contrastive-pair mining for embedding training: per query, the
+    top-k most-cosine-similar SAME-label vectors (positives) and top-k
+    most-similar DIFFERENT-label vectors (hard negatives — the pairs a
+    contrastive loss learns the most from). Self-matches excluded; ties
+    broken by neighbor id.
+
+    Scale shape: identical to brute_force_topk — queries broadcast,
+    ONE corpus scan scores everything, and the per-(query, role) top-k
+    is two-staged (local top-k per input partition first) so no single
+    window task funnels the whole scored corpus. Returns
+    (q_id, neighbor_id, score, is_positive, rank<=k).
+    """
+    c = corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col),
+                      l2_norm(F.col(vec_col)).alias("_cn"))
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       F.col(q_label_col),
+                       l2_norm(F.col(q_vec_col)).alias("_qn"))
+    scored = (c.join(F.broadcast(q))
+              .filter(F.col(q_id_col) != F.col(id_col))
+              .select(
+                  F.col(q_id_col),
+                  F.col(id_col).alias("neighbor_id"),
+                  (dot(F.col(q_vec_col), F.col(vec_col))
+                   / (F.col("_qn") * F.col("_cn"))).cast("double")
+                  .alias("score"),
+                  (F.col(label_col) == F.col(q_label_col))
+                  .alias("is_positive")))
+    order = [F.desc("score"), "neighbor_id"]
+    lw = W.partitionBy(q_id_col, "is_positive", "_pid").orderBy(*order)
+    pruned = (scored.withColumn("_pid", F.spark_partition_id())
+              .withColumn("rank", F.row_number().over(lw))
+              .filter(F.col("rank") <= k)
+              .drop("_pid", "rank"))
+    w = W.partitionBy(q_id_col, "is_positive").orderBy(*order)
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(planes, dim).astype(float).tolist()

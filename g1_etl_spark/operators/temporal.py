@@ -217,3 +217,42 @@ def interval_overlap_pairs(df: DataFrame, key_col: str, id_col: str,
                                F.greatest("s_a", "s_b"))
                     .cast("long").alias("overlap_days"))
             .distinct())
+
+
+def session_documents(events: DataFrame, gap_us: int = 1800 * 1_000_000,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      token_col: str = "event_type") -> DataFrame:
+    """Assemble one training 'document' per session: split each user's
+    timeline on `gap_us` silence (lag + cumsum, same mechanics as
+    events_sessionization), then concatenate the session's tokens in
+    (time, id) order — the events-to-text step that turns interaction
+    logs into sequence-model training data (chat threading, clickstream
+    LM corpora).
+
+    Scale shape: ONE exchange on the user key serves the lag window,
+    the cumsum window, and the final per-session fold (all three key on
+    user_id). The collect is bounded by SESSION length — the gap split
+    caps it regardless of how long a user's total history is; the
+    struct sort is in-memory per session. array_sort on
+    (us, id, token) structs gives a deterministic total order, so the
+    assembled string is engine-exact (oracle: string_agg ORDER BY).
+    """
+    w = W.partitionBy(user_col).orderBy("us", id_col)
+    ws = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = events.select(F.col(user_col), F.col(id_col),
+                         F.col(token_col).alias("_tok"),
+                         F.unix_micros(F.col(ts_col)).alias("us"))
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = (base
+            .withColumn("_new", F.when(gap > gap_us, 1).otherwise(0))
+            .withColumn("session_id", F.sum("_new").over(ws)))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("us", F.col(id_col).alias("_id"),
+                                "_tok")))
+    return (sess.groupBy(user_col, "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("us") - F.min("us")).alias("duration_us"),
+                 F.array_join(
+                     F.transform(ordered, lambda x: x["_tok"]), " ")
+                 .alias("doc")))

@@ -61,11 +61,14 @@ _R4_WINDOW = (
     "dedup_minhash_recall",    # arrow import guard refactor
     "corpus_decontaminate",    # repartition policy change
     "q8_market_share",         # broadcast policy change
+    # -- NEW this round (oracle-backed, day-one driver evidence) --------
+    "sim_hard_negatives", "corpus_source_overlap", "events_session_docs",
     # -- banked-green re-confirms: TPC-H flagships ----------------------
+    # (q4/q6/q13 dropped: literally green in the r3 window, so their
+    # re-confirm slots fund the three new queries above)
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q7_nation_volume", "q10_returned_items",
     "q18_large_orders", "revenue_by_nation",
-    "q4_order_priority", "q6_forecast_revenue", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
     "q19_discounted_revenue", "q22_global_sales_opportunity",
     # -- banked-green re-confirms: events (streaming twins land r4) -----

@@ -267,3 +267,45 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = C.chunk_token_windows(docs, size=64, stride=48)
     return out.withColumnRenamed("start", "chunk_start")
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=r"""
+    WITH w AS (
+      SELECT source,
+             string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+               AS w
+      FROM documents),
+    gs AS (
+      SELECT DISTINCT source, gram
+      FROM (SELECT source,
+                   unnest(CASE WHEN len(w) >= 5 THEN
+                     list_transform(generate_series(1, len(w) - 4),
+                                    i -> array_to_string(w[i:i+4], ' '))
+                   ELSE [] END) AS gram
+            FROM w)),
+    per AS (SELECT source, COUNT(*) AS n_grams FROM gs GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM gs a JOIN gs b
+        ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b,
+           pa.n_grams AS grams_a, pb.n_grams AS grams_b, s.n_shared,
+           CAST(s.n_shared AS DOUBLE)
+             / (pa.n_grams + pb.n_grams - s.n_shared) AS gram_jaccard
+    FROM shared s
+    JOIN per pa ON pa.source = s.source_a
+    JOIN per pb ON pb.source = s.source_b
+    """,
+    description="cross-source contamination matrix: distinct shared "
+                "word-5-grams and gram-jaccard per source pair — the "
+                "subset-independence audit; one gram-hash exchange, "
+                "per-gram groups bounded by |sources|",
+    tags=("curation",),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.source_overlap(load_table(spark, sf_dir, "documents"), n=5)

@@ -731,3 +731,39 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cnt").cast("long").alias("cnt"),
                     z.alias("z"),
                     (F.abs(z) > 3.0).alias("is_anomaly")))
+
+
+@register(
+    "events_session_docs",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, event_type, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS duration_us,
+           string_agg(event_type, ' ' ORDER BY us, event_id) AS doc
+    FROM s GROUP BY user_id, session_id
+    """,
+    description="session-to-document assembly: 30-min-gap sessions "
+                "folded into ordered token strings — the events-to-text "
+                "step for sequence-model training corpora; one exchange "
+                "on the user key serves all three stages",
+    tags=("events", "curation"),
+)
+def events_session_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import session_documents
+
+    return session_documents(load_table(spark, sf_dir, "events"))

@@ -321,3 +321,41 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("label", "dim")
             .agg((summed / F.count(F.lit(1))).alias("centroid_val"))
             .orderBy("label", "dim"))
+
+
+_HN_NQ, _HN_K = 20, 2
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                      label AS q_label
+               FROM embeddings WHERE vec_id < {_HN_NQ}),
+    scored AS (
+      SELECT q_id, vec_id AS neighbor_id,
+             {_DOT} / ({_NORM_Q} * {_NORM_C}) AS score,
+             label = q_label AS is_positive
+      FROM embeddings, q
+      WHERE q_id <> vec_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, score, is_positive,
+             ROW_NUMBER() OVER (PARTITION BY q_id, is_positive
+                                ORDER BY score DESC, neighbor_id)
+               AS rank
+      FROM scored)
+    SELECT q_id, neighbor_id, score, is_positive, rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+    description="contrastive-pair mining: per query the top-2 "
+                "same-label (positives) and top-2 cross-label (hard "
+                "negatives) by exact cosine — broadcast queries, one "
+                "corpus scan, two-stage per-(query,role) top-k",
+    tags=("similarity",),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    return S.hard_negative_mining(emb, queries, k=_HN_K)

@@ -212,3 +212,20 @@ def test_gopher_rules_pass_and_fail_paths(spark):
     assert out[4]["rule_alpha_words"] is False
     assert out[4]["rule_stopwords"] is False
     assert all(not out[i]["gopher_pass"] for i in (2, 3, 4))
+
+
+def test_source_overlap_bounds_and_symmetry(spark):
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.curation import source_overlap
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = source_overlap(docs, n=5).collect()
+    assert rows, "expected at least one source pair"
+    for r in rows:
+        assert r["source_a"] < r["source_b"], "pairs must be canonical"
+        assert 0 <= r["n_shared"] <= min(r["grams_a"], r["grams_b"])
+        union = r["grams_a"] + r["grams_b"] - r["n_shared"]
+        assert abs(r["gram_jaccard"] - r["n_shared"] / union) < 1e-12
+    # each unordered pair appears exactly once
+    pairs = [(r["source_a"], r["source_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))

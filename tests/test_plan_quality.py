@@ -139,7 +139,8 @@ def test_tfidf_single_posting_scan(spark):
 # avg / 5x3 cross), where BNLJ with a one-row build side IS the right
 # plan. New entries here need the same justification.
 _BNLJ_OK = {
-    "sim_brute_force_topk", "sim_cosine_neardup_exact", "entity_settings",
+    "sim_brute_force_topk", "sim_hard_negatives",
+    "sim_cosine_neardup_exact", "entity_settings",
     "text_bm25_topk", "text_tfidf_topk", "pipeline_rag_index",
     "feat_equidepth_bins", "q22_global_sales_opportunity",
     "entity_products_smoke", "join_cross", "scalar_subquery",

@@ -126,3 +126,35 @@ def test_ivf_topk_recall(spark):
                                 centroids=cents).collect()}
     recall = len(exact & part) / len(exact)
     assert recall >= 0.5, f"IVF 4/8-probe recall too low: {recall}"
+
+
+def test_hard_negative_mining_invariants(spark):
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    out = hard_negative_mining(emb, queries, k=2).collect()
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    by_role: dict = {}
+    for r in out:
+        assert r["q_id"] != r["neighbor_id"], "self-match leaked"
+        # the is_positive flag must agree with the actual labels
+        assert r["is_positive"] == (
+            labels[r["neighbor_id"]] == labels[r["q_id"]])
+        by_role.setdefault((r["q_id"], r["is_positive"]), []).append(r)
+    for (qid, _), rows in by_role.items():
+        assert len(rows) <= 2
+        rows.sort(key=lambda r: r["rank"])
+        # scores weakly decreasing in rank; ranks contiguous from 1
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["score"] >= b["score"]
+    # every query with >=1 same-label and >=1 cross-label vector gets
+    # both roles
+    roles = {(q, p) for q, p in by_role}
+    for qid in range(10):
+        assert (qid, True) in roles and (qid, False) in roles

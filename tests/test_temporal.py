@@ -156,3 +156,29 @@ def test_interval_overlap_pairs_vs_naive(spark):
     assert got == want
     # the 1-day overlap and the cross-bucket long-interval pair made it
     assert (1, 1, 2, 1) in got and (2, 5, 6, 1) in got
+
+
+def test_session_documents_assembly(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.temporal import session_documents
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = session_documents(ev).collect()
+    assert out
+    for r in out:
+        toks = r["doc"].split(" ")
+        assert len(toks) == r["n_events"], "doc must hold one token per event"
+        assert r["duration_us"] >= 0
+    # session count matches the sessionization operator's split
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    gap = F.col("us") - F.lag("us").over(w)
+    n_sessions = (base.withColumn("n", F.when(gap > 1800 * 1_000_000, 1)
+                                  .otherwise(0))
+                  .groupBy("user_id").agg((F.sum("n") + 1).alias("k"))
+                  .agg(F.sum("k")).collect()[0][0])
+    assert len(out) == n_sessions
