@@ -256,3 +256,53 @@ def session_documents(events: DataFrame, gap_us: int = 1800 * 1_000_000,
                  F.array_join(
                      F.transform(ordered, lambda x: x["_tok"]), " ")
                  .alias("doc")))
+
+
+def histogram_percentile_rollup(events: DataFrame,
+                                value_col: str = "value",
+                                ts_col: str = "ts",
+                                group_col: str = "event_type",
+                                bin_width: float = 10.0,
+                                fine: str = "1 day",
+                                coarse: str = "1 week",
+                                p: float = 0.5) -> DataFrame:
+    """Mergeable-histogram percentile rollup — the quantile sibling of
+    hll_sketch_rollup. Exact percentiles, like exact distincts, do not
+    add across windows; fixed-width bin counts DO. Stage 1 sketches
+    (group, fine-window, bin) counts at ingest; stage 2 merges fine
+    sketches into the coarse window with a plain SUM — no rescan of raw
+    events — and reads the percentile off the merged histogram: the
+    estimate brackets the k-th smallest value (k = ceil(p*N)) inside
+    the bin whose cumulative count crosses k, an error bounded by one
+    bin width by construction.
+
+    Integer counts + integer bin ids end-to-end (the only doubles are
+    the bin edges, exact products of small ints), so any engine agrees
+    bit-for-bit. Returns (group, window_start, n_rows, p_lo, p_hi).
+    """
+    b = F.floor(F.col(value_col) / bin_width).cast("long")
+    fine_b = (events
+              .groupBy(F.col(group_col), F.window(ts_col, fine).alias("_fw"),
+                       b.alias("_bin"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    merged = (fine_b
+              .groupBy(F.col(group_col),
+                       F.window(F.col("_fw.start"), coarse).alias("_cw"),
+                       "_bin")
+              .agg(F.sum("_n").alias("_n")))
+    wcum = (W.partitionBy(group_col, "_cw").orderBy("_bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wtot = W.partitionBy(group_col, "_cw")
+    return (merged
+            .withColumn("_cum", F.sum("_n").over(wcum))
+            .withColumn("_total", F.sum("_n").over(wtot))
+            .withColumn("_k", F.ceil(F.col("_total") * p).cast("long"))
+            .filter((F.col("_cum") >= F.col("_k"))
+                    & (F.col("_cum") - F.col("_n") < F.col("_k")))
+            .select(F.col(group_col),
+                    F.col("_cw.start").alias("window_start"),
+                    F.col("_total").cast("long").alias("n_rows"),
+                    (F.col("_bin") * bin_width).cast("double")
+                    .alias("p_lo"),
+                    ((F.col("_bin") + 1) * bin_width).cast("double")
+                    .alias("p_hi")))

@@ -38,13 +38,16 @@ from g1_etl_spark.plans import relational  # noqa: E402,F401
 # window = every query with no CORRECTNESS row yet (9), the two
 # round-3 array-column reds (fixed: sequences serialized to strings),
 # the five former no_oracle rows converted to oracle-backed contract
-# rows this round, re-confirms for queries whose internals change this
-# round (decontaminate repartition, q8 broadcast policy, dedup arrow
-# import guard), and banked-green re-confirms across every family.
-# ZERO slots go to structurally rows-only queries (they can never turn
-# green; tests guard them instead). Everything outside the window has
-# a banked green row and stays guarded by tests/test_oracle_parity.py.
-# If the driver checks everything, the order is irrelevant.
+# rows this round, the FOUR queries added in round 4 (hard negatives,
+# source overlap, session docs, percentile rollup — oracle-backed,
+# placed for day-one driver evidence), re-confirms for queries whose
+# internals change this round (decontaminate repartition, q8 broadcast
+# policy, dedup arrow import guard), and banked-green re-confirms
+# across every family. ZERO slots go to structurally rows-only queries
+# (they can never turn green; tests guard them instead). Everything
+# outside the window has a banked green row and stays guarded by
+# tests/test_oracle_parity.py — including at the driver's own sf0.01
+# since round 4. If the driver checks everything, order is irrelevant.
 _R4_WINDOW = (
     # -- never driver-checked (added after the r3 window froze) ---------
     "q21_late_supplier_blame", "events_pattern_seq",
@@ -71,9 +74,12 @@ _R4_WINDOW = (
     "q18_large_orders", "revenue_by_nation",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
     "q19_discounted_revenue", "q22_global_sales_opportunity",
+    # -- NEW this round: mergeable-histogram percentile rollup ----------
+    "events_percentile_rollup",
     # -- banked-green re-confirms: events (streaming twins land r4) -----
+    # (tumbling_window dropped: literally green in the r3 window)
     "events_sessionization", "events_funnel", "events_transition_matrix",
-    "events_cohort_retention", "events_tumbling_window",
+    "events_cohort_retention",
     # -- banked-green re-confirms: dedup / text / retrieval -------------
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_incremental", "text_quality_stats", "text_vocab",

@@ -767,3 +767,86 @@ def events_session_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.temporal import session_documents
 
     return session_documents(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_percentile_rollup",
+    oracle="""
+    WITH fine AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', ts) AS d,
+             CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '7 days', d, TIMESTAMP '1970-01-01')
+               AS window_start,
+             bin, CAST(SUM(n) AS BIGINT) AS n
+      FROM fine GROUP BY 1, 2, 3),
+    est AS (
+      SELECT event_type, window_start, bin, n,
+             SUM(n) OVER (PARTITION BY event_type, window_start
+                          ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY event_type, window_start)
+               AS total
+      FROM merged),
+    hit AS (
+      SELECT event_type, window_start,
+             CAST(total AS BIGINT) AS n_rows,
+             CAST(bin * 10.0 AS DOUBLE) AS p_lo,
+             CAST((bin + 1) * 10.0 AS DOUBLE) AS p_hi,
+             CAST(ceil(total * 0.5) AS BIGINT) AS k
+      FROM est WHERE cum >= ceil(total * 0.5)
+                 AND cum - n < ceil(total * 0.5)),
+    exact AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '7 days',
+                         time_bucket(INTERVAL '1 day', ts),
+                         TIMESTAMP '1970-01-01') AS window_start,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type,
+                 time_bucket(INTERVAL '7 days',
+                             time_bucket(INTERVAL '1 day', ts),
+                             TIMESTAMP '1970-01-01')
+               ORDER BY value, event_id) AS rn
+      FROM events)
+    SELECT h.event_type, h.window_start, h.n_rows, h.p_lo, h.p_hi,
+           e.value AS exact_p50,
+           e.value >= h.p_lo AND e.value < h.p_hi AS est_ok
+    FROM hit h JOIN exact e
+      ON e.event_type = h.event_type
+     AND e.window_start = h.window_start AND e.rn = h.k
+    """,
+    description="mergeable-histogram percentile rollup: daily "
+                "(type, bin) count sketches merged to weekly with a "
+                "plain SUM — no raw-event rescan — and the median read "
+                "off the merged histogram; contract row joins the exact "
+                "weekly k-th value back in and asserts it falls inside "
+                "the estimated bin (error <= one bin width by "
+                "construction)",
+    tags=("events", "sketch", "contract"),
+)
+def events_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.temporal import histogram_percentile_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = histogram_percentile_rollup(ev)
+    w = W.partitionBy("event_type",
+                      F.window(F.date_trunc("day", "ts"), "1 week"))
+    exact = (ev.withColumn("rn", F.row_number().over(
+        w.orderBy("value", "event_id")))
+        .select("event_type",
+                F.window(F.date_trunc("day", "ts"), "1 week")
+                .start.alias("window_start"),
+                F.col("value").alias("exact_p50"), "rn"))
+    return (roll.join(
+        exact,
+        (roll.event_type == exact.event_type)
+        & (roll.window_start == exact.window_start)
+        & (exact.rn == F.ceil(roll.n_rows * 0.5).cast("long")))
+        .select(roll.event_type, roll.window_start, "n_rows",
+                "p_lo", "p_hi", "exact_p50",
+                ((F.col("exact_p50") >= F.col("p_lo"))
+                 & (F.col("exact_p50") < F.col("p_hi"))).alias("est_ok")))

@@ -182,3 +182,27 @@ def test_session_documents_assembly(spark):
                   .groupBy("user_id").agg((F.sum("n") + 1).alias("k"))
                   .agg(F.sum("k")).collect()[0][0])
     assert len(out) == n_sessions
+
+
+def test_histogram_percentile_rollup_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.temporal import histogram_percentile_rollup
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    roll = histogram_percentile_rollup(ev).collect()
+    assert roll
+    # merged totals must equal raw per-(type, week) counts — the merge
+    # lost nothing
+    want = {(r["event_type"], r["w"]["start"]): r["n"] for r in
+            ev.groupBy("event_type",
+                       F.window(F.date_trunc("day", "ts"), "1 week")
+                       .alias("w"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in roll:
+        assert r["p_hi"] - r["p_lo"] == 10.0
+        assert want[(r["event_type"], r["window_start"])] == r["n_rows"]
+    # exactly one estimate row per (type, week)
+    keys = [(r["event_type"], r["window_start"]) for r in roll]
+    assert len(keys) == len(set(keys)) == len(want)
