@@ -77,6 +77,31 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "session_value"))
 
 
+def session_documents_stream(events: DataFrame, gap: str = "30 minutes",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of operators.temporal.session_documents: native
+    session_window sessions folded into (time, id)-ordered token
+    strings as they CLOSE (append mode — a session's document is
+    immutable once the watermark passes its end, exactly the property
+    a downstream training-data writer wants). State per open session is
+    the buffered (us, id, token) structs — bounded by session length,
+    the same bound as the batch fold."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("_id"),
+                                F.col("event_type").alias("_tok"))))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max(F.unix_micros("ts"))
+                  - F.min(F.unix_micros("ts"))).alias("duration_us"),
+                 F.array_join(F.transform(ordered, lambda x: x["_tok"]),
+                              " ").alias("doc"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "duration_us", "doc"))
+
+
 def dedup_within_watermark(events: DataFrame,
                            watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-id within the watermark horizon — bounded-state

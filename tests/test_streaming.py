@@ -478,3 +478,44 @@ def test_streaming_cohort_retention_matches_batch(spark, tmp_path):
                       .agg(F.countDistinct("user_id").alias("n_users"))
                       ).collect()}
     assert got == want
+
+
+def test_streaming_session_docs_matches_batch(spark, tmp_path):
+    """Closed-session documents from the native session_window fold
+    must equal the batch session_documents assembly on an in-order
+    stream (ids differ — batch numbers sessions per user — so compare
+    the (user, doc, n_events, duration) multiset)."""
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.temporal import session_documents
+    from g1_etl_spark.streaming.windows import session_documents_stream
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_micros("ts").alias("us"))
+    mid = ev.approxQuantile("us", [0.5], 0.0)[0]
+    d = tmp_path / "sess_src"
+    (ev.filter(F.col("us") <= mid).sort("us").coalesce(1)
+     .write.mode("append").parquet(str(d)))
+    (ev.filter(F.col("us") > mid).sort("us").coalesce(1)
+     .write.mode("append").parquet(str(d)))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = SW.run_to_memory(
+        session_documents_stream(stream, watermark="0 seconds"),
+        "t_sess_docs", output_mode="append")
+    try:
+        got = {(r["user_id"], r["doc"], r["n_events"], r["duration_us"])
+               for r in spark.sql("SELECT * FROM t_sess_docs").collect()}
+    finally:
+        q.stop()
+
+    batch = session_documents(spark.read.parquet(str(d)))
+    want_all = {(r["user_id"], r["doc"], r["n_events"], r["duration_us"])
+                for r in batch.collect()}
+    # append mode only emits sessions the FINAL watermark closed; the
+    # last session per user straddling the stream end stays open
+    assert got <= want_all, f"spurious sessions: {got - want_all}"
+    # everything closed well before the final watermark must be present
+    assert len(got) >= len(want_all) * 0.8
+    assert got, "no sessions emitted"
