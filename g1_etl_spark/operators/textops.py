@@ -173,3 +173,41 @@ def shingle_fingerprint(text: Column, n: int = 3) -> Column:
     content fingerprint (bag-of-shingles identity)."""
     grams = F.array_sort(word_ngrams(normalize_text(text), n))
     return F.md5(F.array_join(grams, ""))
+
+
+def token_rarity_scores(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        scale: int = 1_000_000_000) -> DataFrame:
+    """Corpus-relative rarity score per document — an IDF-flavoured
+    quality proxy with NO floating point: each token contributes
+    ``scale // corpus_frequency`` (integer division), and the document
+    score is the integer mean over its tokens. Documents of boilerplate
+    (high-frequency tokens) score near zero; documents of rare content
+    score high. Integer arithmetic end-to-end, so any engine agrees
+    bit-for-bit — the reason this uses 1e9//freq instead of log(N/freq)
+    (ln() last-ulp behaviour is engine-specific; a quality GATE only
+    needs a monotone transform, and 1/freq is as monotone as log).
+
+    Scale shape: one pass builds corpus token counts (map-side partial
+    agg, shuffle is distinct-token-sized); the per-doc pass explodes
+    tokens and joins the counts. The count table is vocabulary-sized —
+    Zipf makes that far smaller than the corpus, and the join needs no
+    broadcast hint: AQE broadcasts while it fits, else both sides hash
+    on the token, which is exactly the right fallback at 100 TB.
+    Returns (id, n_tokens, rarity_sum, rarity_score).
+    """
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (docs.repartition(spread, id_col)
+            .select(F.col(id_col),
+                    F.explode(F.split(normalize_text(F.col(text_col)),
+                                      " ")).alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (toks.join(freq, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.expr(f"{scale} div freq")).alias("rarity_sum"))
+            .select(id_col, "n_tokens", "rarity_sum",
+                    F.expr("rarity_sum div n_tokens").cast("long")
+                    .alias("rarity_score")))

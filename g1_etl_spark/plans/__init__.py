@@ -81,8 +81,9 @@ _R4_WINDOW = (
     "events_sessionization", "events_funnel", "events_transition_matrix",
     "events_cohort_retention",
     # -- banked-green re-confirms: dedup / text / retrieval -------------
+    # (text_vocab re-confirm dropped — green r3 — for the new rarity op)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_incremental", "text_quality_stats", "text_vocab",
+    "dedup_incremental", "text_quality_stats", "text_rarity_score",
     "text_bm25_topk", "pipeline_rag_index",
     # -- banked-green re-confirms: curation / merge / features ----------
     "pipeline_clean_corpus", "pipeline_train_prep",

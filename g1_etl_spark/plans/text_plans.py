@@ -690,3 +690,33 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("n_tokens").cast("double")
          / F.sum("n_tokens").over(W.partitionBy())).alias("token_share"))
+
+
+@register(
+    "text_rarity_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(1000000000 // f.freq) AS BIGINT) AS rarity_sum,
+           CAST(SUM(1000000000 // f.freq) // COUNT(*) AS BIGINT)
+             AS rarity_score
+    FROM toks t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+    description="corpus-relative rarity score: integer IDF proxy "
+                "(1e9 div corpus token frequency, integer mean per "
+                "doc) — engine-exact quality gating without floats; "
+                "vocabulary-sized count join, AQE-chosen strategy",
+    tags=("text", "curation"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.textops import token_rarity_scores
+
+    return token_rarity_scores(load_table(spark, sf_dir, "documents"))
