@@ -70,3 +70,53 @@ def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None,
+             merge_schema: bool = False) -> DataFrame:
+    """ORC scan — the columnar sibling of parquet for Hive-era lakes.
+    Spark's native vectorized ORC reader supports the same pushdowns as
+    parquet (predicate, column pruning, partition pruning), so every
+    plan gate in tests/test_plan_quality.py holds unchanged over ORC
+    inputs. `schema` pins types when provided (same no-inference policy
+    as the CSV/JSONL readers); `merge_schema` reconciles files written
+    under evolving schemas (costs a footer read per file)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mergeSchema", str(merge_schema).lower()) \
+        .orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: tuple = (), compression: str = "zstd") -> None:
+    """ORC sink with zstd (ORC's best size/speed point on modern
+    Spark). `partition_by` produces the same Hive layout as the parquet
+    maintenance writers, so downstream partition pruning works
+    identically."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str,
+              schema_json: str | None = None) -> DataFrame:
+    """Avro scan (row-major interchange format common at ingest
+    boundaries). The spark-avro module is an external jar; this
+    container does not ship it, so construction raises a clear error
+    when the format is unavailable rather than an opaque
+    ClassNotFoundException at action time."""
+    reader = spark.read.format("avro")
+    if schema_json is not None:
+        reader = reader.option("avroSchema", schema_json)
+    try:
+        return reader.load(path)
+    except Exception as e:  # pragma: no cover - depends on jar presence
+        if "avro" in str(e).lower() or "Failed to find" in str(e):
+            raise RuntimeError(
+                "spark-avro is not on the classpath; submit with "
+                "--packages org.apache.spark:spark-avro_2.13:<version>"
+            ) from e
+        raise

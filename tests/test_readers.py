@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import types as T
 
 from g1_etl_spark.sources import readers as R
+from tests.conftest import SF_SMOKE
 
 SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
@@ -55,3 +56,55 @@ def test_jdbc_reader_builds_partitioned_scan(spark):
             predicate="dispensary_id = 1")
     # fails at driver resolution, not option validation
     assert "driver" in str(exc.value).lower() or "No suitable" in str(exc.value)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.sources.readers import read_orc, write_orc
+
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+
+    # predicate + projection reach the ORC scan like they do on parquet
+    q = back.filter(F.col("o_custkey") == 7).select("o_orderkey")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" \
+        in plan
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_orc_partitioned_layout_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.sources.readers import read_orc, write_orc
+
+    src = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+           .withColumn("o_year", F.year("o_orderdate")))
+    path = str(tmp_path / "orders_orc_part")
+    write_orc(src, path, partition_by=("o_year",))
+    back = read_orc(spark, path)
+    one_year = back.filter(F.col("o_year") == 1995)
+    want = src.filter(F.col("o_year") == 1995).count()
+    assert one_year.count() == want
+    plan = one_year._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PartitionFilters" in plan
+
+
+def test_avro_reader_fails_with_clear_message(spark, tmp_path):
+    import pytest as _pytest
+
+    from g1_etl_spark.sources.readers import read_avro
+
+    with _pytest.raises(Exception) as ei:
+        read_avro(spark, str(tmp_path / "nope.avro")).count()
+    msg = str(ei.value)
+    assert "avro" in msg.lower()
