@@ -85,9 +85,12 @@ _R4_WINDOW = (
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_incremental", "text_quality_stats", "text_rarity_score",
     "text_bm25_topk", "pipeline_rag_index",
+    # -- NEW this round: simhash aggregate-recall contract --------------
+    "dedup_simhash_recall",
     # -- banked-green re-confirms: curation / merge / features ----------
+    # (feat_zscore re-confirm dropped — green r3 — for the contract row)
     "pipeline_clean_corpus", "pipeline_train_prep",
-    "merge_upsert_orders", "feat_zscore",
+    "merge_upsert_orders",
 )
 
 

@@ -282,3 +282,38 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_blocked_pairs(
         toks, "tok", max_dist=2,
         block_col=F.substring(F.col("name"), 1, 1))
+
+
+# same exact-pair CTE at the 0.8 threshold the simhash contract uses
+_PAIRS_SQL_08 = _PAIRS_SQL.replace(">= 0.5", ">= 0.8")
+
+
+@register(
+    "dedup_simhash_recall",
+    oracle=f"""
+    {_PAIRS_SQL_08}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_ok
+    FROM pairs
+    """,
+    description="SimHash recall contract (aggregate form): exact "
+                "jaccard>=0.8 pairs left-joined against simhash "
+                "hamming<=8 pairs; emits the SQL-checkable exact-pair "
+                "count plus recall_ok = (recall >= 0.85). Unlike "
+                "minhash, simhash approximates COSINE of token counts, "
+                "not jaccard, so per-pair found flags are not a "
+                "guarantee — measured recall 0.887/0.92/0.93 at "
+                "sf0.001/0.01/0.1, bounded at 0.85 with margin",
+    tags=("dedup", "contract"),
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    sh = (D.simhash_pairs(docs, max_hamming=8)
+          .select("d1", "d2").withColumn("_h", F.lit(True)))
+    j = exact.join(sh, ["d1", "d2"], "left")
+    found = F.sum(F.when(F.col("_h"), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.coalesce(found / F.count(F.lit(1)) >= 0.85, F.lit(True))
+        .alias("recall_ok"))
