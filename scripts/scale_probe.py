@@ -50,9 +50,17 @@ Measured on local[32] (2026-08-13 r3 documents; 2026-08-14 r4 the rest):
     events_dedup_ids       1x= 0.36s  10x=  0.63s  ratio= 1.7  10x rows
     events_scd2_intervals  1x= 0.35s  10x=  0.53s  ratio= 1.5  10x rows
 
-No super-linear query in either family: the worst ratios (ivf 3.5 —
-kmeans assignment scans 10x vectors per iteration; hll 3.5 — 10x
-distinct users per sketch) are well under the 10x data growth.
+    == round-4 additions ==
+    corpus_source_overlap  1x= 5.65s  10x= 12.35s  ratio= 2.2
+    text_rarity_score      1x= 1.93s  10x= 11.27s  ratio= 5.8  10x rows
+    sim_hard_negatives     1x= 0.96s  10x=  4.13s  ratio= 4.3  80 -> 80
+    events_session_docs    1x= 0.54s  10x=  1.51s  ratio= 2.8  10x rows
+    events_percentile_roll 1x= 1.22s  10x=  2.11s  ratio= 1.7
+
+No super-linear query in any family: the worst ratios (rarity 5.8 —
+10x tokens against a 10x vocabulary; ivf 3.5 — kmeans assignment scans
+10x vectors per iteration; hll 3.5 — 10x distinct users per sketch)
+are all under the 10x data growth.
 (The cosine_neardup 74x output-growth caveat from r3 is recorded on
 sim_cosine_neardup_exact's docstring — at dim=64 a 0.4 threshold is
 ~3.2 sigma, so the O(N^2) random tail dominates output as N grows.)
@@ -76,10 +84,12 @@ FAMILIES = {
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_span_census", "dedup_span_flags",
         "text_quality_stats", "corpus_shuffle_shards",
+        "corpus_source_overlap", "text_rarity_score",
+        "corpus_decontaminate",
     ],
     "embeddings": [
         "sim_brute_force_topk", "sim_lsh_topk", "sim_ivf_topk",
-        "sim_label_centroid",
+        "sim_label_centroid", "sim_hard_negatives",
     ],
     "events": [
         "events_sessionization", "events_tumbling_window",
@@ -88,6 +98,7 @@ FAMILIES = {
         "events_transition_matrix", "events_cohort_retention",
         "events_rate_anomaly", "events_pattern_seq", "events_hll_rollup",
         "events_dedup_ids", "events_scd2_intervals",
+        "events_session_docs", "events_percentile_rollup",
     ],
 }
 
