@@ -94,7 +94,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # segment-filtered customer is still sf x 30k rows — fact-sized
+        # at scale, so no broadcast hint; AQE decides
+        .join(cust.select("c_custkey"),
+              orders.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select(
@@ -135,14 +138,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # supplier reduced against the region-filtered nations (broadcast)
+    # up front — only ASIA suppliers reach the big join; customer joins
+    # un-hinted and keeps just (key, nationkey) for the local-supplier
+    # match. Neither fact-sized side carries a broadcast hint.
+    asia_n = (nation.join(F.broadcast(region),
+                          nation.n_regionkey == region.r_regionkey)
+              .select("n_nationkey", "n_name"))
+    supp_asia = (supp.join(F.broadcast(asia_n),
+                           supp.s_nationkey == F.col("n_nationkey"))
+                 .select("s_suppkey", "s_nationkey", "n_name"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
-              (li.l_suppkey == supp.s_suppkey)
-              & (cust.c_nationkey == supp.s_nationkey))
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(cust.select("c_custkey", "c_nationkey"),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(supp_asia,
+              (li.l_suppkey == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -185,12 +197,22 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
                        F.col("n_name").alias("cust_nation"))
+    # the nation-pair predicate reduces customer and supplier to the
+    # two named nations BEFORE the big joins (broadcast only the tiny
+    # filtered nation dims) — the fact-fact joins carry no hints
+    pair = ("NATION_1", "NATION_2")
+    cust_n = (cust.join(
+        F.broadcast(n2.filter(F.col("cust_nation").isin(*pair))),
+        cust.c_nationkey == n2.c_nk)
+        .select("c_custkey", "cust_nation"))
+    supp_n = (supp.join(
+        F.broadcast(n1.filter(F.col("supp_nation").isin(*pair))),
+        supp.s_nationkey == n1.s_nk)
+        .select("s_suppkey", "supp_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
-        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .join(cust_n, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
         .filter(((F.col("supp_nation") == "NATION_1")
                  & (F.col("cust_nation") == "NATION_2"))
                 | ((F.col("supp_nation") == "NATION_2")
@@ -231,10 +253,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # customer joined un-hinted (fact-sized at scale) after a broadcast
+    # nation reduction that carries only the columns the output needs
+    cust_n = (cust.join(F.broadcast(nation),
+                        cust.c_nationkey == nation.n_nationkey)
+              .select("c_custkey", "c_name", "c_acctbal", "n_name"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(cust_n, orders.o_custkey == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                   "revenue"))
@@ -277,7 +303,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # fact-sized customer joins un-hinted (AQE decides), pruned to
+        # the single column the output needs
+        .join(cust.select("c_custkey"),
+              orders.o_custkey == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))
         .select("c_custkey", "o_orderkey",
@@ -309,10 +338,16 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # customer is fact-sized at cluster scale: reduce it against the
+    # genuinely tiny nation dim first (broadcast), prune to
+    # (join key, carried name), then join with NO hint — AQE broadcasts
+    # while the pruned side fits and shuffle-joins at scale
+    cust_n = (cust.join(F.broadcast(nation),
+                        cust.c_nationkey == nation.n_nationkey)
+              .select("c_custkey", "n_name"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(cust_n, orders.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),

@@ -161,7 +161,7 @@ _SINGLE_PART_OK = {
     "q17_small_quantity_revenue", "q22_global_sales_opportunity",
     "scalar_subquery", "dq_key_skew",
     # one-row global contract aggregate over per-partition partials
-    "sim_kmeans_clusters",
+    "sim_kmeans_clusters", "dedup_simhash_recall",
 }
 
 
