@@ -7,9 +7,16 @@ hash aggregation -> sort. The reference has no aggregation pipeline at all
 BASELINE.json.
 
 Scale notes (100 TB):
-  - lineitem/orders are the facts; nation/region/customer/supplier are
-    dimension-sized and explicitly broadcast — no shuffle for those joins.
-  - lineitem⋈orders is the one genuine shuffle join; AQE handles skew.
+  - lineitem/orders are the facts. nation/region (and name/type-filtered
+    part slices) are genuinely tiny and explicitly broadcast.
+  - customer/supplier are FACT-sized at cluster scale (sf x 150k / 10k
+    rows), so they are never broadcast-hinted: each is reduced against
+    its tiny dim first, pruned to the needed columns, and joined
+    un-hinted — AQE broadcasts while the reduced side fits and falls
+    back to a shuffle join at scale instead of OOMing on a forced
+    broadcast.
+  - lineitem⋈orders is the one unavoidable fact-fact shuffle join; AQE
+    handles skew.
   - Filters are expressed on the scan columns so Catalyst pushes them into
     the parquet reader (verify: PushedFilters in .explain("formatted")).
 """
@@ -754,3 +761,175 @@ def q21_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name")
             .limit(20))
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount', 'sum_profit')}
+    FROM (SELECT n_name AS nation,
+                 EXTRACT(year FROM o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - p_retailprice * 0.4 * l_quantity AS amount
+          FROM lineitem
+          JOIN part     ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          WHERE p_name LIKE '%green%')
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    description="TPC-H Q9 shape: nation-year profit (schema has no "
+                "partsupp, so supply cost is proxied as 40% of "
+                "p_retailprice — same 6-way join + derived-column agg "
+                "mechanics). Name-filtered part broadcast; supplier "
+                "dim-reduced, fact joins un-hinted",
+    tags=("join", "agg", "flagship"),
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supp_n = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("nation")))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * 0.4 * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation",
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="TPC-H Q12 shape: priority shipment accounting (schema "
+                "has no l_shipmode, so lines group by return flag — "
+                "same join + dual conditional-count mechanics). One "
+                "fact-fact shuffle join; counts fold map-side",
+    tags=("join", "agg"),
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+             .alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+             .alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 shape: supplier variety per part attribute "
+                "(lineitem stands in for partsupp; negative-balance "
+                "suppliers play the complaints exclusion) — NOT IN "
+                "subquery decorrelated to a broadcast anti-join, then "
+                "COUNT DISTINCT per attribute triple",
+    tags=("join", "agg"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        & ~F.col("p_type").like("MEDIUM%"))
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type",
+                                     "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_shipments",
+    oracle="""
+    WITH promo_ship AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(round(l_quantity * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS total_qty,
+             CAST(SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                            AND l_shipdate < DATE '1997-01-01'
+                           THEN CAST(round(l_quantity * 1000000) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 1000000 AS qty_1996
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey, l_partkey),
+    hot AS (
+      SELECT DISTINCT l_suppkey FROM promo_ship
+      WHERE qty_1996 > 0.5 * total_qty)
+    SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+    FROM supplier JOIN hot ON s_suppkey = l_suppkey
+    ORDER BY s_name
+    """,
+    description="TPC-H Q20 shape: suppliers concentrating PROMO-part "
+                "shipments into one year (no partsupp availqty; the "
+                "0.5x-of-total threshold plays its role) — aggregate "
+                "subquery, semi-join reduction, dim join for names",
+    tags=("join", "agg"),
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    y96 = ((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+           & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+    ship = (li.join(F.broadcast(p.select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"))
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(dsum("l_quantity", "total_qty"),
+                 dsum(F.when(y96, F.col("l_quantity")).otherwise(0.0),
+                      "qty_1996")))
+    hot = (ship.filter(F.col("qty_1996") > 0.5 * F.col("total_qty"))
+           .select("l_suppkey").distinct())
+    return (s.join(hot, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+            .select("s_name", F.col("s_suppkey").cast("long"))
+            .orderBy("s_name"))
