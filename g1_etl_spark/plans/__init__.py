@@ -69,11 +69,15 @@ _R4_WINDOW = (
     # -- banked-green re-confirms: TPC-H flagships ----------------------
     # (q4/q6/q13 dropped: literally green in the r3 window, so their
     # re-confirm slots fund the three new queries above)
+    # (these six also changed internals this round: broadcast policy)
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q7_nation_volume", "q10_returned_items",
     "q18_large_orders", "revenue_by_nation",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    # -- NEW this round: adapted Q9/Q12/Q16/Q20 shapes ------------------
+    # (funded by q14/q15/q17/q19 re-confirm slots — all green in r3)
+    "q9_profit_by_nation", "q12_priority_shipping",
+    "q16_supplier_variety", "q20_excess_shipments",
+    "q22_global_sales_opportunity",
     # -- NEW this round: mergeable-histogram percentile rollup ----------
     "events_percentile_rollup",
     # -- banked-green re-confirms: events (streaming twins land r4) -----
