@@ -120,3 +120,32 @@ def read_avro(spark: SparkSession, path: str,
                 "--packages org.apache.spark:spark-avro_2.13:<version>"
             ) from e
         raise
+
+
+def read_jsonl_quarantine(spark: SparkSession, path: str,
+                          schema: T.StructType,
+                          corrupt_col: str = "_corrupt_record",
+                          ) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL ingest that ROUTES instead of failing: returns
+    (good, quarantined). Malformed lines land whole in `corrupt_col`
+    (good rows have it null), so the pipeline keeps flowing while the
+    reject stream goes to a quarantine sink for triage — the standard
+    posture for third-party feeds at scale, where FAILFAST on one bad
+    line among 10^11 wastes the cluster and silent null-fill corrupts
+    the table.
+
+    Note Spark's documented caveat: a query over ONLY the corrupt
+    column is disallowed — both returned frames keep the data columns,
+    and the quarantine frame carries the raw line plus the parse-null
+    data columns for inspection.
+    """
+    full_schema = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType())])
+    raw = (spark.read
+           .schema(full_schema)
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", corrupt_col)
+           .json(path))
+    good = raw.filter(raw[corrupt_col].isNull()).drop(corrupt_col)
+    bad = raw.filter(raw[corrupt_col].isNotNull())
+    return good, bad

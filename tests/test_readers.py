@@ -108,3 +108,22 @@ def test_avro_reader_fails_with_clear_message(spark, tmp_path):
         read_avro(spark, str(tmp_path / "nope.avro")).count()
     msg = str(ei.value)
     assert "avro" in msg.lower()
+
+
+def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
+    from g1_etl_spark.sources.readers import read_jsonl_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text('\n'.join([
+        '{"id": 1, "name": "alpha", "score": 0.5}',
+        '{"id": 2, "name": "beta", "score": ',          # truncated
+        'not json at all',
+        '{"id": 4, "name": "delta", "score": -3.0}',
+    ]))
+    good, bad = read_jsonl_quarantine(spark, str(p), SCHEMA)
+    assert sorted(r["id"] for r in good.collect()) == [1, 4]
+    assert good.columns == ["id", "name", "score"]
+    bads = bad.collect()
+    assert len(bads) == 2
+    # the raw line is preserved for triage
+    assert any("not json" in r["_corrupt_record"] for r in bads)
