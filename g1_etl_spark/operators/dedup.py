@@ -447,8 +447,35 @@ def _assemble_simhash(vote_col) -> Column:
     return out
 
 
+def _assemble_simhash_arrow():
+    """Arrow-vectorized signature assembly: (n, p0..p15) -> sh in one
+    numpy pass per batch — bit-identical to the expression form
+    (asserted in tests). The expression forms all pay ~1.2 s of
+    PER-QUERY-INSTANCE codegen/planning for the 64-term tree (measured:
+    same DataFrame object re-forced 0.31 s, fresh instance 1.9-2.5 s,
+    branchless variant no better); the numpy path sidesteps the
+    generated-code size entirely and is row-scale-independent (one
+    int64 op per (doc, pack) element)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _assemble(n: "pd.Series", *packs: "pd.Series") -> "pd.Series":
+        nn = n.to_numpy(np.int64)
+        out = np.zeros(len(nn), dtype=np.uint64)
+        for j, p in enumerate(packs):
+            pv = p.to_numpy(np.int64).astype(np.uint64)
+            for lane in range(4):
+                ones = (pv >> np.uint64(16 * lane)) & np.uint64(0xFFFF)
+                bit = (2 * ones.astype(np.int64) > nn).astype(np.uint64)
+                out |= bit << np.uint64(j + 16 * lane)
+        return pd.Series(out.astype(np.int64))
+
+    return _assemble
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       impl: str = "arrow") -> DataFrame:
     """(d, sh): single-pass 64-bit SimHash per document.
 
     Explode tokens, xxhash64 each ONCE, then one codegen'd hash-aggregate
@@ -486,13 +513,42 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         packs.append(F.sum(e).alias(f"_p{j}"))
     grouped = hashed.groupBy("d").agg(F.count(F.lit(1)).alias("_n"), *packs)
 
-    def _ones(i: int):
-        return (F.shiftright(F.col(f"_p{i % 16}"), 16 * (i // 16))
+    if impl == "arrow" and _ARROW_OK:
+        assemble = _assemble_simhash_arrow()
+        return grouped.select(
+            "d", assemble(F.col("_n"),
+                          *[F.col(f"_p{j}") for j in range(16)])
+            .alias("sh"))
+
+    def _ones(j: int, lane: int):
+        return (F.shiftright(F.col(f"_p{j}"), 16 * lane)
                 .bitwiseAND(F.lit((1 << 16) - 1)))
 
-    return grouped.select(
-        "d", _assemble_simhash(
-            lambda i: _ones(i) * 2 - F.col("_n")).alias("sh"))
+    # Dependency-free expression fallback. Assemble WORD-WISE (four
+    # 16-term OR chains recombined by shifts) rather than one 64-term
+    # chain — smaller generated methods. Bit 63 is the long sign bit,
+    # so the top word's MSB recombines through the negative literal
+    # instead of an overflowing shift (ANSI mode).
+    words = []
+    for lane in range(4):
+        w = F.lit(0).cast("long")
+        for j in range(16):
+            w = w.bitwiseOR(
+                F.when(_ones(j, lane) * 2 > F.col("_n"),
+                       F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        words.append(w.alias(f"_w{lane}"))
+    sh = (F.col("_w0")
+          .bitwiseOR(F.shiftleft(F.col("_w1"), 16))
+          .bitwiseOR(F.shiftleft(F.col("_w2"), 32))
+          .bitwiseOR(
+              F.when(F.shiftright(F.col("_w3"), 15)
+                     .bitwiseAND(F.lit(1)) == 1,
+                     F.shiftleft(F.col("_w3").bitwiseAND(F.lit(0x7FFF)),
+                                 48)
+                     .bitwiseOR(F.lit(-(1 << 63)).cast("long")))
+              .otherwise(F.shiftleft(F.col("_w3"), 48))))
+    return grouped.select("d", *words).select("d", sh.alias("sh"))
 
 
 def simhash64(tokens: Column) -> Column:
