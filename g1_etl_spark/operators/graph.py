@@ -1,0 +1,80 @@
+"""Iterative graph analytics as DataFrame loops.
+
+No reference analog (superset scope): the reference has no graph
+surface at all. The pattern here is the Spark-native one for iterative
+algorithms — a driver-side loop over DataFrame transformations with an
+eager localCheckpoint per iteration to truncate lineage (without it,
+iteration K's plan nests K copies of the join and analysis time grows
+quadratically). Connected components in operators/dedup.py follows the
+same discipline; PageRank here adds weighted propagation.
+
+Engine-exactness: per-iteration contribution sums use the repo's
+scaled-long idiom (round(x * 1e12) summed as BIGINT — order-free and
+bit-identical in any engine) at 1e12 rather than _util's 1e6 because
+rank×edge-fraction products sit at 1e-2..1e-6; 12 decimal digits keeps
+them exact while 25 nodes × 1e12 stays far inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # 1e12
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
+             damping: float = 0.85, id_col: str = "id",
+             src_col: str = "src", dst_col: str = "dst",
+             weight_col: str = "weight",
+             normalized: bool = False) -> DataFrame:
+    """Weighted PageRank, `iters` fixed iterations, damping d:
+
+        rank_0(v)   = 1/N
+        rank_k+1(v) = (1-d)/N + d * sum_u rank_k(u) * w(u,v)/outw(u)
+
+    Dangling mass (nodes with no out-edges) is dropped, not
+    redistributed — the simplest fixed-point; both engines agree.
+
+    Scale shape: edge fractions are computed ONCE (one shuffle on src)
+    and checkpointed; each iteration is one rank⋈edges join (shuffle on
+    the src key — at real graph scale pre-partition both sides on the
+    key and the join is exchange-free every iteration) plus one
+    dst-keyed aggregate with map-side partial sums. The per-iteration
+    localCheckpoint keeps plan depth O(1) instead of O(iters). N is a
+    driver scalar (graph METADATA, like kmeans centroid counts — not a
+    data collect).
+    """
+    if normalized:
+        # caller guarantees weights already sum to 1 per src (lets an
+        # engine-exactness-minded caller do the normalization with its
+        # own deterministic summation)
+        e = edges.select(F.col(src_col).alias("_src"),
+                         F.col(dst_col).alias("_dst"),
+                         F.col(weight_col).alias("_frac"))
+    else:
+        outw = edges.groupBy(src_col).agg(F.sum(weight_col).alias("_ow"))
+        e = (edges.join(outw, src_col)
+             .select(F.col(src_col).alias("_src"),
+                     F.col(dst_col).alias("_dst"),
+                     (F.col(weight_col) / F.col("_ow")).alias("_frac")))
+    e = e.localCheckpoint(eager=True)
+    n = nodes.count()
+    ranks = nodes.select(F.col(id_col).alias("_id"),
+                         F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (ranks.join(e, ranks._id == e._src)
+                    .select(F.col("_dst").alias("_id"),
+                            F.round(F.col("rank") * F.col("_frac")
+                                    * PR_SCALE).cast("long").alias("_c")))
+        summed = (contribs.groupBy("_id")
+                  .agg((F.sum("_c").cast("double") / PR_SCALE)
+                       .alias("_s")))
+        ranks = (nodes.select(F.col(id_col).alias("_id"))
+                 .join(summed, "_id", "left")
+                 .select("_id",
+                         ((1.0 - damping) / n
+                          + damping * F.coalesce(F.col("_s"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select(F.col("_id").alias(id_col), "rank")

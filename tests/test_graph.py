@@ -1,0 +1,33 @@
+"""Weighted-PageRank operator tests (plan-level invariants; exact
+values are guarded by the unrolled-CTE oracle in plans/graph_plans.py
+and the sf0.001/0.01 parity gates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_mass_and_floor(spark):
+    from g1_etl_spark.plans.graph_plans import graph_pagerank_trade
+
+    rows = graph_pagerank_trade(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 25
+    n, d = 25, 0.85
+    floor = (1 - d) / n
+    for r in rows:
+        assert r["rank"] >= floor - 1e-12
+    # every nation trades, so no dangling mass: total stays ~1
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    from g1_etl_spark.operators.graph import pagerank
+
+    # complete digraph with equal weights -> uniform stationary ranks
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(i, j, 1.0) for i in range(4) for j in range(4) if i != j],
+        "src long, dst long, weight double")
+    out = {r["id"]: r["rank"]
+           for r in pagerank(nodes, edges, iters=5).collect()}
+    assert all(abs(v - 0.25) < 1e-9 for v in out.values())
