@@ -64,7 +64,15 @@ R3_ADD = [
     "pipeline_clean_corpus",
     "entity_products_flat",
 ]
-HEADLINE = R1_SET + R2_ADD + R3_ADD
+R4_ADD = [
+    "corpus_source_overlap",
+    "text_rarity_score",
+    "events_session_docs",
+    "events_percentile_rollup",
+    "sim_hard_negatives",
+    "graph_pagerank_trade",
+]
+HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD
 
 # Pinned-name entries whose operator semantics changed in a later round
 # (emitted in the JSON so subset totals aren't silently compared
@@ -152,6 +160,8 @@ def main() -> None:
         "r1r2_common_stable_total_sec": round(
             sum(per_query[n] for n in R1_SET + R2_ADD
                 if n not in SEMANTICS_CHANGED), 3),
+        "r1r2r3_common_total_sec": round(
+            sum(per_query[n] for n in R1_SET + R2_ADD + R3_ADD), 3),
     }))
 
 
