@@ -88,7 +88,9 @@ _R4_WINDOW = (
     # -- banked-green re-confirms: dedup / text / retrieval -------------
     # (text_vocab and dedup_exact re-confirms dropped — both banked
     # green and mechanics-trivial — for the rarity and pagerank ops)
-    "graph_pagerank_trade", "dedup_ngram_jaccard", "dedup_clusters",
+    # (dedup_clusters re-confirm dropped — banked green r2 — for the
+    # basket-mining op)
+    "graph_pagerank_trade", "dedup_ngram_jaccard", "orders_basket_pairs",
     "dedup_incremental", "text_quality_stats", "text_rarity_score",
     "text_bm25_topk", "pipeline_rag_index",
     # -- NEW this round: simhash aggregate-recall contract --------------

@@ -783,3 +783,41 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("t"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "orders_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT p1, p2, support FROM pairs
+    ORDER BY support DESC, p1, p2
+    LIMIT 50
+    """,
+    description="market-basket co-occurrence mining: top-50 part pairs "
+                "by order-level support — per-order self-join (group "
+                "size bounded by basket size, never corpus size), one "
+                "count shuffle, deterministic top-k",
+    tags=("join", "agg", "topk"),
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the self-join keys on the ORDER, so each join group
+    is basket-sized (TPC-H ~4 items) regardless of corpus size — the
+    classic trick that makes pair mining linear in orders rather than
+    quadratic in items. Pair counts fold map-side before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("p1"),
+                     F.col("b.l_partkey").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .orderBy(F.desc("support"), "p1", "p2")
+            .limit(50))
