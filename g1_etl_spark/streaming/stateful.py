@@ -359,3 +359,92 @@ def streaming_pattern_seq(events: DataFrame,
                 stateStructType=_PAT_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_HOUR_US = 3_600_000_000
+_ANOM_OUT = ("event_type string, hr_us long, cnt long, z double, "
+             "is_anomaly boolean")
+_ANOM_STATE = "hrs array<long>, cnts array<long>, n_emitted int"
+
+
+def _flag_rate_anomalies(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-type hourly-rate z-score flags, watermark-correct: an hour
+    SEALS once the watermark passes its end (no event inside it can
+    still arrive), and a sealed hour's z-score uses the trailing <=24
+    SEALED hourly rows — exactly the batch plan's ROWS 24 PRECEDING
+    frame, because hours seal in order under a monotone watermark.
+    State is the trailing history plus open buckets (bounded: 24 rows +
+    open hours inside the watermark delay). Late events for an
+    already-emitted hour are dropped — the flag is immutable once
+    emitted (document consumers rely on that)."""
+    (etype,) = key
+    hrs, cnts, n_emitted = ((list(state.get[0]), list(state.get[1]),
+                             state.get[2]) if state.exists else ([], [], 0))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us in pdf["us"]:
+                hr = int(us) // _HOUR_US * _HOUR_US
+                if n_emitted and hr <= hrs[n_emitted - 1]:
+                    continue  # sealed-and-emitted hour: immutable
+                try:
+                    i = hrs.index(hr, n_emitted)
+                    cnts[i] += 1
+                except ValueError:
+                    j = len(hrs)
+                    while j > n_emitted and hrs[j - 1] > hr:
+                        j -= 1
+                    hrs.insert(j, hr)
+                    cnts.insert(j, 1)
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    rows = []
+    while n_emitted < len(hrs) and hrs[n_emitted] + _HOUR_US <= wm_us:
+        i = n_emitted
+        prev = cnts[max(0, i - 24):i]
+        n = len(prev)
+        if n >= 12:
+            s = float(sum(prev))
+            ss = float(sum(c * c for c in prev))
+            var = (ss - s * s / n) / (n - 1)
+            if var > 0:
+                z = (cnts[i] - s / n) / var ** 0.5
+                rows.append({"event_type": etype, "hr_us": hrs[i],
+                             "cnt": cnts[i], "z": z,
+                             "is_anomaly": abs(z) > 3.0})
+        n_emitted += 1
+    # trim history the 24-row frame can no longer reach
+    cut = max(0, n_emitted - 24)
+    if cut:
+        hrs, cnts, n_emitted = hrs[cut:], cnts[cut:], n_emitted - cut
+    if hrs:
+        state.update((hrs, cnts, n_emitted))
+        if n_emitted < len(hrs):
+            state.setTimeoutTimestamp(
+                max((hrs[n_emitted] + _HOUR_US) // 1000,
+                    state.getCurrentWatermarkMs()) + 1)
+    else:
+        state.remove()
+    yield pd.DataFrame(rows, columns=["event_type", "hr_us", "cnt", "z",
+                                      "is_anomaly"])
+
+
+def streaming_rate_anomaly(events: DataFrame,
+                           delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_rate_anomaly: |z| > 3 flags
+    on hourly per-type rates against the trailing <=24 sealed hours.
+    Emits each hour's flag exactly once, when the watermark seals it —
+    the alerting shape, where a flag must be final when it fires."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("event_type", F.unix_micros("ts").alias("us"),
+                        "ts"))
+    return (prepared
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _flag_rate_anomalies,
+                outputStructType=_ANOM_OUT,
+                stateStructType=_ANOM_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

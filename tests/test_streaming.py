@@ -519,3 +519,63 @@ def test_streaming_session_docs_matches_batch(spark, tmp_path):
     # everything closed well before the final watermark must be present
     assert len(got) >= len(want_all) * 0.8
     assert got, "no sessions emitted"
+
+
+def test_streaming_rate_anomaly_matches_batch(spark):
+    """Flags emitted by the sealing-hour state machine must equal the
+    batch rolling-z-score plan for every hour the final watermark
+    sealed (and emit nothing the batch plan doesn't contain)."""
+    from g1_etl_spark.streaming.stateful import streaming_rate_anomaly
+
+    tmp = str(TMP) + "_anom"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_rate_anomaly(stream), "t_anom",
+                             output_mode="append")
+        try:
+            got = {(r["event_type"], r["hr_us"]):
+                   (r["cnt"], round(r["z"], 9), r["is_anomaly"])
+                   for r in spark.sql("SELECT * FROM t_anom").collect()}
+        finally:
+            q.stop()
+
+        from g1_etl_spark.plans import REGISTRY
+        batch = REGISTRY["events_rate_anomaly"].fn.__wrapped__ \
+            if hasattr(REGISTRY["events_rate_anomaly"].fn, "__wrapped__") \
+            else REGISTRY["events_rate_anomaly"].fn
+        ev = spark.read.parquet(tmp)
+        hourly = (ev.groupBy("event_type",
+                             F.unix_micros(F.date_trunc("hour", "ts"))
+                             .alias("hr_us"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        from pyspark.sql import Window as W
+
+        w = (W.partitionBy("event_type").orderBy("hr_us")
+             .rowsBetween(-24, -1))
+        n, s, ss = (F.count(F.lit(1)).over(w), F.sum("cnt").over(w),
+                    F.sum(F.col("cnt") * F.col("cnt")).over(w))
+        var = (ss - s.cast("double") * s / n) / (n - 1)
+        z = (F.col("cnt") - s.cast("double") / n) / F.sqrt(var)
+        want_df = (hourly.select("event_type", "hr_us", "cnt",
+                                 n.alias("n"), var.alias("var"),
+                                 z.alias("z"))
+                   .filter((F.col("n") >= 12) & (F.col("var") > 0)))
+        wm_us = (ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+                 // 1000) * 1000
+        want = {(r["event_type"], r["hr_us"]):
+                (r["cnt"], round(r["z"], 9), abs(r["z"]) > 3.0)
+                for r in want_df.collect()
+                if r["hr_us"] + 3_600_000_000 <= wm_us}
+        want_all = {(r["event_type"], r["hr_us"]):
+                    (r["cnt"], round(r["z"], 9), abs(r["z"]) > 3.0)
+                    for r in want_df.collect()}
+        for k, v in want.items():
+            assert got.get(k) == v, f"missing/mismatched {k}: " \
+                                    f"{got.get(k)} vs {v}"
+        for k, v in got.items():
+            assert want_all.get(k) == v, f"spurious {k}"
+        assert got, "nothing emitted"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
