@@ -448,3 +448,79 @@ def streaming_rate_anomaly(events: DataFrame,
                 stateStructType=_ANOM_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_SCD2_OUT = ("user_id long, state string, valid_from_us long, "
+             "valid_to_us long")
+_SCD2_STATE = ("cur_state string, cur_from long, "
+               "uss array<long>, ids array<long>, sts array<string>")
+
+
+def _maintain_scd2(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct SCD2 maintenance (the CDC shape): buffer the
+    key's change log; events with ts < watermark are SEALED — nothing
+    can land between them anymore — so the sealed prefix collapses
+    consecutive duplicates and every interval whose CLOSING change is
+    sealed emits exactly once, already final. The open tail interval
+    (is_current in the batch plan) lives in two state scalars and never
+    emits — on an unbounded stream 'current' is a query against state,
+    not an append event."""
+    (user_id,) = key
+    cur_state, cur_from, uss, ids, sts = (
+        (state.get[0], state.get[1], list(state.get[2]),
+         list(state.get[3]), list(state.get[4]))
+        if state.exists else (None, None, [], [], []))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            uss.extend(int(u) for u in pdf["us"])
+            ids.extend(int(i) for i in pdf["event_id"])
+            sts.extend(pdf["event_type"])
+    order = sorted(range(len(uss)), key=lambda i: (uss[i], ids[i]))
+    uss = [uss[i] for i in order]
+    ids = [ids[i] for i in order]
+    sts = [sts[i] for i in order]
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    sealed = sum(1 for u in uss if u < wm_us)
+    rows = []
+    for i in range(sealed):
+        if sts[i] != cur_state:
+            if cur_state is not None:
+                rows.append({"user_id": user_id, "state": cur_state,
+                             "valid_from_us": cur_from,
+                             "valid_to_us": uss[i]})
+            cur_state, cur_from = sts[i], uss[i]
+    uss, ids, sts = uss[sealed:], ids[sealed:], sts[sealed:]
+    if uss or cur_state is not None:
+        state.update((cur_state, cur_from, uss, ids, sts))
+        if uss:
+            state.setTimeoutTimestamp(
+                max(min(uss) // 1000, state.getCurrentWatermarkMs()) + 1)
+    else:
+        state.remove()
+    yield pd.DataFrame(rows, columns=["user_id", "state",
+                                      "valid_from_us", "valid_to_us"])
+
+
+def streaming_scd2(events: DataFrame,
+                   delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_scd2_intervals: half-open
+    validity intervals per user maintained from the live change log;
+    each interval emits exactly once, when the watermark seals its
+    closing change — matching the batch plan's closed intervals on any
+    arrival order (for events inside the watermark)."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id", "event_type",
+                        F.unix_micros("ts").alias("us"), "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _maintain_scd2,
+                outputStructType=_SCD2_OUT,
+                stateStructType=_SCD2_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -579,3 +579,45 @@ def test_streaming_rate_anomaly_matches_batch(spark):
         assert got, "nothing emitted"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_scd2_matches_batch(spark):
+    """Emitted closed intervals must equal the batch SCD2 plan's
+    non-current intervals whose closing change the final watermark
+    sealed; nothing outside the batch interval set may emit."""
+    from g1_etl_spark.streaming.stateful import streaming_scd2
+
+    tmp = str(TMP) + "_scd2"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_scd2(stream), "t_scd2",
+                             output_mode="append")
+        try:
+            got = {(r["user_id"], r["state"], r["valid_from_us"],
+                    r["valid_to_us"])
+                   for r in spark.sql("SELECT * FROM t_scd2").collect()}
+        finally:
+            q.stop()
+
+        from g1_etl_spark.operators.temporal import scd2_intervals
+        ev = spark.read.parquet(tmp)
+        batch = (scd2_intervals(ev, key_col="user_id", ts_col="ts",
+                                state_col="event_type",
+                                tie_col="event_id")
+                 .filter(F.col("valid_to").isNotNull())
+                 .select("user_id", F.col("event_type").alias("state"),
+                         F.unix_micros("valid_from").alias("f"),
+                         F.unix_micros("valid_to").alias("t")))
+        wm_us = (ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+                 // 1000) * 1000
+        rows = batch.collect()
+        closed = {(r["user_id"], r["state"], r["f"], r["t"])
+                  for r in rows if r["t"] < wm_us}
+        all_ = {(r["user_id"], r["state"], r["f"], r["t"]) for r in rows}
+        assert got >= closed, f"missing intervals: {closed - got}"
+        assert got <= all_, f"spurious intervals: {got - all_}"
+        assert got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
