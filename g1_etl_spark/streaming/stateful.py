@@ -419,9 +419,13 @@ def _flag_rate_anomalies(key, pdfs: Iterator[pd.DataFrame],
     if hrs:
         state.update((hrs, cnts, n_emitted))
         if n_emitted < len(hrs):
+            # arm so the timer fires at the FIRST watermark >= the
+            # bucket end: ts_ms = (end-1)//1000 fires at wm_ms >=
+            # end//1000 (buckets are ms-aligned). An arm at end//1000+1
+            # strands a bucket whose end equals the terminal watermark.
             state.setTimeoutTimestamp(
-                max((hrs[n_emitted] + _HOUR_US) // 1000,
-                    state.getCurrentWatermarkMs()) + 1)
+                max((hrs[n_emitted] + _HOUR_US - 1) // 1000,
+                    state.getCurrentWatermarkMs() + 1))
     else:
         state.remove()
     yield pd.DataFrame(rows, columns=["event_type", "hr_us", "cnt", "z",
@@ -522,5 +526,95 @@ def streaming_scd2(events: DataFrame,
                 _maintain_scd2,
                 outputStructType=_SCD2_OUT,
                 stateStructType=_SCD2_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_GF_OUT = ("user_id long, bucket_us long, n long, locf_value double")
+_GF_STATE = ("carry long, has_carry boolean, next_bucket long, "
+             "bks array<long>, ns array<long>, svals array<long>")
+_GF_SCALE = 1_000_000
+
+
+def _fill_gaps(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct LOCF gap fill: hourly buckets accumulate in
+    state (value sums as scaled longs — the repo's engine-exact dsum
+    idiom); when an OBSERVED bucket seals, the fillers since the
+    previous observation emit with the carried value, then the bucket
+    itself. Trailing fillers after the newest observation never emit —
+    whether they belong to the grid depends on whether a later
+    observation ever arrives, so emitting them would be a guess, and
+    append output must be final."""
+    (user_id,) = key
+    carry, has_carry, next_bucket, bks, ns, svals = (
+        (state.get[0], state.get[1], state.get[2], list(state.get[3]),
+         list(state.get[4]), list(state.get[5]))
+        if state.exists else (0, False, None, [], [], []))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, val in zip(pdf["us"], pdf["value"]):
+                b = int(us) // _HOUR_US * _HOUR_US
+                sv = int(round(float(val) * _GF_SCALE))
+                try:
+                    i = bks.index(b)
+                    ns[i] += 1
+                    svals[i] += sv
+                except ValueError:
+                    bks.append(b)
+                    ns.append(1)
+                    svals.append(sv)
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bks)), key=lambda i: bks[i])
+    rows = []
+    done = []
+    for i in order:
+        if bks[i] + _HOUR_US > wm_us:
+            break
+        b, v = bks[i], svals[i] / _GF_SCALE
+        if next_bucket is not None:
+            g = next_bucket
+            while g < b:
+                rows.append({"user_id": user_id, "bucket_us": g, "n": 0,
+                             "locf_value": carry / _GF_SCALE
+                             if has_carry else None})
+                g += _HOUR_US
+        rows.append({"user_id": user_id, "bucket_us": b, "n": ns[i],
+                     "locf_value": v})
+        carry, has_carry, next_bucket = svals[i], True, b + _HOUR_US
+        done.append(i)
+    for i in sorted(done, reverse=True):
+        del bks[i], ns[i], svals[i]
+    if bks or has_carry:
+        state.update((carry, has_carry, next_bucket, bks, ns, svals))
+        if bks:
+            # same boundary rule as the anomaly emitter: fire at the
+            # first watermark that seals the earliest open bucket
+            state.setTimeoutTimestamp(
+                max((min(bks) + _HOUR_US - 1) // 1000,
+                    state.getCurrentWatermarkMs() + 1))
+    else:
+        state.remove()
+    yield pd.DataFrame(rows, columns=["user_id", "bucket_us", "n",
+                                      "locf_value"])
+
+
+def streaming_gapfill_locf(events: DataFrame,
+                           delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_gapfill_locf: dense hourly
+    grid per key with last-observation-carried-forward, emitted
+    bucket-by-bucket as observations seal."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", F.unix_micros("ts").alias("us"),
+                        "value", "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _fill_gaps,
+                outputStructType=_GF_OUT,
+                stateStructType=_GF_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -173,15 +173,29 @@ def write_foreach_batch(stream_df: DataFrame, path: str,
 
 
 def run_to_memory(stream_df: DataFrame, name: str,
-                  output_mode: str = "append"):
+                  output_mode: str = "append", settles: int = 2):
     """Drive a streaming query to completion against the current backlog
-    (test/bench harness): memory sink + processAllAvailable."""
+    (test/bench harness): memory sink + processAllAvailable.
+
+    processAllAvailable only waits for AVAILABLE DATA — a micro-batch
+    whose sole job is firing event-time timers armed against the final
+    watermark is not "available data", so a stateful query's terminal
+    flush can land AFTER processAllAvailable returns. The settle loop
+    gives the engine `settles` beats to run those timer-only batches
+    and drains after each; without it the tail emission race is
+    timing-dependent (observed: the last user's sealed gap-fill rows
+    present or absent run to run)."""
+    import time as _time
+
     q = (stream_df.writeStream
          .format("memory")
          .queryName(name)
          .outputMode(output_mode)
          .start())
     q.processAllAvailable()
+    for _ in range(settles):
+        _time.sleep(1.0)
+        q.processAllAvailable()
     return q
 
 

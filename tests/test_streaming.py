@@ -621,3 +621,66 @@ def test_streaming_scd2_matches_batch(spark):
         assert got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_gapfill_matches_batch(spark):
+    """Emitted grid rows (observed + fillers) must equal the batch
+    LOCF plan for every bucket at or before each user's newest sealed
+    observation."""
+    from g1_etl_spark.streaming.stateful import streaming_gapfill_locf
+
+    tmp = str(TMP) + "_gf"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(
+            spark, tmp, 1).filter(F.col("user_id") < 10)
+        q = SW.run_to_memory(streaming_gapfill_locf(stream), "t_gf",
+                             output_mode="append")
+        try:
+            got = {(r["user_id"], r["bucket_us"]):
+                   (r["n"], r["locf_value"])
+                   for r in spark.sql("SELECT * FROM t_gf").collect()}
+        finally:
+            q.stop()
+
+        ev = spark.read.parquet(tmp).filter(F.col("user_id") < 10)
+        hour_us = 3_600_000_000
+        b = (ev.groupBy("user_id",
+                        (F.floor(F.unix_micros("ts") / hour_us)
+                         * hour_us).alias("bucket_us"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  (F.sum(F.round(F.col("value") * 1_000_000)
+                         .cast("long")).cast("double") / 1_000_000)
+                  .alias("total_value")))
+        from pyspark.sql import Window as W
+
+        spans = b.groupBy("user_id").agg(F.min("bucket_us").alias("lo"),
+                                         F.max("bucket_us").alias("hi"))
+        grid = spans.select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi",
+                                 F.lit(hour_us))).alias("bucket_us"))
+        filled = (grid.join(b, ["user_id", "bucket_us"], "left")
+                  .withColumn("grp", F.count("total_value").over(
+                      W.partitionBy("user_id").orderBy("bucket_us")))
+                  .withColumn("locf", F.first("total_value").over(
+                      W.partitionBy("user_id", "grp")
+                      .orderBy("bucket_us"))))
+        # the stream filters to user_id < 10 BEFORE the watermark is
+        # assigned, so the watermark advances only with those users'
+        # events — the expectation must use the same max
+        wm_us = (ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+                 // 1000) * 1000
+        sealed_hi = {r["user_id"]: r["m"] for r in
+                     b.filter(F.col("bucket_us") + hour_us <= wm_us)
+                     .groupBy("user_id")
+                     .agg(F.max("bucket_us").alias("m")).collect()}
+        want = {(r["user_id"], r["bucket_us"]):
+                (r["n"] or 0, r["locf"])
+                for r in filled.collect()
+                if r["user_id"] in sealed_hi
+                and r["bucket_us"] <= sealed_hi[r["user_id"]]}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
