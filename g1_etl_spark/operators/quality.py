@@ -120,3 +120,39 @@ def observed(df: DataFrame, name: str,
 
     ob = Observation(name)
     return df.observe(ob, *[c.alias(n) for n, c in metrics.items()]), ob
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Dataset regression audit between two snapshots of the same
+    table: one row per key that was ADDED, REMOVED, or CHANGED (plus
+    how many compared columns differ) — unchanged keys emit nothing,
+    so the output is delta-sized, not table-sized. The check a
+    training-data pipeline runs before promoting a refreshed snapshot.
+
+    Scale shape: ONE full-outer shuffle join on the key (each side
+    hashed once); all column comparisons are null-safe equality inside
+    the join's projection. No broadcast hint — snapshots are both
+    table-sized by definition.
+    """
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+    # presence keys off a constant marker (a data column being null is
+    # not absence; only a failed outer-join match leaves the marker null)
+    a = old.select(*keys, *[F.col(c).alias(f"_a_{c}") for c in cols],
+                   F.lit(1).alias("_a_present"))
+    b = new.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in cols],
+                   F.lit(1).alias("_b_present"))
+    j = a.join(b, keys, "full_outer")
+    changed_flags = [
+        (~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))).cast("int")
+        for c in cols
+    ]
+    n_changed = sum(changed_flags[1:], changed_flags[0])
+    status = (F.when(F.col("_a_present").isNull(), F.lit("added"))
+              .when(F.col("_b_present").isNull(), F.lit("removed"))
+              .when(n_changed > 0, F.lit("changed")))
+    return (j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select(*keys, "status",
+                    F.when(F.col("status") == "changed", n_changed)
+                    .cast("long").alias("n_cols_changed")))

@@ -93,11 +93,12 @@ _R4_WINDOW = (
     "graph_pagerank_trade", "dedup_ngram_jaccard", "orders_basket_pairs",
     "dedup_incremental", "text_quality_stats", "text_rarity_score",
     "text_bm25_topk", "pipeline_rag_index",
-    # -- NEW this round: simhash aggregate-recall contract --------------
-    "dedup_simhash_recall",
-    # -- banked-green re-confirms: curation / merge / features ----------
-    # (feat_zscore re-confirm dropped — green r3 — for the contract row)
-    "pipeline_clean_corpus", "pipeline_train_prep",
+    # -- NEW this round: simhash recall contract + snapshot diff --------
+    "dedup_simhash_recall", "dq_snapshot_diff",
+    # -- banked-green re-confirms: curation / merge ---------------------
+    # (feat_zscore and pipeline_train_prep re-confirms dropped — both
+    # green r3 — for the two contract/audit rows above)
+    "pipeline_clean_corpus",
     "merge_upsert_orders",
 )
 

@@ -145,3 +145,65 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return key_skew_profile(ev, "user_id", top=20)
+
+
+@register(
+    "dq_snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 50 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT * FROM orders
+      WHERE o_orderkey % 50 <> 0 AND o_orderkey % 89 <> 0),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_orderkey IS NULL AS a_miss,
+             b.o_orderkey IS NULL AS b_miss,
+             CAST(a.o_custkey IS DISTINCT FROM b.o_custkey AS INT)
+               + CAST(a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                      AS INT)
+               + CAST(a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                      AS INT)
+               + CAST(a.o_orderdate IS DISTINCT FROM b.o_orderdate
+                      AS INT)
+               + CAST(a.o_orderpriority IS DISTINCT FROM
+                      b.o_orderpriority AS INT) AS nch
+      FROM orders a FULL JOIN newsnap b USING (o_orderkey))
+    SELECT o_orderkey,
+           CASE WHEN a_miss THEN 'added'
+                WHEN b_miss THEN 'removed'
+                WHEN nch > 0 THEN 'changed' END AS status,
+           CASE WHEN NOT a_miss AND NOT b_miss AND nch > 0
+                THEN CAST(nch AS BIGINT) END AS n_cols_changed
+    FROM j
+    WHERE a_miss OR b_miss OR nch > 0
+    """,
+    description="snapshot regression audit: full-outer diff of the "
+                "orders table against a refreshed snapshot (updates at "
+                "key%50, inserts at key%97, deletes at key%89) — "
+                "delta-sized output of added/removed/changed keys with "
+                "changed-column counts; one key-hashed shuffle per side",
+    tags=("quality", "merge"),
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.quality import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders")
+    changed = (base.filter(F.col("o_orderkey") % 50 == 0)
+               .withColumn("o_orderstatus", F.lit("U"))
+               .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    inserts = (base.filter(F.col("o_orderkey") % 97 == 0)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + 100_000_000)
+               .withColumn("o_orderstatus", F.lit("N")))
+    kept = base.filter((F.col("o_orderkey") % 50 != 0)
+                       & (F.col("o_orderkey") % 89 != 0))
+    new = changed.unionByName(inserts).unionByName(kept)
+    return snapshot_diff(base, new, ["o_orderkey"])

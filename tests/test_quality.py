@@ -61,3 +61,26 @@ def test_observed_metrics_free_telemetry(spark, tmp_path):
     obs.write.format("noop").mode("overwrite").save()
     assert ob.get == {"n_rows": 1000, "n_null_v": 100,
                       "sum_id": 999 * 1000 // 2}
+
+
+def test_snapshot_diff_classifies(spark):
+    from g1_etl_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),            # unchanged -> absent from output
+         (2, "B", 25.0),            # changed (2 cols)
+         (4, "d", 40.0)],           # added; 3 removed
+        "k long, s string, v double")
+    got = {r["k"]: (r["status"], r["n_cols_changed"])
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: ("changed", 2), 3: ("removed", None),
+                   4: ("added", None)}
+    # null-vs-value counts as a change, null-vs-null does not
+    old2 = spark.createDataFrame([(1, None)], "k long, v double")
+    new2 = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    rows = snapshot_diff(old2, new2, ["k"]).collect()
+    assert [(r["status"], r["n_cols_changed"]) for r in rows] \
+        == [("changed", 1)]
