@@ -618,3 +618,70 @@ def streaming_gapfill_locf(events: DataFrame,
                 stateStructType=_GF_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_HH_OUT = ("event_type string, user_id long, est_count long, "
+           "max_err long, emit_seq long")
+_HH_STATE = ("keys array<long>, counts array<long>, errs array<long>, "
+             "seq long")
+_HH_K = 16
+
+
+def _track_heavy_hitters(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Space-Saving sketch (Metwally et al. 2005) per group: at most
+    _HH_K (key, count, err) counters regardless of stream length. A new
+    key evicts the minimum counter and inherits its count as error
+    bound; guarantees true_count <= est_count and est_count - max_err
+    <= true_count, and any key with true frequency > N/k is present.
+    The O(k) state is the whole point — exact per-user counts over an
+    unbounded stream would grow state with the user universe."""
+    (etype,) = key
+    ks, cs, es, seq = ((list(state.get[0]), list(state.get[1]),
+                        list(state.get[2]), state.get[3])
+                       if state.exists else ([], [], [], 0))
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            try:
+                i = ks.index(uid)
+                cs[i] += 1
+            except ValueError:
+                if len(ks) < _HH_K:
+                    ks.append(uid)
+                    cs.append(1)
+                    es.append(0)
+                else:
+                    m = min(range(len(cs)), key=lambda j: (cs[j], ks[j]))
+                    ks[m], es[m] = uid, cs[m]
+                    cs[m] += 1
+    seq += 1
+    state.update((ks, cs, es, seq))
+    order = sorted(range(len(ks)), key=lambda i: (-cs[i], ks[i]))
+    yield pd.DataFrame(
+        [{"event_type": etype, "user_id": ks[i], "est_count": cs[i],
+          "max_err": es[i], "emit_seq": seq} for i in order],
+        columns=["event_type", "user_id", "est_count", "max_err",
+                 "emit_seq"])
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Top user heavy hitters per event type over an unbounded stream
+    with O(k) state per type (Space-Saving sketch). Emits the current
+    sketch each batch in update mode; consumers keep each type's rows
+    at max emit_seq. Arrival-order dependent like any sketch, but the
+    count BOUNDS (est >= true >= est - err) and the guarantee that any
+    key above N/k frequency is present hold on every emission — the
+    tests pin both against exact batch counts."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select("event_type", "user_id",
+                             F.unix_micros("ts").alias("us"))
+    return (prepared
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _track_heavy_hitters,
+                outputStructType=_HH_OUT,
+                stateStructType=_HH_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -684,3 +684,45 @@ def test_streaming_gapfill_matches_batch(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_heavy_hitters_bounds(spark, stream_dir):
+    """Space-Saving guarantees vs exact batch counts: est >= true >=
+    est - err for every emitted counter, and every user with true
+    frequency > N/k for a type appears in that type's final sketch."""
+    from g1_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    stream = SW.read_events_stream(spark, stream_dir, 1)
+    q = SW.run_to_memory(streaming_heavy_hitters(stream), "t_hh",
+                         output_mode="update")
+    try:
+        final = spark.sql("""
+          WITH latest AS (
+            SELECT event_type, MAX(emit_seq) AS s FROM t_hh
+            GROUP BY event_type)
+          SELECT h.* FROM t_hh h JOIN latest l
+            ON h.event_type = l.event_type AND h.emit_seq = l.s
+        """).collect()
+    finally:
+        q.stop()
+
+    batch = _batch(spark, stream_dir)
+    exact = {(r["event_type"], r["user_id"]): r["n"]
+             for r in batch.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {}
+    for (et, _), n in exact.items():
+        totals[et] = totals.get(et, 0) + n
+    assert final
+    sketched = {}
+    for r in final:
+        true = exact.get((r["event_type"], r["user_id"]), 0)
+        assert r["est_count"] >= true >= r["est_count"] - r["max_err"], \
+            (r["event_type"], r["user_id"], r["est_count"], r["max_err"],
+             true)
+        sketched.setdefault(r["event_type"], set()).add(r["user_id"])
+    k = 16
+    for (et, uid), n in exact.items():
+        if n > totals[et] / k:
+            assert uid in sketched[et], f"guaranteed hitter missing: " \
+                                        f"{et}/{uid} ({n} > {totals[et]}/{k})"
