@@ -299,15 +299,21 @@ def source_overlap(docs: DataFrame, text_col: str = "text",
     independent (train/eval splits, crawl snapshots, vendor drops).
 
     Scale shape: docs reduce to DISTINCT (gram_hash, source) — one
-    exchange on the gram hash; text never shuffles. Pairs come from ONE
-    further groupBy(gram) -> sorted source-set -> in-expression pair
-    fan-out (a self-join on the gram would shuffle the reduced frame
-    TWICE for identical output — measured equal-or-slower at sf0.1 and
-    strictly worse at scale). Per-gram sets are bounded by the number
-    of SOURCES (not docs), so the fan-out emits at most |sources|^2
-    rows per gram and no hot-key cap is needed, unlike doc-level pair
-    joins. Per-source distinct totals reuse the same reduced frame; the
-    matrix join-back is a broadcast.
+    exchange on the gram hash; text never shuffles. Pairs come from the
+    gram self-join: per-gram groups are bounded by the number of
+    SOURCES (not docs), so it emits at most |sources|^2 rows per gram
+    with no hot-key cap, unlike doc-level pair joins. A tempting
+    one-shuffle alternative (groupBy(gram) -> collect_set(source) ->
+    in-expression pair fan-out) measured marginally faster at sf0.1 but
+    2.3x slower at 10x corpus scale (52s vs 23s) — collect_set's object
+    hash aggregate degrades under memory pressure where the join's
+    sort-merge machinery keeps scaling; the 10x probe
+    (scripts/scale_probe.py) is the regression gate for this choice.
+    Either shape is ~LINEAR in total distinct grams (the matrix is
+    |sources|^2 but the gram-level work isn't reducible), which is the
+    honest cost of a full-corpus overlap audit.
+    Per-source distinct totals reuse the same reduced frame; the matrix
+    join-back is a broadcast.
     """
     spread = docs.sparkSession.sparkContext.defaultParallelism
     grams = word_ngram_hashes(F.col(text_col), n)
@@ -316,19 +322,13 @@ def source_overlap(docs: DataFrame, text_col: str = "text",
                   F.explode(grams).alias("gh"))
           .distinct())
     per = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    pair_arr = F.flatten(F.transform(
-        F.col("ss"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
-            lambda y: F.struct(x.alias("source_a"),
-                               y.alias("source_b")))))
-    shared = (gs.groupBy("gh")
-              .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-              .filter(F.size("ss") >= 2)
-              .select(F.explode(pair_arr).alias("p"))
-              .groupBy(F.col("p.source_a").alias("source_a"),
-                       F.col("p.source_b").alias("source_b"))
-              .agg(F.count(F.lit(1)).alias("n_shared")))
+    shared = (gs.alias("a").join(
+        gs.alias("b"),
+        (F.col("a.gh") == F.col("b.gh"))
+        & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared")))
     pa = per.select(F.col("source").alias("source_a"),
                     F.col("n_grams").alias("grams_a"))
     pb = per.select(F.col("source").alias("source_b"),

@@ -51,7 +51,11 @@ Measured on local[32] (2026-08-13 r3 documents; 2026-08-14 r4 the rest):
     events_scd2_intervals  1x= 0.35s  10x=  0.53s  ratio= 1.5  10x rows
 
     == round-4 additions ==
-    corpus_source_overlap  1x= 5.65s  10x= 12.35s  ratio= 2.2
+    corpus_source_overlap  1x= 1.63s  10x= 23.28s  ratio=14.3
+      -> ~linear in total distinct grams (expected: overlap audits
+         touch every gram; the r4-initial 2.2 ratio was a contaminated
+         1x baseline). The collect_set pair fan-out variant hit 52s at
+         10x — self-join retained as the scale shape.
     text_rarity_score      1x= 1.93s  10x= 11.27s  ratio= 5.8  10x rows
     sim_hard_negatives     1x= 0.96s  10x=  4.13s  ratio= 4.3  80 -> 80
     events_session_docs    1x= 0.54s  10x=  1.51s  ratio= 2.8  10x rows
