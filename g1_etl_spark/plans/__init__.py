@@ -92,7 +92,8 @@ _R4_WINDOW = (
     # basket-mining op)
     "graph_pagerank_trade", "dedup_ngram_jaccard", "orders_basket_pairs",
     "dedup_incremental", "text_quality_stats", "text_rarity_score",
-    "text_bm25_topk", "pipeline_rag_index",
+    # (rag_index re-confirm dropped — green r3 — for the curriculum op)
+    "text_bm25_topk", "corpus_curriculum_order",
     # -- NEW this round: simhash recall contract + snapshot diff --------
     "dedup_simhash_recall", "dq_snapshot_diff",
     # -- banked-green re-confirms: curation / merge ---------------------

@@ -720,3 +720,61 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.textops import token_rarity_scores
 
     return token_rarity_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.5 END)
+               * 0.2
+               + (alpha / n) * 0.4
+               + (CAST(len(list_distinct(words)) AS DOUBLE)
+                  / len(words)) * 0.4 AS quality
+      FROM s),
+    r AS (
+      SELECT doc_id, quality,
+             ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rank,
+             COUNT(*) OVER () AS total
+      FROM q),
+    b AS (
+      SELECT doc_id,
+             CAST(FLOOR((rank - 1) * 10 / total) + 1 AS INT) AS decile
+      FROM r)
+    SELECT doc_id, decile,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY decile DESC, md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS position
+    FROM b
+    """,
+    description="curriculum data ordering: quality deciles (equi-depth "
+                "via distributed global rank), best decile first, "
+                "deterministic md5 shuffle WITHIN each decile, global "
+                "training position — the data-recipe ordering step; "
+                "both ranks use the range-partition + offset idiom, "
+                "never a single-partition window",
+    tags=("text", "curation", "sampling"),
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.features import equidepth_bins
+    from g1_etl_spark.operators.retrieval import global_rank
+    from g1_etl_spark.operators.textops import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    binned = equidepth_bins(scored, "q", ["doc_id"], n_bins=10,
+                            out_col="decile")
+    ranked = global_rank(
+        binned.select("doc_id", "decile",
+                      F.md5(F.col("doc_id").cast("string")).alias("_h")),
+        [F.desc("decile"), F.asc("_h"), F.asc("doc_id")],
+        rank_col="position")
+    return ranked.select("doc_id", "decile",
+                         F.col("position").cast("long").alias("position"))
