@@ -60,7 +60,7 @@ _R4_WINDOW = (
     "text_tokenize_ids", "multimodal_features",
     # -- former no_oracle, converted to contract rows this round --------
     "sim_lsh_recall", "agg_approx_percentile", "events_hll_rollup",
-    "sim_kmeans_clusters",
+    "sim_kmeans_clusters", "sim_neardup_recall",
     # -- internals changed this round: re-confirm -----------------------
     "dedup_minhash_recall",    # arrow import guard refactor
     "corpus_decontaminate",    # repartition policy change
@@ -83,7 +83,8 @@ _R4_WINDOW = (
     "events_percentile_rollup",
     # -- banked-green re-confirms: events (streaming twins land r4) -----
     # (tumbling_window dropped: literally green in the r3 window)
-    "events_sessionization", "events_funnel", "events_transition_matrix",
+    # (events_funnel re-confirm dropped — green r2 — for neardup_recall)
+    "events_sessionization", "events_transition_matrix",
     "events_cohort_retention",
     # -- banked-green re-confirms: dedup / text / retrieval -------------
     # (text_vocab and dedup_exact re-confirms dropped — both banked

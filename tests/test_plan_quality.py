@@ -140,7 +140,7 @@ def test_tfidf_single_posting_scan(spark):
 # plan. New entries here need the same justification.
 _BNLJ_OK = {
     "sim_brute_force_topk", "sim_hard_negatives",
-    "sim_cosine_neardup_exact", "entity_settings",
+    "sim_cosine_neardup_exact", "sim_neardup_recall", "entity_settings",
     "text_bm25_topk", "text_tfidf_topk", "pipeline_rag_index",
     "feat_equidepth_bins", "q22_global_sales_opportunity",
     "entity_products_smoke", "join_cross", "scalar_subquery",
@@ -161,7 +161,7 @@ _SINGLE_PART_OK = {
     "q17_small_quantity_revenue", "q22_global_sales_opportunity",
     "scalar_subquery", "dq_key_skew",
     # one-row global contract aggregate over per-partition partials
-    "sim_kmeans_clusters", "dedup_simhash_recall",
+    "sim_kmeans_clusters", "dedup_simhash_recall", "sim_neardup_recall",
 }
 
 
