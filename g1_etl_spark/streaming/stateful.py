@@ -172,9 +172,12 @@ def _match_pattern(key, pdfs: Iterator[pd.DataFrame],
         # sealed-but-unemitted matches forever.
         open_us = [u for u in uss if u >= wm_us]
         if open_us:
+            # (min//1000, wm+1): fires at the FIRST watermark that
+            # strictly passes the event; the former outer +1 could
+            # strand a terminal event one watermark-granule longer
             state.setTimeoutTimestamp(
                 max(min(open_us) // 1000,
-                    state.getCurrentWatermarkMs()) + 1)
+                    state.getCurrentWatermarkMs() + 1))
     else:
         state.remove()
     yield pd.DataFrame(rows, columns=["user_id", "start_us", "end_us",
@@ -228,9 +231,12 @@ def _emit_transitions(key, pdfs: Iterator[pd.DataFrame],
             # real emission work and the tail drains progressively (an
             # arm at max(uss) can exceed the final watermark and strand
             # the last user's sealed-but-unemitted pairs forever)
+            # (min//1000, wm+1): fires at the FIRST watermark that
+            # strictly passes the event; the former outer +1 could
+            # strand a terminal event one watermark-granule longer
             state.setTimeoutTimestamp(
                 max(min(open_us) // 1000,
-                    state.getCurrentWatermarkMs()) + 1)
+                    state.getCurrentWatermarkMs() + 1))
     else:
         state.remove()
     yield pd.DataFrame(rows, columns=["user_id", "from_type", "to_type",
@@ -500,7 +506,8 @@ def _maintain_scd2(key, pdfs: Iterator[pd.DataFrame],
         state.update((cur_state, cur_from, uss, ids, sts))
         if uss:
             state.setTimeoutTimestamp(
-                max(min(uss) // 1000, state.getCurrentWatermarkMs()) + 1)
+                max(min(uss) // 1000,
+                    state.getCurrentWatermarkMs() + 1))
     else:
         state.remove()
     yield pd.DataFrame(rows, columns=["user_id", "state",
