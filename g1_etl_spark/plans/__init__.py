@@ -83,9 +83,10 @@ _R4_WINDOW = (
     "events_percentile_rollup",
     # -- banked-green re-confirms: events (streaming twins land r4) -----
     # (tumbling_window dropped: literally green in the r3 window)
-    # (events_funnel re-confirm dropped — green r2 — for neardup_recall)
+    # (events_funnel and cohort re-confirms dropped — banked green —
+    # for neardup_recall and the heavy-hitters exact twin)
     "events_sessionization", "events_transition_matrix",
-    "events_cohort_retention",
+    "events_heavy_hitters",
     # -- banked-green re-confirms: dedup / text / retrieval -------------
     # (text_vocab and dedup_exact re-confirms dropped — both banked
     # green and mechanics-trivial — for the rarity and pagerank ops)

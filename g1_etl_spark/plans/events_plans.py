@@ -850,3 +850,37 @@ def events_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_lo", "p_hi", "exact_p50",
                 ((F.col("exact_p50") >= F.col("p_lo"))
                  & (F.col("exact_p50") < F.col("p_hi"))).alias("est_ok")))
+
+
+@register(
+    "events_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rank
+      FROM c)
+    SELECT event_type, user_id, n, rank FROM r WHERE rank <= 16
+    """,
+    description="exact per-type heavy hitters (top-16 users by event "
+                "count, deterministic tie-break) — the batch twin of "
+                "the streaming Space-Saving sketch "
+                "(streaming/stateful.py:streaming_heavy_hitters); one "
+                "count shuffle + two-stage top-k",
+    tags=("events", "agg", "topk"),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("event_type", "user_id")
+              .agg(F.count(F.lit(1)).alias("n")))
+    order = [F.desc("n"), F.asc("user_id")]
+    lw = (W.partitionBy("event_type", "_pid").orderBy(*order))
+    pruned = (counts.withColumn("_pid", F.spark_partition_id())
+              .withColumn("rank", F.row_number().over(lw))
+              .filter(F.col("rank") <= 16).drop("_pid", "rank"))
+    w = W.partitionBy("event_type").orderBy(*order)
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 16))
