@@ -31,3 +31,21 @@ def test_pagerank_uniform_on_symmetric_graph(spark):
     out = {r["id"]: r["rank"]
            for r in pagerank(nodes, edges, iters=5).collect()}
     assert all(abs(v - 0.25) < 1e-9 for v in out.values())
+
+
+def test_pagerank_star_graph_concentrates_rank(spark):
+    """All edges into one hub: the hub's rank must dominate and equal
+    (1-d)/n + d * (leaf mass), leaves sit at the floor."""
+    from g1_etl_spark.operators.graph import pagerank
+
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, n)],
+        "src long, dst long, weight double")
+    out = {r["id"]: r["rank"]
+           for r in pagerank(nodes, edges, iters=20).collect()}
+    floor = 0.15 / n
+    for i in range(1, n):
+        assert abs(out[i] - floor) < 1e-9, "leaf above floor"
+    assert abs(out[0] - (floor + 0.85 * (n - 1) * floor)) < 1e-9

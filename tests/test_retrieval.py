@@ -117,3 +117,18 @@ def test_tfidf_topk_terms(spark):
     import math
     s = {r["doc_id"]: r["score"] for r in out.collect() if r["rank"] == 1}
     assert abs(s[1] - 3 * round(math.log(3.0) * 1e6) / 1e6) < 1e-9
+
+
+def test_rarity_score_orders_boilerplate_below_rare(spark):
+    """A document made of corpus-dominant tokens must score strictly
+    below one made of unique tokens."""
+    from g1_etl_spark.operators.textops import token_rarity_scores
+
+    rows = [(i, "common common common") for i in range(20)]
+    rows.append((100, "zyzzyva quixotic ephemeral"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["rarity_score"]
+           for r in token_rarity_scores(docs).collect()}
+    assert got[100] > got[0]
+    # unique tokens appear once -> exactly 1e9 each
+    assert got[100] == 1_000_000_000
