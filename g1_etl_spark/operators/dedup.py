@@ -291,6 +291,75 @@ def span_boilerplate_flags(df: DataFrame, text_col: str = "text",
                     .cast("double").alias("boilerplate_ratio")))
 
 
+def span_clip(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 5,
+              min_docs: int = 2) -> DataFrame:
+    """Span clipping — the rewrite stage of substring-level dedup
+    (Lee et al. 2021): rebuild each document with every cross-corpus
+    repeated n-token span removed, except in the span's canonical
+    (minimum-id) carrier document, which keeps its copy. Completes the
+    census (repeated_spans) -> decision (span_boilerplate_flags) ->
+    rewrite pipeline. Returns (id, clipped_text, n_words, n_removed);
+    a fully-clipped document survives as an empty string, not a lost
+    row.
+
+    Clipping granularity is doc-level (the canonical doc keeps ALL its
+    occurrences; every other doc drops all of its own) — deterministic
+    and engine-portable, unlike occurrence-level first-wins which
+    depends on a global occurrence order.
+
+    Scale shape: one narrow posexplode for word positions, one window
+    per doc for span assembly (same lead-window shingling as the
+    census), census groupBy keyed on the span (distributive count —
+    hot boilerplate spans fold map-side), then the removed-position
+    set anti-joins back on (doc, pos). The removed set is a small
+    fraction of the corpus (only repeated-span positions), so AQE
+    broadcasts it while it fits; nothing is ever quadratic.
+    """
+    base = df.select(F.col(id_col).alias("d"),
+                     F.split(F.col(text_col), " ").alias("_w"))
+    toks = base.select("d", F.posexplode("_w").alias("pos", "w"))
+    wspec = W.partitionBy("d").orderBy("pos")
+    leads = [F.lead("w", j).over(wspec).alias(f"_l{j}")
+             for j in range(1, n)]
+    spans = (toks.select("d", "pos", "w", *leads)
+             .filter(F.col(f"_l{n-1}").isNotNull())
+             .select("d", F.col("pos").alias("start"),
+                     F.concat_ws(" ", "w",
+                                 *[f"_l{j}" for j in range(1, n)])
+                     .alias("span"))
+             .localCheckpoint(eager=True))
+    census = (spans.select("d", "span").distinct()
+              .groupBy("span")
+              .agg(F.count(F.lit(1)).alias("_df"),
+                   F.min("d").alias("first_doc"))
+              .filter(F.col("_df") >= min_docs)
+              .select("span", "first_doc"))
+    removed = (spans.join(census, "span")
+               .filter(F.col("d") > F.col("first_doc"))
+               .select("d", F.explode(
+                   F.sequence(F.col("start"), F.col("start") + n - 1))
+                   .alias("pos"))
+               .distinct())
+    kept = toks.join(removed, ["d", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("d")
+               .agg(F.count(F.lit(1)).alias("_n_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"])).alias("clipped_text")))
+    return (df.select(F.col(id_col),
+                      F.size(F.split(F.col(text_col), " "))
+                      .cast("long").alias("n_words"))
+            .join(rebuilt.withColumnRenamed("d", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("clipped_text", F.lit(""))
+                    .alias("clipped_text"),
+                    "n_words",
+                    (F.col("n_words")
+                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 def _perm_params(num: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num)]

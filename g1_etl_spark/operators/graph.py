@@ -82,3 +82,37 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
     # vs 3.9 s) — re-analysis of the deepening join tree costs more
     # than the materialization barriers save
     return ranks.select(F.col("_id").alias(id_col), "rank")
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph
+    induced by the input edge list (direction dropped, self-loops
+    removed, parallel edges collapsed). Returns (id, n_triangles) for
+    every node that closes at least one triangle.
+
+    Enumeration is the classic ordered two-join: canonical edges
+    (a < b) joined into wedges a-b-c (a < b < c), closed against the
+    edge list on (a, c) — each triangle materializes exactly once, so
+    no post-hoc /3 or /6 correction. Ordering by node id (not degree)
+    keeps the plan a pair of hash joins on edge keys; at real graph
+    scale swap the order key to degree rank (degree ordering bounds
+    the wedge fan-out of hub nodes — the classic skew guard) — the
+    join structure is unchanged. The canonicalized edge list is
+    checkpointed once and reused by all three sides.
+    """
+    und = (edges.select(F.least(src_col, dst_col).alias("a"),
+                        F.greatest(src_col, dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    bc = und.select(F.col("a").alias("_b"), F.col("b").alias("c"))
+    wedges = (und.join(bc, und.b == F.col("_b"))
+              .select("a", "b", "c"))
+    ac = und.select(F.col("a").alias("_a"), F.col("b").alias("_c"))
+    tris = (wedges.join(ac, (wedges.a == F.col("_a"))
+                        & (wedges.c == F.col("_c")))
+            .select("a", "b", "c"))
+    return (tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

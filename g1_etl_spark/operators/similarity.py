@@ -425,3 +425,47 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
                  / (l2_norm(F.col("v1")) * l2_norm(F.col("v2"))))
     return (withv.select("d1", "d2", score.cast("double").alias("score"))
             .filter(F.col("score") >= threshold))
+
+
+def semantic_dedup(corpus: DataFrame, n_cells: int = 8,
+                   threshold: float = 0.5, iters: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-partition
+    the embedding space, then inside each cluster drop every vector
+    whose cosine to ANY lower-id cluster-mate reaches the threshold —
+    the minimum-id member of each semantic near-dup group survives.
+    Returns (id, cluster, keep).
+
+    The keep rule is deliberately "lower id exists", not "lower KEPT id
+    exists": the greedy chain variant needs a sequential pass per
+    cluster, while this one is a single pairwise predicate —
+    deterministic, engine-portable, and it only over-drops on chains
+    a<b<c where cos(a,b) and cos(b,c) pass but cos(a,c) does not
+    (documented divergence from the paper's per-group argmax keep).
+
+    Scale shape: the pairwise stage is confined to clusters, so cost
+    is sum over clusters of |c|^2, not N^2 — the SemDeDup design
+    point. Choose n_cells proportional to N to bound |c| (the paper
+    runs 50k clusters on LAION); the join shuffles on the cluster key
+    only. Centroid training is the bounded-driver-state mini-Lloyd
+    from the IVF index (n_cells x dim floats on the driver).
+    """
+    cents = train_ivf_centroids(corpus, n_cells=n_cells, iters=iters)
+    assigned = (corpus.select(
+        F.col(id_col), F.col(vec_col),
+        _assign_cells(1, cents)(F.col(vec_col))[0].alias("cluster"))
+        .localCheckpoint(eager=True))
+    a = assigned.select("cluster", F.col(id_col).alias("d1"),
+                        F.col(vec_col).alias("v1"))
+    b = assigned.select("cluster", F.col(id_col).alias("d2"),
+                        F.col(vec_col).alias("v2"))
+    dups = (a.join(b, "cluster")
+            .filter(F.col("d1") < F.col("d2"))
+            .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+            .select(F.col("d2").alias("_dup"))
+            .distinct())
+    return (assigned
+            .join(dups, F.col(id_col) == F.col("_dup"), "left")
+            .select(id_col, "cluster", F.col("_dup").isNull().alias("keep")))

@@ -189,6 +189,51 @@ def dedup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_clip",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+             FROM words, LATERAL unnest(range(1, len(w) + 1)) t(i)),
+    spans AS (SELECT doc_id, i - 1 AS start,
+                     array_to_string(w[i:i+4], ' ') AS span
+              FROM words, LATERAL unnest(range(1, len(w) - 3)) t(i)
+              WHERE len(w) >= 5),
+    census AS (SELECT span, MIN(doc_id) AS first_doc
+               FROM (SELECT DISTINCT doc_id, span FROM spans)
+               GROUP BY span HAVING COUNT(*) >= 2),
+    removed AS (SELECT DISTINCT s.doc_id, t.p AS pos
+                FROM spans s JOIN census c USING (span),
+                     LATERAL unnest(range(s.start, s.start + 5)) t(p)
+                WHERE s.doc_id > c.first_doc),
+    kept AS (SELECT tk.doc_id, tk.pos, tk.word FROM toks tk
+             WHERE NOT EXISTS (SELECT 1 FROM removed r
+                               WHERE r.doc_id = tk.doc_id
+                                 AND r.pos = tk.pos)),
+    agg AS (SELECT doc_id,
+                   string_agg(word, ' ' ORDER BY pos) AS clipped_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.clipped_text, '') AS clipped_text,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0)
+                AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    description="substring-dedup rewrite stage (Lee et al. 2021): "
+                "rebuild every document with cross-corpus repeated "
+                "5-token spans clipped out, canonical minimum-id "
+                "carrier keeps its copy — the stage the span census "
+                "and boilerplate flags feed; output is the "
+                "deduplicated corpus text itself",
+    tags=("dedup",),
+)
+def dedup_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_clip(load_table(spark, sf_dir, "documents"),
+                       n=5, min_docs=2)
+
+
+@register(
     "dedup_minhash_recall",
     oracle=f"""
     {_PAIRS_SQL}

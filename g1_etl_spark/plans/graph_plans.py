@@ -10,11 +10,11 @@ scaled-long idiom, so the fixed point is bit-identical in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
-from g1_etl_spark.operators.graph import PR_SCALE, pagerank
+from g1_etl_spark.operators.graph import PR_SCALE, pagerank, triangle_count
 from g1_etl_spark.plans.registry import register
 
 _ITERS = 10
@@ -69,6 +69,34 @@ _PAGERANK_SQL = ("WITH " + _GRAPH_CTES + ","
 """)
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, weight): nation-level trade edges, cust_nation ->
+    supp_nation, weighted by exact (scaled-long) trade revenue — the
+    shared graph both the PageRank and triangle queries analyze, and
+    the Spark twin of the oracle's edges CTE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("_ck"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("_sk"),
+                  F.col("n_name").alias("dst"))
+    cust_n = (c.join(F.broadcast(cn), c.c_nationkey == F.col("_ck"))
+              .select("c_custkey", "src"))
+    supp_n = (s.join(F.broadcast(sn), s.s_nationkey == F.col("_sk"))
+              .select("s_suppkey", "dst"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o.select("o_orderkey", "o_custkey"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("src", "dst")
+            .agg((F.sum(F.round(rev * 1_000_000).cast("long"))
+                  .cast("double") / 1_000_000).alias("weight")))
+
+
 @register(
     "graph_pagerank_trade",
     oracle=_PAGERANK_SQL,
@@ -81,28 +109,8 @@ _PAGERANK_SQL = ("WITH " + _GRAPH_CTES + ","
     tags=("graph", "iterative"),
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("_ck"),
-                  F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("_sk"),
-                  F.col("n_name").alias("dst"))
-    # same exact-revenue edge weights as the oracle (scaled-long sums)
-    cust_n = (c.join(F.broadcast(cn), c.c_nationkey == F.col("_ck"))
-              .select("c_custkey", "src"))
-    supp_n = (s.join(F.broadcast(sn), s.s_nationkey == F.col("_sk"))
-              .select("s_suppkey", "dst"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    edges = (li.join(o.select("o_orderkey", "o_custkey"),
-                     li.l_orderkey == F.col("o_orderkey"))
-             .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
-             .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
-             .groupBy("src", "dst")
-             .agg((F.sum(F.round(rev * 1_000_000).cast("long"))
-                   .cast("double") / 1_000_000).alias("weight")))
+    edges = _trade_edges(spark, sf_dir)
     # outw must also fold through scaled longs to mirror the oracle
     outw = (edges.groupBy("src")
             .agg((F.sum(F.round(F.col("weight") * 1_000_000)
@@ -115,3 +123,61 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                   src_col="src", dst_col="dst", weight_col="weight",
                   normalized=True)
     return pr.orderBy("nation")
+
+
+_EDGES_CTE = """
+    edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2)
+"""
+
+_TRIANGLE_SQL = f"""
+    WITH {_EDGES_CTE},
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM edges WHERE src <> dst) WHERE rn <= 3),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                   GREATEST(src, dst) AS b FROM top3),
+    wedge AS (SELECT e1.a, e1.b, e2.b AS c
+              FROM und e1 JOIN und e2 ON e1.b = e2.a),
+    tri AS (SELECT w.a, w.b, w.c
+            FROM wedge w JOIN und e3 ON w.a = e3.a AND w.c = e3.b),
+    members AS (SELECT a AS id FROM tri UNION ALL
+                SELECT b FROM tri UNION ALL
+                SELECT c FROM tri)
+    SELECT id AS nation, COUNT(*) AS n_triangles
+    FROM members GROUP BY id ORDER BY nation
+"""
+
+
+@register(
+    "graph_triangle_trade",
+    oracle=_TRIANGLE_SQL,
+    description="per-nation triangle counts on the sparsified trade "
+                "graph (each nation keeps its top-3 partners by exact "
+                "revenue; direction dropped) — ordered two-join "
+                "enumeration, each triangle produced exactly once; "
+                "the window top-k sparsification is the skew guard "
+                "that keeps hub fan-out bounded",
+    tags=("graph",),
+)
+def graph_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w = W.partitionBy("src").orderBy(F.desc("weight"), "dst")
+    top3 = (edges.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3).select("src", "dst"))
+    return (triangle_count(top3)
+            .select(F.col("id").alias("nation"), "n_triangles")
+            .orderBy("nation"))

@@ -408,3 +408,54 @@ def sim_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
         F.coalesce(found / F.count(F.lit(1)) >= 0.9, F.lit(True))
         .alias("recall_ok"))
+
+
+# Contract row: the k-means partitioning has no SQL twin, but the
+# SemDeDup keep rule over the OUTPUT does — a dropped vector must have
+# a lower-id cluster-mate at >= tau, a kept vector must have none. The
+# re-check scores pairs through the Arrow cosine path while the
+# operator decides through the JVM expression path, so a drift between
+# the two (normalization, join, distinct, or anti-join bug) turns the
+# row red. 1e-9 absorbs float reassociation on exact-threshold ties.
+@register(
+    "sim_semantic_dedup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS dropped_ok, TRUE AS kept_ok
+    FROM embeddings
+    """,
+    description="SemDeDup (cluster-then-dedup): k-means cells over "
+                "embeddings, in-cell cosine>=0.5 to a lower-id mate "
+                "drops the vector — registered as the keep-rule "
+                "contract, re-verified pairwise through the "
+                "independent Arrow scoring path",
+    tags=("similarity", "dedup", "contract"),
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tau = 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, n_cells=8, threshold=tau)
+    withv = out.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withv.select("cluster", F.col("vec_id").alias("d1"),
+                     F.col("embedding").alias("v1"))
+    b = withv.select("cluster", F.col("vec_id").alias("d2"),
+                     F.col("embedding").alias("v2"))
+    best = (a.join(b, "cluster")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d2", S.cosine_arrow()(F.col("v1"), F.col("v2"))
+                    .alias("_s"))
+            .groupBy("d2")
+            .agg(F.max("_s").alias("best")))
+    flags = (out.select("vec_id", "keep")
+             .join(best, out.vec_id == best.d2, "left"))
+    # coalesce: a dropped vector with NO scored pair at all (best NULL)
+    # is a rule violation, not a three-valued-logic pass
+    dropped_bad = ((~F.col("keep"))
+                   & ~F.coalesce(F.col("best") >= tau - 1e-9,
+                                 F.lit(False)))
+    kept_bad = F.col("keep") & (F.col("best") >= tau + 1e-9)
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.sum(dropped_bad.cast("int")) == 0).alias("dropped_ok"),
+        (F.sum(F.coalesce(kept_bad, F.lit(False)).cast("int")) == 0)
+        .alias("kept_ok"))

@@ -933,3 +933,120 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.join(hot, s.s_suppkey == F.col("l_suppkey"), "left_semi")
             .select("s_name", F.col("s_suppkey").cast("long"))
             .orderBy("s_name"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    supply AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+      GROUP BY l_partkey, l_suppkey),
+    min_cost AS (
+      SELECT l_partkey AS mc_partkey, MIN(supplycost) AS mc_cost
+      FROM supply GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+    FROM supply
+    JOIN min_cost ON l_partkey = mc_partkey AND supplycost = mc_cost
+    JOIN part ON p_partkey = l_partkey
+    JOIN eu_supp ON s_suppkey = l_suppkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    description="TPC-H Q2 shape: minimum-cost supplier per part in one "
+                "region (no partsupp in the schema — supply cost is the "
+                "cheapest observed lineitem price per part x supplier; "
+                "size/type play the part filter). The correlated MIN "
+                "subquery decorrelates to an aggregate + equi-join on "
+                "(part, cost); supplier is fact-sized so its reduced "
+                "slice joins un-hinted (AQE decides), only the genuinely "
+                "tiny nation x region dim is broadcast. The sort keys "
+                "(s_name, p_partkey) form a total order, so the LIMIT "
+                "boundary is deterministic across engines",
+    tags=("join", "agg", "flagship"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+
+    eu_nation = (n.join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                        n.n_regionkey == r.r_regionkey)
+                 .select("n_nationkey", "n_name"))
+    eu_supp = (s.join(F.broadcast(eu_nation),
+                      s.s_nationkey == F.col("n_nationkey"))
+               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+
+    # cheapest observed price per (part, supplier), European suppliers
+    # only — the per-part MIN then needs just this pre-aggregated slice
+    supply = (li.join(eu_supp.select("s_suppkey"),
+                      li.l_suppkey == F.col("s_suppkey"), "left_semi")
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("l_extendedprice").alias("supplycost")))
+    min_cost = (supply.groupBy(F.col("l_partkey").alias("mc_partkey"))
+                .agg(F.min("supplycost").alias("mc_cost")))
+    return (supply
+            .join(min_cost, (supply.l_partkey == F.col("mc_partkey"))
+                  & (supply.supplycost == F.col("mc_cost")))
+            .join(F.broadcast(p.select("p_partkey", "p_brand")),
+                  supply.l_partkey == F.col("p_partkey"))
+            .join(eu_supp, supply.l_suppkey == eu_supp.s_suppkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_brand", "supplycost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH part_value AS (
+      SELECT l_partkey, {sql_dsum('l_extendedprice', 'value')}
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+      GROUP BY l_partkey),
+    total AS (SELECT {sql_dsum('value', 'tot')} FROM part_value)
+    SELECT l_partkey, value
+    FROM part_value, total
+    WHERE value > 0.001 * tot
+    ORDER BY value DESC, l_partkey
+    """,
+    description="TPC-H Q11 shape: parts holding an outsized share of "
+                "one nation's supply value (no partsupp — value is the "
+                "summed lineitem revenue through that nation's "
+                "suppliers). The HAVING-vs-global-scalar compare is a "
+                "broadcast of a 1-row aggregate; sums are quantized "
+                "identically on both engines so share thresholds cannot "
+                "drift on float association",
+    tags=("join", "agg", "flagship"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n7 = (s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+                 s.s_nationkey == n.n_nationkey)
+          .select("s_suppkey"))
+    part_value = (li.join(n7, li.l_suppkey == F.col("s_suppkey"),
+                          "left_semi")
+                  .groupBy("l_partkey")
+                  .agg(dsum("l_extendedprice", "value")))
+    total = part_value.agg(dsum("value", "tot"))
+    return (part_value.join(F.broadcast(total))
+            .filter(F.col("value") > 0.001 * F.col("tot"))
+            .select("l_partkey", "value")
+            .orderBy(F.desc("value"), "l_partkey"))

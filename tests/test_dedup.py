@@ -226,3 +226,47 @@ def test_minhash_arrow_bit_identical_to_hof(spark):
     pairs_arr = {(r["d1"], r["d2"])
                  for r in D.minhash_lsh_pairs(docs, impl="arrow").collect()}
     assert pairs_hof == pairs_arr
+
+
+def test_span_clip_canonical_keeps_later_loses(spark):
+    from g1_etl_spark.operators.dedup import span_clip
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x"), (2, "z a b c d e"), (3, "short doc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_clip(docs, n=5).collect()}
+    # doc 1 carries the canonical copy of "a b c d e": untouched
+    assert out[1]["clipped_text"] == "a b c d e x"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses exactly the repeated span's 5 words, keeps the rest
+    assert out[2]["clipped_text"] == "z"
+    assert out[2]["n_removed"] == 5
+    # shorter than n tokens: no spans, never clipped
+    assert out[3]["clipped_text"] == "short doc"
+    assert out[3]["n_removed"] == 0
+
+
+def test_span_clip_fully_clipped_doc_survives_as_empty(spark):
+    from g1_etl_spark.operators.dedup import span_clip
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_clip(docs, n=5).collect()}
+    assert out[1]["clipped_text"] == "a b c d e"
+    assert out[2]["clipped_text"] == ""
+    assert out[2]["n_words"] == 5 and out[2]["n_removed"] == 5
+
+
+def test_span_clip_overlapping_spans_union(spark):
+    """'a b c d e f' repeated: doc 2's two overlapping 5-spans cover
+    all six positions once each — removal is the position-set union,
+    not double-counted."""
+    from g1_etl_spark.operators.dedup import span_clip
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_clip(docs, n=5).collect()}
+    assert out[2]["clipped_text"] == "g"
+    assert out[2]["n_removed"] == 6

@@ -49,3 +49,35 @@ def test_pagerank_star_graph_concentrates_rank(spark):
     for i in range(1, n):
         assert abs(out[i] - floor) < 1e-9, "leaf above floor"
     assert abs(out[0] - (floor + 0.85 * (n - 1) * floor)) < 1e-9
+
+
+def test_triangle_count_k4(spark):
+    from g1_etl_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i < j],
+        "src long, dst long")
+    out = {r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    # K4: 4 triangles, every node on 3 of them
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    """Reversed duplicates, parallel edges, and self-loops must not
+    change the count — the operator dedupes to a simple undirected
+    graph first."""
+    from g1_etl_spark.operators.graph import triangle_count
+
+    messy = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (2, 2)]
+    out = {r["id"]: r["n_triangles"]
+           for r in triangle_count(
+               spark.createDataFrame(messy, "src long, dst long")).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_path_has_none(spark):
+    from g1_etl_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                  "src long, dst long")
+    assert triangle_count(edges).count() == 0

@@ -150,6 +150,9 @@ _BNLJ_OK = {
     # constant-tiny broadcast side (brute-force top-k inside the recall
     # join)
     "entity_settings_flat", "entity_products_flat", "sim_lsh_recall",
+    # one-row national-total scalar broadcast (the HAVING-vs-global
+    # compare), same shape as q22's avg-balance scalar
+    "q11_important_stock",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -162,6 +165,9 @@ _SINGLE_PART_OK = {
     "scalar_subquery", "dq_key_skew",
     # one-row global contract aggregate over per-partition partials
     "sim_kmeans_clusters", "dedup_simhash_recall", "sim_neardup_recall",
+    "sim_semantic_dedup",
+    # one-row national-total scalar aggregate (see _BNLJ_OK)
+    "q11_important_stock",
 }
 
 

@@ -158,3 +158,46 @@ def test_hard_negative_mining_invariants(spark):
     roles = {(q, p) for q, p in by_role}
     for qid in range(10):
         assert (qid, True) in roles and (qid, False) in roles
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Exact duplicates always share a cluster (same assignment
+    function), so every duplicate group keeps exactly its minimum id;
+    the keep rule holds pairwise on the output regardless of how the
+    k-means split falls."""
+    import numpy as np
+    from g1_etl_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(3):                      # ids 0-2: identical
+        rows.append((i, [1.0, 0.0, 0.0, 0.0]))
+    for i in range(10, 12):                 # ids 10-11: identical
+        rows.append((i, [0.0, 1.0, 0.0, 0.0]))
+    rows.append((20, [0.0, 0.0, 1.0, 0.0]))  # singleton
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_cells=2, threshold=0.9, iters=3).collect()}
+    assert len(out) == 6
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[20]["keep"]
+    # pairwise invariant on the output itself
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    for i, ri in out.items():
+        lower = [j for j, rj in out.items()
+                 if j < i and rj["cluster"] == ri["cluster"]]
+        witness = any(
+            float(vecs[i] @ vecs[j])
+            / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+            >= 0.9 for j in lower)
+        assert ri["keep"] == (not witness)
+
+
+def test_semantic_dedup_threshold_one_never_drops_distinct(spark):
+    from g1_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, n_cells=2, threshold=1.0 - 1e-12, iters=2)
+    assert all(r["keep"] for r in out.collect())
