@@ -211,3 +211,80 @@ def token_rarity_scores(docs: DataFrame, text_col: str = "text",
             .select(id_col, "n_tokens", "rarity_sum",
                     F.expr("rarity_sum div n_tokens").cast("long")
                     .alias("rarity_score")))
+
+
+def bpe_train_merges(df: "DataFrame", text_col: str = "text",
+                     steps: int = 8) -> "DataFrame":
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): start
+    from the character sequences of the word VOCABULARY (each word
+    weighted by its corpus frequency — the classic formulation, and the
+    scalable one: merge rounds touch vocab-sized data, never the
+    corpus), then `steps` times (1) count adjacent symbol pairs,
+    (2) take the most frequent (ties broken lexicographically),
+    (3) merge its occurrences greedily left-to-right. Returns the
+    learned merge table (merge_step, lhs, rhs, pair_count).
+
+    The greedy non-overlapping merge — inherently sequential per word
+    in the textbook loop — is expressed relationally: matches form
+    consecutive-position islands, and exactly the odd-indexed match in
+    each island applies ("aaaa" under (a,a) -> "aa","aa"). That makes
+    every round pure window/join algebra, identical in any engine, so
+    the whole iterative algorithm stays oracle-checkable (the DuckDB
+    twin unrolls rounds as chained CTEs, like PageRank).
+
+    Scale shape: per-round cost is one lead-window over vocab symbol
+    sequences plus one pair-count shuffle; the argmax is a 1-row
+    broadcast, per-round localCheckpoint keeps plan depth O(1). Vocab
+    for a 100 TB corpus is ~1e8 words — cluster-trivial.
+    """
+    from pyspark.sql import Window as W
+
+    vocab = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
+                       .alias("w"))
+             .filter(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    toks = (vocab.select(
+        "w", "freq",
+        F.posexplode(F.transform(F.sequence(F.lit(1), F.length("w")),
+                                 lambda i: F.col("w").substr(i, F.lit(1))))
+        .alias("pos", "sym"))
+        .localCheckpoint(eager=True))
+    wd = W.partitionBy("w").orderBy("pos")
+    merges = []
+    for step in range(1, steps + 1):
+        withn = toks.select("w", "freq", "pos", "sym",
+                            F.lead("sym").over(wd).alias("_nxt"))
+        best = (withn.filter(F.col("_nxt").isNotNull())
+                .groupBy(F.col("sym").alias("lhs"),
+                         F.col("_nxt").alias("rhs"))
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
+                .select(F.lit(step).alias("merge_step"),
+                        "lhs", "rhs", "pair_count")
+                .localCheckpoint(eager=True))
+        merges.append(best)
+        fl = (withn.join(F.broadcast(best.select("lhs", "rhs")))
+              .select("w", "freq", "pos", "sym", "lhs", "rhs",
+                      F.coalesce((F.col("sym") == F.col("lhs"))
+                                 & (F.col("_nxt") == F.col("rhs")),
+                                 F.lit(False)).alias("_m")))
+        isl = fl.withColumn(
+            "_isl", F.col("pos") - F.row_number().over(
+                W.partitionBy("w", "_m").orderBy("pos")))
+        ap = isl.withColumn(
+            "_ap", F.col("_m") & (F.row_number().over(
+                W.partitionBy("w", "_m", "_isl").orderBy("pos"))
+                % 2 == 1))
+        toks = (ap.withColumn("_dr", F.coalesce(F.lag("_ap").over(wd),
+                                                F.lit(False)))
+                .filter(~F.col("_dr"))
+                .select("w", "freq",
+                        F.row_number().over(wd).alias("pos"),
+                        F.when(F.col("_ap"),
+                               F.concat(F.col("lhs"), F.col("rhs")))
+                        .otherwise(F.col("sym")).alias("sym"))
+                .localCheckpoint(eager=True))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

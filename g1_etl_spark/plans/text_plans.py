@@ -778,3 +778,73 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="position")
     return ranked.select("doc_id", "decile",
                          F.col("position").cast("long").alias("position"))
+
+
+_BPE_STEPS = 8
+
+
+def _bpe_round_ctes(k: int) -> str:
+    """One BPE merge round as chained CTEs: pair counts -> argmax ->
+    greedy non-overlap application via match islands + odd-parity."""
+    return f"""
+    n{k} AS (SELECT w, freq, pos, sym,
+                    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+             FROM t{k}),
+    b{k} AS (SELECT sym AS lhs, nxt AS rhs,
+                    CAST(SUM(freq) AS BIGINT) AS pair_count
+             FROM n{k} WHERE nxt IS NOT NULL GROUP BY 1, 2
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    m{k} AS (SELECT n.w, n.freq, n.pos, n.sym, b.lhs, b.rhs,
+                    COALESCE(n.sym = b.lhs AND n.nxt = b.rhs,
+                             FALSE) AS m
+             FROM n{k} n CROSS JOIN b{k} b),
+    i{k} AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, m
+                                                ORDER BY pos) AS isl
+             FROM m{k}),
+    a{k} AS (SELECT *, m AND (ROW_NUMBER() OVER (
+                   PARTITION BY w, m, isl ORDER BY pos) % 2 = 1) AS ap
+             FROM i{k}),
+    k{k} AS (SELECT w, freq, pos,
+                    CASE WHEN ap THEN lhs || rhs ELSE sym END AS sym,
+                    COALESCE(LAG(ap) OVER (PARTITION BY w
+                                           ORDER BY pos), FALSE) AS dr
+             FROM a{k}),
+    t{k + 1} AS (SELECT w, freq,
+                        ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY pos) AS pos, sym
+                 FROM k{k} WHERE NOT dr)
+"""
+
+
+_BPE_SQL = (r"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY w),
+    t1 AS (SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
+           FROM vocab, LATERAL unnest(range(1, length(w) + 1)) t(i)),
+"""
+            + ",".join(_bpe_round_ctes(k) for k in range(1, _BPE_STEPS + 1))
+            + "".join(f"""
+    SELECT CAST({k} AS INTEGER) AS merge_step, lhs, rhs, pair_count
+    FROM b{k}{' UNION ALL' if k < _BPE_STEPS else ''}"""
+                      for k in range(1, _BPE_STEPS + 1)))
+
+
+@register(
+    "text_bpe_train",
+    oracle=_BPE_SQL,
+    description="iterative BPE tokenizer training (Sennrich et al.): 8 "
+                "greedy merge rounds over the frequency-weighted word "
+                "vocabulary — pair count, lexicographic-tiebreak "
+                "argmax, left-to-right non-overlap application "
+                "expressed as match islands + odd parity (pure window "
+                "algebra, no per-row fold); oracle unrolls the rounds "
+                "as chained CTEs like PageRank, so the whole iterative "
+                "algorithm is hash-checked",
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_train_merges(load_table(spark, sf_dir, "documents"),
+                              steps=_BPE_STEPS)

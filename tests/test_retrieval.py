@@ -132,3 +132,36 @@ def test_rarity_score_orders_boilerplate_below_rare(spark):
     assert got[100] > got[0]
     # unique tokens appear once -> exactly 1e9 each
     assert got[100] == 1_000_000_000
+
+
+def test_bpe_train_merges_textbook_example(spark):
+    """Hand-computed merge sequence: vocab {aaab:2, ab:1}.
+    Round 1: (a,a) x4 beats (a,b) x3; greedy left-to-right turns
+    aaab into [aa,a,b] (islands+parity, not [a,aa,b]).
+    Round 2: (a,b) x3 beats (aa,a) x2.  Round 3: (aa,ab) x2."""
+    from g1_etl_spark.operators.textops import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "aaab aaab"), (2, "ab")],
+                                 "doc_id long, text string")
+    rows = sorted(bpe_train_merges(docs, steps=3).collect(),
+                  key=lambda r: r["merge_step"])
+    got = [(r["merge_step"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in rows]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
+def test_bpe_train_merge_application_is_greedy_nonoverlapping(spark):
+    """'aaaa' (vocab freq 3) under best pair (a,a): 3 overlapping pair
+    positions x freq 3 = 9 counted, but greedy application merges only
+    positions 1-2 and 3-4 -> [aa, aa], so round 2's top pair is
+    (aa,aa) x3 — overlap-counting in the census, non-overlap in the
+    application, exactly the textbook trainer."""
+    from g1_etl_spark.operators.textops import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")],
+                                 "doc_id long, text string")
+    rows = sorted(bpe_train_merges(docs, steps=2).collect(),
+                  key=lambda r: r["merge_step"])
+    got = [(r["merge_step"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in rows]
+    assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
