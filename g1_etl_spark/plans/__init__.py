@@ -81,28 +81,26 @@ _R4_WINDOW = (
     "q22_global_sales_opportunity",
     # -- NEW this round: mergeable-histogram percentile rollup ----------
     "events_percentile_rollup",
-    # -- banked-green re-confirms: events (streaming twins land r4) -----
-    # (tumbling_window dropped: literally green in the r3 window)
-    # (events_funnel and cohort re-confirms dropped — banked green —
-    # for neardup_recall and the heavy-hitters exact twin)
-    "events_sessionization", "events_transition_matrix",
+    # -- NEW this round, wave 2 (all oracle-backed; funded by dropping
+    # the events/dedup/text/curation banked-green re-confirms —
+    # sessionization, transition_matrix, dedup_incremental,
+    # quality_stats, clean_corpus, merge_upsert, ngram_jaccard,
+    # bm25_topk — every one green in r2/r3 with unchanged mechanics
+    # and still guarded by the local sf0.001+sf0.01 parity gates) -----
+    "q2_min_cost_supplier", "q11_important_stock",   # TPC-H complete
+    "dedup_span_clip",        # substring-dedup rewrite stage
+    "sim_semantic_dedup",     # SemDeDup keep-rule contract
+    "graph_triangle_trade",   # triangle counting
+    "text_bpe_train",         # iterative BPE trainer (unrolled oracle)
+    # -- r4 wave-1 queries that still need day-one driver evidence ------
     "events_heavy_hitters",
-    # -- banked-green re-confirms: dedup / text / retrieval -------------
-    # (text_vocab and dedup_exact re-confirms dropped — both banked
-    # green and mechanics-trivial — for the rarity and pagerank ops)
-    # (dedup_clusters re-confirm dropped — banked green r2 — for the
-    # basket-mining op)
-    "graph_pagerank_trade", "dedup_ngram_jaccard", "orders_basket_pairs",
-    "dedup_incremental", "text_quality_stats", "text_rarity_score",
-    # (rag_index re-confirm dropped — green r3 — for the curriculum op)
-    "text_bm25_topk", "corpus_curriculum_order",
+    "graph_pagerank_trade", "orders_basket_pairs", "text_rarity_score",
+    "corpus_curriculum_order",
     # -- NEW this round: simhash recall contract + snapshot diff --------
     "dedup_simhash_recall", "dq_snapshot_diff",
-    # -- banked-green re-confirms: curation / merge ---------------------
-    # (feat_zscore and pipeline_train_prep re-confirms dropped — both
-    # green r3 — for the two contract/audit rows above)
-    "pipeline_clean_corpus",
-    "merge_upsert_orders",
+    # -- two re-confirm slots kept: the headline dedup pair whose bench
+    # plans changed most across rounds ----------------------------------
+    "dedup_ngram_jaccard", "events_sessionization",
 )
 
 
