@@ -90,3 +90,117 @@ def equidepth_bins(df: DataFrame, value_col: str, tie_cols: list[str],
                         (F.floor((F.col("_rank") - 1) * n_bins
                                  / F.col("_total")) + 1).cast("int"))
             .drop("_rank", "_total"))
+
+
+# quantization scales for the power-iteration sums (see pca_top_component)
+_PCA_SU = 1_000_000_000_000   # per-row dot products (64 terms, O(1) each)
+_PCA_SW = 1_000_000_000       # per-component sums over all rows
+_PCA_SN = 1_000_000_000_000   # norm accumulation over 64 components
+
+
+def _half_up(y: float) -> int:
+    """Driver-side twin of SQL round-half-up for non-negative values."""
+    import math
+    return int(math.floor(y + 0.5))
+
+
+def _pca_xc(vec_col: str, mu: list[float]) -> F.Column:
+    """Centered vector as one array expression (HOFs, not 64 unrolled
+    columns — keeps generated code tiny and IDENTICAL across power
+    iterations, so Janino compiles once instead of once per round)."""
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    return F.zip_with(F.col(vec_col), mu_lit,
+                      lambda x, m: x.cast("double") - m)
+
+
+def _pca_dot_v(xc_arr: F.Column, v: list[float]) -> F.Column:
+    """<xc_row, v> through the exact long accumulation (term order
+    free): sum_i round(xc_i * v_i * 1e12) as int64, then /1e12."""
+    v_lit = F.array(*[F.lit(x) for x in v])
+    terms = F.zip_with(xc_arr, v_lit,
+                       lambda x, vv: F.round(x * vv * _PCA_SU)
+                       .cast("long"))
+    return (F.aggregate(terms, F.lit(0).cast("long"),
+                        lambda a, b: a + b).cast("double") / _PCA_SU)
+
+
+def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
+                        dim: int = 64,
+                        iters: int = 6) -> tuple[list, list, int]:
+    """(mu, v, n): centering means, unit principal direction after
+    `iters` power-iteration rounds, and the row count — the bounded
+    driver-state model artifact (see pca_top_component for the
+    exactness and scale discussion)."""
+    cast_arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mu_rows = (df.select(F.posexplode(cast_arr).alias("i", "x"))
+               .groupBy("i")
+               .agg(F.sum(F.round(F.col("x") * _PCA_SW).cast("long"))
+                    .alias("mq"),
+                    F.count(F.lit(1)).alias("n"))
+               .collect())
+    n = mu_rows[0]["n"]
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["i"]] = (r["mq"] / _PCA_SW) / n
+    v = [1.0 / dim ** 0.5] * dim
+    for _ in range(iters):
+        xc = _pca_xc(vec_col, mu)
+        # one narrow explode + 64-key aggregate (map-side partials
+        # collapse each task to 64 rows before the exchange)
+        w_rows = (df.select(_pca_dot_v(xc, v).alias("u"),
+                            F.posexplode(xc).alias("i", "xv"))
+                  .groupBy("i")
+                  .agg(F.sum(F.round(F.col("xv") * F.col("u") * _PCA_SW)
+                             .cast("long")).alias("wq"))
+                  .collect())
+        # pre-scale by N before normalizing (direction-invariant):
+        # keeps the norm accumulator O(dim * 1e14) regardless of corpus
+        # size instead of overflowing int64 at |w| ~ N
+        wn = [0.0] * dim
+        for r in w_rows:
+            wn[r["i"]] = (r["wq"] / _PCA_SW) / n
+        norm = (sum(_half_up(wi * wi * _PCA_SN) for wi in wn)
+                / _PCA_SN) ** 0.5
+        v = [wi / norm for wi in wn]
+    return mu, v, n
+
+
+def pca_project(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = 64,
+                iters: int = 6) -> DataFrame:
+    """(id, score): every vector's projection onto the learned
+    principal direction — the distributed consumer of the power
+    iteration (this is what feeds whitening / outlier trims /
+    curriculum sorts downstream). One narrow scan; the direction rides
+    along as 64 literals."""
+    mu, v, _ = pca_power_direction(df, vec_col, dim, iters)
+    xc = _pca_xc(vec_col, mu)
+    return df.select(F.col(id_col),
+                     _pca_dot_v(xc, v).alias("score"))
+
+
+def pca_top_component(df: DataFrame, vec_col: str = "embedding",
+                      dim: int = 64, iters: int = 6) -> DataFrame:
+    """Distributed PCA, dominant component, by power iteration on the
+    centered Gram matrix: v_{k+1} = normalize(Xc^T (Xc v_k)), v_0
+    uniform. Returns (idx, loading) — the unit principal direction.
+
+    Engine-exactness: every sum that crosses rows or components goes
+    through the scaled-long idiom (per-row dots at 1e12, component
+    sums at 1e9, the norm at 1e12), and the remaining ops (subtract,
+    multiply, divide, sqrt) are IEEE-deterministic — so the whole
+    iteration is bit-identical in any engine and the DuckDB twin can
+    unroll it as chained CTEs, like PageRank and the BPE trainer.
+
+    Scale shape: centering means and the per-iteration matvecs are
+    single-pass aggregations over the corpus (64 partial sums per
+    task, map-side combined); the 64-float direction vector is driver
+    state (same bounded-metadata class as k-means centroids), rebound
+    as literals each round, so no iteration ever shuffles the corpus —
+    each is one scan + one 64-column reduce. Scales sized for ~1e8-row
+    corpora; rescale _PCA_SW for 1e10 rows.
+    """
+    _, v, _n = pca_power_direction(df, vec_col, dim, iters)
+    return df.sparkSession.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)],
+        "idx int, loading double")

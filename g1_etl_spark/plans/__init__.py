@@ -98,9 +98,11 @@ _R4_WINDOW = (
     "corpus_curriculum_order",
     # -- NEW this round: simhash recall contract + snapshot diff --------
     "dedup_simhash_recall", "dq_snapshot_diff",
-    # -- two re-confirm slots kept: the headline dedup pair whose bench
-    # plans changed most across rounds ----------------------------------
-    "dedup_ngram_jaccard", "events_sessionization",
+    # -- iterative ML #3: power-iteration PCA (unrolled-CTE oracle) -----
+    "feat_pca_project",
+    # -- one re-confirm slot kept: the headline dedup op whose bench
+    # plan changed most across rounds ------------------------------------
+    "dedup_ngram_jaccard",
 )
 
 

@@ -161,3 +161,68 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum(F.col("ok").cast("long")).alias("n_nearest_ok"),
         F.min("ok").alias("all_nearest"))
+
+
+_PCA_ITERS = 6
+_SU = 1_000_000_000_000
+_SW = 1_000_000_000
+
+
+def _pca_iter_cte(k: int) -> str:
+    return f"""
+    u{k} AS (SELECT c.vec_id,
+                    CAST(SUM(CAST(round(c.xv * v.v * {_SU}) AS BIGINT))
+                         AS DOUBLE) / {_SU} AS u
+             FROM xc c JOIN v{k - 1} v USING (idx) GROUP BY c.vec_id),
+    w{k} AS (SELECT c.idx,
+                    CAST(SUM(CAST(round(c.xv * u.u * {_SW}) AS BIGINT))
+                         AS DOUBLE) / {_SW} / (SELECT n FROM cnt) AS w
+             FROM xc c JOIN u{k} u USING (vec_id) GROUP BY c.idx),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(round(w * w * {_SU}) AS BIGINT))
+                              AS DOUBLE) / {_SU}) AS nrm FROM w{k}),
+    v{k} AS (SELECT idx, w / nrm AS v FROM w{k} CROSS JOIN n{k})
+"""
+
+
+_PCA_SQL = (f"""
+    WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+    xr AS (SELECT vec_id, g.i AS idx,
+                  CAST(embedding[g.i] AS DOUBLE) AS x
+           FROM embeddings, LATERAL unnest(range(1, 65)) g(i)),
+    mu AS (SELECT idx,
+                  CAST(SUM(CAST(round(x * {_SW}) AS BIGINT)) AS DOUBLE)
+                    / {_SW} / (SELECT n FROM cnt) AS m
+           FROM xr GROUP BY idx),
+    xc AS (SELECT x.vec_id, x.idx, x.x - m.m AS xv
+           FROM xr x JOIN mu m USING (idx)),
+    v0 AS (SELECT unnest(range(1, 65)) AS idx,
+                  CAST(0.125 AS DOUBLE) AS v),
+"""
+            + ",".join(_pca_iter_cte(k) for k in range(1, _PCA_ITERS + 1))
+            + f"""
+    SELECT c.vec_id,
+           CAST(SUM(CAST(round(c.xv * v.v * {_SU}) AS BIGINT)) AS DOUBLE)
+             / {_SU} AS score
+    FROM xc c JOIN v{_PCA_ITERS} v USING (idx)
+    GROUP BY c.vec_id
+    ORDER BY c.vec_id
+""")
+
+
+@register(
+    "feat_pca_project",
+    oracle=_PCA_SQL,
+    description="distributed PCA by power iteration (6 rounds on the "
+                "centered Gram matrix, v0 uniform = 1/sqrt(64)): every "
+                "vector's projection onto the learned principal "
+                "direction. All cross-row/cross-component sums go "
+                "through scaled longs and the rest is IEEE-exact, so "
+                "the DuckDB twin unrolls the iteration as chained CTEs "
+                "and hash-matches — iterative ML #3 after PageRank and "
+                "the BPE trainer",
+    tags=("features", "iterative"),
+)
+def feat_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.features import pca_project
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, iters=_PCA_ITERS).orderBy("vec_id")

@@ -65,3 +65,25 @@ def test_kmeans_deterministic_and_converging(spark):
         _assign_cells(1, c1)(F.col("embedding"))[0].alias("c"))
     n_cells = assigned.distinct().count()
     assert 2 <= n_cells <= 4 and assigned.count() == emb.count()
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Vectors spread widest along e1 with slight e2 jitter: the
+    learned unit direction must align with e1 and the centered
+    projections must sum to ~0."""
+    rows = [(i, [float(i - 10), 0.1 * (i % 3 - 1), 0.0, 0.0])
+            for i in range(21)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from g1_etl_spark.operators.features import (pca_power_direction,
+                                                 pca_project)
+    mu, v, n = pca_power_direction(emb, dim=4, iters=8)
+    assert n == 21
+    assert abs(abs(v[0]) - 1.0) < 1e-3
+    assert sum(x * x for x in v) == __import__("pytest").approx(1.0, abs=1e-9)
+    scores = {r["vec_id"]: r["score"]
+              for r in pca_project(emb, dim=4, iters=8).collect()}
+    # centered projections: mean ~ 0, ordered like the e1 coordinate
+    assert abs(sum(scores.values())) < 1e-6 * 21
+    ordered = [scores[i] for i in range(21)]
+    assert ordered == sorted(ordered) or ordered == sorted(ordered,
+                                                           reverse=True)
