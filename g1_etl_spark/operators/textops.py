@@ -213,6 +213,19 @@ def token_rarity_scores(docs: DataFrame, text_col: str = "text",
                     .alias("rarity_score")))
 
 
+def bpe_subword_counts(df: "DataFrame", text_col: str = "text",
+                       steps: int = 8) -> "DataFrame":
+    """The ENCODE side of BPE: corpus subword frequencies after
+    applying the `steps` learned merges — i.e. what the trained
+    tokenizer actually emits over this corpus ((subword,
+    n_occurrences), frequency-weighted by word counts). Shares the
+    iteration machinery (and therefore the engine-exactness argument)
+    with bpe_train_merges."""
+    toks, _ = _bpe_iterate(df, text_col, steps)
+    return (toks.groupBy(F.col("sym").alias("subword"))
+            .agg(F.sum("freq").alias("n_occurrences")))
+
+
 def bpe_train_merges(df: "DataFrame", text_col: str = "text",
                      steps: int = 8) -> "DataFrame":
     """Iterative BPE tokenizer training (Sennrich et al. 2016): start
@@ -237,6 +250,17 @@ def bpe_train_merges(df: "DataFrame", text_col: str = "text",
     broadcast, per-round localCheckpoint keeps plan depth O(1). Vocab
     for a 100 TB corpus is ~1e8 words — cluster-trivial.
     """
+    _, merges = _bpe_iterate(df, text_col, steps)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_iterate(df: "DataFrame", text_col: str,
+                 steps: int) -> tuple["DataFrame", list]:
+    """(final symbol sequences, per-step 1-row merge frames) — the
+    shared engine of bpe_train_merges / bpe_subword_counts."""
     from pyspark.sql import Window as W
 
     vocab = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
@@ -284,7 +308,4 @@ def bpe_train_merges(df: "DataFrame", text_col: str = "text",
                                F.concat(F.col("lhs"), F.col("rhs")))
                         .otherwise(F.col("sym")).alias("sym"))
                 .localCheckpoint(eager=True))
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return toks, merges

@@ -100,9 +100,8 @@ _R4_WINDOW = (
     "dedup_simhash_recall", "dq_snapshot_diff",
     # -- iterative ML #3: power-iteration PCA (unrolled-CTE oracle) -----
     "feat_pca_project",
-    # -- one re-confirm slot kept: the headline dedup op whose bench
-    # plan changed most across rounds ------------------------------------
-    "dedup_ngram_jaccard",
+    # -- BPE encode stage (shares the trainer's machinery + oracle) -----
+    "text_bpe_subwords",
 )
 
 

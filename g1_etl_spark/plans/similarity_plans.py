@@ -434,7 +434,12 @@ def sim_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = 0.5
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.semantic_dedup(emb, n_cells=8, threshold=tau)
+    # cells ∝ N (the SemDeDup design point): mean cell size stays ~64,
+    # so the in-cell pairwise stage grows linearly with the corpus.
+    # The contract oracle is size-independent, so adapting k cannot
+    # break the hash.
+    n_cells = max(8, emb.count() // 64)
+    out = S.semantic_dedup(emb, n_cells=int(n_cells), threshold=tau)
     withv = out.join(emb.select("vec_id", "embedding"), "vec_id")
     a = withv.select("cluster", F.col("vec_id").alias("d1"),
                      F.col("embedding").alias("v1"))

@@ -816,7 +816,7 @@ def _bpe_round_ctes(k: int) -> str:
 """
 
 
-_BPE_SQL = (r"""
+_BPE_CTES = (r"""
     WITH vocab AS (
       SELECT w, COUNT(*) AS freq
       FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
@@ -825,7 +825,10 @@ _BPE_SQL = (r"""
     t1 AS (SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
            FROM vocab, LATERAL unnest(range(1, length(w) + 1)) t(i)),
 """
-            + ",".join(_bpe_round_ctes(k) for k in range(1, _BPE_STEPS + 1))
+             + ",".join(_bpe_round_ctes(k)
+                        for k in range(1, _BPE_STEPS + 1)))
+
+_BPE_SQL = (_BPE_CTES
             + "".join(f"""
     SELECT CAST({k} AS INTEGER) AS merge_step, lhs, rhs, pair_count
     FROM b{k}{' UNION ALL' if k < _BPE_STEPS else ''}"""
@@ -848,3 +851,23 @@ _BPE_SQL = (r"""
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_train_merges(load_table(spark, sf_dir, "documents"),
                               steps=_BPE_STEPS)
+
+
+@register(
+    "text_bpe_subwords",
+    oracle=_BPE_CTES + f"""
+    SELECT sym AS subword, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM t{_BPE_STEPS + 1} GROUP BY sym
+    ORDER BY n_occurrences DESC, subword
+    """,
+    description="BPE encode stage: corpus subword frequencies after "
+                "applying the 8 learned merges — what the trained "
+                "tokenizer emits over this corpus; shares the "
+                "engine-exact merge machinery (and unrolled oracle) "
+                "with text_bpe_train",
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (T.bpe_subword_counts(load_table(spark, sf_dir, "documents"),
+                                 steps=_BPE_STEPS)
+            .orderBy(F.desc("n_occurrences"), "subword"))

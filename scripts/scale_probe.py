@@ -90,10 +90,12 @@ FAMILIES = {
         "text_quality_stats", "corpus_shuffle_shards",
         "corpus_source_overlap", "text_rarity_score",
         "corpus_decontaminate",
+        "dedup_span_clip", "text_bpe_train",
     ],
     "embeddings": [
         "sim_brute_force_topk", "sim_lsh_topk", "sim_ivf_topk",
         "sim_label_centroid", "sim_hard_negatives",
+        "sim_semantic_dedup", "feat_pca_project",
     ],
     "events": [
         "events_sessionization", "events_tumbling_window",
@@ -103,6 +105,14 @@ FAMILIES = {
         "events_rate_anomaly", "events_pattern_seq", "events_hll_rollup",
         "events_dedup_ids", "events_scd2_intervals",
         "events_session_docs", "events_percentile_rollup",
+    ],
+    # fact-star replica: 10x lineitem/orders/customer/supplier/part with
+    # consistent key offsets, dims verbatim — the TPC-H + graph probe
+    "trade": [
+        "q1_pricing_summary", "q8_market_share", "q21_late_supplier_blame",
+        "q2_min_cost_supplier", "q11_important_stock",
+        "graph_pagerank_trade", "graph_triangle_trade",
+        "orders_basket_pairs",
     ],
 }
 
@@ -158,6 +168,38 @@ def build_embeddings(spark, copies: int, one: str, many: str) -> None:
         .write.mode("overwrite").parquet(f"{many}/embeddings.parquet"))
 
 
+def build_trade(con, copies: int, one: str, many: str) -> None:
+    """10x fact-star: every fact key offset per copy (joins stay
+    within-copy consistent), nation/region dims verbatim — so the
+    trade graph keeps its 25 nodes while edge contributions, and every
+    TPC-H join input, grow 10x."""
+    for t in ("region", "nation"):
+        for d in (one, many):
+            con.execute(f"COPY (SELECT * FROM read_parquet"
+                        f"('{SRC_SF}/{t}.parquet')) TO "
+                        f"'{d}/{t}.parquet' (FORMAT parquet)")
+    repl = {
+        "customer": "c_custkey + k * 100000000 AS c_custkey",
+        "supplier": "s_suppkey + k * 10000000 AS s_suppkey",
+        "part": "p_partkey + k * 10000000 AS p_partkey",
+        "orders": "o_orderkey + k * 1000000000 AS o_orderkey, "
+                  "o_custkey + k * 100000000 AS o_custkey",
+        "lineitem": "l_orderkey + k * 1000000000 AS l_orderkey, "
+                    "l_partkey + k * 10000000 AS l_partkey, "
+                    "l_suppkey + k * 10000000 AS l_suppkey",
+    }
+    for t, rep in repl.items():
+        src = f"{SRC_SF}/{t}.parquet"
+        con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) "
+                    f"TO '{one}/{t}.parquet' (FORMAT parquet)")
+        con.execute(f"""
+        COPY (SELECT * REPLACE ({rep})
+              FROM read_parquet('{src}'),
+                   (SELECT unnest(range({copies})) AS k))
+        TO '{many}/{t}.parquet' (FORMAT parquet)
+        """)
+
+
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     families = sys.argv[2:] or list(FAMILIES)
@@ -189,6 +231,8 @@ def main() -> None:
             build_embeddings(spark, copies, one, many)
         elif fam == "documents":
             build_documents(con, copies, one, many)
+        elif fam == "trade":
+            build_trade(con, copies, one, many)
         else:
             build_events(con, copies, one, many)
         print(f"== {fam} x{copies} ==")
