@@ -91,3 +91,32 @@ def merge_partial_aggregates(base_agg: DataFrame, delta_agg: DataFrame,
     merged = base_agg.unionByName(delta_agg)
     return merged.groupBy(*keys).agg(
         *[_MERGE[f](c).alias(c) for c, f in spec.items()])
+
+
+def incremental_join_delta(base_a: DataFrame, delta_a: DataFrame,
+                           base_b: DataFrame, delta_b: DataFrame,
+                           on) -> DataFrame:
+    """Incremental maintenance of a stored inner-join view (the
+    classic delta rule): with new rows dA and dB arriving on top of A
+    and B, the stored A⋈B needs exactly
+
+        dA ⋈ B  ∪  A ⋈ dB  ∪  dA ⋈ dB
+
+    appended — (A∪dA)⋈(B∪dB) = A⋈B ∪ the three delta terms, provided
+    the deltas are pure inserts. Returns the append set.
+
+    Scale shape: this is the whole point at 100 TB — the stored view
+    is NEVER rescanned and the big sides A and B are only ever joined
+    against a delta. Deltas are batch-sized, so both cross terms are
+    broadcast-hash joins against a fact scan, and dA⋈dB is
+    broadcast-vs-broadcast; nothing shuffles A or B.
+    """
+    # deltas are batch-sized by contract (same rationale as
+    # incremental_exact_flags broadcasting the batch side) — the
+    # explicit hint keeps A and B un-shuffled even when size stats lag
+    terms = [
+        F.broadcast(delta_a).join(base_b, on),
+        base_a.join(F.broadcast(delta_b), on),
+        delta_a.join(F.broadcast(delta_b), on),
+    ]
+    return reduce(lambda x, y: x.unionByName(y), terms)

@@ -430,7 +430,8 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
 def semantic_dedup(corpus: DataFrame, n_cells: int = 8,
                    threshold: float = 0.5, iters: int = 4,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   train_df: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-partition
     the embedding space, then inside each cluster drop every vector
@@ -450,9 +451,17 @@ def semantic_dedup(corpus: DataFrame, n_cells: int = 8,
     point. Choose n_cells proportional to N to bound |c| (the paper
     runs 50k clusters on LAION); the join shuffles on the cluster key
     only. Centroid training is the bounded-driver-state mini-Lloyd
-    from the IVF index (n_cells x dim floats on the driver).
+    from the IVF index (n_cells x dim floats on the driver); pass a
+    deterministic hash-sample as `train_df` so the Lloyd passes scan a
+    subset while assignment still covers every vector (the paper's own
+    recipe — full-corpus training with cells ∝ N makes each Lloyd pass
+    N·cells·dim, the one super-linear term; assignment keeps that cost
+    but runs ONCE and is embarrassingly parallel).
     """
-    cents = train_ivf_centroids(corpus, n_cells=n_cells, iters=iters)
+    cents = train_ivf_centroids(train_df if train_df is not None
+                                else corpus,
+                                n_cells=n_cells, iters=iters,
+                                vec_col=vec_col, id_col=id_col)
     assigned = (corpus.select(
         F.col(id_col), F.col(vec_col),
         _assign_cells(1, cents)(F.col(vec_col))[0].alias("cluster"))

@@ -91,3 +91,51 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_agg, delta_agg, ["o_orderstatus", "o_orderpriority"],
         {"n_orders": "count", "total_scaled": "sum",
          "first_date": "min", "last_date": "max"})
+
+
+@register(
+    "merge_join_delta",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderdate FROM orders
+               WHERE o_orderdate < DATE '1998-01-01'),
+    da AS (SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderdate >= DATE '1998-01-01'),
+    b AS (SELECT l_orderkey, l_partkey, l_shipdate, l_extendedprice
+          FROM lineitem WHERE l_shipdate < DATE '1998-06-01'),
+    db AS (SELECT l_orderkey, l_partkey, l_shipdate, l_extendedprice
+           FROM lineitem WHERE l_shipdate >= DATE '1998-06-01')
+    SELECT o_orderkey, o_orderdate, l_partkey, l_shipdate,
+           l_extendedprice
+    FROM da JOIN b ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_orderdate, l_partkey, l_shipdate,
+           l_extendedprice
+    FROM a JOIN db ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_orderdate, l_partkey, l_shipdate,
+           l_extendedprice
+    FROM da JOIN db ON o_orderkey = l_orderkey
+    """,
+    description="incremental join-view maintenance (delta rule): with "
+                "insert batches dA (new orders) and dB (new lineitems) "
+                "arriving on a stored orders⋈lineitem view, emit "
+                "exactly dA⋈B ∪ A⋈dB ∪ dA⋈dB — the stored view is "
+                "never rescanned and the fact sides only ever join a "
+                "broadcast delta",
+    tags=("merge", "join"),
+)
+def merge_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.merge import incremental_join_delta
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey",
+        "l_shipdate", "l_extendedprice")
+    ocut = F.lit("1998-01-01").cast("date")
+    lcut = F.lit("1998-06-01").cast("date")
+    return incremental_join_delta(
+        o.filter(F.col("o_orderdate") < ocut),
+        o.filter(F.col("o_orderdate") >= ocut),
+        li.filter(F.col("l_shipdate") < lcut),
+        li.filter(F.col("l_shipdate") >= lcut),
+        on="o_orderkey")

@@ -438,8 +438,14 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the in-cell pairwise stage grows linearly with the corpus.
     # The contract oracle is size-independent, so adapting k cannot
     # break the hash.
-    n_cells = max(8, emb.count() // 64)
-    out = S.semantic_dedup(emb, n_cells=int(n_cells), threshold=tau)
+    n = emb.count()
+    n_cells = int(max(8, n // 64))
+    # Lloyd passes train on a 1/8 hash-sample once the corpus is big
+    # enough (deterministic; assignment still covers every vector)
+    train = (emb if n <= 4096
+             else emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(8)) == 0))
+    out = S.semantic_dedup(emb, n_cells=n_cells, threshold=tau,
+                           train_df=train)
     withv = out.join(emb.select("vec_id", "embedding"), "vec_id")
     a = withv.select("cluster", F.col("vec_id").alias("d1"),
                      F.col("embedding").alias("v1"))

@@ -62,3 +62,23 @@ def test_merge_partial_aggregates_equals_full_recompute(spark):
     only_delta = merge_partial_aggregates(
         rollup(base.filter("k < 3")), rollup(delta), ["k"], spec)
     assert only_delta.filter("k >= 3").count() == 4
+
+
+def test_incremental_join_delta_equivalence(spark):
+    """base⋈base plus the three delta terms must equal the full join
+    of the unioned tables — the delta rule's defining identity."""
+    from g1_etl_spark.operators.merge import incremental_join_delta
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, va string")
+    da = spark.createDataFrame([(2, "a2b"), (3, "a3")], "k long, va string")
+    b = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, vb string")
+    db = spark.createDataFrame([(2, "b2"), (3, "b3b")], "k long, vb string")
+
+    delta = incremental_join_delta(a, da, b, db, on="k")
+    incremental = sorted(map(tuple, a.join(b, "k").unionByName(delta)
+                             .collect()))
+    full = sorted(map(tuple,
+                      a.unionByName(da).join(b.unionByName(db), "k")
+                      .collect()))
+    # k=1: 1x1, k=2: 2 a-side rows x 1, k=3: 1 x 2 b-side rows
+    assert incremental == full and len(full) == 5
