@@ -156,3 +156,44 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
             .select(*keys, "status",
                     F.when(F.col("status") == "changed", n_changed)
                     .cast("long").alias("n_cols_changed")))
+
+
+def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
+                       n_bins: int = 16) -> DataFrame:
+    """Distribution-drift audit between two table snapshots: equi-width
+    histogram over the combined value range, per-bin shares from each
+    snapshot, and the symmetric chi-square contribution
+    (p-q)^2 / (p+q) — the drift statistic is the column sum; per-bin
+    rows keep the audit explainable (WHICH part of the distribution
+    moved). Chi-square rather than PSI deliberately: PSI's ln() is not
+    bit-portable across engines, while this is pure arithmetic —
+    divisions and squares per row, no cross-row float sums at all.
+
+    Scale shape: one min/max scalar over both snapshots, one combined
+    binning pass with map-side-combined counts (n_bins cells), totals
+    folded from the tiny binned frame — two scans of the snapshots
+    total, output is n_bins rows.
+    """
+    tagged = (old.select(F.col(value_col).alias("x"),
+                         F.lit(0).alias("is_new"))
+              .unionByName(new.select(F.col(value_col).alias("x"),
+                                      F.lit(1).alias("is_new"))))
+    rng = tagged.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    binned = (tagged.join(F.broadcast(rng))
+              .select(F.least(F.lit(n_bins - 1),
+                              F.floor((F.col("x") - F.col("lo")) / width))
+                      .cast("int").alias("bin"), "is_new")
+              .groupBy("bin")
+              .agg(F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0))
+                   .alias("n_old"),
+                   F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0))
+                   .alias("n_new")))
+    totals = binned.agg(F.sum("n_old").alias("t_old"),
+                        F.sum("n_new").alias("t_new"))
+    p = F.col("n_old").cast("double") / F.col("t_old")
+    q = F.col("n_new").cast("double") / F.col("t_new")
+    return (binned.join(F.broadcast(totals))
+            .select("bin", "n_old", "n_new",
+                    p.alias("p_old"), q.alias("p_new"),
+                    ((p - q) * (p - q) / (p + q)).alias("contrib")))

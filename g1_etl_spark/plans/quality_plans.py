@@ -207,3 +207,51 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("o_orderkey") % 89 != 0))
     new = changed.unionByName(inserts).unionByName(kept)
     return snapshot_diff(base, new, ["o_orderkey"])
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderdate >= DATE '1996-01-01'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM orders),
+    rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM tagged),
+    binned AS (
+      SELECT CAST(LEAST(15, FLOOR((x - lo) / ((hi - lo) / 16)))
+                  AS INTEGER) AS bin,
+             CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM tagged CROSS JOIN rng GROUP BY 1),
+    totals AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+                      CAST(SUM(n_new) AS BIGINT) AS t_new FROM binned)
+    SELECT bin, n_old, n_new,
+           CAST(n_old AS DOUBLE) / t_old AS p_old,
+           CAST(n_new AS DOUBLE) / t_new AS p_new,
+           (CAST(n_old AS DOUBLE) / t_old - CAST(n_new AS DOUBLE) / t_new)
+             * (CAST(n_old AS DOUBLE) / t_old
+                - CAST(n_new AS DOUBLE) / t_new)
+             / (CAST(n_old AS DOUBLE) / t_old
+                + CAST(n_new AS DOUBLE) / t_new) AS contrib
+    FROM binned CROSS JOIN totals
+    ORDER BY bin
+    """,
+    description="distribution-drift audit: order-value histogram "
+                "(16 equi-width bins over the combined range) compared "
+                "between pre-/post-1996 snapshots — per-bin shares and "
+                "symmetric chi-square contributions; chi-square not PSI "
+                "because ln() is not bit-portable across engines while "
+                "this is pure arithmetic",
+    tags=("quality",),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.quality import distribution_drift
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    return distribution_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice", n_bins=16).orderBy("bin")

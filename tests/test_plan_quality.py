@@ -153,6 +153,8 @@ _BNLJ_OK = {
     # one-row national-total scalar broadcast (the HAVING-vs-global
     # compare), same shape as q22's avg-balance scalar
     "q11_important_stock",
+    # one-row min/max range + histogram-totals scalars
+    "dq_distribution_drift",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -168,6 +170,8 @@ _SINGLE_PART_OK = {
     "sim_semantic_dedup",
     # one-row national-total scalar aggregate (see _BNLJ_OK)
     "q11_important_stock",
+    # one-row range/totals scalars over the tiny binned frame
+    "dq_distribution_drift",
 }
 
 
