@@ -71,6 +71,13 @@ R4_ADD = [
     "events_percentile_rollup",
     "sim_hard_negatives",
     "graph_pagerank_trade",
+    # wave 2
+    "dedup_span_clip",
+    "graph_triangle_trade",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "merge_join_delta",
+    "dq_distribution_drift",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD
 

@@ -71,8 +71,11 @@ _R4_WINDOW = (
     # (q4/q6/q13 dropped: literally green in the r3 window, so their
     # re-confirm slots fund the three new queries above)
     # (these six also changed internals this round: broadcast policy)
+    # (q7/q10 re-confirm slots traded for the join-IVM and drift rows —
+    # their broadcast-policy change stays guarded by the sf0.01 gate)
     "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q7_nation_volume", "q10_returned_items",
+    "q5_local_supplier_volume", "merge_join_delta",
+    "dq_distribution_drift",
     "q18_large_orders", "revenue_by_nation",
     # -- NEW this round: adapted Q9/Q12/Q16/Q20 shapes ------------------
     # (funded by q14/q15/q17/q19 re-confirm slots — all green in r3)

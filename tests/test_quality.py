@@ -84,3 +84,32 @@ def test_snapshot_diff_classifies(spark):
     rows = snapshot_diff(old2, new2, ["k"]).collect()
     assert [(r["status"], r["n_cols_changed"]) for r in rows] \
         == [("changed", 1)]
+
+
+def test_distribution_drift_identical_snapshots_zero(spark):
+    from g1_etl_spark.operators.quality import distribution_drift
+
+    d = spark.createDataFrame([(float(i),) for i in range(100)],
+                              "x double")
+    rows = distribution_drift(d, d, "x", n_bins=8).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_old"] == r["n_new"]
+        assert r["contrib"] == 0.0
+
+
+def test_distribution_drift_shift_localizes(spark):
+    """Old uniform on [0,100), new uniform on [100,200): every bin is
+    fully one-sided, so each contrib is (p-q)^2/(p+q) = p or q."""
+    from g1_etl_spark.operators.quality import distribution_drift
+
+    old = spark.createDataFrame([(float(i),) for i in range(100)],
+                                "x double")
+    new = spark.createDataFrame([(float(i + 100),) for i in range(100)],
+                                "x double")
+    rows = {r["bin"]: r for r in
+            distribution_drift(old, new, "x", n_bins=4).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0]["n_new"] == 0 and rows[3]["n_old"] == 0
+    total = sum(r["contrib"] for r in rows.values())
+    assert abs(total - 2.0) < 1e-12  # full separation: sum p + sum q
