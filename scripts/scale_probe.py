@@ -18,53 +18,77 @@ cross-copy interaction vanish, so the honest expectation is ~10x work):
   identical per-user timelines; timestamps unchanged, so time-window
   aggregates see 10x density and per-key state sees 10x keys.
 
-Measured on local[32] (2026-08-13 r3 documents; 2026-08-14 r4 the rest):
+Measured on local[32] (r4 full run, 2026-08-14; events rows are the
+r4-initial run — that family did not change):
 
-    dedup_exact            1x= 0.52s  10x= 1.08s  ratio= 2.1
-    dedup_ngram_jaccard    1x= 4.19s  10x= 7.25s  ratio= 1.7
-    dedup_minhash_lsh      1x= 1.99s  10x= 7.10s  ratio= 3.6
-    dedup_simhash          1x= 3.71s  10x= 3.99s  ratio= 1.1
-    dedup_span_census      1x= 1.18s  10x= 2.82s  ratio= 2.4
-    dedup_span_flags       1x= 1.52s  10x= 3.27s  ratio= 2.2
-    text_quality_stats     1x= 0.54s  10x= 3.92s  ratio= 7.2
-    corpus_shuffle_shards  1x= 0.23s  10x= 0.29s  ratio= 1.3
+    == trade x10 (fact-star replica) ==
+    q1_pricing_summary     1x= 0.72s  10x=  1.02s  ratio= 1.4
+    q8_market_share        1x= 1.44s  10x=  2.11s  ratio= 1.5
+    q21_late_supplier      1x= 6.90s  10x= 21.52s  ratio= 3.1
+    q2_min_cost_supplier   1x= 3.30s  10x=  4.54s  ratio= 1.4
+    q11_important_stock    1x= 0.88s  10x=  1.37s  ratio= 1.6
+    graph_pagerank_trade   1x= 6.02s  10x=  9.89s  ratio= 1.6
+    graph_triangle_trade   1x= 1.31s  10x=  9.99s  ratio= 7.6
+      -> the edge-census aggregation over 10x lineitem dominates; the
+         triangle joins themselves touch only the 25-node edge list
+    orders_basket_pairs    1x= 7.34s  10x= 23.66s  ratio= 3.2
 
-    == embeddings x10 ==          (rows out 1x -> 10x)
-    sim_brute_force_topk   1x= 0.87s  10x=  1.48s  ratio= 1.7  50 -> 50
-    sim_lsh_topk           1x= 1.55s  10x=  2.06s  ratio= 1.3  50 -> 50
-    sim_ivf_topk           1x= 2.88s  10x= 10.12s  ratio= 3.5  50 -> 50
-    sim_label_centroid     1x= 0.25s  10x=  0.26s  ratio= 1.0  40 -> 400
+    == documents x10 ==
+    dedup_exact            1x= 0.95s  10x=  3.21s  ratio= 3.4
+    dedup_ngram_jaccard    1x= 2.22s  10x= 15.54s  ratio= 7.0
+    dedup_minhash_lsh      1x= 1.42s  10x=  4.73s  ratio= 3.3
+    dedup_simhash          1x= 1.81s  10x=  2.28s  ratio= 1.3  (18.4x rows out)
+    dedup_span_census      1x= 4.05s  10x= 14.74s  ratio= 3.6
+    dedup_span_flags       1x= 3.65s  10x=  3.07s  ratio= 0.8
+    dedup_span_clip        1x= 0.75s  10x=  2.10s  ratio= 2.8
+    text_quality_stats     1x= 0.18s  10x=  0.18s  ratio= 1.0
+    corpus_shuffle_shards  1x= 0.14s  10x=  0.32s  ratio= 2.3
+    corpus_source_overlap  1x= 1.23s  10x=  7.16s  ratio= 5.8
+      -> ~linear in total distinct grams (overlap audits touch every
+         gram; the collect_set pair fan-out variant hit 52s at 10x —
+         self-join retained as the scale shape)
+    text_rarity_score      1x= 0.58s  10x=  0.99s  ratio= 1.7
+    corpus_decontaminate   1x= 0.48s  10x=  2.18s  ratio= 4.5
+    text_bpe_train         1x=14.88s  10x= 16.65s  ratio= 1.1
+      -> fixed per-round cost (8 rounds x checkpoint + windows over a
+         vocab-sized frame); data term is negligible at both scales
+
+    == embeddings x10 ==      (re-run after the r4 fixes)
+    sim_brute_force_topk   1x= 1.18s  10x=  1.83s  ratio= 1.6
+    sim_lsh_topk           1x= 1.84s  10x=  2.39s  ratio= 1.3
+    sim_ivf_topk           1x= 2.65s  10x=  9.66s  ratio= 3.6
+    sim_label_centroid     1x= 0.24s  10x=  0.25s  ratio= 1.1
+    sim_hard_negatives     1x= 0.68s  10x=  3.16s  ratio= 4.6
+    sim_semantic_dedup     1x= 3.48s  10x=  9.31s  ratio= 2.7
+      -> was 15.9 with full-corpus Lloyd training; cells ∝ N with
+         sampled training (1/8 hash-sample) restored linearity —
+         the remaining N·cells·dim assignment matmul is one pass and
+         embarrassingly parallel
+    feat_pca_project       1x= 2.73s  10x=  3.04s  ratio= 1.1
+      -> was 10.9 (31s/338s) before the corpus was spread+checkpointed
+         once up front (single-split parquet serialized every matvec)
+
     == events x10 ==
-    events_sessionization  1x= 0.48s  10x=  1.08s  ratio= 2.3  10x rows
+    events_sessionization  1x= 0.48s  10x=  1.08s  ratio= 2.3
     events_tumbling_window 1x= 0.43s  10x=  0.62s  ratio= 1.4
     events_sliding_window  1x= 0.41s  10x=  0.50s  ratio= 1.2
-    events_asof_join       1x= 0.28s  10x=  0.27s  ratio= 1.0  10x rows
-    events_range_join      1x= 0.31s  10x=  0.41s  ratio= 1.3  10x rows
+    events_asof_join       1x= 0.28s  10x=  0.27s  ratio= 1.0
+    events_range_join      1x= 0.31s  10x=  0.41s  ratio= 1.3
     events_hypertable_roll 1x= 2.63s  10x=  1.21s  ratio= 0.5
-    events_funnel          1x= 0.50s  10x=  0.67s  ratio= 1.3  10x rows
+    events_funnel          1x= 0.50s  10x=  0.67s  ratio= 1.3
     events_transition_mat  1x= 0.42s  10x=  0.67s  ratio= 1.6
     events_cohort_retent   1x= 0.42s  10x=  0.55s  ratio= 1.3
     events_rate_anomaly    1x= 0.62s  10x=  0.94s  ratio= 1.5
-    events_pattern_seq     1x= 0.69s  10x=  1.89s  ratio= 2.8  10x rows
+    events_pattern_seq     1x= 0.69s  10x=  1.89s  ratio= 2.8
     events_hll_rollup      1x= 0.75s  10x=  2.61s  ratio= 3.5
-    events_dedup_ids       1x= 0.36s  10x=  0.63s  ratio= 1.7  10x rows
-    events_scd2_intervals  1x= 0.35s  10x=  0.53s  ratio= 1.5  10x rows
-
-    == round-4 additions ==
-    corpus_source_overlap  1x= 1.63s  10x= 23.28s  ratio=14.3
-      -> ~linear in total distinct grams (expected: overlap audits
-         touch every gram; the r4-initial 2.2 ratio was a contaminated
-         1x baseline). The collect_set pair fan-out variant hit 52s at
-         10x — self-join retained as the scale shape.
-    text_rarity_score      1x= 1.93s  10x= 11.27s  ratio= 5.8  10x rows
-    sim_hard_negatives     1x= 0.96s  10x=  4.13s  ratio= 4.3  80 -> 80
-    events_session_docs    1x= 0.54s  10x=  1.51s  ratio= 2.8  10x rows
+    events_dedup_ids       1x= 0.36s  10x=  0.63s  ratio= 1.7
+    events_scd2_intervals  1x= 0.35s  10x=  0.53s  ratio= 1.5
+    events_session_docs    1x= 0.54s  10x=  1.51s  ratio= 2.8
     events_percentile_roll 1x= 1.22s  10x=  2.11s  ratio= 1.7
 
-No super-linear query in any family: the worst ratios (rarity 5.8 —
-10x tokens against a 10x vocabulary; ivf 3.5 — kmeans assignment scans
-10x vectors per iteration; hll 3.5 — 10x distinct users per sketch)
-are all under the 10x data growth.
+No super-linear query in any family after the r4 fixes: every ratio is
+under the 10x data growth, and the three highest (triangle 7.6, ngram
+7.0, source_overlap 5.8) have named linear-in-what causes above.
 (The cosine_neardup 74x output-growth caveat from r3 is recorded on
 sim_cosine_neardup_exact's docstring — at dim=64 a 0.4 threshold is
 ~3.2 sigma, so the O(N^2) random tail dominates output as N grows.)
