@@ -153,11 +153,12 @@ def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
     for _ in range(iters):
         xc = _pca_xc(vec_col, mu)
         # one narrow explode + 64-key aggregate (map-side partials
-        # collapse each task to 64 rows before the exchange). The
-        # projection BELOW the generate matters: exploding the xc
-        # expression directly makes Generate re-evaluate the whole
-        # HOF tree (and u) once per EMITTED row — 64x per input row
-        # (measured 6s -> 0.3s per round at sf0.1).
+        # collapse each task to 64 rows before the exchange); u and xc
+        # are projected below the generate so the exploded rows carry
+        # attribute references, not re-evaluated HOF trees (Catalyst
+        # may still collapse the projection — the hot-path win above
+        # came from the spread+checkpoint, measured 31s -> ~3s warm
+        # at sf0.1)
         pre = df.select(_pca_dot_v(xc, v).alias("u"), xc.alias("_xc"))
         w_rows = (pre.select("u", F.posexplode("_xc").alias("i", "xv"))
                   .groupBy("i")
@@ -215,3 +216,36 @@ def pca_top_component(df: DataFrame, vec_col: str = "embedding",
     return df.sparkSession.createDataFrame(
         [(i + 1, v[i]) for i in range(dim)],
         "idx int, loading double")
+
+
+def whiten_per_group(df: DataFrame, group_col: str = "label",
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     eps: float = 1e-6) -> DataFrame:
+    """Per-group ZCA whitening of embedding vectors — the grouped-map
+    (applyInPandas) member of the UDF surface: each group's covariance
+    eigendecomposition is genuine per-group linear algebra that no
+    Column-expression composition reaches (which is exactly when the
+    grouped-map path is warranted; everything cheaper in this repo
+    stays in codegen'd expressions). W = U diag(1/sqrt(l+eps)) U^T on
+    the centered group matrix; groups larger than memory don't fit this
+    pattern — shard them upstream or fall back to the global PCA path.
+
+    Eigendecomposition is numerically engine-specific, so this operator
+    is unit-tested (output covariance ~ I) rather than oracle-hashed.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    def _whiten(pdf):
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0, keepdims=True)
+        cov = (Xc.T @ Xc) / max(len(Xc) - 1, 1)
+        lam, U = np.linalg.eigh(cov)
+        W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ U.T
+        out = Xc @ W
+        return pdf[[group_col, id_col]].assign(
+            whitened=[r.tolist() for r in out])
+
+    schema = (f"{group_col} int, {id_col} long, "
+              f"whitened array<double>")
+    return df.groupBy(group_col).applyInPandas(_whiten, schema)

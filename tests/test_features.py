@@ -87,3 +87,25 @@ def test_pca_power_recovers_planted_direction(spark):
     ordered = [scores[i] for i in range(21)]
     assert ordered == sorted(ordered) or ordered == sorted(ordered,
                                                            reverse=True)
+
+
+def test_whiten_per_group_identity_covariance(spark):
+    """Two well-conditioned groups: whitened per-group covariance must
+    be ~identity, and group structure must be preserved."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, scale in ((0, [3.0, 1.0, 0.5, 0.1]), (1, [0.2, 2.0, 1.0, 5.0])):
+        X = rng.randn(200, 4) * scale
+        for i, x in enumerate(X):
+            rows.append((g, g * 1000 + i, [float(v) for v in x]))
+    df = spark.createDataFrame(
+        rows, "label int, vec_id long, embedding array<double>")
+    from g1_etl_spark.operators.features import whiten_per_group
+    out = whiten_per_group(df).collect()
+    assert len(out) == 400
+    for g in (0, 1):
+        W = np.stack([r["whitened"] for r in out if r["label"] == g])
+        cov = np.cov(W.T)
+        assert np.allclose(cov, np.eye(4), atol=0.05)
