@@ -243,3 +243,90 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("neighbor_id div 1000").alias("doc_id"),
         (F.col("neighbor_id") % 1000).alias("chunk_id"),
         "score", "rank")
+
+
+_HYBRID_CAND_K = 20
+_HYBRID_K = 5
+
+# the same strict left-to-right list-fold cosine the similarity plans
+# use (bit-identical to operators.similarity.dot/l2_norm — proven by
+# sim_brute_force_topk's parity)
+_HDOT = ("list_sum(list_transform(list_zip(q_vec, embedding), "
+         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+_HNORM_Q = ("sqrt(list_sum(list_transform(q_vec, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+_HNORM_C = ("sqrt(list_sum(list_transform(embedding, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+_HYBRID_TAIL = f"""
+    qe AS (SELECT vec_id AS eq_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN (1, 2, 3)),
+    rer AS (
+      SELECT c.q_id, c.neighbor_id, c.score AS bm25_score,
+             c.rank AS bm25_rank,
+             {_HDOT} / ({_HNORM_Q} * {_HNORM_C}) AS cos_score
+      FROM cand c
+      JOIN qe ON qe.eq_id = c.q_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id),
+    refinal AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_score DESC,
+                                            neighbor_id) AS final_rank
+      FROM rer)
+    SELECT q_id, neighbor_id, bm25_score, bm25_rank, cos_score,
+           final_rank
+    FROM refinal WHERE final_rank <= {_HYBRID_K}
+"""
+
+
+def _hybrid_oracle() -> str:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    base = REGISTRY["text_bm25_topk"].oracle
+    out = base.replace(f"WHERE rank <= {_K}",
+                       f"WHERE rank <= {_HYBRID_CAND_K}")
+    marker = "SELECT CAST(q_id AS BIGINT) AS q_id, neighbor_id, score, rank"
+    head, tail = out.rsplit(marker, 1)
+    out = (head + ",\n    cand AS (" + marker + tail.rstrip().rstrip(",")
+           + "),\n" + _HYBRID_TAIL)
+    assert "cand AS (" in out and "final_rank" in out, "splice failed"
+    return out
+
+
+@register(
+    "pipeline_hybrid_search",
+    oracle=_hybrid_oracle(),
+    description="hybrid retrieval composite (the modern RAG shape): "
+                "BM25 generates top-20 lexical candidates per query, "
+                "exact cosine against the query embedding reranks to "
+                "top-5 — candidate generation touches the inverted "
+                "index only, the expensive semantic score touches 20 "
+                "rows per query; oracle spliced from the BM25 oracle "
+                "so the stages cannot drift",
+    tags=("retrieval", "similarity", "pipeline"),
+)
+def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(_QUERIES, ["q_id", "term"])
+    cand = (R.bm25_topk(docs, q, k=_HYBRID_CAND_K, k1=_K1, b=_B)
+            .select("q_id", "neighbor_id",
+                    F.col("score").alias("bm25_score"),
+                    F.col("rank").alias("bm25_rank")))
+    qe = (emb.filter(F.col("vec_id").isin(1, 2, 3))
+          .select(F.col("vec_id").alias("eq_id"),
+                  F.col("embedding").alias("q_vec")))
+    rer = (cand.join(F.broadcast(qe), cand.q_id == F.col("eq_id"))
+           .join(emb.select("vec_id", "embedding"),
+                 cand.neighbor_id == F.col("vec_id"))
+           .select("q_id", "neighbor_id", "bm25_score", "bm25_rank",
+                   (S.dot(F.col("q_vec"), F.col("embedding"))
+                    / (S.l2_norm(F.col("q_vec"))
+                       * S.l2_norm(F.col("embedding"))))
+                   .alias("cos_score")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_score"), "neighbor_id")
+    return (rer.withColumn("final_rank", F.row_number().over(w))
+            .filter(F.col("final_rank") <= _HYBRID_K))

@@ -155,6 +155,8 @@ _BNLJ_OK = {
     "q11_important_stock",
     # one-row min/max range + histogram-totals scalars
     "dq_distribution_drift",
+    # reuses bm25's corpus-stats scalar (see text_bm25_topk)
+    "pipeline_hybrid_search",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -172,6 +174,8 @@ _SINGLE_PART_OK = {
     "q11_important_stock",
     # one-row range/totals scalars over the tiny binned frame
     "dq_distribution_drift",
+    # bm25 corpus-stats scalar inside the candidate stage
+    "pipeline_hybrid_search",
 }
 
 
