@@ -233,3 +233,48 @@ def incremental_backfill(spark, src_path: str, dest_path: str,
     q.awaitTermination()
     progress = q.recentProgress
     return len([p for p in progress if p["numInputRows"] > 0])
+
+
+def histogram_drift_stream(events: DataFrame, reference: DataFrame,
+                           lo: float, hi: float, n_bins: int = 8,
+                           value_col: str = "value",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming distribution-drift monitor — the sealed-window twin of
+    operators.quality.distribution_drift: per tumbling window, the
+    fixed-range equi-width histogram of `value_col`, joined against a
+    static per-bin `reference` (bin, ref_share), with the symmetric
+    chi-square contribution per (window, bin). A streaming monitor
+    compares to a FIXED reference band — it cannot rescan history for
+    a combined range, which is how production drift monitors work
+    (the reference band comes from the batch audit).
+
+    State discipline: ONE watermarked window aggregate holding n_bins
+    counters per open window (the bins ride as conditional-sum columns,
+    so there is no second stateful operator for the window total); the
+    explode to per-bin rows and the reference join are stateless and
+    run as the window seals. Late data beyond the watermark is dropped,
+    flags are final when they emit.
+    """
+    width = (hi - lo) / n_bins
+    bin_col = F.least(F.lit(n_bins - 1),
+                      F.greatest(F.lit(0), F.floor(
+                          (F.col(value_col) - lo) / width))).cast("int")
+    counters = [F.sum(F.when(bin_col == i, 1).otherwise(0)).alias(f"b{i}")
+                for i in range(n_bins)]
+    agg = (events.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_total"), *counters))
+    per_bin = agg.select(
+        F.col("w.start").alias("window_start"), "n_total",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(n_bins)]))
+        .alias("bin", "n"))
+    share = F.col("n").cast("double") / F.col("n_total")
+    contrib = ((share - F.col("ref_share"))
+               * (share - F.col("ref_share"))
+               / (share + F.col("ref_share")))
+    return (per_bin.join(F.broadcast(reference), "bin")
+            .select("window_start", "bin", "n", share.alias("share"),
+                    "ref_share",
+                    F.when(share + F.col("ref_share") > 0, contrib)
+                    .otherwise(F.lit(0.0)).alias("contrib")))

@@ -726,3 +726,42 @@ def test_streaming_heavy_hitters_bounds(spark, stream_dir):
         if n > totals[et] / k:
             assert uid in sketched[et], f"guaranteed hitter missing: " \
                                         f"{et}/{uid} ({n} > {totals[et]}/{k})"
+
+
+def test_histogram_drift_stream_matches_batch(spark, stream_dir):
+    """Complete-mode drift monitor must reproduce the batch per-window
+    histogram shares and chi-square contribs exactly (same fixed band,
+    same reference)."""
+    ref = spark.createDataFrame(
+        [(i, 1.0 / 8) for i in range(8)], "bin int, ref_share double")
+    stream = SW.read_events_stream(spark, stream_dir)
+    out = SW.histogram_drift_stream(stream, ref, lo=0.0, hi=100.0,
+                                    n_bins=8)
+    q = SW.run_to_memory(out, "t_drift", output_mode="complete")
+    try:
+        got = {(r["window_start"], r["bin"]):
+               (r["n"], r["share"], r["contrib"])
+               for r in spark.sql("SELECT * FROM t_drift").collect()}
+        batch = _batch(spark, stream_dir)
+        bin_col = F.least(F.lit(7), F.greatest(F.lit(0), F.floor(
+            (F.col("value") - 0.0) / 12.5))).cast("int")
+        want_rows = (batch
+                     .groupBy(F.window("ts", "1 hour").alias("w"))
+                     .agg(F.count(F.lit(1)).alias("t"),
+                          *[F.sum(F.when(bin_col == i, 1).otherwise(0))
+                            .alias(f"b{i}") for i in range(8)])
+                     .collect())
+        want = {}
+        for r in want_rows:
+            for i in range(8):
+                share = r[f"b{i}"] / r["t"]
+                refs = 1.0 / 8
+                contrib = ((share - refs) ** 2 / (share + refs)
+                           if share + refs > 0 else 0.0)
+                want[(r["w"]["start"], i)] = (r[f"b{i}"], share, contrib)
+        assert set(got) == set(want)
+        for k, (n, s, c) in got.items():
+            wn, ws, wc = want[k]
+            assert n == wn and abs(s - ws) < 1e-15 and abs(c - wc) < 1e-12
+    finally:
+        q.stop()
