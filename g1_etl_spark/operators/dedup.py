@@ -218,24 +218,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
-def doc_spans(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id", n: int = 5) -> DataFrame:
-    """(d, span): DISTINCT n-token spans per document, span text
-    materialized. Same lead-window shingling shape as
-    _gram_hashes_projected (one exchange, all codegen); docs shorter
-    than n tokens contribute nothing."""
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(d, pos, w): every word with its 0-based position."""
     base = df.select(F.col(id_col).alias("d"),
                      F.split(F.col(text_col), " ").alias("_w"))
-    toks = (base.filter(F.size("_w") >= n)
-            .select("d", F.posexplode("_w").alias("pos", "w")))
+    return base.select("d", F.posexplode("_w").alias("pos", "w"))
+
+
+def _positioned_spans(toks: DataFrame, n: int) -> DataFrame:
+    """(d, start, span): every n-token span occurrence with its start
+    position — the ONE lead-window shingle assembly the census and the
+    clipper both build on (same shape as _gram_hashes_projected: one
+    exchange, all codegen). Docs shorter than n tokens contribute
+    nothing (the last lead is NULL on every row)."""
     wspec = W.partitionBy("d").orderBy("pos")
     leads = [F.lead("w", j).over(wspec).alias(f"_l{j}")
              for j in range(1, n)]
-    return (toks.select("d", "w", *leads)
+    return (toks.select("d", "pos", "w", *leads)
             .filter(F.col(f"_l{n-1}").isNotNull())
-            .select("d", F.concat_ws(
-                " ", "w", *[f"_l{j}" for j in range(1, n)]).alias("span"))
-            .distinct())
+            .select("d", F.col("pos").alias("start"),
+                    F.concat_ws(" ", "w",
+                                *[f"_l{j}" for j in range(1, n)])
+                    .alias("span")))
+
+
+def doc_spans(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """(d, span): DISTINCT n-token spans per document, span text
+    materialized."""
+    return (_positioned_spans(_doc_tokens(df, text_col, id_col), n)
+            .select("d", "span").distinct())
 
 
 def repeated_spans(df: DataFrame, text_col: str = "text",
@@ -316,18 +328,8 @@ def span_clip(df: DataFrame, text_col: str = "text",
     fraction of the corpus (only repeated-span positions), so AQE
     broadcasts it while it fits; nothing is ever quadratic.
     """
-    base = df.select(F.col(id_col).alias("d"),
-                     F.split(F.col(text_col), " ").alias("_w"))
-    toks = base.select("d", F.posexplode("_w").alias("pos", "w"))
-    wspec = W.partitionBy("d").orderBy("pos")
-    leads = [F.lead("w", j).over(wspec).alias(f"_l{j}")
-             for j in range(1, n)]
-    spans = (toks.select("d", "pos", "w", *leads)
-             .filter(F.col(f"_l{n-1}").isNotNull())
-             .select("d", F.col("pos").alias("start"),
-                     F.concat_ws(" ", "w",
-                                 *[f"_l{j}" for j in range(1, n)])
-                     .alias("span"))
+    toks = _doc_tokens(df, text_col, id_col)
+    spans = (_positioned_spans(toks, n)
              .localCheckpoint(eager=True))
     census = (spans.select("d", "span").distinct()
               .groupBy("span")

@@ -145,10 +145,16 @@ def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
                     .alias("mq"),
                     F.count(F.lit(1)).alias("n"))
                .collect())
+    if not mu_rows:
+        raise ValueError("pca_power_direction: empty input corpus")
     n = mu_rows[0]["n"]
     mu = [0.0] * dim
     for r in mu_rows:
-        mu[r["i"]] = (r["mq"] / _PCA_SW) / n
+        # float() FIRST: the oracle computes CAST(sum AS DOUBLE)/scale,
+        # i.e. long->double rounding before the divide; python int/int
+        # true division rounds only once and diverges by 1 ulp past
+        # 2^53 (scaled sums reach that at ~9e6 rows)
+        mu[r["i"]] = (float(r["mq"]) / _PCA_SW) / n
     v = [1.0 / dim ** 0.5] * dim
     for _ in range(iters):
         xc = _pca_xc(vec_col, mu)
@@ -170,9 +176,9 @@ def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
         # size instead of overflowing int64 at |w| ~ N
         wn = [0.0] * dim
         for r in w_rows:
-            wn[r["i"]] = (r["wq"] / _PCA_SW) / n
-        norm = (sum(_half_up(wi * wi * _PCA_SN) for wi in wn)
-                / _PCA_SN) ** 0.5
+            wn[r["i"]] = (float(r["wq"]) / _PCA_SW) / n  # cast-first, see mu
+        norm = (float(sum(_half_up(wi * wi * _PCA_SN) for wi in wn))
+                / _PCA_SN) ** 0.5  # cast-first, see mu
         v = [wi / norm for wi in wn]
     return mu, v, n
 
@@ -209,8 +215,10 @@ def pca_top_component(df: DataFrame, vec_col: str = "embedding",
     task, map-side combined); the 64-float direction vector is driver
     state (same bounded-metadata class as k-means centroids), rebound
     as literals each round, so no iteration ever shuffles the corpus —
-    each is one scan + one 64-column reduce. Scales sized for ~1e8-row
-    corpora; rescale _PCA_SW for 1e10 rows.
+    each is one scan + one 64-column reduce. Driver-side divisions cast
+    the long sums to double FIRST (mirroring the oracle's CAST) so
+    exactness holds past 2^53-sized sums; rescale _PCA_SW beyond
+    ~1e8 rows to keep the int64 accumulators in range.
     """
     _, v, _n = pca_power_direction(df, vec_col, dim, iters)
     return df.sparkSession.createDataFrame(
@@ -246,6 +254,9 @@ def whiten_per_group(df: DataFrame, group_col: str = "label",
         return pdf[[group_col, id_col]].assign(
             whitened=[r.tolist() for r in out])
 
-    schema = (f"{group_col} int, {id_col} long, "
-              f"whitened array<double>")
+    # carry the ACTUAL input types for the passthrough columns — a
+    # string group key (e.g. lang) must not be redeclared as int
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (f"{group_col} {in_types[group_col]}, "
+              f"{id_col} {in_types[id_col]}, whitened array<double>")
     return df.groupBy(group_col).applyInPandas(_whiten, schema)

@@ -180,10 +180,17 @@ def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
                                       F.lit(1).alias("is_new"))))
     rng = tagged.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / n_bins
+    # degenerate range (constant column, e.g. a stuck sensor): width 0
+    # makes the bin expression NaN, and the two engines disagree on
+    # floor/LEAST over NaN — pin every row to bin 0 explicitly (the
+    # oracle carries the same CASE)
+    bin_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(F.lit(n_bins - 1),
+                F.floor((F.col("x") - F.col("lo")) / width))
+    ).otherwise(F.lit(0))
     binned = (tagged.join(F.broadcast(rng))
-              .select(F.least(F.lit(n_bins - 1),
-                              F.floor((F.col("x") - F.col("lo")) / width))
-                      .cast("int").alias("bin"), "is_new")
+              .select(bin_expr.cast("int").alias("bin"), "is_new")
               .groupBy("bin")
               .agg(F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0))
                    .alias("n_old"),

@@ -287,7 +287,13 @@ def _bpe_iterate(df: "DataFrame", text_col: str,
                         "lhs", "rhs", "pair_count")
                 .localCheckpoint(eager=True))
         merges.append(best)
-        fl = (withn.join(F.broadcast(best.select("lhs", "rhs")))
+        # LEFT join on TRUE, not a cross join: when a round runs dry
+        # (no adjacent pairs left — single-symbol words only), the
+        # 0-row argmax must make the round a NO-OP, not wipe the token
+        # state; lhs/rhs come back NULL, _m coalesces to false, and
+        # t_{k+1} = t_k. The oracle mirrors with LEFT JOIN ... ON TRUE.
+        fl = (withn.join(F.broadcast(best.select("lhs", "rhs")),
+                         F.lit(True), "left")
               .select("w", "freq", "pos", "sym", "lhs", "rhs",
                       F.coalesce((F.col("sym") == F.col("lhs"))
                                  & (F.col("_nxt") == F.col("rhs")),

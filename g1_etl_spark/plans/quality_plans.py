@@ -219,8 +219,9 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM tagged),
     binned AS (
-      SELECT CAST(LEAST(15, FLOOR((x - lo) / ((hi - lo) / 16)))
-                  AS INTEGER) AS bin,
+      SELECT CAST(CASE WHEN hi > lo
+                       THEN LEAST(15, FLOOR((x - lo) / ((hi - lo) / 16)))
+                       ELSE 0 END AS INTEGER) AS bin,
              CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_old,
              CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END)

@@ -248,19 +248,20 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_CAND_K = 20
 _HYBRID_K = 5
 
-# the same strict left-to-right list-fold cosine the similarity plans
-# use (bit-identical to operators.similarity.dot/l2_norm — proven by
-# sim_brute_force_topk's parity)
-_HDOT = ("list_sum(list_transform(list_zip(q_vec, embedding), "
-         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
-_HNORM_Q = ("sqrt(list_sum(list_transform(q_vec, "
-            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
-_HNORM_C = ("sqrt(list_sum(list_transform(embedding, "
-            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+# the ONE engine-exact cosine definition (strict left-to-right list
+# fold, proven by sim_brute_force_topk's parity) — imported, not
+# duplicated, so the two plans cannot drift
+from g1_etl_spark.plans.similarity_plans import (  # noqa: E402
+    _DOT as _HDOT, _NORM_C as _HNORM_C, _NORM_Q as _HNORM_Q)
+
+# derived from _QUERIES so adding a query updates BOTH stages and the
+# rerank in lockstep
+_HYBRID_QIDS = sorted({q for q, _ in _QUERIES})
+_HYBRID_QIDS_SQL = ", ".join(str(q) for q in _HYBRID_QIDS)
 
 _HYBRID_TAIL = f"""
     qe AS (SELECT vec_id AS eq_id, embedding AS q_vec FROM embeddings
-           WHERE vec_id IN (1, 2, 3)),
+           WHERE vec_id IN ({_HYBRID_QIDS_SQL})),
     rer AS (
       SELECT c.q_id, c.neighbor_id, c.score AS bm25_score,
              c.rank AS bm25_rank,
@@ -315,7 +316,7 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "neighbor_id",
                     F.col("score").alias("bm25_score"),
                     F.col("rank").alias("bm25_rank")))
-    qe = (emb.filter(F.col("vec_id").isin(1, 2, 3))
+    qe = (emb.filter(F.col("vec_id").isin(*_HYBRID_QIDS))
           .select(F.col("vec_id").alias("eq_id"),
                   F.col("embedding").alias("q_vec")))
     rer = (cand.join(F.broadcast(qe), cand.q_id == F.col("eq_id"))

@@ -797,7 +797,7 @@ def _bpe_round_ctes(k: int) -> str:
     m{k} AS (SELECT n.w, n.freq, n.pos, n.sym, b.lhs, b.rhs,
                     COALESCE(n.sym = b.lhs AND n.nxt = b.rhs,
                              FALSE) AS m
-             FROM n{k} n CROSS JOIN b{k} b),
+             FROM n{k} n LEFT JOIN b{k} b ON TRUE),
     i{k} AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, m
                                                 ORDER BY pos) AS isl
              FROM m{k}),

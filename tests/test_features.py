@@ -109,3 +109,17 @@ def test_whiten_per_group_identity_covariance(spark):
         W = np.stack([r["whitened"] for r in out if r["label"] == g])
         cov = np.cov(W.T)
         assert np.allclose(cov, np.eye(4), atol=0.05)
+
+
+def test_whiten_per_group_string_group_key(spark):
+    """The output schema must carry the input's actual group-key type
+    (a string lang key, not a hardcoded int)."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(lang, i, [float(v) for v in rng.randn(3)])
+            for lang in ("en", "de") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "lang string, vec_id long, embedding array<double>")
+    from g1_etl_spark.operators.features import whiten_per_group
+    out = whiten_per_group(df, group_col="lang").collect()
+    assert len(out) == 80 and {r["lang"] for r in out} == {"en", "de"}

@@ -113,3 +113,14 @@ def test_distribution_drift_shift_localizes(spark):
     assert rows[0]["n_new"] == 0 and rows[3]["n_old"] == 0
     total = sum(r["contrib"] for r in rows.values())
     assert abs(total - 2.0) < 1e-12  # full separation: sum p + sum q
+
+
+def test_distribution_drift_constant_column_pins_bin0(spark):
+    """Degenerate range (stuck sensor): every row must land in bin 0
+    with zero drift, not NaN-binned garbage."""
+    from g1_etl_spark.operators.quality import distribution_drift
+
+    d = spark.createDataFrame([(42.0,)] * 10, "x double")
+    rows = distribution_drift(d, d, "x", n_bins=8).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0
+    assert rows[0]["n_old"] == 10 and rows[0]["contrib"] == 0.0

@@ -165,3 +165,34 @@ def test_bpe_train_merge_application_is_greedy_nonoverlapping(spark):
     got = [(r["merge_step"], r["lhs"], r["rhs"], r["pair_count"])
            for r in rows]
     assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_dry_rounds_are_noops(spark):
+    """Single-char words have no pairs at all: every round runs dry —
+    merges must come back empty and the encode stage must still return
+    the (unmerged) symbol counts, not an empty frame."""
+    from g1_etl_spark.operators.textops import (bpe_subword_counts,
+                                                bpe_train_merges)
+
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    assert bpe_train_merges(docs, steps=3).count() == 0
+    got = {r["subword"]: r["n_occurrences"]
+           for r in bpe_subword_counts(docs, steps=3).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_bpe_merges_stop_when_dry_midway(spark):
+    """'ab ab cd' exhausts its merges after two rounds; rounds 3+ must
+    emit nothing and leave the final segmentation intact."""
+    from g1_etl_spark.operators.textops import (bpe_subword_counts,
+                                                bpe_train_merges)
+
+    docs = spark.createDataFrame([(1, "ab ab cd")],
+                                 "doc_id long, text string")
+    rows = sorted(bpe_train_merges(docs, steps=5).collect(),
+                  key=lambda r: r["merge_step"])
+    assert [(r["merge_step"], r["lhs"], r["rhs"]) for r in rows] == \
+        [(1, "a", "b"), (2, "c", "d")]
+    got = {r["subword"]: r["n_occurrences"]
+           for r in bpe_subword_counts(docs, steps=5).collect()}
+    assert got == {"ab": 2, "cd": 1}
