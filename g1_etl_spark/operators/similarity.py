@@ -478,3 +478,72 @@ def semantic_dedup(corpus: DataFrame, n_cells: int = 8,
     return (assigned
             .join(dups, F.col(id_col) == F.col("_dup"), "left")
             .select(id_col, "cluster", F.col("_dup").isNull().alias("keep")))
+
+
+def kmeans_exact(corpus: DataFrame, k: int = 4, iters: int = 3,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Engine-exact Lloyd k-means: (id, cluster) after `iters`
+    assignment rounds with quantized centroid updates — the
+    hash-checkable sibling of train_ivf_centroids (which optimizes for
+    speed with Arrow matmuls and xxhash seeds; this one makes every
+    step bit-portable so the DuckDB twin can unroll it as chained
+    CTEs, like PageRank / BPE / PCA):
+
+      - seeds: the k vectors with smallest (md5(id), id) — a
+        reproducible pseudo-random draw both engines compute;
+      - assignment: argmax cosine via the strict left-to-right list
+        fold (bit-identical across engines), ties to the lower cell;
+      - update: per-component scaled-long mean; empty cells keep their
+        previous centroid.
+
+    Scale shape: centroids stay a k-row DataFrame broadcast into an
+    N x k scored cross join (k is small by construction); assignment
+    is a per-vector window, update one explode + (cell, idx) reduce.
+    Per-iteration localCheckpoint keeps plan depth O(1). The seed draw
+    collects k rows (bounded driver state, the kmeans-centroid class).
+    """
+    spark = corpus.sparkSession
+    seeds = (corpus
+             .select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                     F.col(id_col).alias("_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cv"))
+             .orderBy("_h", "_id").limit(k).collect())
+    cells = spark.createDataFrame(
+        [(i, list(r["cv"])) for i, r in enumerate(seeds)],
+        "cell int, cvec array<double>").localCheckpoint(eager=True)
+
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    wa = W.partitionBy(id_col).orderBy(F.desc("_s"), "cell")
+    for it in range(iters):
+        scored = (vecs.crossJoin(F.broadcast(cells))
+                  .select(id_col, "cell", F.col(vec_col),
+                          (dot(F.col(vec_col), F.col("cvec"))
+                           / (l2_norm(F.col(vec_col))
+                              * l2_norm(F.col("cvec")))).alias("_s")))
+        assign = (scored.withColumn("_r", F.row_number().over(wa))
+                  .filter(F.col("_r") == 1)
+                  .select(id_col, "cell", vec_col))
+        if it == iters - 1:
+            return assign.select(F.col(id_col),
+                                 F.col("cell").alias("cluster"))
+        comp = (assign
+                .select("cell", F.posexplode(
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")))
+                    .alias("i", "x"))
+                .groupBy("cell", "i")
+                .agg(((F.sum(F.round(F.col("x") * 1_000_000_000)
+                             .cast("long")).cast("double")
+                       / 1_000_000_000)
+                      / F.count(F.lit(1))).alias("m")))
+        upd = (comp.groupBy("cell")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("i", "m"))),
+                   lambda s: s["m"]).alias("ucvec")))
+        cells = (cells.join(upd, "cell", "left")
+                 .select("cell",
+                         F.coalesce("ucvec", "cvec").alias("cvec"))
+                 .localCheckpoint(eager=True))
+    raise AssertionError("unreachable")

@@ -76,8 +76,10 @@ _R4_WINDOW = (
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "merge_join_delta",
     "dq_distribution_drift",
-    # (q18 re-confirm slot traded for the hybrid-search composite)
-    "pipeline_hybrid_search", "revenue_by_nation",
+    # (q18 re-confirm traded for hybrid search; revenue_by_nation's
+    # re-confirm traded for exact k-means — the driver's t1 smoke runs
+    # that flagship every round anyway)
+    "pipeline_hybrid_search", "sim_kmeans_exact",
     # -- NEW this round: adapted Q9/Q12/Q16/Q20 shapes ------------------
     # (funded by q14/q15/q17/q19 re-confirm slots — all green in r3)
     "q9_profit_by_nation", "q12_priority_shipping",

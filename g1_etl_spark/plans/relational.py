@@ -821,3 +821,44 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("support"))
             .orderBy(F.desc("support"), "p1", "p2")
             .limit(50))
+
+
+@register(
+    "window_analytics_extended",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="window suite 2: ntile/percent_rank/cume_dist/"
+                "first_value/last_value/nth_value (distribution and "
+                "positional analytics; last/nth over the full frame — "
+                "the default running frame would make them trivially "
+                "equal to the current/first row)",
+    tags=("window",),
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )

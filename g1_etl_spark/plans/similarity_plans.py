@@ -470,3 +470,74 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dropped_bad.cast("int")) == 0).alias("dropped_ok"),
         (F.sum(F.coalesce(kept_bad, F.lit(False)).cast("int")) == 0)
         .alias("kept_ok"))
+
+
+_KME_K = 4
+_KME_ITERS = 3
+_KME_DOT = ("list_sum(list_transform(list_zip(x.embedding, c.cvec), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+_KME_NX = ("sqrt(list_sum(list_transform(x.embedding, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+_KME_NC = ("sqrt(list_sum(list_transform(c.cvec, "
+           "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+
+def _kme_iter_ctes(k: int) -> str:
+    ctes = f"""
+    s{k} AS (SELECT x.vec_id, c.cell,
+                    {_KME_DOT} / ({_KME_NX} * {_KME_NC}) AS sc
+             FROM embeddings x CROSS JOIN c{k - 1} c),
+    a{k} AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY sc DESC, cell) AS rnk
+               FROM s{k}) WHERE rnk = 1)"""
+    if k == _KME_ITERS:
+        return ctes
+    return ctes + f""",
+    m{k} AS (SELECT a.cell, t.i AS idx,
+                    CAST(SUM(CAST(round(CAST(x.embedding[t.i] AS DOUBLE)
+                                        * 1000000000) AS BIGINT))
+                         AS DOUBLE)
+                      / 1000000000 / COUNT(*) AS m
+             FROM a{k} a JOIN embeddings x USING (vec_id),
+                  LATERAL unnest(range(1, 65)) t(i)
+             GROUP BY a.cell, t.i),
+    c{k} AS (SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec
+             FROM c{k - 1} p LEFT JOIN (
+               SELECT cell, list(m ORDER BY idx) AS cvec
+               FROM m{k} GROUP BY cell) u USING (cell))"""
+
+
+_KMEANS_EXACT_SQL = (f"""
+    WITH seeds AS (
+      SELECT embedding,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS rn
+      FROM embeddings),
+    c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
+           FROM seeds WHERE rn <= {_KME_K}),"""
+                     + ",".join(_kme_iter_ctes(k)
+                                for k in range(1, _KME_ITERS + 1))
+                     + f"""
+    SELECT vec_id, cell AS cluster FROM a{_KME_ITERS} ORDER BY vec_id
+""")
+
+
+@register(
+    "sim_kmeans_exact",
+    oracle=_KMEANS_EXACT_SQL,
+    description="engine-exact Lloyd k-means (4 cells, 3 rounds): "
+                "md5-ordered seed draw, argmax-cosine assignment via "
+                "the strict list fold, scaled-long centroid means, "
+                "empty cells keep their centroid — every per-vector "
+                "assignment hash-checked against the unrolled-CTE "
+                "twin (iterative ML #4; the Arrow/xxhash kmeans keeps "
+                "its nearest-centroid contract row as the fast path)",
+    tags=("similarity", "clustering", "iterative"),
+)
+def sim_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (S.kmeans_exact(emb, k=_KME_K, iters=_KME_ITERS)
+            .orderBy("vec_id"))

@@ -157,6 +157,8 @@ _BNLJ_OK = {
     "dq_distribution_drift",
     # reuses bm25's corpus-stats scalar (see text_bm25_topk)
     "pipeline_hybrid_search",
+    # k-row centroid frame cross-joined into the scoring pass (k=4)
+    "sim_kmeans_exact",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
