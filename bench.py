@@ -78,6 +78,7 @@ R4_ADD = [
     "q11_important_stock",
     "merge_join_delta",
     "dq_distribution_drift",
+    "pipeline_hybrid_search",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD
 
