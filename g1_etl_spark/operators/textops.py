@@ -251,16 +251,19 @@ def bpe_train_merges(df: "DataFrame", text_col: str = "text",
     for a 100 TB corpus is ~1e8 words — cluster-trivial.
     """
     _, merges = _bpe_iterate(df, text_col, steps)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return df.sparkSession.createDataFrame(
+        merges, "merge_step int, lhs string, rhs string, pair_count long")
 
 
 def _bpe_iterate(df: "DataFrame", text_col: str,
                  steps: int) -> tuple["DataFrame", list]:
-    """(final symbol sequences, per-step 1-row merge frames) — the
-    shared engine of bpe_train_merges / bpe_subword_counts."""
+    """(final symbol sequences, collected per-step merge rows) — the
+    shared engine of bpe_train_merges / bpe_subword_counts. The argmax
+    is ONE row per round: collecting it (bounded driver state, the
+    same class as PCA's direction vector) and rebinding lhs/rhs as
+    literals removes a join and a checkpoint from every round, and a
+    dry round (0-row argmax) just breaks the loop — identical to the
+    oracle, whose dry rounds are no-ops."""
     from pyspark.sql import Window as W
 
     vocab = (df.select(F.explode(F.split(F.col(text_col), r"\s+"))
@@ -278,26 +281,25 @@ def _bpe_iterate(df: "DataFrame", text_col: str,
     for step in range(1, steps + 1):
         withn = toks.select("w", "freq", "pos", "sym",
                             F.lead("sym").over(wd).alias("_nxt"))
-        best = (withn.filter(F.col("_nxt").isNotNull())
-                .groupBy(F.col("sym").alias("lhs"),
-                         F.col("_nxt").alias("rhs"))
-                .agg(F.sum("freq").alias("pair_count"))
-                .orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
-                .select(F.lit(step).alias("merge_step"),
-                        "lhs", "rhs", "pair_count")
-                .localCheckpoint(eager=True))
-        merges.append(best)
-        # LEFT join on TRUE, not a cross join: when a round runs dry
-        # (no adjacent pairs left — single-symbol words only), the
-        # 0-row argmax must make the round a NO-OP, not wipe the token
-        # state; lhs/rhs come back NULL, _m coalesces to false, and
-        # t_{k+1} = t_k. The oracle mirrors with LEFT JOIN ... ON TRUE.
-        fl = (withn.join(F.broadcast(best.select("lhs", "rhs")),
-                         F.lit(True), "left")
-              .select("w", "freq", "pos", "sym", "lhs", "rhs",
-                      F.coalesce((F.col("sym") == F.col("lhs"))
-                                 & (F.col("_nxt") == F.col("rhs")),
-                                 F.lit(False)).alias("_m")))
+        best_rows = (withn.filter(F.col("_nxt").isNotNull())
+                     .groupBy(F.col("sym").alias("lhs"),
+                              F.col("_nxt").alias("rhs"))
+                     .agg(F.sum("freq").alias("pair_count"))
+                     .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                     .limit(1).collect())
+        if not best_rows:
+            # dry: no adjacent pairs anywhere. The oracle's remaining
+            # rounds are no-ops (its 0-row argmax LEFT JOINs to NULL
+            # lhs/rhs), so stopping here leaves both engines with the
+            # same final state and the same merge list.
+            break
+        lhs, rhs = best_rows[0]["lhs"], best_rows[0]["rhs"]
+        merges.append((step, lhs, rhs, best_rows[0]["pair_count"]))
+        fl = withn.select(
+            "w", "freq", "pos", "sym",
+            F.coalesce((F.col("sym") == F.lit(lhs))
+                       & (F.col("_nxt") == F.lit(rhs)),
+                       F.lit(False)).alias("_m"))
         isl = fl.withColumn(
             "_isl", F.col("pos") - F.row_number().over(
                 W.partitionBy("w", "_m").orderBy("pos")))
@@ -310,8 +312,7 @@ def _bpe_iterate(df: "DataFrame", text_col: str,
                 .filter(~F.col("_dr"))
                 .select("w", "freq",
                         F.row_number().over(wd).alias("pos"),
-                        F.when(F.col("_ap"),
-                               F.concat(F.col("lhs"), F.col("rhs")))
+                        F.when(F.col("_ap"), F.lit(lhs + rhs))
                         .otherwise(F.col("sym")).alias("sym"))
                 .localCheckpoint(eager=True))
     return toks, merges
