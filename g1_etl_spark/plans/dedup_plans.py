@@ -362,3 +362,47 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
         F.coalesce(found / F.count(F.lit(1)) >= 0.85, F.lit(True))
         .alias("recall_ok"))
+
+
+_SPLIT_BUCKET = ("CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)),"
+                 " 1, 8)) AS BIGINT) % 100")
+
+
+@register(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    {_PAIRS_SQL},
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    comps AS (
+      SELECT a AS doc_id, MIN(label) AS component FROM (
+        WITH RECURSIVE walk(a, label) AS (
+            SELECT doc_id, doc_id FROM documents
+          UNION
+            SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
+        SELECT a, label FROM walk)
+      GROUP BY a)
+    SELECT doc_id, component,
+           CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM comps
+    """,
+    description="leakage-safe train/valid/test split: near-dup "
+                "connected components assigned as UNITS (the md5 "
+                "bucket keys on the component's canonical id, not the "
+                "doc id), so no near-duplicate pair ever straddles "
+                "train and eval — the dedup-aware splitting practice "
+                "plain hash splits get wrong; composed from the "
+                "clusters and split oracles so neither can drift",
+    tags=("dedup", "sampling", "pipeline"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs, docs.select("doc_id"))
+    return comps.select(
+        "doc_id", "component",
+        split_assign(F.col("component")).alias("split"))
