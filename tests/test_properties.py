@@ -106,3 +106,104 @@ def test_exact_dedup_group_laws(spark, texts):
         ids = [m["doc_id"] for m in members]
         assert canon == min(ids)  # canonical = group min
         assert all(m["group_size"] == len(members) for m in members)
+
+
+def _ref_bpe(texts: list[str], steps: int):
+    """Reference BPE trainer: textbook loop, greedy left-to-right
+    non-overlapping application, (count desc, lhs, rhs) argmax."""
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split() if w)
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, steps + 1):
+        pairs = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, lhs, rhs, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    counts = Counter()
+    for w, s in seqs.items():
+        for sym in s:
+            counts[sym] += vocab[w]
+    return merges, dict(counts)
+
+
+@given(words=st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=5),
+    min_size=1, max_size=8),
+    steps=st.integers(min_value=1, max_value=4))
+@_settings
+def test_bpe_matches_reference_trainer(spark, words, steps):
+    """The window-algebra trainer must agree with the textbook
+    sequential trainer on merges AND final subword counts for ANY
+    corpus (tiny alphabet forces heavy pair collisions, overlapping
+    runs, and dry rounds)."""
+    from g1_etl_spark.operators.textops import (bpe_subword_counts,
+                                                bpe_train_merges)
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want_merges, want_counts = _ref_bpe([text], steps)
+    got_merges = sorted(
+        (r["merge_step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(docs, steps=steps).collect())
+    assert got_merges == sorted(want_merges)
+    got_counts = {r["subword"]: r["n_occurrences"]
+                  for r in bpe_subword_counts(docs, steps=steps).collect()}
+    assert got_counts == want_counts
+
+
+def _ref_span_clip(docs: dict[int, str], n: int, min_docs: int):
+    """Reference span clipper: doc-granular canonical-keeps rule."""
+    words = {d: t.split(" ") for d, t in docs.items()}
+    carriers: dict[tuple, set] = {}
+    for d, w in words.items():
+        for i in range(len(w) - n + 1):
+            carriers.setdefault(tuple(w[i:i + n]), set()).add(d)
+    census = {s: min(ds) for s, ds in carriers.items()
+              if len(ds) >= min_docs}
+    out = {}
+    for d, w in words.items():
+        removed = set()
+        for i in range(len(w) - n + 1):
+            s = tuple(w[i:i + n])
+            if s in census and d > census[s]:
+                removed.update(range(i, i + n))
+        kept = [w[i] for i in range(len(w)) if i not in removed]
+        out[d] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=9)
+    .map(" ".join),
+    min_size=1, max_size=5))
+@_settings
+def test_span_clip_matches_reference(spark, texts):
+    """Tiny vocabulary + short docs force repeated, overlapping, and
+    fully-covering spans; the operator must match the sequential
+    reference on every doc (n=3 so spans actually occur)."""
+    from g1_etl_spark.operators.dedup import span_clip
+
+    docs = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    want = _ref_span_clip(docs, n=3, min_docs=2)
+    got = {r["doc_id"]: (r["clipped_text"], r["n_words"], r["n_removed"])
+           for r in span_clip(df, n=3, min_docs=2).collect()}
+    assert got == want
