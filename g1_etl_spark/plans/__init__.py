@@ -71,10 +71,11 @@ _R4_WINDOW = (
     # (q4/q6/q13 dropped: literally green in the r3 window, so their
     # re-confirm slots fund the three new queries above)
     # (these six also changed internals this round: broadcast policy)
-    # (q7/q10 re-confirm slots traded for the join-IVM and drift rows —
-    # their broadcast-policy change stays guarded by the sf0.01 gate)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "merge_join_delta",
+    # (q3/q5/q7/q10 re-confirm slots traded for the join-IVM, drift,
+    # extended-window and leakage-split rows — the broadcast-policy
+    # change on those TPC-H plans stays guarded by the sf0.01 gate)
+    "q1_pricing_summary", "window_analytics_extended",
+    "corpus_leakage_safe_split", "merge_join_delta",
     "dq_distribution_drift",
     # (q18 re-confirm traded for hybrid search; revenue_by_nation's
     # re-confirm traded for exact k-means — the driver's t1 smoke runs
