@@ -480,6 +480,13 @@ def semantic_dedup(corpus: DataFrame, n_cells: int = 8,
             .select(id_col, "cluster", F.col("_dup").isNull().alias("keep")))
 
 
+# centroid-mean quantization for kmeans_exact — the oracle interpolates
+# THIS constant into its m{k} CTEs, so the twin halves of the idiom
+# cannot drift (1e9: component values are O(1), cluster sums stay far
+# inside int64 at any realistic cell size)
+KMEANS_MEAN_SCALE = 1_000_000_000
+
+
 def kmeans_exact(corpus: DataFrame, k: int = 4, iters: int = 3,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
@@ -503,6 +510,8 @@ def kmeans_exact(corpus: DataFrame, k: int = 4, iters: int = 3,
     Per-iteration localCheckpoint keeps plan depth O(1). The seed draw
     collects k rows (bounded driver state, the kmeans-centroid class).
     """
+    if iters < 1:
+        raise ValueError("kmeans_exact needs iters >= 1")
     spark = corpus.sparkSession
     seeds = (corpus
              .select(F.md5(F.col(id_col).cast("string")).alias("_h"),
@@ -534,9 +543,9 @@ def kmeans_exact(corpus: DataFrame, k: int = 4, iters: int = 3,
                                 lambda x: x.cast("double")))
                     .alias("i", "x"))
                 .groupBy("cell", "i")
-                .agg(((F.sum(F.round(F.col("x") * 1_000_000_000)
+                .agg(((F.sum(F.round(F.col("x") * KMEANS_MEAN_SCALE)
                              .cast("long")).cast("double")
-                       / 1_000_000_000)
+                       / KMEANS_MEAN_SCALE)
                       / F.count(F.lit(1))).alias("m")))
         upd = (comp.groupBy("cell")
                .agg(F.transform(

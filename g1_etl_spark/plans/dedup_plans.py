@@ -100,19 +100,29 @@ _PAIRS_SQL = """
 """
 
 
+# connected components over the jaccard pairs (min-label propagation
+# via recursive CTE) — shared by dedup_clusters and the leakage-safe
+# split so the component definition cannot drift between them
+_COMPS_SQL = f"""
+    {_PAIRS_SQL},
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    comps AS (
+      SELECT a AS doc_id, MIN(label) AS component FROM (
+        WITH RECURSIVE walk(a, label) AS (
+            SELECT doc_id, doc_id FROM documents
+          UNION
+            SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
+        SELECT a, label FROM walk)
+      GROUP BY a)
+"""
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
-    {_PAIRS_SQL},
-    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-              UNION ALL SELECT d2, d1 FROM pairs)
-    SELECT a AS doc_id, MIN(label) AS component FROM (
-      WITH RECURSIVE walk(a, label) AS (
-          SELECT doc_id, doc_id FROM documents
-        UNION
-          SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
-      SELECT a, label FROM walk)
-    GROUP BY a
+    {_COMPS_SQL}
+    SELECT doc_id, component FROM comps
     """,
     description="near-dup clusters: connected components over exact "
                 "jaccard pairs via iterative min-label propagation "
@@ -371,17 +381,7 @@ _SPLIT_BUCKET = ("CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)),"
 @register(
     "corpus_leakage_safe_split",
     oracle=f"""
-    {_PAIRS_SQL},
-    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-              UNION ALL SELECT d2, d1 FROM pairs),
-    comps AS (
-      SELECT a AS doc_id, MIN(label) AS component FROM (
-        WITH RECURSIVE walk(a, label) AS (
-            SELECT doc_id, doc_id FROM documents
-          UNION
-            SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
-        SELECT a, label FROM walk)
-      GROUP BY a)
+    {_COMPS_SQL}
     SELECT doc_id, component,
            CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
                 WHEN {_SPLIT_BUCKET} < 90 THEN 'valid'

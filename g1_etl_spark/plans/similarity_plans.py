@@ -472,8 +472,15 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_ok"))
 
 
+from g1_etl_spark.operators.similarity import (  # noqa: E402
+    KMEANS_MEAN_SCALE as _KME_SCALE)
+
 _KME_K = 4
 _KME_ITERS = 3
+# the embeddings fixture dim: the Spark operator is dim-generic (it
+# explodes whatever the array holds) but the unrolled oracle must
+# enumerate component indexes — keep in lockstep with TESTDATA.md
+_KME_DIM = 64
 _KME_DOT = ("list_sum(list_transform(list_zip(x.embedding, c.cvec), "
             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
 _KME_NX = ("sqrt(list_sum(list_transform(x.embedding, "
@@ -497,11 +504,11 @@ def _kme_iter_ctes(k: int) -> str:
     return ctes + f""",
     m{k} AS (SELECT a.cell, t.i AS idx,
                     CAST(SUM(CAST(round(CAST(x.embedding[t.i] AS DOUBLE)
-                                        * 1000000000) AS BIGINT))
+                                        * {_KME_SCALE}) AS BIGINT))
                          AS DOUBLE)
-                      / 1000000000 / COUNT(*) AS m
+                      / {_KME_SCALE} / COUNT(*) AS m
              FROM a{k} a JOIN embeddings x USING (vec_id),
-                  LATERAL unnest(range(1, 65)) t(i)
+                  LATERAL unnest(range(1, {_KME_DIM + 1}) ) t(i)
              GROUP BY a.cell, t.i),
     c{k} AS (SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec
              FROM c{k - 1} p LEFT JOIN (
