@@ -125,12 +125,16 @@ def _pca_dot_v(xc_arr: F.Column, v: list[float]) -> F.Column:
 
 
 def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
-                        dim: int = 64,
-                        iters: int = 6) -> tuple[list, list, int]:
+                        dim: int = 64, iters: int = 6,
+                        return_frame: bool = False):
     """(mu, v, n): centering means, unit principal direction after
     `iters` power-iteration rounds, and the row count — the bounded
     driver-state model artifact (see pca_top_component for the
-    exactness and scale discussion)."""
+    exactness and scale discussion). With ``return_frame=True``
+    returns (mu, v, n, frame): the repartitioned+checkpointed input,
+    so consumers (pca_project) project from the materialized frame
+    instead of rescanning the source — a small parquet file scans as
+    ONE task and would serialize the final projection otherwise."""
     # spread + materialize once: a small parquet file scans as ONE task,
     # which would serialize every iteration's (interpreted-HOF) matvec;
     # the checkpoint also stops each round re-reading the source.
@@ -147,6 +151,21 @@ def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
                .collect())
     if not mu_rows:
         raise ValueError("pca_power_direction: empty input corpus")
+    # ragged guard: every component index must appear with the SAME
+    # count (a short vector drops out of high components and would
+    # silently skew their means), and no vector may be longer than dim
+    # (mu[i] below would raise IndexError mid-collect otherwise)
+    over = sorted(r["i"] for r in mu_rows if r["i"] >= dim)
+    if over:
+        raise ValueError(
+            f"pca_power_direction: vectors longer than dim={dim} "
+            f"(component indexes {over[:5]}...)")
+    counts = {r["n"] for r in mu_rows}
+    if len(counts) != 1 or len(mu_rows) != dim:
+        raise ValueError(
+            f"pca_power_direction: ragged {vec_col} — expected every "
+            f"row to carry exactly dim={dim} components, saw "
+            f"{len(mu_rows)} components with counts {sorted(counts)}")
     n = mu_rows[0]["n"]
     mu = [0.0] * dim
     for r in mu_rows:
@@ -180,6 +199,8 @@ def pca_power_direction(df: DataFrame, vec_col: str = "embedding",
         norm = (float(sum(_half_up(wi * wi * _PCA_SN) for wi in wn))
                 / _PCA_SN) ** 0.5  # cast-first, see mu
         v = [wi / norm for wi in wn]
+    if return_frame:
+        return mu, v, n, df
     return mu, v, n
 
 
@@ -191,10 +212,13 @@ def pca_project(df: DataFrame, id_col: str = "vec_id",
     iteration (this is what feeds whitening / outlier trims /
     curriculum sorts downstream). One narrow scan; the direction rides
     along as 64 literals."""
-    mu, v, _ = pca_power_direction(df, vec_col, dim, iters)
+    mu, v, _, frame = pca_power_direction(df, vec_col, dim, iters,
+                                          return_frame=True)
     xc = _pca_xc(vec_col, mu)
-    return df.select(F.col(id_col),
-                     _pca_dot_v(xc, v).alias("score"))
+    # project from the checkpointed frame the trainer already built —
+    # one source scan total, not one per phase
+    return frame.select(F.col(id_col),
+                        _pca_dot_v(xc, v).alias("score"))
 
 
 def pca_top_component(df: DataFrame, vec_col: str = "embedding",

@@ -95,7 +95,7 @@ def merge_partial_aggregates(base_agg: DataFrame, delta_agg: DataFrame,
 
 def incremental_join_delta(base_a: DataFrame, delta_a: DataFrame,
                            base_b: DataFrame, delta_b: DataFrame,
-                           on) -> DataFrame:
+                           on, broadcast_deltas: bool = True) -> DataFrame:
     """Incremental maintenance of a stored inner-join view (the
     classic delta rule): with new rows dA and dB arriving on top of A
     and B, the stored A⋈B needs exactly
@@ -113,10 +113,15 @@ def incremental_join_delta(base_a: DataFrame, delta_a: DataFrame,
     """
     # deltas are batch-sized by contract (same rationale as
     # incremental_exact_flags broadcasting the batch side) — the
-    # explicit hint keeps A and B un-shuffled even when size stats lag
+    # explicit hint keeps A and B un-shuffled even when size stats lag.
+    # A large delta (e.g. a backfill replay) would turn the forced
+    # broadcast into an opaque broadcast-size/OOM failure, so callers
+    # replaying history pass broadcast_deltas=False to degrade to a
+    # shuffle join instead of inheriting the batch-sized contract.
+    hint = F.broadcast if broadcast_deltas else (lambda d: d)
     terms = [
-        F.broadcast(delta_a).join(base_b, on),
-        base_a.join(F.broadcast(delta_b), on),
-        delta_a.join(F.broadcast(delta_b), on),
+        hint(delta_a).join(base_b, on),
+        base_a.join(hint(delta_b), on),
+        delta_a.join(hint(delta_b), on),
     ]
     return reduce(lambda x, y: x.unionByName(y), terms)

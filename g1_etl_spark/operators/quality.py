@@ -174,10 +174,18 @@ def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
     folded from the tiny binned frame — two scans of the snapshots
     total, output is n_bins rows.
     """
+    # NULLs are excluded up front, not silently binned: F.least skips
+    # nulls, so floor(NULL) would otherwise land in the TOP bin
+    # (least(n_bins-1, NULL) = n_bins-1) — and engines whose LEAST
+    # propagates NULL would diverge. A drift audit over a column with
+    # nulls should count them separately (dq_profile covers null
+    # rates); here they are out of the distribution by contract, and
+    # the oracle carries the same IS NOT NULL.
     tagged = (old.select(F.col(value_col).alias("x"),
                          F.lit(0).alias("is_new"))
               .unionByName(new.select(F.col(value_col).alias("x"),
-                                      F.lit(1).alias("is_new"))))
+                                      F.lit(1).alias("is_new")))
+              .where(F.col("x").isNotNull()))
     rng = tagged.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / n_bins
     # degenerate range (constant column, e.g. a stuck sensor): width 0

@@ -216,7 +216,7 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_totalprice AS x,
              CASE WHEN o_orderdate >= DATE '1996-01-01'
                   THEN 1 ELSE 0 END AS is_new
-      FROM orders),
+      FROM orders WHERE o_totalprice IS NOT NULL),
     rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM tagged),
     binned AS (
       SELECT CAST(CASE WHEN hi > lo

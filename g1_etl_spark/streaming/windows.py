@@ -256,6 +256,16 @@ def histogram_drift_stream(events: DataFrame, reference: DataFrame,
     run as the window seals. Late data beyond the watermark is dropped,
     flags are final when they emit.
     """
+    # a truncated reference band would otherwise silently drop exactly
+    # the drifted bins from the monitor (the join below keys on bin) —
+    # validate coverage of 0..n_bins-1 up front; the reference is
+    # n_bins rows by construction, so this collect is bounded
+    ref_bins = {r["bin"] for r in reference.select("bin").collect()}
+    missing = sorted(set(range(n_bins)) - ref_bins)
+    if missing:
+        raise ValueError(
+            f"histogram_drift_stream: reference band is missing bins "
+            f"{missing} — the batch audit must cover 0..{n_bins - 1}")
     width = (hi - lo) / n_bins
     bin_col = F.least(F.lit(n_bins - 1),
                       F.greatest(F.lit(0), F.floor(
