@@ -6,12 +6,14 @@ Pandas UDF signatures, `mapInPandas` partition-iterator plumbing, batch
 shaping, and deterministic feature extraction. Image DECODE is real for
 uncompressed formats — PPM (P6) and 24-bit BMP decode/encode with pure
 numpy, feeding pixel features and a real nearest-neighbor resize kernel
-end-to-end. Audio DECODE is real for 16-bit PCM RIFF/WAVE (chunk-walking
-parser, stereo downmix), feeding signal features (RMS / zero-crossing /
-spectral centroid+rolloff via rfft). Compressed formats (PNG/JPEG/MP3)
-need a codec library (absent in this container) and raise
-NotImplementedError; the byte-histogram path stands in for non-decodable
-content.
+end-to-end. PNG (bit depth 8; gray/RGB/RGBA; all five scanline filters)
+decodes with stdlib zlib + numpy — a genuinely compressed format with
+no codec dependency. Audio DECODE is real for 16-bit PCM RIFF/WAVE
+(chunk-walking parser, stereo downmix), feeding signal features (RMS /
+zero-crossing / spectral centroid+rolloff via rfft). Formats that need
+a real codec library (JPEG/MP3 — absent in this container) raise
+NotImplementedError; the byte-histogram path stands in for
+non-decodable content.
 
 Scale notes: media blobs ride the same partitioning as any fact table;
 mapInPandas streams Arrow batches so a 100 MB image row never requires
@@ -65,6 +67,49 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+PNG_TILE = 8  # media_with_png raster is PNG_TILE x PNG_TILE x 3
+# PNG byte length for an 8x8 RGB tile at zlib level 0 (stored blocks):
+# 8 sig + 25 IHDR + 12+ (200 raw + 5 stored-block hdr + 2 zlib hdr +
+# 4 adler) IDAT + 12 IEND — a pure function of the dimensions, which
+# is what lets the multimodal_features oracle state n_bytes exactly.
+PNG_TILE_BYTES = 268
+
+
+def media_with_png(docs: DataFrame, every: int = 21) -> DataFrame:
+    """media_from_documents, with every `every`-th media_id re-encoded
+    as a REAL PNG (image rows only; media_id % 21 == 0 hits the image
+    kind, since kind cycles media_id % 3 and 21 % 3 == 0): the raster
+    is the first PNG_TILE^2*3 utf-8 bytes of the text, zero-padded,
+    reshaped (PNG_TILE, PNG_TILE, 3), encoded at zlib level 0. Pixel
+    values are therefore an exact, SQL-expressible function of the
+    text — the oracle recomputes channel means via ord() — while the
+    bytes themselves travel a genuine compressed container through the
+    real decode path (feature_src flips to 'pixels')."""
+    n_px = PNG_TILE * PNG_TILE * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                blob = bytes(blob or b"")
+                if kind == "image" and mid % every == 0:
+                    raster = np.zeros(n_px, dtype=np.uint8)
+                    take = blob[:n_px]
+                    raster[:len(take)] = np.frombuffer(take, np.uint8)
+                    blob = encode_png(
+                        raster.reshape(PNG_TILE, PNG_TILE, 3))
+                content.append(blob)
+            out = pdf.copy()
+            out["content"] = content
+            # meta.n_bytes is stamped from the ORIGINAL text by
+            # media_from_documents; the features stage recomputes
+            # n_bytes from the actual content, so no fixup needed here
+            yield out
+
+    return media_from_documents(docs).mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -147,18 +192,131 @@ def decode_bmp(content: bytes) -> np.ndarray:
     return img.copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray, compress_level: int = 0) -> bytes:
+    """Encode a (h, w[, c]) uint8 array as PNG — stdlib zlib + struct,
+    no codec library. Grayscale (c=1/2-D), RGB (c=3) and RGBA (c=4)
+    at bit depth 8, filter type 0 per scanline. compress_level=0
+    (stored deflate blocks) makes the output LENGTH a pure function of
+    the dimensions — the multimodal_features oracle relies on that."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decoder -> (h, w, 3) uint8.
+
+    Supports bit depth 8, color types 0 (gray, expanded to 3ch),
+    2 (RGB) and 6 (RGBA, alpha dropped), non-interlaced, with all five
+    scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
+    §4.5.4. Up is vectorized; Sub/Average/Paeth are inherently
+    sequential along the row (each byte depends on the defiltered byte
+    bpp positions earlier) so they run a per-byte loop — fine inside a
+    mapInPandas batch where rows decode independently in parallel."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(content):
+        ln, tag = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError("only bit-depth-8 PNG supported")
+            if color not in (0, 2, 6):
+                raise ValueError("only gray/RGB/RGBA PNG supported")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            meta = (w, h, color)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, color = meta
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        cur = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — uint8 addition wraps mod 256, as specified
+            cur += prev
+        elif f == 1:  # Sub
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    if color == 0:
+        img = np.repeat(img, 3, axis=2)
+    elif color == 6:
+        img = img[:, :, :3]
+    return img.copy()
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decode image bytes to an (h, w, 3) uint8 array.
 
-    PPM (P6) and uncompressed 24-bit BMP decode with pure numpy — a real
-    end-to-end decode path with zero codec dependencies. Other formats
-    (PNG/JPEG/...) fall through to PIL when importable; otherwise
-    NotImplementedError (this container ships no codec library).
+    PPM (P6), uncompressed 24-bit BMP and bit-depth-8 PNG decode with
+    pure numpy (+stdlib zlib for PNG) — real end-to-end decode paths
+    with zero codec dependencies. Other formats (JPEG/...) fall through
+    to PIL when importable; otherwise NotImplementedError (this
+    container ships no codec library).
     """
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     try:  # pragma: no cover - env-dependent
         import io
 

@@ -238,15 +238,57 @@ def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("score") >= 0.4))
 
 
+@register(
+    "sim_neardup_topm",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+    raw AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             {_DOT12.replace('v1', 'a.embedding').replace('v2', 'b.embedding')}
+               / ({_NORM.format(v='a.embedding')}
+                  * {_NORM.format(v='b.embedding')}) AS score
+      FROM s a JOIN s b ON a.vec_id < b.vec_id),
+    pairs AS (SELECT * FROM raw WHERE score >= 0.4),
+    sym AS (
+      SELECT d1 AS doc_id, d2 AS partner_id, score FROM pairs
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS partner_id, score FROM pairs),
+    ranked AS (
+      SELECT doc_id, partner_id, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, partner_id) AS rank
+      FROM sym)
+    SELECT doc_id, partner_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    description="per-doc top-m cap over the exact near-dup pair stream "
+                "(bounded slice, the oracle twin): symmetrize pairs, "
+                "skew-free two-stage top-3 per doc — the cap that keeps "
+                "near-dup output LINEAR in corpus size at 100 TB (a "
+                "j-doc boilerplate cluster emits j*m capped rows, not "
+                "j^2); the LSH-banded capped form is "
+                "cosine_neardup_pairs_capped",
+    tags=("similarity", "dedup"),
+)
+def sim_neardup_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = sim_cosine_neardup_exact(spark, sf_dir)
+    return S.neardup_top_m(raw, m=3)
+
+
 # The driver's canonicalizer sorts output through pandas, which cannot
 # hash list cells — registered queries must emit scalar columns only
-# (round-3 red row). The synthetic media blobs are utf-8 text (ASCII in
-# this corpus), so every row takes the byte-histogram path and the
-# selected histogram components are EXACTLY computable in SQL: both
-# engines divide exact integer counts in IEEE double. Buckets 2/4/6/7
-# cover punctuation+space / uppercase / a-o / p-z — the informative ones
-# for ASCII text. The full array<double> stays on the operator API;
-# only the registered projection flattens.
+# (round-3 red row). The media column mixes REAL PNG blobs (every 21st
+# media_id: the first 192 utf-8 bytes of the text, zero-padded, as an
+# 8x8 RGB raster, zlib level 0 — operators/multimodal.media_with_png)
+# with utf-8 text blobs. PNG rows run the genuine compressed decode
+# path (zlib inflate + defilter) and emit PIXEL features; the rest take
+# the byte-histogram path. Both are EXACTLY computable in SQL: channel
+# means are integer byte sums / 64 / 255 (numpy's pairwise mean is
+# exact on integer-valued floats), histogram shares are exact integer
+# counts / n, and the PNG container length at zlib level 0 is the
+# constant PNG_TILE_BYTES. The full array<double> stays on the
+# operator API; only the registered projection flattens, CASE-ing on
+# feature_src in BOTH engines.
 @register(
     "multimodal_features",
     oracle="""
@@ -255,41 +297,58 @@ def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents, LATERAL unnest(string_split(text, '')) AS t(c)),
     counts AS (
       SELECT doc_id, bucket, COUNT(*) AS cnt FROM ch GROUP BY doc_id, bucket),
+    png AS (
+      SELECT doc_id,
+             SUM(CASE WHEN i % 3 = 0 AND i < length(text)
+                      THEN ord(substr(text, CAST(i + 1 AS INTEGER), 1))
+                      ELSE 0 END) AS s_r,
+             SUM(CASE WHEN i % 3 = 1 AND i < length(text)
+                      THEN ord(substr(text, CAST(i + 1 AS INTEGER), 1))
+                      ELSE 0 END) AS s_g
+      FROM documents, range(192) t(i)
+      WHERE doc_id % 21 = 0 GROUP BY doc_id),
     base AS (SELECT doc_id, length(text) AS n FROM documents)
     SELECT b.doc_id AS media_id,
            CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
-           CAST(b.n AS BIGINT) AS n_bytes,
-           'bytes' AS feature_src,
-           coalesce(SUM(CASE WHEN bucket = 2 THEN cnt END)
-                    / CAST(b.n AS DOUBLE), 0.0) AS f_punct,
-           coalesce(SUM(CASE WHEN bucket = 4 THEN cnt END)
-                    / CAST(b.n AS DOUBLE), 0.0) AS f_upper,
-           coalesce(SUM(CASE WHEN bucket = 6 THEN cnt END)
-                    / CAST(b.n AS DOUBLE), 0.0) AS f_lower_ao,
-           coalesce(SUM(CASE WHEN bucket = 7 THEN cnt END)
-                    / CAST(b.n AS DOUBLE), 0.0) AS f_lower_pz
+           CASE WHEN b.doc_id % 21 = 0 THEN CAST(268 AS BIGINT)
+                ELSE CAST(b.n AS BIGINT) END AS n_bytes,
+           CASE WHEN b.doc_id % 21 = 0 THEN 'pixels'
+                ELSE 'bytes' END AS feature_src,
+           CASE WHEN b.doc_id % 21 = 0
+                THEN CAST(ANY_VALUE(p.s_r) AS DOUBLE) / 64 / 255
+                ELSE coalesce(SUM(CASE WHEN bucket = 2 THEN cnt END)
+                              / CAST(b.n AS DOUBLE), 0.0) END AS f_a,
+           CASE WHEN b.doc_id % 21 = 0
+                THEN CAST(ANY_VALUE(p.s_g) AS DOUBLE) / 64 / 255
+                ELSE coalesce(SUM(CASE WHEN bucket = 6 THEN cnt END)
+                              / CAST(b.n AS DOUBLE), 0.0) END AS f_b
     FROM base b LEFT JOIN counts c ON b.doc_id = c.doc_id
+                LEFT JOIN png p ON b.doc_id = p.doc_id
     GROUP BY b.doc_id, b.n
     """,
-    description="multimodal features: binary media column -> mapInPandas "
-                "Arrow batches -> pixel features for natively-decodable "
-                "images (PPM/BMP), byte-histogram fallback otherwise; "
-                "registered projection flattens 4 histogram components "
-                "to scalar doubles (exact oracle on the ASCII corpus)",
+    description="multimodal features: binary media column (REAL PNG "
+                "blobs every 21st id — zlib inflate + defilter through "
+                "the pure-numpy decoder — utf-8 text otherwise) -> "
+                "mapInPandas Arrow batches -> pixel features for "
+                "decodable images, byte-histogram fallback; registered "
+                "projection flattens two components per path (channel "
+                "means for pixels, histogram shares for bytes) to "
+                "scalar doubles with an exact oracle",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators import multimodal as M
 
-    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    media = M.media_with_png(load_table(spark, sf_dir, "documents"))
     feats = M.extract_features(media)
+    is_px = F.col("feature_src") == "pixels"
     return feats.select(
         "media_id", "kind", "n_bytes", "feature_src",
-        F.element_at(F.col("features"), 3).alias("f_punct"),
-        F.element_at(F.col("features"), 5).alias("f_upper"),
-        F.element_at(F.col("features"), 7).alias("f_lower_ao"),
-        F.element_at(F.col("features"), 8).alias("f_lower_pz"))
+        F.when(is_px, F.element_at(F.col("features"), 1))
+        .otherwise(F.element_at(F.col("features"), 3)).alias("f_a"),
+        F.when(is_px, F.element_at(F.col("features"), 2))
+        .otherwise(F.element_at(F.col("features"), 7)).alias("f_b"))
 
 
 @register(

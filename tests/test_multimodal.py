@@ -218,3 +218,141 @@ def test_image_neardup_pairs_finds_noisy_copies(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert all({d1, d2} == {1, 2} or d1 == d2
                for d1, d2 in pairs) or len(pairs) == 1
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _png_forward_filter(arr: np.ndarray, ftype: int) -> bytes:
+    """Sequential reference ENCODER for PNG filter types 0-4 (spec
+    §4.5.4) — builds the filtered scanline stream so the decoder's
+    defilter path is tested against an independent implementation."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(int)
+    out = bytearray()
+    for y in range(h):
+        out.append(ftype)
+        for x in range(stride):
+            raw = flat[y, x]
+            a = flat[y, x - ch] if x >= ch else 0
+            b = flat[y - 1, x] if y > 0 else 0
+            c = flat[y - 1, x - ch] if (x >= ch and y > 0) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((raw - pred) & 0xFF)
+    return bytes(out)
+
+
+def _wrap_idat(arr: np.ndarray, raw: bytes) -> bytes:
+    """Assemble a PNG around an externally-filtered scanline stream."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (M._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_rgb():
+    img = _checker(16, 12)
+    assert np.array_equal(M.decode_png(M.encode_png(img)), img)
+    assert np.array_equal(M.decode_image(M.encode_png(img)), img)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+    out = M.decode_png(M.encode_png(gray))
+    assert out.shape == (9, 5, 3)  # expanded to 3 channels
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+    rgba = rng.integers(0, 256, (7, 11, 4), dtype=np.uint8)
+    out = M.decode_png(M.encode_png(rgba))
+    assert np.array_equal(out, rgba[:, :, :3])  # alpha dropped
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_five_filters_defilter(ftype):
+    rng = np.random.default_rng(ftype + 100)
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    png = _wrap_idat(img, _png_forward_filter(img, ftype))
+    assert np.array_equal(M.decode_png(png), img)
+
+
+def test_png_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 4),
+           st.integers(0, 2 ** 31 - 1))
+    def check(h, w, ftype, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(M.decode_png(M.encode_png(img)), img)
+        png = _wrap_idat(img, _png_forward_filter(img, ftype))
+        assert np.array_equal(M.decode_png(png), img)
+
+    check()
+
+
+def test_png_tile_length_constant():
+    # the multimodal_features oracle hard-codes n_bytes=268 for PNG
+    # rows; that only holds at zlib level 0 with an 8x8 RGB raster
+    rng = np.random.default_rng(3)
+    t = M.PNG_TILE
+    img = rng.integers(0, 256, (t, t, 3), dtype=np.uint8)
+    assert len(M.encode_png(img)) == M.PNG_TILE_BYTES
+
+
+def test_png_rejects_unsupported():
+    img = _checker(4, 4)
+    png = bytearray(M.encode_png(img))
+    with pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\nnot really")
+    # truncated signature falls through to the codec-library error
+    with pytest.raises((NotImplementedError, Exception)):
+        M.decode_image(b"\x89PNG\r\n")
+
+
+def test_media_with_png_end_to_end(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    media = M.media_with_png(docs)
+    feats = M.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    png_ids = [i for i in by_id if i % 21 == 0]
+    assert png_ids, "corpus has no media_id % 21 == 0 rows"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_px = M.PNG_TILE * M.PNG_TILE * 3
+    for mid in png_ids:
+        row = by_id[mid]
+        assert row["feature_src"] == "pixels"
+        assert row["n_bytes"] == M.PNG_TILE_BYTES
+        raster = np.zeros(n_px, dtype=np.uint8)
+        take = texts[mid].encode("utf-8")[:n_px]
+        raster[:len(take)] = np.frombuffer(take, np.uint8)
+        img = raster.reshape(M.PNG_TILE, M.PNG_TILE, 3)
+        assert np.allclose(row["features"],
+                           M.pixel_features(img), atol=0, rtol=0)
+    # non-PNG rows keep the byte path
+    other = next(i for i in by_id if i % 21 != 0)
+    assert by_id[other]["feature_src"] == "bytes"
