@@ -427,6 +427,51 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,
             .filter(F.col("score") >= threshold))
 
 
+def neardup_top_m(pairs: DataFrame, m: int = 3,
+                  d1_col: str = "d1", d2_col: str = "d2",
+                  score_col: str = "score") -> DataFrame:
+    """Cap an unordered near-dup pair stream at the m strongest
+    partners PER DOCUMENT: symmetrize (each pair counts for both
+    endpoints), then a skew-free two-stage top-m per doc. Returns
+    (doc_id, partner_id, score, rank) with deterministic ties
+    (score desc, partner asc).
+
+    This is what makes an exact or near-exact pair operator safe to
+    point at an unbounded corpus: a boilerplate cluster of j docs emits
+    O(j^2) raw pairs, but at most j*m survive the cap — output is
+    linear in corpus size regardless of cluster structure. The raw
+    (uncapped) form stays available as the oracle twin for recall
+    contracts."""
+    sym = (pairs.select(F.col(d1_col).alias("doc_id"),
+                        F.col(d2_col).alias("neighbor_id"),
+                        F.col(score_col).alias("score"))
+           .unionByName(
+               pairs.select(F.col(d2_col).alias("doc_id"),
+                            F.col(d1_col).alias("neighbor_id"),
+                            F.col(score_col).alias("score"))))
+    return (_two_stage_topk(sym, "doc_id", m)
+            .select("doc_id", F.col("neighbor_id").alias("partner_id"),
+                    "score", "rank"))
+
+
+def cosine_neardup_pairs_capped(corpus: DataFrame, threshold: float = 0.95,
+                                m: int = 3, dim: int = 64,
+                                planes: int = 16, bands: int = 4,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                impl: str = "arrow",
+                                probe_flips: int = 0) -> DataFrame:
+    """cosine_neardup_pairs with the per-doc top-m cap applied — the
+    form safe to run over a full 100 TB corpus (output linear in N;
+    see neardup_top_m). Parameters pass through to the banded LSH
+    candidate stage."""
+    raw = cosine_neardup_pairs(corpus, threshold=threshold, dim=dim,
+                               planes=planes, bands=bands, id_col=id_col,
+                               vec_col=vec_col, impl=impl,
+                               probe_flips=probe_flips)
+    return neardup_top_m(raw, m=m)
+
+
 def semantic_dedup(corpus: DataFrame, n_cells: int = 8,
                    threshold: float = 0.5, iters: int = 4,
                    id_col: str = "vec_id",

@@ -201,3 +201,40 @@ def test_semantic_dedup_threshold_one_never_drops_distinct(spark):
         "vec_id long, embedding array<float>")
     out = semantic_dedup(emb, n_cells=2, threshold=1.0 - 1e-12, iters=2)
     assert all(r["keep"] for r in out.collect())
+
+
+def test_neardup_top_m_caps_cluster_output(spark):
+    """A j-doc identical cluster emits j*(j-1)/2 raw pairs but only
+    j*m capped rows — the linear-output guarantee for 100 TB corpora."""
+    from g1_etl_spark.operators.similarity import (
+        cosine_neardup_pairs, cosine_neardup_pairs_capped, neardup_top_m)
+
+    j = 8
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(j)]       # clique
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    raw = cosine_neardup_pairs(emb, threshold=0.9, dim=4).collect()
+    assert len(raw) == j * (j - 1) // 2 + 1
+    capped = cosine_neardup_pairs_capped(emb, threshold=0.9, dim=4,
+                                         m=3).collect()
+    per_doc = {}
+    for r in capped:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, prs in per_doc.items():
+        assert len(prs) <= 3
+        assert [p["rank"] for p in
+                sorted(prs, key=lambda p: p["rank"])] == list(
+                    range(1, len(prs) + 1))
+    # clique members keep exactly m partners; the isolated pair keeps 1
+    assert all(len(per_doc[i]) == 3 for i in range(j))
+    assert len(per_doc[100]) == len(per_doc[101]) == 1
+    # determinism: ties broken by partner id ascending
+    assert [p["partner_id"] for p in
+            sorted(per_doc[0], key=lambda p: p["rank"])] == [1, 2, 3]
+
+    # neardup_top_m standalone agrees with the composed form
+    raw_df = cosine_neardup_pairs(emb, threshold=0.9, dim=4)
+    alone = {(r["doc_id"], r["partner_id"], r["rank"])
+             for r in neardup_top_m(raw_df, m=3).collect()}
+    composed = {(r["doc_id"], r["partner_id"], r["rank"]) for r in capped}
+    assert alone == composed
