@@ -1,0 +1,139 @@
+"""Bucketed co-located twins of the two heaviest shuffle plans.
+
+`q21_late_supplier_blame` and `orders_basket_pairs` are the most
+shuffle-heavy plans in the suite (r4 probe: 3.1x/3.2x at 10x data —
+sub-linear, but every stage re-hashes lineitem on l_orderkey). Both key
+EVERY heavy join/distinct on the order key, which is exactly the shape
+bucketing amortizes: pay the orderkey shuffle ONCE at write time
+(operators/scaling.write_bucketed), then the distinct, the self-join,
+and the semi/anti joins all read co-located buckets with NO Exchange.
+
+At 100 TB the bucketed write is the table layout itself (a bucketed
+lineitem is written once and served to every orderkey-keyed query);
+here the twin performs the write inline so the whole contract —
+layout + exchange-free consumption — is registered, driver-checked
+against the same oracle as the shuffle form, and plan-asserted
+(tests/test_scaling.py pins the Exchange count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators import scaling as SC
+from g1_etl_spark.plans.registry import register
+
+_BUCKETS = 32
+
+
+def _bucketed_lineitem(spark: SparkSession, sf_dir: str,
+                       cols: list[str], table: str) -> DataFrame:
+    """Write the projected lineitem bucketed+sorted by l_orderkey and
+    read it back. The write is the one-time layout shuffle; the
+    returned scan reports HashPartitioning(l_orderkey, 32) so every
+    downstream orderkey-keyed operator is exchange-free."""
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    SC.write_bucketed(li, table, "l_orderkey", buckets=_BUCKETS)
+    return SC.read_bucketed(spark, table)
+
+
+# Oracle: identical to q21_late_supplier_blame — the twin must produce
+# byte-identical results; only the physical layout differs.
+@register(
+    "q21_blame_bucketed",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+    blamed AS (
+      SELECT t.l_orderkey, t.l_suppkey
+      FROM late t
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = t.l_orderkey
+                      AND l2.l_suppkey <> t.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = t.l_orderkey
+                          AND l3.l_suppkey <> t.l_suppkey))
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    description="TPC-H Q21 shape on a BUCKETED lineitem layout: the "
+                "orderkey shuffle is paid once at write time; the late-"
+                "distinct, the other-supplier semi-join and the sole-"
+                "late anti-join all consume co-located buckets "
+                "exchange-free (plan-asserted) — the table-layout "
+                "answer to the suite's heaviest shuffle plan",
+    tags=("join", "agg", "scale"),
+)
+def q21_blame_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _bucketed_lineitem(spark, sf_dir,
+                            ["l_orderkey", "l_suppkey", "l_shipdate"],
+                            "q21_li_bucketed")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    # orders is dim-sized relative to lineitem here: broadcast it so
+    # the lateness filter never disturbs the bucketed partitioning
+    late = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") > F.date_add("o_orderdate", 90))
+            .select("l_orderkey", "l_suppkey").distinct())
+    other = li.select(F.col("l_orderkey").alias("o_k"),
+                      F.col("l_suppkey").alias("o_s")).distinct()
+    has_other = late.join(
+        other.hint("merge"), (late.l_orderkey == other.o_k)
+        & (late.l_suppkey != other.o_s), "left_semi")
+    late2 = late.select(F.col("l_orderkey").alias("t_k"),
+                        F.col("l_suppkey").alias("t_s"))
+    blamed = has_other.join(
+        late2.hint("merge"), (has_other.l_orderkey == late2.t_k)
+        & (has_other.l_suppkey != late2.t_s), "left_anti")
+    s = load_table(spark, sf_dir, "supplier")
+    return (blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
+
+
+@register(
+    "basket_pairs_bucketed",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT p1, p2, support FROM pairs
+    ORDER BY support DESC, p1, p2
+    LIMIT 50
+    """,
+    description="market-basket pair mining on a BUCKETED lineitem "
+                "layout: the items-distinct and the per-order self-join "
+                "both consume co-located buckets exchange-free; the "
+                "ONLY remaining shuffle is the (p1,p2) support count "
+                "(plan-asserted single Exchange)",
+    tags=("join", "agg", "topk", "scale"),
+)
+def basket_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _bucketed_lineitem(spark, sf_dir, ["l_orderkey", "l_partkey"],
+                            "basket_li_bucketed")
+    items = li.distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (a.join(b.hint("merge"),
+                   (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("p1"),
+                     F.col("b.l_partkey").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .orderBy(F.desc("support"), "p1", "p2")
+            .limit(50))

@@ -90,3 +90,45 @@ def test_runtime_bloom_pruning_injected_and_correct(spark):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold")
     assert got == want
+
+
+def _formatted(spark, df):
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_twins_are_exchange_free_on_orderkey(spark):
+    """The bucketed q21/basket twins pay the orderkey shuffle at write
+    time; their read plans must show NO shuffle Exchange other than the
+    final aggregate's — the layout contract the 100 TB story rests on."""
+    import re
+
+    from g1_etl_spark.plans import REGISTRY
+
+    for name, max_shuffles in (("q21_blame_bucketed", 1),
+                               ("basket_pairs_bucketed", 1)):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        plan = _formatted(spark, df)
+        # count DISTINCT shuffle-Exchange nodes (formatted output lists
+        # each node twice: tree + detail section); BroadcastExchange of
+        # dims is fine
+        nodes = set(re.findall(r"\((\d+)\) Exchange\b", plan))
+        assert len(nodes) <= max_shuffles, \
+            f"{name}: {len(nodes)} shuffle exchanges\n{plan}"
+        assert "SortMergeJoin" in plan, name
+        # no Exchange may hash on the bucketed key
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "l_orderkey" not in ln, f"{name}: {ln}"
+
+
+def test_bucketed_twins_match_shuffle_form(spark):
+    from g1_etl_spark.plans import REGISTRY
+
+    for bkt, base in (("q21_blame_bucketed", "q21_late_supplier_blame"),
+                      ("basket_pairs_bucketed", "orders_basket_pairs")):
+        got = [tuple(r) for r in REGISTRY[bkt].fn(spark, SF_SMOKE).collect()]
+        want = [tuple(r) for r in
+                REGISTRY[base].fn(spark, SF_SMOKE).collect()]
+        assert got == want, bkt
