@@ -270,3 +270,37 @@ def test_span_clip_overlapping_spans_union(spark):
     out = {r["doc_id"]: r for r in span_clip(docs, n=5).collect()}
     assert out[2]["clipped_text"] == "g"
     assert out[2]["n_removed"] == 6
+
+
+def test_adversarial_fixture_separates_banding_regimes(spark):
+    """The engineered jaccard~0.5 corpus must be genuinely adversarial:
+    the default 8x4 banding (tuned for j>=0.8) catches well under half
+    of its pairs, while the re-tuned 16x2 banding clears the 0.9
+    contract bound with margin. Pins both sides so neither the fixture
+    nor the banding silently drifts out of the regime."""
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators import dedup as D
+    from g1_etl_spark.plans.dedup_plans import _adversarial_corpus
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    adv = _adversarial_corpus(docs)
+    exact = D.ngram_jaccard_pairs(adv, threshold=0.4)
+    # the fixture really sits in the 0.4-0.55 band: median under 0.55
+    med = exact.agg(F.expr("percentile(jaccard, 0.5)")).collect()[0][0]
+    assert 0.4 <= med <= 0.55, med
+    ids = exact.select("d1", "d2")
+
+    def recall(bands):
+        lsh = (D.minhash_lsh_pairs(adv, threshold=0.4, num_hashes=32,
+                                   bands=bands)
+               .select("d1", "d2").withColumn("_h", F.lit(True)))
+        r = ids.join(lsh, ["d1", "d2"], "left").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_h"), 1).otherwise(0)).alias("f")
+        ).collect()[0]
+        return r["f"] / r["n"]
+
+    assert recall(8) < 0.6      # default banding misses this regime
+    assert recall(16) >= 0.9    # the contract's re-tuned banding
