@@ -6,8 +6,11 @@ is plain column expressions, reproduced identically on the DuckDB side).
 Outputs are flattened doc fields so nullable group-deletes hash cleanly.
 
 members/vendors/physicians/employees have full oracles; settings and
-menu_items run the full nested pipeline as rows-only checks (their exact
-semantics are pinned by the fixture goldens in tests/test_entities.py).
+menu_items run the full nested pipeline as doc-JSON smoke checks whose
+VALUES are certified by the oracle-backed flat twins and whose nested
+SHAPE is certified by the entity_*_json roundtrip contracts at the end
+of this module (the fixture goldens in tests/test_entities.py pin the
+exact semantics locally as well).
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
-from g1_etl_spark.plans.registry import register
+from g1_etl_spark.plans.registry import REGISTRY, register
 
 _TS = "1995-03-04 10:20:30"
 
@@ -449,8 +452,8 @@ def _products_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "entity_products_smoke",
-    oracle=None,  # full nested doc; flat twin entity_products_flat is
-    # oracle-backed; goldens in tests/test_entities.py pin the nesting
+    oracle=None,  # full nested doc; VALUES certified by the flat twin,
+    # nested SHAPE by entity_products_json (roundtrip contract)
     description="menu_items pipeline end-to-end (broadcast decorrelation "
                 "of S4, nested locationProductDetails) — rows-only check",
     tags=("entity",),
@@ -509,8 +512,8 @@ def _settings_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "entity_settings",
-    oracle=None,  # deeply-nested doc; flat twin entity_settings_flat is
-    # oracle-backed; goldens in tests/test_entities.py pin the nesting
+    oracle=None,  # deeply-nested doc; VALUES certified by the flat twin,
+    # nested SHAPE by entity_settings_json (roundtrip contract)
     description="settings pipeline end-to-end: last-row-wins dispensary "
                 "details fold, membership price nest, red-flag limits, "
                 "winner tax row (rows-only; goldens in "
@@ -612,7 +615,13 @@ def entity_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("entity",),
 )
 def entity_settings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _settings_doc(spark, sf_dir)
+    return _settings_flat_select(_settings_doc(spark, sf_dir))
+
+
+def _settings_flat_select(out: DataFrame) -> DataFrame:
+    """Flat projection from a (_id, doc) frame — shared by the direct
+    flat twin and the JSON-roundtrip shape contract, so the two paths
+    cannot drift apart."""
     d = F.col("doc")
     ml = d["location_specific"]["members"]["medicalLimits"]
     bp = d["location_specific"]["inventory"]["weightPricing"]["breakpoints"]
@@ -740,7 +749,12 @@ def entity_settings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("entity",),
 )
 def entity_products_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _products_doc(spark, sf_dir)
+    return _products_flat_select(_products_doc(spark, sf_dir))
+
+
+def _products_flat_select(out: DataFrame) -> DataFrame:
+    """Flat projection from a (_id, doc) frame — see
+    _settings_flat_select."""
     d = F.col("doc")
     bp = d["locationProductDetails"]["weightPricing"]
     return out.select(
@@ -766,3 +780,89 @@ def entity_products_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["keys"]["vendor_id"].cast("long").alias("keys_vendor_id"),
         d["keys"]["category_id"].cast("long").alias("keys_category_id"),
     )
+
+
+# ------------------------------------------------------------------
+# Nested-shape contracts for the two doc-JSON smoke twins.
+#
+# The flat twins certify VALUES by reading struct fields directly; the
+# smoke twins emit the nested doc as JSON but were rows-only. These
+# contracts close the loop: serialize the doc exactly as the smoke twin
+# does, re-parse it against a PINNED schema literal (the DDL below is
+# the contract — it is NOT derived from the live pipeline), then apply
+# the same flat projection and hash against the same oracle. Any drift
+# in key names, nesting levels, or leaf types makes from_json return
+# nulls (or shifted values) and turns the driver row red — so the
+# nested SHAPE itself is now oracle-certified, not just the values.
+# ------------------------------------------------------------------
+
+_SETTINGS_DOC_DDL = (
+    "struct<organizationId:string,sessionTimeoutDuration:int,"
+    "image:string,apiKey:string,"
+    "crm_member_settings:struct<membershipLevel:struct<"
+    "membershipLevelsEnabled:boolean,levelName:string,"
+    "dollarsPerPoint:double,pointsPerDollar:double,"
+    "referralPoints:double>>,"
+    "location_specific:struct<apiKey:string,"
+    "members:struct<paidVisitsEnabled:boolean,mandatoryReferral:boolean,"
+    "medicalLimits:struct<hasLimits:boolean,dailyPurchaseLimit:bigint,"
+    "visitPurchaseLimit:bigint,dailyVisitLimit:bigint,"
+    "monthlyPurchaseLimit:bigint>>,"
+    "sales:struct<enableTaxesIn:boolean,hasPriceRounding:boolean>,"
+    "inventory:struct<weightPricing:struct<name:string,"
+    "defaultTier:boolean,breakpoints:struct<price_half_gram:bigint,"
+    "price_gram:bigint,price_two_gram:bigint,price_eighth:bigint,"
+    "price_quarter:bigint,price_half:bigint,price_ounce:bigint>>>>,"
+    "sales_settings_taxes:struct<taxes:struct<code:string,"
+    "percent:double,type:string>>,"
+    "keys:struct<dispensary_id:bigint,id:int>>")
+
+_PRODUCTS_DOC_DDL = (
+    "struct<name:string,createdAt:string,updatedAt:string,"
+    "createdAtEpoch:bigint,shareOnWM:boolean,unitOfMeasure:int,"
+    "categoryId:string,netMarijuana:bigint,medicine_amount:double,"
+    "image_file_name:string,"
+    "locationProductDetails:struct<id:bigint,active:boolean,"
+    "weightPricing:struct<price_half_gram:bigint,price_two_gram:bigint,"
+    "price_gram:bigint,price_eighth:bigint,price_quarter:bigint,"
+    "price_half:bigint,price_ounce:bigint>>,"
+    "restockLevel:double,"
+    "keys:struct<dispensary_id:bigint,id:bigint,menu_id:bigint,"
+    "vendor_id:bigint,strain_id:bigint,category_id:bigint>>")
+
+
+def _json_roundtrip(out: DataFrame, ddl: str) -> DataFrame:
+    return out.select(
+        "_id", F.from_json(F.to_json(F.col("doc")), ddl).alias("doc"))
+
+
+@register(
+    "entity_settings_json",
+    oracle=REGISTRY["entity_settings_flat"].oracle,
+    description="nested-shape contract for the settings doc: the smoke "
+                "twin's doc_json re-parsed against a PINNED schema "
+                "literal, flat-projected through the shared select, "
+                "hashed against the flat twin's oracle — key renames, "
+                "nesting moves, or leaf-type changes in the nested doc "
+                "turn this row red (closes the rows-only gap on "
+                "entity_settings)",
+    tags=("entity", "contract"),
+)
+def entity_settings_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _json_roundtrip(_settings_doc(spark, sf_dir), _SETTINGS_DOC_DDL)
+    return _settings_flat_select(out)
+
+
+@register(
+    "entity_products_json",
+    oracle=REGISTRY["entity_products_flat"].oracle,
+    description="nested-shape contract for the menu_items doc: doc_json "
+                "re-parsed against a PINNED schema literal, flat-"
+                "projected through the shared select, hashed against "
+                "the flat twin's oracle (closes the rows-only gap on "
+                "entity_products_smoke)",
+    tags=("entity", "contract"),
+)
+def entity_products_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _json_roundtrip(_products_doc(spark, sf_dir), _PRODUCTS_DOC_DDL)
+    return _products_flat_select(out)

@@ -141,6 +141,9 @@ def test_tfidf_single_posting_scan(spark):
 _BNLJ_OK = {
     "sim_brute_force_topk", "sim_hard_negatives",
     "sim_cosine_neardup_exact", "sim_neardup_recall", "entity_settings",
+    # capped twin feeds from sim_cosine_neardup_exact's justified
+    # bounded-slice BNLJ (the cap itself is exchange-hashed top-m)
+    "sim_neardup_topm",
     "text_bm25_topk", "text_tfidf_topk", "pipeline_rag_index",
     "feat_equidepth_bins", "q22_global_sales_opportunity",
     "entity_products_smoke", "join_cross", "scalar_subquery",
@@ -150,6 +153,8 @@ _BNLJ_OK = {
     # constant-tiny broadcast side (brute-force top-k inside the recall
     # join)
     "entity_settings_flat", "entity_products_flat", "sim_lsh_recall",
+    # JSON-roundtrip shape contracts reuse the flat twins' plans
+    "entity_settings_json", "entity_products_json",
     # one-row national-total scalar broadcast (the HAVING-vs-global
     # compare), same shape as q22's avg-balance scalar
     "q11_important_stock",
@@ -171,7 +176,7 @@ _SINGLE_PART_OK = {
     "scalar_subquery", "dq_key_skew",
     # one-row global contract aggregate over per-partition partials
     "sim_kmeans_clusters", "dedup_simhash_recall", "sim_neardup_recall",
-    "sim_semantic_dedup",
+    "sim_semantic_dedup", "dedup_minhash_adversarial",
     # one-row national-total scalar aggregate (see _BNLJ_OK)
     "q11_important_stock",
     # one-row range/totals scalars over the tiny binned frame
@@ -181,11 +186,11 @@ _SINGLE_PART_OK = {
 }
 
 
-# Queries allowed to keep top-level array columns: nested-structure
-# smoke twins whose whole point is the nested shape. They are rows-only
-# driver entries and survived the r3 driver run as-is (spark_rows
-# recorded, no hash attempted on match-less entries' list cells).
-_ARRAY_COL_OK = {"entity_products_smoke", "entity_settings"}
+# Queries allowed to keep top-level array columns. Empty since round 5:
+# the nested smoke twins serialize their doc to JSON strings, and their
+# nested SHAPE is now oracle-certified by the entity_*_json roundtrip
+# contracts (entity_plans.py) instead of being exempted here.
+_ARRAY_COL_OK: set[str] = set()
 
 
 def test_plan_lint_every_registered_query(spark):
