@@ -80,7 +80,20 @@ R4_ADD = [
     "dq_distribution_drift",
     "pipeline_hybrid_search",
 ]
-HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD
+R5_ADD = [
+    # the two heaviest shuffle plans and their bucketed co-located
+    # twins — benched side by side so the layout win is measurable
+    "q21_late_supplier_blame",
+    "q21_blame_bucketed",
+    "orders_basket_pairs",
+    "basket_pairs_bucketed",
+    # adversarial-regime MinHash (16x2 banding) and the capped neardup
+    "dedup_minhash_adversarial",
+    "sim_neardup_topm",
+    # real PNG decode rows through the mapInPandas feature path
+    "multimodal_features",
+]
+HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD
 
 # Pinned-name entries whose operator semantics changed in a later round
 # (emitted in the JSON so subset totals aren't silently compared

@@ -89,11 +89,42 @@ r4-initial run — that family did not change):
 No super-linear query in any family after the r4 fixes: every ratio is
 under the 10x data growth, and the three highest (triangle 7.6, ngram
 7.0, source_overlap 5.8) have named linear-in-what causes above.
+
+r5 re-run recorded in PROBE_r05.json (all 49 probe-relevant queries,
+including the r5 additions): every ratio again under 10x, worst 6.2x.
+The bucketed twins (q21_blame_bucketed 4.5x, basket_pairs_bucketed
+6.2x) time the one-time bucketed WRITE of the 10x lineitem inside the
+query — a layout write is linear in data by construction; the
+consumption side is exchange-free (plan-asserted in
+tests/test_scaling.py). sim_neardup_topm probes at 1.0x because its
+input is the bounded vec_id<500 slice at both scales (the cap, not the
+slice, is what the operator contributes). dedup_minhash_adversarial
+probes 1.1x for the same bounded-slice reason.
 (The cosine_neardup 74x output-growth caveat from r3 is recorded on
 sim_cosine_neardup_exact's docstring — at dim=64 a 0.4 threshold is
 ~3.2 sigma, so the O(N^2) random tail dominates output as N grows.)
 
 Usage: python scripts/scale_probe.py [copies] [family ...]
+                [--only=q1,q2,...] [--json=PATH]
+
+--json writes the machine-readable artifact (PROBE_r{N}.json at the
+repo root by convention): per query {family, copies, t1_sec, tn_sec,
+ratio, rows_1x, rows_nx} — so round-over-round scale ratios diff like
+bench numbers instead of living in this docstring.
+
+100x confirmation run (r5, 2026-08-14, --only on the three
+linear-in-what queries the 10x probe flagged highest; artifact in
+PROBE_r05_100x.json):
+
+    dedup_ngram_jaccard     1x= 2.25s  100x= 107.06s  ratio= 47.5
+                            (output rows also grow 100x: 256 -> 25600)
+    corpus_source_overlap   1x= 8.54s  100x= 159.95s  ratio= 18.7
+    graph_triangle_trade    1x= 1.31s  100x=  13.79s  ratio= 10.5
+
+All three stay WELL under the 100x data growth (the named linear
+causes — distinct grams, gram audit, edge census over lineitem —
+scale with the data term, and the fixed per-query overhead amortizes),
+confirming the linear causes hold at the next decade.
 """
 
 from __future__ import annotations
@@ -137,8 +168,15 @@ FAMILIES = {
         "q2_min_cost_supplier", "q11_important_stock",
         "graph_pagerank_trade", "graph_triangle_trade",
         "orders_basket_pairs",
+        # r5: bucketed co-located twins (include the one-time layout
+        # write, so their ratio measures write+consume honestly)
+        "q21_blame_bucketed", "basket_pairs_bucketed",
     ],
 }
+# r5 additions to existing families
+FAMILIES["documents"] += ["dedup_minhash_adversarial",
+                          "multimodal_features"]
+FAMILIES["embeddings"] += ["sim_neardup_topm"]
 
 
 def build_documents(con, copies: int, one: str, many: str) -> None:
@@ -225,8 +263,18 @@ def build_trade(con, copies: int, one: str, many: str) -> None:
 
 
 def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    families = sys.argv[2:] or list(FAMILIES)
+    args = sys.argv[1:]
+    only, json_path = None, None
+    rest = []
+    for a in args:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    copies = int(rest[0]) if rest else 10
+    families = rest[1:] or list(FAMILIES)
 
     import duckdb
 
@@ -236,6 +284,7 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    results: dict[str, dict] = {}
 
     def run(name: str, sf_dir: str) -> tuple[float, int]:
         fn = REGISTRY[name].fn
@@ -261,11 +310,27 @@ def main() -> None:
             build_events(con, copies, one, many)
         print(f"== {fam} x{copies} ==")
         for q in FAMILIES[fam]:
+            if only is not None and q not in only:
+                continue
             run(q, one)  # absorb plan/codegen warmup
             (t1, r1), (tn, rn) = run(q, one), run(q, many)
             print(f"{q:26s} 1x={t1:6.2f}s  {copies}x={tn:7.2f}s  "
                   f"ratio={tn / t1:5.1f}  rows {r1} -> {rn} "
                   f"({rn / max(r1, 1):.1f}x)", flush=True)
+            results[q] = {
+                "family": fam, "copies": copies,
+                "t1_sec": round(t1, 3), "tn_sec": round(tn, 3),
+                "ratio": round(tn / t1, 2),
+                "rows_1x": r1, "rows_nx": rn,
+            }
+
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"src_sf": SRC_SF, "copies": copies,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":
