@@ -260,7 +260,14 @@ def decode_png(content: bytes) -> np.ndarray:
     w, h, color = meta
     ch = {0: 1, 2: 3, 6: 4}[color]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # surface corrupt IDAT as the module's standard decode failure:
+        # extract_features/resize_media catch ValueError and fall
+        # through to the byte-histogram path instead of crashing the
+        # whole mapInPandas task on one malformed blob
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     if len(raw) != h * (1 + stride):
         raise ValueError("scanline payload size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -449,6 +449,13 @@ def neardup_top_m(pairs: DataFrame, m: int = 3,
                pairs.select(F.col(d2_col).alias("doc_id"),
                             F.col(d1_col).alias("neighbor_id"),
                             F.col(score_col).alias("score"))))
+    # collapse duplicate (doc, partner) rows BEFORE ranking: a producer
+    # that emits a pair twice (e.g. a candidate stage without cross-band
+    # dedup) must not burn two of the doc's m slots on the same partner.
+    # Max-score keep is deterministic; for exact producers (unique
+    # pairs) this aggregate is an identity pass-through.
+    sym = (sym.groupBy("doc_id", "neighbor_id")
+           .agg(F.max("score").alias("score")))
     return (_two_stage_topk(sym, "doc_id", m)
             .select("doc_id", F.col("neighbor_id").alias("partner_id"),
                     "score", "rank"))

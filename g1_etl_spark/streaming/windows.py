@@ -260,12 +260,21 @@ def histogram_drift_stream(events: DataFrame, reference: DataFrame,
     # the drifted bins from the monitor (the join below keys on bin) —
     # validate coverage of 0..n_bins-1 up front; the reference is
     # n_bins rows by construction, so this collect is bounded
-    ref_bins = {r["bin"] for r in reference.select("bin").collect()}
+    ref_rows = [r["bin"] for r in reference.select("bin").collect()]
+    ref_bins = set(ref_rows)
     missing = sorted(set(range(n_bins)) - ref_bins)
     if missing:
         raise ValueError(
             f"histogram_drift_stream: reference band is missing bins "
             f"{missing} — the batch audit must cover 0..{n_bins - 1}")
+    if len(ref_rows) != len(ref_bins):
+        # a duplicated bin row would silently fan out the join below,
+        # double-counting that bin's monitor output — same silent-
+        # corruption class as a missing bin, so fail just as loudly
+        dupes = sorted(b for b in ref_bins if ref_rows.count(b) > 1)
+        raise ValueError(
+            f"histogram_drift_stream: reference band has duplicate "
+            f"rows for bins {dupes}")
     width = (hi - lo) / n_bins
     bin_col = F.least(F.lit(n_bins - 1),
                       F.greatest(F.lit(0), F.floor(

@@ -297,6 +297,8 @@ def main() -> None:
         return dt, out_rows
 
     for fam in families:
+        if only is not None and not (only & set(FAMILIES[fam])):
+            continue  # don't build N-copies data nobody will query
         one, many = f"{BASE}/{fam}_x1", f"{BASE}/{fam}_x{copies}"
         os.makedirs(one, exist_ok=True)
         os.makedirs(many, exist_ok=True)

@@ -325,13 +325,36 @@ def test_png_tile_length_constant():
 
 
 def test_png_rejects_unsupported():
-    img = _checker(4, 4)
-    png = bytearray(M.encode_png(img))
     with pytest.raises(ValueError):
         M.decode_png(b"\x89PNG\r\n\x1a\nnot really")
+    # corrupt IDAT must surface as ValueError (the decode-fallback
+    # contract: extract_features catches it and falls back to bytes)
+    good = bytearray(M.encode_png(_checker(4, 4)))
+    idat = bytes(good).index(b"IDAT")
+    corrupt = bytes(good[:idat + 4]) + b"\xff\xff\xff\xff" \
+        + bytes(good[idat + 8:])
+    with pytest.raises(ValueError):
+        M.decode_png(corrupt)
     # truncated signature falls through to the codec-library error
-    with pytest.raises((NotImplementedError, Exception)):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub path not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG\r\n")
+
+
+def test_corrupt_png_falls_back_to_byte_histogram(spark):
+    """One malformed PNG blob must NOT crash the mapInPandas task —
+    the row takes the byte-histogram path (feature_src='bytes')."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    rows = [(1, "image", bytearray(M.encode_png(_checker(8, 8))), None),
+            (2, "image", bytearray(sig + b"\x00" * 40), None)]
+    m = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.extract_features(m).collect()}
+    assert out[1]["feature_src"] == "pixels"
+    assert out[2]["feature_src"] == "bytes"
 
 
 def test_media_with_png_end_to_end(spark):

@@ -238,3 +238,20 @@ def test_neardup_top_m_caps_cluster_output(spark):
              for r in neardup_top_m(raw_df, m=3).collect()}
     composed = {(r["doc_id"], r["partner_id"], r["rank"]) for r in capped}
     assert alone == composed
+
+
+def test_neardup_top_m_tolerates_duplicate_pairs(spark):
+    """A producer that emits the same pair twice must not burn two of
+    a doc's m slots on one partner (max-score keep, deterministic)."""
+    from g1_etl_spark.operators.similarity import neardup_top_m
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.97), (1, 2, 0.95), (1, 3, 0.93), (1, 4, 0.91)],
+        "d1 long, d2 long, score double")
+    out = [r for r in neardup_top_m(pairs, m=3).collect()
+           if r["doc_id"] == 1]
+    partners = [r["partner_id"] for r in sorted(out,
+                                                key=lambda r: r["rank"])]
+    assert partners == [2, 3, 4]
+    assert [r["score"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [0.97, 0.93, 0.91]
