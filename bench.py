@@ -92,6 +92,8 @@ R5_ADD = [
     "sim_neardup_topm",
     # real PNG decode rows through the mapInPandas feature path
     "multimodal_features",
+    # salting overhead vs the planner's plain join, same result set
+    "join_salted_skew",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD
 

@@ -53,9 +53,11 @@ _R5_WINDOW = (
     # setop_intersect~setop_except, proj_positional/proj_drop~proj_cut,
     # proj_rename~proj_fieldmap, join_cross~join_inner,
     # join_full_outer~join_left, first_per_key~last_row_wins) ----------
+    # (distinct_rows deferred too: its HashAggregate-distinct shape is
+    # covered in-window by dedup_exact; slot funds join_salted_skew)
     "agg_basic",
     "agg_cube", "agg_grouping_sets", "agg_pivot", "approx_distinct",
-    "distinct_rows", "filter_lambda", "filter_pushdown",
+    "filter_lambda", "filter_pushdown",
     "join_anti", "join_inner", "join_left", "join_lookup",
     "join_semi", "join_sorted", "last_row_wins",
     "nested_collect_orders", "nested_explode_roundtrip",
@@ -76,6 +78,7 @@ _R5_WINDOW = (
     "basket_pairs_bucketed",       # exchange-free bucketed basket twin
     "entity_settings_json",        # nested-shape roundtrip contract
     "entity_products_json",        # nested-shape roundtrip contract
+    "join_salted_skew",            # salting is result-neutral, certified
     # -- internals changed this round: re-confirm -----------------------
     "multimodal_features",         # real PNG rows + per-path projection
     "dq_distribution_drift",       # null-exclusion before binning

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
 from g1_etl_spark.operators import scaling as SC
+from g1_etl_spark.plans._util import dsum, sql_dsum
 from g1_etl_spark.plans.registry import register
 
 _BUCKETS = 32
@@ -137,3 +138,36 @@ def basket_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("support"))
             .orderBy(F.desc("support"), "p1", "p2")
             .limit(50))
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="salted skew join, driver-certified result-neutral: the "
+                "lineitem side is fanned across 8 salt subkeys (xxhash64 "
+                "of the whole row) and orders replicated 8 ways, then "
+                "joined on (key, salt) — the explicit treatment for a "
+                "single hot key bigger than one executor, where AQE's "
+                "skew split can't help; the oracle is the PLAIN join, "
+                "proving salting gains or loses no rows",
+    tags=("join", "scale"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    joined = SC.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"), "k", salt=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_quantity", "sum_qty"))
+            .orderBy("o_orderpriority"))
