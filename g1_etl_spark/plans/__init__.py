@@ -58,9 +58,13 @@ _R5_WINDOW = (
     "agg_basic",
     "agg_cube", "agg_grouping_sets", "agg_pivot", "approx_distinct",
     "filter_lambda", "filter_pushdown",
+    # (join_sorted and nested_collect_orders deferred too: join+orderBy
+    # is covered in-window by join_inner + sort_limit_topk, and the
+    # collect_list mechanics by nested_explode_roundtrip; their slots
+    # fund the two new multimodal certification rows)
     "join_anti", "join_inner", "join_left", "join_lookup",
-    "join_semi", "join_sorted", "last_row_wins",
-    "nested_collect_orders", "nested_explode_roundtrip",
+    "join_semi", "last_row_wins",
+    "nested_explode_roundtrip",
     "nested_keys_map", "nested_member_doc",
     "proj_addfield", "proj_cut", "proj_fieldmap",
     "q10_returned_items", "q18_large_orders", "q3_shipping_priority",
@@ -79,6 +83,8 @@ _R5_WINDOW = (
     "entity_settings_json",        # nested-shape roundtrip contract
     "entity_products_json",        # nested-shape roundtrip contract
     "join_salted_skew",            # salting is result-neutral, certified
+    "multimodal_resize",           # real decode->resample->re-encode
+    "multimodal_frames",           # 1->N fan-out, exact frame content
     # -- internals changed this round: re-confirm -----------------------
     "multimodal_features",         # real PNG rows + per-path projection
     "dq_distribution_drift",       # null-exclusion before binning

@@ -607,3 +607,68 @@ def sim_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (S.kmeans_exact(emb, k=_KME_K, iters=_KME_ITERS)
             .orderBy("vec_id"))
+
+
+# Resize certification: PNG rows (media_id % 21 = 0) decode through the
+# real zlib+defilter path, resample 8x8 -> 4x4 through the real
+# nearest-neighbor kernel, and re-encode as PPM whose length is a pure
+# function of the target dims ("P6\n4 4\n255\n" = 11 header bytes + 48
+# raster = 59); non-decodable blobs pass through with resized=false and
+# their original length. Both facts are exactly SQL-stated.
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           (doc_id % 21 = 0) AS resized,
+           CASE WHEN doc_id % 21 = 0 THEN CAST(59 AS BIGINT)
+                ELSE CAST(length(text) AS BIGINT) END AS n_bytes
+    FROM documents
+    """,
+    description="real image resize through mapInPandas: PNG rows decode "
+                "(zlib inflate + defilter), nearest-neighbor resample to "
+                "4x4, re-encode as PPM (59 bytes, a pure function of the "
+                "dims — SQL-stated); non-decodable blobs pass through "
+                "unchanged with resized=false",
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators import multimodal as M
+
+    media = M.media_with_png(load_table(spark, sf_dir, "documents"))
+    out = M.resize_media(media, 4, 4)
+    return out.select(
+        "media_id", "kind", "width", "height", "resized",
+        F.length("content").cast("long").alias("n_bytes"))
+
+
+# Frame-sampling certification: video rows fan out 1->N through
+# mapInPandas (every 4th 64-byte frame); on the ASCII corpus each
+# frame's bytes ARE a text substring, so the oracle reproduces the
+# exact frame CONTENT, not just the fan-out shape.
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH v AS (SELECT doc_id, text, length(text) // 64 AS nf
+               FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_index,
+           substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS frame_text
+    FROM v, LATERAL unnest(range(0, nf, 4)) t(i)
+    """,
+    description="video frame sampling through mapInPandas (1->N row "
+                "fan-out): every 4th 64-byte frame of each video blob; "
+                "the oracle reproduces exact frame content via substr "
+                "on the ASCII corpus, certifying both the fan-out shape "
+                "and the byte windowing",
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators import multimodal as M
+
+    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(media, frame_size=64, every_k=4)
+    return frames.select(
+        "media_id", "frame_index",
+        F.decode("frame_bytes", "utf-8").alias("frame_text"))
