@@ -667,9 +667,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     Genuinely iterative — no single SQL equivalent (the driver records
     a rows-only check); tests verify against a local union-find.
     """
-    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-             .unionByName(pairs.select(F.col(dst).alias("a"),
-                                       F.col(src).alias("b"))))
+    # symmetrize with ONE explode, not a self-union: union branches get
+    # no CSE, so a union would run the whole upstream pair producer
+    # (inverted-index join + jaccard verify) twice inside this single
+    # checkpoint materialization
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+        F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+        .alias("e")).select("e.a", "e.b"))
     edges = edges.repartition("a").localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("a"),
                           F.col(id_col).cast("long").alias("label"))

@@ -442,13 +442,17 @@ def neardup_top_m(pairs: DataFrame, m: int = 3,
     linear in corpus size regardless of cluster structure. The raw
     (uncapped) form stays available as the oracle twin for recall
     contracts."""
-    sym = (pairs.select(F.col(d1_col).alias("doc_id"),
-                        F.col(d2_col).alias("neighbor_id"),
-                        F.col(score_col).alias("score"))
-           .unionByName(
-               pairs.select(F.col(d2_col).alias("doc_id"),
-                            F.col(d1_col).alias("neighbor_id"),
-                            F.col(score_col).alias("score"))))
+    # symmetrize with ONE explode, not a self-union: union branches get
+    # no common-subexpression elimination, so a union would re-run the
+    # whole upstream pair producer (LSH candidate stage + verify) twice
+    sym = (pairs.select(
+        F.explode(F.array(
+            F.struct(F.col(d1_col).alias("doc_id"),
+                     F.col(d2_col).alias("neighbor_id")),
+            F.struct(F.col(d2_col).alias("doc_id"),
+                     F.col(d1_col).alias("neighbor_id")))).alias("e"),
+        F.col(score_col).alias("score"))
+        .select("e.doc_id", "e.neighbor_id", "score"))
     # collapse duplicate (doc, partner) rows BEFORE ranking: a producer
     # that emits a pair twice (e.g. a candidate stage without cross-band
     # dedup) must not burn two of the doc's m slots on the same partner.

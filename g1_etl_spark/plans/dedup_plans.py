@@ -315,15 +315,17 @@ def _adversarial_corpus(docs: DataFrame) -> DataFrame:
     src = (docs.filter((F.col("doc_id") < 400) & (F.size(w) >= 16))
            .select("doc_id", w.alias("w"),
                    F.floor(F.size(w) / 4).cast("int").alias("L")))
-    a = src.select(
-        (F.col("doc_id") * 2).alias("doc_id"),
-        F.concat_ws(" ", F.slice("w", F.lit(1),
-                                 F.col("L") * 3)).alias("text"))
-    b = src.select(
-        (F.col("doc_id") * 2 + 1).alias("doc_id"),
-        F.concat_ws(" ", F.slice("w", F.col("L") + 1,
-                                 F.col("L") * 3)).alias("text"))
-    return a.unionByName(b)
+    # both variants from ONE pass (explode, not self-union — union
+    # branches get no CSE and would scan+split the source twice)
+    return (src.select(F.explode(F.array(
+        F.struct((F.col("doc_id") * 2).alias("doc_id"),
+                 F.concat_ws(" ", F.slice("w", F.lit(1), F.col("L") * 3))
+                 .alias("text")),
+        F.struct((F.col("doc_id") * 2 + 1).alias("doc_id"),
+                 F.concat_ws(" ", F.slice("w", F.col("L") + 1,
+                                          F.col("L") * 3))
+                 .alias("text")))).alias("e"))
+        .select("e.doc_id", "e.text"))
 
 
 @register(
