@@ -207,3 +207,45 @@ def test_span_clip_matches_reference(spark, texts):
     got = {r["doc_id"]: (r["clipped_text"], r["n_words"], r["n_removed"])
            for r in span_clip(df, n=3, min_docs=2).collect()}
     assert got == want
+
+
+def _ref_top_m(pairs, m):
+    """Sequential reference for neardup_top_m: symmetrize, dedup by
+    (doc, partner) keeping max score, rank by (-score, partner)."""
+    best = {}
+    for d1, d2, s in pairs:
+        for doc, nb in ((d1, d2), (d2, d1)):
+            k = (doc, nb)
+            if k not in best or s > best[k]:
+                best[k] = s
+    out = {}
+    by_doc = {}
+    for (doc, nb), s in best.items():
+        by_doc.setdefault(doc, []).append((nb, s))
+    for doc, lst in by_doc.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        out[doc] = [(nb, s, i + 1) for i, (nb, s) in enumerate(lst[:m])]
+    return out
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 6),
+              st.sampled_from([0.5, 0.75, 0.9, 0.99]))
+    .filter(lambda t: t[0] != t[1]),
+    min_size=1, max_size=15),
+       m=st.integers(min_value=1, max_value=4))
+@_settings
+def test_neardup_top_m_matches_reference(spark, pairs, m):
+    """Small id space forces duplicate pairs, score ties, and docs with
+    more/fewer than m partners; the operator must match the sequential
+    reference exactly (ids, scores, ranks) for every doc."""
+    from g1_etl_spark.operators.similarity import neardup_top_m
+
+    df = spark.createDataFrame(pairs, "d1 long, d2 long, score double")
+    got = {}
+    for r in neardup_top_m(df, m=m).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["partner_id"], r["score"], r["rank"]))
+    for doc in got:
+        got[doc].sort(key=lambda t: t[2])
+    assert got == _ref_top_m(pairs, m)
