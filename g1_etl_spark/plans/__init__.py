@@ -91,6 +91,15 @@ _R5_WINDOW = (
     "feat_pca_project",            # projects from checkpointed frame
 )
 
+# ROUND-6 ROTATION PLAN (write _R6_WINDOW from this): the stalest
+# banked greens after r5 are the r2 cohort (~35 oracle-backed rows,
+# green r2, untouched since) and the 11 r1 rows deferred this round
+# with in-window mechanical siblings (agg_rollup, setop_union_all,
+# setop_intersect, proj_positional, proj_drop, proj_rename, join_cross,
+# join_full_outer, first_per_key, distinct_rows, join_sorted,
+# nested_collect_orders). Fill r6 with those first, then start the r3
+# cohort; queries whose internals change in r6 re-confirm as usual.
+
 
 def _reorder() -> None:
     assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)

@@ -175,8 +175,10 @@ FAMILIES = {
 }
 # r5 additions to existing families
 FAMILIES["documents"] += ["dedup_minhash_adversarial",
-                          "multimodal_features"]
+                          "multimodal_features",
+                          "multimodal_resize", "multimodal_frames"]
 FAMILIES["embeddings"] += ["sim_neardup_topm"]
+FAMILIES["trade"] += ["join_salted_skew"]
 
 
 def build_documents(con, copies: int, one: str, many: str) -> None:
