@@ -517,16 +517,23 @@ def sample_frames(media: DataFrame, frame_size: int = 64,
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize through a mapInPandas stage. Decodable image bytes
-    (PPM/BMP) run the REAL kernel — decode, nearest-neighbor resample,
-    re-encode as PPM; non-decodable content passes through with the
-    target dims stamped (`resized` = false) so mixed corpora survive."""
+    (PPM/BMP/PNG) run the REAL kernel — decode, nearest-neighbor
+    resample, re-encode as PPM; non-decodable content passes through
+    with the target dims stamped (`resized` = false) so mixed corpora
+    survive."""
+
+    import struct
 
     def _one(kind: str, content: bytes) -> tuple[bytes, bool]:
         if kind == "image":
             try:
                 arr = decode_image(content)
                 return encode_ppm(resize_nearest(arr, width, height)), True
-            except (ValueError, NotImplementedError, IndexError):
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error):
+                # struct.error: same 'BM'-prefixed-text corpus collision
+                # extract_features guards against — pass through, don't
+                # crash the batch
                 pass
         return content, False
 

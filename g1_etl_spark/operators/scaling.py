@@ -69,8 +69,12 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     row (xxhash64 of all columns), so one hot key's rows land on `salt`
     different reducers; results are identical to the plain join (no row
     gained or lost — verified in tests)."""
-    lsalt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns]))
-             % salt).alias("_salt")
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative, so for a
+    # non-power-of-two salt the % could emit a salt matching no
+    # replicated right row and silently drop that left row (2^-64 per
+    # row, but the contract is exact result-neutrality)
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                   F.lit(salt)).alias("_salt")
     l = left.select("*", lsalt)
     r = (right.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

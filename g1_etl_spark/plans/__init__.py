@@ -47,12 +47,13 @@ from g1_etl_spark.plans import bucketed_plans  # noqa: E402,F401
 # the window keeps its banked green row and stays guarded by the local
 # sf0.001+sf0.01 parity gates; the r2/r3 cohorts rotate in next round.
 _R5_WINDOW = (
-    # -- stalest banked greens: the r1 cohort (39 of 48; the 9 deferred
+    # -- stalest banked greens: the r1 cohort (36 of 48; the 12 deferred
     # each have an in-window sibling with identical physical mechanics:
     # agg_rollup~agg_cube, setop_union_all~setop_union,
     # setop_intersect~setop_except, proj_positional/proj_drop~proj_cut,
     # proj_rename~proj_fieldmap, join_cross~join_inner,
-    # join_full_outer~join_left, first_per_key~last_row_wins) ----------
+    # join_full_outer~join_left, first_per_key~last_row_wins, plus the
+    # three deferred below to fund new-query day-one slots) ------------
     # (distinct_rows deferred too: its HashAggregate-distinct shape is
     # covered in-window by dedup_exact; slot funds join_salted_skew)
     "agg_basic",
@@ -93,7 +94,7 @@ _R5_WINDOW = (
 
 # ROUND-6 ROTATION PLAN (write _R6_WINDOW from this): the stalest
 # banked greens after r5 are the r2 cohort (~35 oracle-backed rows,
-# green r2, untouched since) and the 11 r1 rows deferred this round
+# green r2, untouched since) and the 12 r1 rows deferred this round
 # with in-window mechanical siblings (agg_rollup, setop_union_all,
 # setop_intersect, proj_positional, proj_drop, proj_rename, join_cross,
 # join_full_outer, first_per_key, distinct_rows, join_sorted,
