@@ -129,3 +129,40 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
      .sortWithinPartitions("_z")
      .drop("_z")
      .write.mode("overwrite").parquet(path))
+
+
+def ensure_bucketed_table(spark: SparkSession, sf_dir: str, source: str,
+                          cols: list[str], key: str,
+                          buckets: int = 32) -> DataFrame:
+    """Idempotent bucketed-layout materialization: the maintenance twin
+    of `write_zordered`/`compact_parquet` for hash-bucketed layouts.
+
+    Derives a table name from (sf_dir, source, cols, key, buckets) —
+    distinct scale factors get distinct tables, so a plan built for one
+    sf_dir can never silently read another's layout, and concurrent
+    builds for different inputs don't clobber each other. The FIRST
+    call pays the one-time layout shuffle (operators/scaling.
+    write_bucketed); every later call in the session reuses the
+    standing table, which is the 100 TB contract: a bucketed fact is
+    written once as the table layout and consumed exchange-free by
+    every query keyed on the bucket column.
+
+    Staleness caveat (sandbox-scoped): the name keys on the sf_dir
+    PATH, not the data's content — rewriting the parquet under an
+    already-materialized sf_dir within one session would keep serving
+    the old layout. Production table formats version the layout; plain
+    parquet testdata here is immutable per path.
+    """
+    import hashlib
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.scaling import write_bucketed
+
+    tag = hashlib.sha1("|".join(
+        [os.path.abspath(sf_dir), source, *cols, key, str(buckets)]
+    ).encode()).hexdigest()[:10]
+    name = f"bkt_{source}_{key}_{tag}"
+    if not spark.catalog.tableExists(name):
+        write_bucketed(load_table(spark, sf_dir, source).select(*cols),
+                       name, key, buckets=buckets)
+    return spark.table(name)

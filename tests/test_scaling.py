@@ -3,6 +3,8 @@ joins (identical results to the plain join)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from g1_etl_spark.operators import scaling as SC
@@ -132,3 +134,50 @@ def test_bucketed_twins_match_shuffle_form(spark):
         want = [tuple(r) for r in
                 REGISTRY[base].fn(spark, SF_SMOKE).collect()]
         assert got == want, bkt
+
+
+def test_ensure_bucketed_table_is_idempotent(spark, monkeypatch):
+    """Second call with the same (sf_dir, source, cols, key, buckets)
+    must reuse the standing layout, never rewrite it — the bench runs
+    and every post-maintenance consumer depend on this."""
+    from g1_etl_spark.sources import maintenance as MT
+
+    df1 = MT.ensure_bucketed_table(spark, SF_SMOKE, "region",
+                                   ["r_regionkey", "r_name"],
+                                   "r_regionkey", buckets=4)
+    n = df1.count()
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("layout rewritten on second call")
+
+    import g1_etl_spark.operators.scaling as SC
+    monkeypatch.setattr(SC, "write_bucketed", boom)
+    df2 = MT.ensure_bucketed_table(spark, SF_SMOKE, "region",
+                                   ["r_regionkey", "r_name"],
+                                   "r_regionkey", buckets=4)
+    assert df2.count() == n
+
+
+def test_ensure_bucketed_table_names_are_input_scoped(spark, tmp_path):
+    """Distinct sf_dirs (and distinct projections) map to distinct
+    tables, so one build can never silently serve another's data."""
+    import shutil
+
+    from g1_etl_spark.sources import maintenance as MT
+
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    src = f"{SF_SMOKE}/region.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, alt / "region.parquet")
+    else:
+        shutil.copy(src, alt / "region.parquet")
+    a = MT.ensure_bucketed_table(spark, SF_SMOKE, "region",
+                                 ["r_regionkey", "r_name"],
+                                 "r_regionkey", buckets=4)
+    b = MT.ensure_bucketed_table(spark, str(alt), "region",
+                                 ["r_regionkey", "r_name"],
+                                 "r_regionkey", buckets=4)
+    ta = a._jdf.queryExecution().logical().toString()
+    tb = b._jdf.queryExecution().logical().toString()
+    assert ta != tb, "two sf_dirs resolved to one bucketed table"
