@@ -98,6 +98,17 @@ def media_with_png(docs: DataFrame, every: int = 21) -> DataFrame:
                 if kind == "image" and mid % every == 0:
                     raster = np.zeros(n_px, dtype=np.uint8)
                     take = blob[:n_px]
+                    if any(b >= 0x80 for b in take):
+                        # the multimodal_features oracle recomputes
+                        # pixel means with substr/ord, which count
+                        # CHARACTERS; this raster takes BYTES. The two
+                        # agree only while the prefix is pure ASCII —
+                        # fail loudly on a corpus change rather than
+                        # produce a confusing driver hash mismatch.
+                        raise ValueError(
+                            f"media_id {mid}: non-ASCII byte in the "
+                            "PNG raster prefix; the substr/ord oracle "
+                            "no longer matches byte rasterization")
                     raster[:len(take)] = np.frombuffer(take, np.uint8)
                     blob = encode_png(
                         raster.reshape(PNG_TILE, PNG_TILE, 3))
@@ -193,6 +204,10 @@ def decode_bmp(content: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# decode_png defilters Average/Paeth rows with a per-byte python loop
+# (~us/byte); 1 MP caps the worst case at a few seconds per blob, far
+# below anything that could stall a mapInPandas task for minutes
+_PNG_MAX_PIXELS = 1 << 20
 
 
 def encode_png(arr: np.ndarray, compress_level: int = 0) -> bytes:
@@ -227,10 +242,11 @@ def decode_png(content: bytes) -> np.ndarray:
     Supports bit depth 8, color types 0 (gray, expanded to 3ch),
     2 (RGB) and 6 (RGBA, alpha dropped), non-interlaced, with all five
     scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
-    §4.5.4. Up is vectorized; Sub/Average/Paeth are inherently
-    sequential along the row (each byte depends on the defiltered byte
-    bpp positions earlier) so they run a per-byte loop — fine inside a
-    mapInPandas batch where rows decode independently in parallel."""
+    §4.5.4. Up and Sub are vectorized (Sub is a per-channel-lane prefix
+    sum mod 256); Average/Paeth are inherently sequential along the row
+    (each byte depends on the defiltered byte bpp positions earlier) so
+    they run a per-byte loop, bounded by the _PNG_MAX_PIXELS guard —
+    fine inside a mapInPandas batch where rows decode independently."""
     import struct
     import zlib
 
@@ -258,6 +274,16 @@ def decode_png(content: bytes) -> np.ndarray:
     if meta is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, color = meta
+    if w * h > _PNG_MAX_PIXELS:
+        # defiltering cost is per-byte for Average/Paeth rows: a
+        # multi-megapixel real-world PNG would stall a mapInPandas task
+        # for minutes. Refuse above the cap — extract_features/
+        # resize_media catch ValueError and fall through to the
+        # byte-histogram path, so one big blob degrades gracefully
+        # instead of serializing the whole batch.
+        raise ValueError(
+            f"PNG {w}x{h} exceeds the {_PNG_MAX_PIXELS}-pixel decode "
+            "cap for the pure-python defilter path")
     ch = {0: 1, 2: 3, 6: 4}[color]
     stride = w * ch
     try:
@@ -281,9 +307,12 @@ def decode_png(content: bytes) -> np.ndarray:
             pass
         elif f == 2:  # Up — uint8 addition wraps mod 256, as specified
             cur += prev
-        elif f == 1:  # Sub
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif f == 1:  # Sub — out[x] = cur[x] + out[x-ch] mod 256 is a
+            # per-channel-lane prefix sum, so it vectorizes exactly:
+            # cumsum in uint64 then truncate to the low byte
+            for r in range(ch):
+                cur[r::ch] = (np.cumsum(cur[r::ch], dtype=np.uint64)
+                              & 0xFF).astype(np.uint8)
         elif f == 3:  # Average
             for x in range(stride):
                 a = int(cur[x - ch]) if x >= ch else 0

@@ -379,3 +379,54 @@ def test_media_with_png_end_to_end(spark):
     # non-PNG rows keep the byte path
     other = next(i for i in by_id if i % 21 != 0)
     assert by_id[other]["feature_src"] == "bytes"
+
+
+def test_png_decode_pixel_cap_raises_value_error():
+    """A PNG whose header claims more than _PNG_MAX_PIXELS must be
+    refused with ValueError (the decode-fallback contract), BEFORE any
+    per-byte defilter work happens — one multi-megapixel blob in a
+    corpus degrades to the byte-histogram path instead of stalling a
+    mapInPandas task."""
+    import struct
+    import time
+    import zlib
+
+    w = h = 2048  # 4 MP > the 1 MP cap
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # tiny IDAT: the guard must fire on the HEADER, not after inflating
+    png = (M._PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00"))
+           + chunk(b"IEND", b""))
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="pixel"):
+        M.decode_png(png)
+    assert time.perf_counter() - t0 < 1.0, "guard must fire up front"
+
+
+def test_png_raster_prefix_must_be_ascii(spark):
+    """media_with_png byte-rasterizes the text prefix while the oracle
+    counts characters via substr/ord; a non-ASCII prefix on a
+    PNG-designated row must fail loudly, not hash-mismatch later."""
+    docs = spark.createDataFrame(
+        [(0, "café " * 40, "s")], "doc_id long, text string, src string")
+    m = M.media_with_png(docs)
+    with pytest.raises(Exception, match="non-ASCII"):
+        m.filter(F.col("media_id") == 0).collect()
+
+
+def test_fixture_corpus_png_prefixes_are_ascii(spark):
+    """The driver corpus itself must keep PNG-row prefixes pure ASCII
+    for the multimodal_features oracle to stay exact (this is the
+    loud-failure twin of the operator guard, at the data level)."""
+    from g1_etl_spark.catalog import load_table
+
+    n_px = M.PNG_TILE * M.PNG_TILE * 3
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bad = (docs.filter((F.col("doc_id") % 21 == 0))
+           .select(F.substring("text", 1, n_px).alias("p"))
+           .filter(~F.col("p").rlike("^[\\x00-\\x7F]*$"))
+           .count())
+    assert bad == 0
