@@ -116,3 +116,76 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     return (tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def orient_by_degree(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Orient the undirected simple graph by DEGREE rank: each
+    canonical edge {u, v} becomes u -> v where (deg(u), u) < (deg(v),
+    v) — ties broken by id so the order is total. Returns
+    (s, d, d_deg): source, destination, destination's degree (carried
+    so wedge enumeration can compare endpoint ranks without re-joining
+    the degree table).
+
+    This is the classic hub-skew guard: under degree orientation every
+    node's out-degree is O(sqrt(m)) (a node of degree k only keeps
+    out-edges to neighbors of degree >= k, and there are at most 2m/k
+    of those), so the wedge fan-out of a hub collapses from C(deg, 2)
+    to C(sqrt(m), 2). Id ordering has no such bound — a hub with the
+    smallest id keeps ALL its edges outgoing.
+
+    The degree census is one explode + count (no self-union of the
+    edge frame: unionByName gets no subtree CSE); the two rank lookups
+    are joins against the node-sized degree table.
+    """
+    und = (edges.select(F.least(src_col, dst_col).alias("a"),
+                        F.greatest(src_col, dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    deg = (und.select(F.explode(F.array("a", "b")).alias("v"))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("v").alias("_va"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("deg").alias("_db"))
+    ranked = (und.join(da, und.a == da._va).join(db, und.b == db._vb))
+    a_first = (F.col("_da") < F.col("_db")) | \
+        ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    return ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("d"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da"))
+        .alias("d_deg"))
+
+
+def triangle_count_degree(edges: DataFrame, src_col: str = "src",
+                          dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts via DEGREE-ordered enumeration — the
+    at-scale form of `triangle_count` (same output, same semantics:
+    direction dropped, self-loops removed, parallel edges collapsed).
+
+    Wedges pivot at the LOWEST-rank vertex of each triangle: out-edges
+    (s->x, s->y) with rank(x) < rank(y) are closed against the oriented
+    edge x->y (which is how the closing edge must point, ranks being
+    total). Each triangle therefore materializes exactly once. Because
+    out-degree is bounded by O(sqrt(m)) under degree orientation
+    (orient_by_degree), a hub of degree k contributes O(m) wedges
+    instead of C(k, 2) ~ k^2 — the property test pins this on a star
+    graph. The id-ordered `triangle_count` is the oracle twin: triangle
+    counts are orientation-invariant.
+    """
+    o = orient_by_degree(edges, src_col, dst_col).localCheckpoint(
+        eager=True)
+    o1 = o.select(F.col("s").alias("_s"), F.col("d").alias("_x"),
+                  F.col("d_deg").alias("_xd"))
+    o2 = o.select(F.col("s").alias("_s2"), F.col("d").alias("_y"),
+                  F.col("d_deg").alias("_yd"))
+    x_first = (F.col("_xd") < F.col("_yd")) | \
+        ((F.col("_xd") == F.col("_yd")) & (F.col("_x") < F.col("_y")))
+    wedges = (o1.join(o2, (F.col("_s") == F.col("_s2")) & x_first)
+              .select("_s", "_x", "_y"))
+    closing = o.select(F.col("s").alias("_cx"), F.col("d").alias("_cy"))
+    tris = wedges.join(closing, (wedges._x == F.col("_cx"))
+                       & (wedges._y == F.col("_cy")))
+    return (tris.select(F.explode(F.array("_s", "_x", "_y")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

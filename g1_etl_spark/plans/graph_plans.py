@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
-from g1_etl_spark.operators.graph import PR_SCALE, pagerank, triangle_count
+from g1_etl_spark.operators.graph import (PR_SCALE, pagerank,
+                                          triangle_count,
+                                          triangle_count_degree)
 from g1_etl_spark.plans.registry import register
 
 _ITERS = 10
@@ -179,5 +181,28 @@ def graph_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     top3 = (edges.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= 3).select("src", "dst"))
     return (triangle_count(top3)
+            .select(F.col("id").alias("nation"), "n_triangles")
+            .orderBy("nation"))
+
+
+@register(
+    "graph_triangle_degree",
+    oracle=_TRIANGLE_SQL,
+    description="per-nation triangle counts via DEGREE-ordered "
+                "enumeration (operators/graph.triangle_count_degree): "
+                "wedges pivot at each triangle's lowest-DEGREE-rank "
+                "vertex, bounding hub fan-out by O(sqrt(m)) instead of "
+                "C(deg, 2) — the at-scale form of the id-ordered "
+                "graph_triangle_trade, whose enumeration is this "
+                "query's oracle twin (triangle counts are orientation-"
+                "invariant); same sparsified trade graph, same oracle",
+    tags=("graph", "scale"),
+)
+def graph_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w = W.partitionBy("src").orderBy(F.desc("weight"), "dst")
+    top3 = (edges.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3).select("src", "dst"))
+    return (triangle_count_degree(top3)
             .select(F.col("id").alias("nation"), "n_triangles")
             .orderBy("nation"))

@@ -81,3 +81,56 @@ def test_triangle_count_path_has_none(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
                                   "src long, dst long")
     assert triangle_count(edges).count() == 0
+
+
+def test_triangle_degree_matches_id_ordered_on_random_graph(spark):
+    """Degree-ordered enumeration must produce the identical per-node
+    triangle counts as the id-ordered form — orientation choice cannot
+    change which triangles exist."""
+    import random
+
+    from g1_etl_spark.operators.graph import (triangle_count,
+                                              triangle_count_degree)
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(160)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = sorted(map(tuple, triangle_count(df).collect()))
+    got = sorted(map(tuple, triangle_count_degree(df).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_triangle_degree_k4_and_star(spark):
+    from g1_etl_spark.operators.graph import triangle_count_degree
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = dict(map(tuple,
+                   triangle_count_degree(
+                       spark.createDataFrame(k4, "src long, dst long")
+                   ).collect()))
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    star = spark.createDataFrame([(0, i) for i in range(1, 30)],
+                                 "src long, dst long")
+    assert triangle_count_degree(star).count() == 0
+
+
+def test_degree_orientation_bounds_hub_fanout(spark):
+    """The property the at-scale form exists for: on a star graph whose
+    hub has the SMALLEST id, id-ordering keeps all n hub edges outgoing
+    (C(n,2) wedges), while degree-ordering points every edge AT the hub
+    — max out-degree 1, zero wedges."""
+    from g1_etl_spark.operators.graph import orient_by_degree
+
+    n = 50
+    star = spark.createDataFrame([(0, i) for i in range(1, n + 1)],
+                                 "src long, dst long")
+    o = orient_by_degree(star)
+    fanout = {r["s"]: r["n"] for r in
+              o.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(fanout.values()) == 1, fanout
+    assert 0 not in fanout, "hub must have no out-edges"
+    # id ordering on the same graph: hub 0 keeps all n out-edges
+    id_fanout = (star.groupBy("src")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .agg(F.max("n").alias("m")).collect()[0]["m"])
+    assert id_fanout == n
