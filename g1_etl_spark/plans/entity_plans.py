@@ -125,25 +125,31 @@ def entity_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.entities.members import transform
 
     out = transform(_customers_like(spark, sf_dir), 1, 420)
-    return out.select(
-        F.col("_id").alias("custkey"),
-        F.col("doc.name").alias("name"),
-        F.col("doc.memberType").alias("member_type"),
-        F.col("doc.accountStatus").alias("account_status"),
-        F.col("doc.dateOfBirth").alias("date_of_birth"),
-        F.col("doc.isCaregiver").alias("is_caregiver"),
-        F.col("doc.taxExempt").alias("tax_exempt_out"),
-        F.col("doc.mmjCard").alias("mmj_card"),
-        F.col("doc.identificationNumber").alias("identification_number"),
-        F.col("doc.points").alias("points"),
-        F.col("doc.expiryDate").alias("expiry_date"),
-        F.col("doc.accountStatusNotes").alias("account_status_notes"),
-        F.col("doc.keys.id").alias("keys_id"),
-        F.col("doc.keys.caregiver_id").alias("keys_caregiver_id"),
-        F.col("doc.keys.custom_membership_id")
+    return out.select(F.col("_id").alias("custkey"),
+                      *_members_flat_cols(F.col("doc")))
+
+
+def _members_flat_cols(d):
+    """Member-doc flat projection columns — shared by the direct flat
+    twin and the whole-org payload contract, so the two cannot drift."""
+    return [
+        d["name"].alias("name"),
+        d["memberType"].alias("member_type"),
+        d["accountStatus"].alias("account_status"),
+        d["dateOfBirth"].alias("date_of_birth"),
+        d["isCaregiver"].alias("is_caregiver"),
+        d["taxExempt"].alias("tax_exempt_out"),
+        d["mmjCard"].alias("mmj_card"),
+        d["identificationNumber"].alias("identification_number"),
+        d["points"].alias("points"),
+        d["expiryDate"].alias("expiry_date"),
+        d["accountStatusNotes"].alias("account_status_notes"),
+        d["keys"]["id"].alias("keys_id"),
+        d["keys"]["caregiver_id"].alias("keys_caregiver_id"),
+        d["keys"]["custom_membership_id"]
         .alias("keys_custom_membership_id"),
-        F.col("doc.keys.picture_file_name").alias("keys_picture_file_name"),
-    )
+        d["keys"]["picture_file_name"].alias("keys_picture_file_name"),
+    ]
 
 
 def _vendors_like(spark, sf_dir):
@@ -866,3 +872,227 @@ def entity_settings_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_products_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _json_roundtrip(_products_doc(spark, sf_dir), _PRODUCTS_DOC_DDL)
     return _products_flat_select(out)
+
+
+# ------------------------------------------------------------------
+# Whole-org payload (N6) nested-shape contract.
+#
+# entities/assemble.py builds the reference's single import document
+# (mmj/etl_import.py:21-58) driver-side for the JSON/Mongo sinks. This
+# plan assembles the SAME shape distributively — each entity list is a
+# sort_array(collect_list(struct)) fold, the org doc is one struct —
+# then runs the pinned-DDL to_json -> from_json roundtrip (the DDL
+# literal below is the contract, NOT derived from the live pipeline)
+# and flat-projects: members re-exploded through the shared
+# _members_flat_cols projection (full per-row value coverage against
+# the entity_members oracle) plus scalar probes into every other
+# branch (counts, first-doc leaves, settings leaves, summary zeros).
+# Any key rename, nesting move, or leaf-type drift anywhere in the
+# payload makes from_json null out that branch and turns the row red.
+#
+# extractedDate is pinned (the reference stamps time.time(),
+# etl_import.py:28 — nondeterministic, so the contract pins an epoch);
+# employees run the real-email path (C7 fake-email is local-by-design,
+# tests/test_entities.py).
+# ------------------------------------------------------------------
+
+_ORG_EXTRACTED_EPOCH = 1438387200
+
+_MEMBERS_DOC_DDL = (
+    "struct<name:string,phone_number:string,email:string,"
+    "dateOfBirth:string,memberType:string,mmjCard:string,"
+    "isCaregiver:boolean,identificationNumber:string,points:double,"
+    "taxExempt:boolean,accountStatus:string,accountStatusNotes:string,"
+    "address:array<struct<line1:string,city:string,state:string,"
+    "zip:string>>,expiryDate:string,identificationType:string,"
+    "createdAt:string,updatedAt:string,"
+    "keys:struct<id:bigint,caregiver_id:bigint,dispensary_id:bigint,"
+    "physician_id:bigint,custom_membership_id:string,"
+    "organization_membership_id:string,picture_file_name:string,"
+    "organization_id:bigint>>")
+
+_EMPLOYEES_DOC_DDL = (
+    "struct<name:string,role:string,createdAt:string,updatedAt:string,"
+    "dateOfBirth:string,accountStatus:string,email:string,"
+    "keys:struct<id:bigint,organization_id:bigint>>")
+
+_VENDORS_DOC_DDL = (
+    "struct<name:string,accountStatus:string,email:string,"
+    "website:string,licenceNumber:string,"
+    "phone:array<struct<name:string,number:string,default:boolean>>,"
+    "address:struct<line1:string,line2:string,city:string,state:string,"
+    "zip:string,country:string>,"
+    "keys:struct<dispensary_id:bigint,id:bigint,mmjvenu_id:string>>")
+
+_PHYSICIANS_DOC_DDL = (
+    "struct<name:string,specialty:string,createdAt:string,"
+    "updatedAt:string,email:string,verificationWebsite:string,"
+    "licenceNumber:string,"
+    "phone:array<struct<name:string,number:string,default:boolean>>,"
+    "address:array<struct<line1:string,city:string,state:string,"
+    "zip:string,country:string>>,"
+    "keys:struct<dispensary_id:bigint,id:bigint>>")
+
+_SUMMARY_ENTITY_DDL = "struct<valid:bigint,invalid:bigint>"
+
+_ORG_PAYLOAD_DDL = (
+    "struct<organizationId:string,source:string,extractedDate:bigint,"
+    "validated:boolean,imported:boolean,"
+    f"settings:{_SETTINGS_DOC_DDL},"
+    f"employees:array<{_EMPLOYEES_DOC_DDL}>,"
+    f"members:array<{_MEMBERS_DOC_DDL}>,"
+    f"products:array<{_PRODUCTS_DOC_DDL}>,"
+    f"vendors:array<{_VENDORS_DOC_DDL}>,"
+    f"physicians:array<{_PHYSICIANS_DOC_DDL}>,"
+    "summary:struct<"
+    f"members:{_SUMMARY_ENTITY_DDL},employees:{_SUMMARY_ENTITY_DDL},"
+    f"products:{_SUMMARY_ENTITY_DDL},vendors:{_SUMMARY_ENTITY_DDL},"
+    f"physicians:{_SUMMARY_ENTITY_DDL}>>")
+
+
+def _org_payload_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (doc) frame holding the whole-org payload struct.
+
+    Each entity output folds to a single row via sort_array(
+    collect_list(struct(_id, doc))) — ids are unique per entity, so the
+    sort is total and the list order matches assemble.py's ORDER BY
+    _id. The five one-row frames combine by crossJoin (1x1 rows — the
+    BroadcastNestedLoopJoins and single-partition folds here are
+    payload-boundary shapes, exempted in the plan lint; at 100 TB the
+    per-entity frames write straight to partitioned sinks instead,
+    entities/assemble.py docstring)."""
+    from g1_etl_spark.entities import (employees as emp, members as mem,
+                                       physicians as phys,
+                                       vendors as vend)
+
+    def fold(df: DataFrame, name: str) -> DataFrame:
+        lst = F.sort_array(F.collect_list(F.struct(
+            F.col("_id").alias("k"), F.col("doc").alias("d"))))
+        return df.agg(F.transform(lst, lambda x: x["d"]).alias(name))
+
+    members = fold(mem.transform(_customers_like(spark, sf_dir), 1, 420),
+                   "members")
+    employees = fold(emp.transform(_users_like(spark, sf_dir),
+                                   _dispensary_users_like(spark, sf_dir),
+                                   1, 420, fake_email=False, debug=False),
+                     "employees")
+    vendors = fold(vend.transform(_vendors_like(spark, sf_dir), 1, 420),
+                   "vendors")
+    physicians = fold(phys.transform(_physicians_like(spark, sf_dir),
+                                     1, 420), "physicians")
+    products = fold(_products_doc(spark, sf_dir), "products")
+    settings = fold(_settings_doc(spark, sf_dir), "settings")
+
+    row = (settings.crossJoin(employees).crossJoin(members)
+           .crossJoin(products).crossJoin(vendors).crossJoin(physicians))
+    zero = F.struct(F.lit(0).cast("long").alias("valid"),
+                    F.lit(0).cast("long").alias("invalid"))
+    return row.select(F.struct(
+        F.lit("420").alias("organizationId"),
+        F.lit("mmjMenu").alias("source"),
+        F.lit(_ORG_EXTRACTED_EPOCH).cast("long").alias("extractedDate"),
+        F.lit(False).alias("validated"),
+        F.lit(False).alias("imported"),
+        F.element_at(F.col("settings"), 1).alias("settings"),
+        F.col("employees").alias("employees"),
+        F.col("members").alias("members"),
+        F.col("products").alias("products"),
+        F.col("vendors").alias("vendors"),
+        F.col("physicians").alias("physicians"),
+        F.struct(*[zero.alias(e) for e in
+                   ("members", "employees", "products", "vendors",
+                    "physicians")]).alias("summary"),
+    ).alias("doc"))
+
+
+# composed from the sibling oracles so the payload contract can never
+# disagree with the per-entity flat twins about what each list holds
+# (str.format substitutes the template's placeholders only; the
+# substituted oracle texts are inserted verbatim)
+_ORG_PAYLOAD_ORACLE = f"""
+    WITH m AS ({{members}}),
+    emp AS ({{employees}}),
+    prod AS ({{products}}),
+    ven AS ({{vendors}}),
+    phys AS ({{physicians}}),
+    sett AS ({{settings}}),
+    probes AS (SELECT
+      '420' AS org_id, 'mmjMenu' AS src,
+      CAST({_ORG_EXTRACTED_EPOCH} AS BIGINT) AS extracted_date,
+      FALSE AS validated, FALSE AS imported,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_members,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM emp) AS n_employees,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM prod) AS n_products,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ven) AS n_vendors,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM phys) AS n_physicians,
+      (SELECT name FROM emp ORDER BY employee_id LIMIT 1)
+        AS first_employee_name,
+      (SELECT name FROM prod ORDER BY product_id LIMIT 1)
+        AS first_product_name,
+      (SELECT name FROM ven ORDER BY vendor_id LIMIT 1)
+        AS first_vendor_name,
+      (SELECT name FROM phys ORDER BY physician_id LIMIT 1)
+        AS first_physician_name,
+      (SELECT organization_id FROM sett) AS settings_org_id,
+      (SELECT api_key_out FROM sett) AS settings_api_key,
+      CAST(0 AS BIGINT) AS summary_members_valid)
+    SELECT m.*, probes.* FROM m CROSS JOIN probes
+"""
+
+
+@register(
+    "entity_org_payload_json",
+    oracle=_ORG_PAYLOAD_ORACLE.format(
+        members=REGISTRY["entity_members"].oracle,
+        employees=REGISTRY["entity_employees"].oracle,
+        products=REGISTRY["entity_products_flat"].oracle,
+        vendors=REGISTRY["entity_vendors"].oracle,
+        physicians=REGISTRY["entity_physicians"].oracle,
+        settings=REGISTRY["entity_settings_flat"].oracle),
+    description="whole-org payload (N6) nested-shape contract: the "
+                "etl_import.py:21-58 document assembled distributively, "
+                "serialized, re-parsed against a PINNED payload DDL, "
+                "then members re-exploded through the shared flat "
+                "projection (full entity_members value coverage) plus "
+                "leaf probes into settings/employees/products/vendors/"
+                "physicians/summary — the last nested shape leaves "
+                "local-only status",
+    tags=("entity", "contract"),
+)
+def entity_org_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rt = _org_payload_doc(spark, sf_dir).select(
+        F.from_json(F.to_json(F.col("doc")), _ORG_PAYLOAD_DDL)
+        .alias("doc"))
+    p = F.col("doc")
+    ex = rt.select(
+        p.alias("p"), F.explode(p["members"]).alias("mdoc"))
+    return ex.select(
+        # keys.id is falsy-pruned (id 0 -> NULL), so the row key comes
+        # from the never-falsy identificationNumber ('DL{id}')
+        F.substring(F.col("mdoc")["identificationNumber"], 3, 32)
+        .cast("long").alias("custkey"),
+        *_members_flat_cols(F.col("mdoc")),
+        F.col("p")["organizationId"].alias("org_id"),
+        F.col("p")["source"].alias("src"),
+        F.col("p")["extractedDate"].alias("extracted_date"),
+        F.col("p")["validated"].alias("validated"),
+        F.col("p")["imported"].alias("imported"),
+        F.size(F.col("p")["members"]).cast("long").alias("n_members"),
+        F.size(F.col("p")["employees"]).cast("long").alias("n_employees"),
+        F.size(F.col("p")["products"]).cast("long").alias("n_products"),
+        F.size(F.col("p")["vendors"]).cast("long").alias("n_vendors"),
+        F.size(F.col("p")["physicians"]).cast("long")
+        .alias("n_physicians"),
+        F.element_at(F.col("p")["employees"], 1)["name"]
+        .alias("first_employee_name"),
+        F.element_at(F.col("p")["products"], 1)["name"]
+        .alias("first_product_name"),
+        F.element_at(F.col("p")["vendors"], 1)["name"]
+        .alias("first_vendor_name"),
+        F.element_at(F.col("p")["physicians"], 1)["name"]
+        .alias("first_physician_name"),
+        F.col("p")["settings"]["organizationId"].alias("settings_org_id"),
+        F.col("p")["settings"]["apiKey"].alias("settings_api_key"),
+        F.col("p")["summary"]["members"]["valid"]
+        .alias("summary_members_valid"),
+    )

@@ -164,6 +164,9 @@ _BNLJ_OK = {
     "pipeline_hybrid_search",
     # k-row centroid frame cross-joined into the scoring pass (k=4)
     "sim_kmeans_exact",
+    # whole-org payload: six ONE-ROW entity folds crossJoined at the
+    # payload boundary (entity_plans._org_payload_doc docstring)
+    "entity_org_payload_json",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -183,6 +186,9 @@ _SINGLE_PART_OK = {
     "dq_distribution_drift",
     # bm25 corpus-stats scalar inside the candidate stage
     "pipeline_hybrid_search",
+    # whole-org payload: collect_list folds to one doc row per entity
+    # (partial lists per partition, merged once — payload boundary)
+    "entity_org_payload_json",
 }
 
 
