@@ -10,10 +10,12 @@ end-to-end. PNG (bit depth 8; gray/RGB/RGBA; all five scanline filters)
 decodes with stdlib zlib + numpy — a genuinely compressed format with
 no codec dependency. Audio DECODE is real for 16-bit PCM RIFF/WAVE
 (chunk-walking parser, stereo downmix), feeding signal features (RMS /
-zero-crossing / spectral centroid+rolloff via rfft). Formats that need
-a real codec library (JPEG/MP3 — absent in this container) raise
-NotImplementedError; the byte-histogram path stands in for
-non-decodable content.
+zero-crossing / spectral centroid+rolloff via rfft). Baseline
+sequential JPEG decodes natively too (operators/jpeg.py — huffman
+entropy decode, dequant+IDCT, chroma subsampling, restart markers).
+Formats that still need a real codec library (progressive JPEG, MP3 —
+absent in this container) raise NotImplementedError; the
+byte-histogram path stands in for non-decodable content.
 
 Scale notes: media blobs ride the same partitioning as any fact table;
 mapInPandas streams Arrow batches so a 100 MB image row never requires
@@ -341,11 +343,13 @@ def decode_png(content: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode image bytes to an (h, w, 3) uint8 array.
 
-    PPM (P6), uncompressed 24-bit BMP and bit-depth-8 PNG decode with
-    pure numpy (+stdlib zlib for PNG) — real end-to-end decode paths
-    with zero codec dependencies. Other formats (JPEG/...) fall through
-    to PIL when importable; otherwise NotImplementedError (this
-    container ships no codec library).
+    PPM (P6), uncompressed 24-bit BMP, bit-depth-8 PNG and baseline
+    sequential JPEG (operators/jpeg.py — gray/4:4:4/4:2:2/4:2:0,
+    restart intervals) decode with pure numpy + stdlib — real
+    end-to-end decode paths with zero codec dependencies. Anything
+    else (progressive JPEG, WebP, ...) falls through to PIL when
+    importable; otherwise NotImplementedError (this container ships
+    no codec library).
     """
     if content[:2] == b"P6":
         return decode_ppm(content)
@@ -353,6 +357,19 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_bmp(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from g1_etl_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(content, max_pixels=_PNG_MAX_PIXELS)
+        except ValueError as native_err:
+            try:  # progressive/exotic streams: PIL when present
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise native_err  # ValueError: byte-path fallback
+            return np.asarray(Image.open(io.BytesIO(content)))
     try:  # pragma: no cover - env-dependent
         import io
 
@@ -360,8 +377,9 @@ def decode_image(content: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(content)))
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed-format decoding requires a PIL-compatible codec, "
-            "not present in this environment; PPM/BMP decode natively"
+            "unrecognized image container requires a PIL-compatible "
+            "codec, not present in this environment; PPM/BMP/PNG/"
+            "baseline-JPEG decode natively"
         ) from exc
 
 
@@ -477,7 +495,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature row
     per media item out.
 
-    Image rows whose bytes decode natively (PPM/BMP) get PIXEL features
+    Image rows whose bytes decode natively (PPM/BMP/PNG/baseline JPEG)
+    get PIXEL features
     (decode -> per-channel moments + luminance histogram); audio rows
     that parse as 16-bit PCM WAV get SIGNAL features (RMS / zero-
     crossing / spectral centroid+rolloff via rfft); everything else gets
