@@ -188,8 +188,20 @@ def main() -> None:
         "stat": "median_of_3",
         "queries_min": per_query_min,
         "queries_max": per_query_max,
+        # min-of-3 twins of every pinned-subset total, so each one can
+        # be compared like-for-like against the min-based r1-r5 files
         "r1_common_total_sec_min": round(
             sum(per_query_min[n] for n in R1_SET), 3),
+        "r1r2_common_total_sec_min": round(
+            sum(per_query_min[n] for n in R1_SET + R2_ADD), 3),
+        "r1r2r3_common_total_sec_min": round(
+            sum(per_query_min[n] for n in R1_SET + R2_ADD + R3_ADD), 3),
+        "r1_common_stable_total_sec_min": round(
+            sum(per_query_min[n] for n in R1_SET
+                if n not in SEMANTICS_CHANGED), 3),
+        "r1r2_common_stable_total_sec_min": round(
+            sum(per_query_min[n] for n in R1_SET + R2_ADD
+                if n not in SEMANTICS_CHANGED), 3),
         "sf": float(sf),
         # pinned-subset totals for round-over-round comparison
         "r1_common_total_sec": round(

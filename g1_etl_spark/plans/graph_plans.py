@@ -164,6 +164,16 @@ _TRIANGLE_SQL = f"""
 """
 
 
+def _sparsified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-partners-by-revenue sparsification of the trade graph —
+    SHARED by the id-ordered and degree-ordered triangle twins, which
+    hash against the same oracle and so must see the same edges."""
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w = W.partitionBy("src").orderBy(F.desc("weight"), "dst")
+    return (edges.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3).select("src", "dst"))
+
+
 @register(
     "graph_triangle_trade",
     oracle=_TRIANGLE_SQL,
@@ -176,11 +186,7 @@ _TRIANGLE_SQL = f"""
     tags=("graph",),
 )
 def graph_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    w = W.partitionBy("src").orderBy(F.desc("weight"), "dst")
-    top3 = (edges.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 3).select("src", "dst"))
-    return (triangle_count(top3)
+    return (triangle_count(_sparsified_top3(spark, sf_dir))
             .select(F.col("id").alias("nation"), "n_triangles")
             .orderBy("nation"))
 
@@ -199,10 +205,6 @@ def graph_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "scale"),
 )
 def graph_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    w = W.partitionBy("src").orderBy(F.desc("weight"), "dst")
-    top3 = (edges.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 3).select("src", "dst"))
-    return (triangle_count_degree(top3)
+    return (triangle_count_degree(_sparsified_top3(spark, sf_dir))
             .select(F.col("id").alias("nation"), "n_triangles")
             .orderBy("nation"))
