@@ -1060,39 +1060,44 @@ _ORG_PAYLOAD_ORACLE = f"""
     tags=("entity", "contract"),
 )
 def entity_org_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rt = _org_payload_doc(spark, sf_dir).select(
-        F.from_json(F.to_json(F.col("doc")), _ORG_PAYLOAD_DDL)
-        .alias("doc"))
+    # checkpoint the ONE-ROW roundtripped payload before branching: the
+    # probes branch and the members-explode branch would otherwise each
+    # re-run the whole six-pipeline assembly (no CSE across branches),
+    # and carrying the full payload struct down the exploded rows for
+    # the probe columns would materialize the whole document once PER
+    # MEMBER (measured 32 s -> ~2 s at sf0.1)
+    rt = (_org_payload_doc(spark, sf_dir)
+          .select(F.from_json(F.to_json(F.col("doc")), _ORG_PAYLOAD_DDL)
+                  .alias("doc"))
+          .localCheckpoint(eager=True))
     p = F.col("doc")
-    ex = rt.select(
-        p.alias("p"), F.explode(p["members"]).alias("mdoc"))
-    return ex.select(
+    probes = rt.select(
+        p["organizationId"].alias("org_id"),
+        p["source"].alias("src"),
+        p["extractedDate"].alias("extracted_date"),
+        p["validated"].alias("validated"),
+        p["imported"].alias("imported"),
+        F.size(p["members"]).cast("long").alias("n_members"),
+        F.size(p["employees"]).cast("long").alias("n_employees"),
+        F.size(p["products"]).cast("long").alias("n_products"),
+        F.size(p["vendors"]).cast("long").alias("n_vendors"),
+        F.size(p["physicians"]).cast("long").alias("n_physicians"),
+        F.element_at(p["employees"], 1)["name"]
+        .alias("first_employee_name"),
+        F.element_at(p["products"], 1)["name"]
+        .alias("first_product_name"),
+        F.element_at(p["vendors"], 1)["name"]
+        .alias("first_vendor_name"),
+        F.element_at(p["physicians"], 1)["name"]
+        .alias("first_physician_name"),
+        p["settings"]["organizationId"].alias("settings_org_id"),
+        p["settings"]["apiKey"].alias("settings_api_key"),
+        p["summary"]["members"]["valid"].alias("summary_members_valid"),
+    )
+    members = rt.select(F.explode(p["members"]).alias("mdoc")).select(
         # keys.id is falsy-pruned (id 0 -> NULL), so the row key comes
         # from the never-falsy identificationNumber ('DL{id}')
         F.substring(F.col("mdoc")["identificationNumber"], 3, 32)
         .cast("long").alias("custkey"),
-        *_members_flat_cols(F.col("mdoc")),
-        F.col("p")["organizationId"].alias("org_id"),
-        F.col("p")["source"].alias("src"),
-        F.col("p")["extractedDate"].alias("extracted_date"),
-        F.col("p")["validated"].alias("validated"),
-        F.col("p")["imported"].alias("imported"),
-        F.size(F.col("p")["members"]).cast("long").alias("n_members"),
-        F.size(F.col("p")["employees"]).cast("long").alias("n_employees"),
-        F.size(F.col("p")["products"]).cast("long").alias("n_products"),
-        F.size(F.col("p")["vendors"]).cast("long").alias("n_vendors"),
-        F.size(F.col("p")["physicians"]).cast("long")
-        .alias("n_physicians"),
-        F.element_at(F.col("p")["employees"], 1)["name"]
-        .alias("first_employee_name"),
-        F.element_at(F.col("p")["products"], 1)["name"]
-        .alias("first_product_name"),
-        F.element_at(F.col("p")["vendors"], 1)["name"]
-        .alias("first_vendor_name"),
-        F.element_at(F.col("p")["physicians"], 1)["name"]
-        .alias("first_physician_name"),
-        F.col("p")["settings"]["organizationId"].alias("settings_org_id"),
-        F.col("p")["settings"]["apiKey"].alias("settings_api_key"),
-        F.col("p")["summary"]["members"]["valid"]
-        .alias("summary_members_valid"),
-    )
+        *_members_flat_cols(F.col("mdoc")))
+    return members.crossJoin(F.broadcast(probes))
