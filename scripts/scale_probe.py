@@ -125,6 +125,24 @@ All three stay WELL under the 100x data growth (the named linear
 causes — distinct grams, gram audit, edge census over lineitem —
 scale with the data term, and the fixed per-query overhead amortizes),
 confirming the linear causes hold at the next decade.
+
+r6 runs (2026-08-14): the 10x sweep (PROBE_r06.json, 54 queries, with
+the bucketed layout writes warmed out via _LAYOUT_QUERIES) has every
+ratio under the 10x data growth; worst are q21_blame_bucketed 8.6
+(consumption now linear in data — the layout write no longer masks
+it), entity_org_payload_json 6.9 (single-doc JSON serialization,
+linear in doc bytes; rows also 10x) and graph_triangle_degree 5.9
+(degree census over 10x lineitem — same edge-census cause as
+triangle_trade in r4). The 100x run on the r5-named sextet
+(PROBE_r06_100x.json): q21_blame_bucketed 12.7x, basket_pairs_bucketed
+28.3x (vs the shuffle form's 59.4x at the same scale — the bucketed
+layout is 5.5x faster at 100x; a first 152x reading right after the
+warm layout write was unreproducible GC noise, see the artifact's
+notes), corpus_decontaminate 35.2x (output 100x),
+sim_hard_negatives 38.9x, sim_ivf_topk 39.0x, dedup_minhash_lsh 72.8x
+(candidate-pair output grows exactly 100x: 256 -> 25599). All
+sub-linear vs 100x data with named linear causes; no super-linear
+finding survived a clean re-measurement.
 """
 
 from __future__ import annotations
