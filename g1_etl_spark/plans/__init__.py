@@ -38,9 +38,10 @@ from g1_etl_spark.plans import bucketed_plans  # noqa: E402,F401
 # first 50 registered queries per round (observed r1-r5). Cumulative
 # state entering r6: all 189 previously registered queries driver-
 # checked at least once (191 now, with this round's two additions),
-# every oracle-backed query banked green. This window executes the rotation round 5 planned: the
-# r2 cohort is the stalest banked evidence (green since r2, untouched),
-# plus the 12 r1 rows deferred last round, plus day-one slots for the
+# every oracle-backed query banked green. This window executes the
+# rotation round 5 planned: the r2 cohort is the stalest banked
+# evidence (green since r2, untouched), plus the 12 r1 rows deferred
+# last round, plus day-one slots for the
 # two queries ADDED this round and re-confirms for the two bucketed
 # twins whose internals changed (pre-written layout consumption, orders
 # bucketed instead of broadcast). Everything outside the window keeps

@@ -1040,6 +1040,16 @@ _ORG_PAYLOAD_ORACLE = f"""
 """
 
 
+def _org_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint roundtrip plan — kept separate so the plan-lint
+    can explain the full six-pipeline assembly (the registered query
+    checkpoints it, which truncates the visible plan at an RDD scan;
+    tests/test_plan_quality.py lints THIS frame for the upstream)."""
+    return _org_payload_doc(spark, sf_dir).select(
+        F.from_json(F.to_json(F.col("doc")), _ORG_PAYLOAD_DDL)
+        .alias("doc"))
+
+
 @register(
     "entity_org_payload_json",
     oracle=_ORG_PAYLOAD_ORACLE.format(
@@ -1065,11 +1075,8 @@ def entity_org_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the whole six-pipeline assembly (no CSE across branches),
     # and carrying the full payload struct down the exploded rows for
     # the probe columns would materialize the whole document once PER
-    # MEMBER (measured 32 s -> ~2 s at sf0.1)
-    rt = (_org_payload_doc(spark, sf_dir)
-          .select(F.from_json(F.to_json(F.col("doc")), _ORG_PAYLOAD_DDL)
-                  .alias("doc"))
-          .localCheckpoint(eager=True))
+    # MEMBER (measured 32 s -> ~6 s at sf0.1)
+    rt = _org_payload_roundtrip(spark, sf_dir).localCheckpoint(eager=True)
     p = F.col("doc")
     probes = rt.select(
         p["organizationId"].alias("org_id"),

@@ -44,6 +44,16 @@ def register(name: str, oracle: Optional[str] = None, description: str = "",
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if fn.__name__ != name:
+            # catches the silent-misregistration trap: inserting a
+            # helper def between @register(...) and the intended query
+            # fn registers the HELPER under the query's name (bit twice
+            # in round 6 — triangle sparsification, payload roundtrip).
+            # Fleet convention is fn name == registered name; rename
+            # the fn if an alias is genuinely wanted.
+            raise ValueError(
+                f"@register({name!r}) decorates {fn.__name__!r} — "
+                "helper inserted between decorator and query fn?")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
                                    description=description, tags=tags)
         return fn

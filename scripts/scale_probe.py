@@ -131,16 +131,21 @@ the bucketed layout writes warmed out via _LAYOUT_QUERIES) has every
 ratio under the 10x data growth; worst are q21_blame_bucketed 8.6
 (consumption now linear in data — the layout write no longer masks
 it), entity_org_payload_json 6.9 (single-doc JSON serialization,
-linear in doc bytes; rows also 10x) and graph_triangle_degree 5.9
-(degree census over 10x lineitem — same edge-census cause as
-triangle_trade in r4). The 100x run on the r5-named sextet
+linear in doc bytes; rows also 10x), join_salted_skew 6.8 (the salt
+fans lineitem rows across 8 subkeys and replicates orders 8x before
+the shuffle — a constant-factor blowup that is linear in data by
+construction) and graph_triangle_degree 5.9 (degree census over 10x
+lineitem — same edge-census cause as triangle_trade in r4). The 100x run on the r5-named sextet
 (PROBE_r06_100x.json): q21_blame_bucketed 12.7x, basket_pairs_bucketed
 28.3x (vs the shuffle form's 59.4x at the same scale — the bucketed
 layout is 5.5x faster at 100x; a first 152x reading right after the
 warm layout write was unreproducible GC noise, see the artifact's
 notes), corpus_decontaminate 35.2x (output 100x),
 sim_hard_negatives 38.9x, sim_ivf_topk 39.0x, dedup_minhash_lsh 72.8x
-(candidate-pair output grows exactly 100x: 256 -> 25599). All
+(candidate-pair output grows ~100x: 256 -> 25599, one short of exact —
+the copy prefixes perturb every shingle hash, so LSH band collisions
+are re-rolled per copy and one copy loses one borderline candidate;
+expected for a probabilistic banding, not a probe-isolation leak). All
 sub-linear vs 100x data with named linear causes; no super-linear
 finding survived a clean re-measurement.
 """

@@ -235,3 +235,22 @@ def test_plan_lint_every_registered_query(spark):
                 bad.append((name, f"driver-unhashable column {f.name}: "
                                   f"{f.dataType.simpleString()}"))
     assert not bad, f"plan lint violations: {bad}"
+
+
+def test_org_payload_assembly_plan_pre_checkpoint(spark):
+    """entity_org_payload_json checkpoints its one-row roundtrip, which
+    truncates the plan the fleet lint sees at an RDD scan — so the
+    six-pipeline assembly upstream is linted HERE, pre-checkpoint: no
+    cartesian products, no Python row-UDFs (the BroadcastNestedLoopJoin
+    folds of six ONE-ROW frames are the exempted payload-boundary
+    shape)."""
+    from g1_etl_spark.plans.entity_plans import _org_payload_roundtrip
+
+    df = _org_payload_roundtrip(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the assembly itself must be visible (not an RDD scan stub)
+    assert "Scan parquet" in plan
