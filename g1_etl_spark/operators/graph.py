@@ -27,7 +27,8 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
              damping: float = 0.85, id_col: str = "id",
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str = "weight",
-             normalized: bool = False) -> DataFrame:
+             normalized: bool = False,
+             ckpt_every: int = 5) -> DataFrame:
     """Weighted PageRank, `iters` fixed iterations, damping d:
 
         rank_0(v)   = 1/N
@@ -40,10 +41,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
     and checkpointed; each iteration is one rank⋈edges join (shuffle on
     the src key — at real graph scale pre-partition both sides on the
     key and the join is exchange-free every iteration) plus one
-    dst-keyed aggregate with map-side partial sums. The per-iteration
-    localCheckpoint keeps plan depth O(1) instead of O(iters). N is a
-    driver scalar (graph METADATA, like kmeans centroid counts — not a
-    data collect).
+    dst-keyed aggregate with map-side partial sums. A localCheckpoint
+    every `ckpt_every` iterations keeps plan depth O(ckpt_every)
+    instead of O(iters). N is a driver scalar (graph METADATA, like
+    kmeans centroid counts — not a data collect).
     """
     if normalized:
         # caller guarantees weights already sum to 1 per src (lets an
@@ -62,7 +63,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
     n = nodes.count()
     ranks = nodes.select(F.col(id_col).alias("_id"),
                          F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (ranks.join(e, ranks._id == e._src)
                     .select(F.col("_dst").alias("_id"),
                             F.round(F.col("rank") * F.col("_frac")
@@ -75,12 +76,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
                  .select("_id",
                          ((1.0 - damping) / n
                           + damping * F.coalesce(F.col("_s"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
-    # per-ITERATION checkpoint, empirically: letting the plan nest 10
-    # iterations deep measured ~1.5x SLOWER end-to-end at sf0.1 (5.8 s
-    # vs 3.9 s) — re-analysis of the deepening join tree costs more
-    # than the materialization barriers save
+                         .alias("rank")))
+        if ckpt_every > 0 and (i + 1) % ckpt_every == 0 and i != iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    # checkpoint CADENCE, empirically (sf0.1, 10 iters, median of 3):
+    # every-1 = 4.4 s (a materialization-barrier job per iteration),
+    # every-5 = 3.1 s, never = 3.3 s but with the widest variance and
+    # an O(iters)-deep plan whose re-analysis cost grows with the
+    # iteration count — every-5 keeps depth bounded AND drops 4/5 of
+    # the barrier jobs. Values are checkpoint-invariant, so the
+    # unrolled-CTE oracle is unaffected by the cadence.
     return ranks.select(F.col("_id").alias(id_col), "rank")
 
 

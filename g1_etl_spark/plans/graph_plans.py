@@ -105,7 +105,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="weighted PageRank (10 iterations, d=0.85) on the "
                 "nation trade graph (cust_nation -> supp_nation, "
                 "edges weighted by exact trade revenue) — iterative "
-                "DataFrame loop with per-iteration lineage truncation, "
+                "DataFrame loop with bounded-depth lineage truncation, "
                 "oracle = the same iterations unrolled as chained CTEs; "
                 "scaled-long sums make the fixed point engine-exact",
     tags=("graph", "iterative"),
