@@ -51,6 +51,26 @@ def test_pagerank_star_graph_concentrates_rank(spark):
     assert abs(out[0] - (floor + 0.85 * (n - 1) * floor)) < 1e-9
 
 
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    """localCheckpoint cadence is a physical-plan choice only: every-1,
+    every-5 (default), and never must produce bit-identical ranks (the
+    scaled-long folds are order-free, so no float-reassociation excuse
+    exists either)."""
+    from g1_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i + k) % 6, float(1 + (i * k) % 3))
+         for i in range(6) for k in (1, 2)],
+        "src long, dst long, weight double")
+    outs = []
+    for k in (1, 5, 0):  # 0 = never checkpoint
+        outs.append({r["id"]: r["rank"]
+                     for r in pagerank(nodes, edges, iters=7,
+                                       ckpt_every=k).collect()})
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_triangle_count_k4(spark):
     from g1_etl_spark.operators.graph import triangle_count
 
