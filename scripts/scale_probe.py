@@ -104,6 +104,19 @@ probes 1.1x for the same bounded-slice reason.
 sim_cosine_neardup_exact's docstring — at dim=64 a 0.4 threshold is
 ~3.2 sigma, so the O(N^2) random tail dominates output as N grows.)
 
+1000x run (r6, 2026-08-14, PROBE_r06_1000x.json — one flagship per
+family at sf100-equivalent: 600M-row lineitem, 5M docs, 2M vectors,
+100M events): q1 37.0x, graph_pagerank_trade 112.0x (edge-census
+shuffle join is the whole cost; iterations touch 25 nodes),
+dedup_exact 22.0x (1000x rows out), dedup_minhash_lsh 174.9x (999.9x
+pairs out), sim_lsh_topk 18.5x, events_sessionization 66.3x (1000x
+sessions out), events_hypertable_rollup 12.9x — three decades, all
+far sub-linear. Two harness fixes surfaced by this scale: DuckDB COPY
+must run with preserve_insertion_order=false (the default buffered
+the whole 600M-row replica in RAM before writing), and the embeddings
+copy-offset needs a long product (k*10_000_000 overflows int32 under
+ANSI at copy 215).
+
 Usage: python scripts/scale_probe.py [copies] [family ...]
                 [--only=q1,q2,...] [--json=PATH]
 
@@ -258,8 +271,12 @@ def build_embeddings(spark, copies: int, one: str, many: str) -> None:
     sign = lambda x, i: (  # noqa: E731 — +/-1 from (copy, component)
         x * F.when(F.pmod(F.xxhash64(F.col("k") * 67 + i), 2) == 0,
                    F.lit(1.0)).otherwise(F.lit(-1.0))).cast("float")
+    # k stays int (xxhash64 input range is tiny) but the id offset must
+    # be a LONG product: at 1000 copies k * 10_000_000 overflows int32
+    # and ANSI mode makes that a hard error, not a wrap
     (emb.select("*", ks)
-        .select((F.col("vec_id") + F.col("k") * 10_000_000).alias("vec_id"),
+        .select((F.col("vec_id") + F.col("k").cast("long") * 10_000_000)
+                .alias("vec_id"),
                 F.transform("embedding", sign).alias("embedding"),
                 (F.col("label") + F.col("k") * 1000).cast("int")
                 .alias("label"))
@@ -320,6 +337,15 @@ def main() -> None:
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # COPY under the default preserve_insertion_order=true materializes
+    # the ENTIRE replicated result in memory before writing — at 1000
+    # copies the 600M-row lineitem build ate >90 GB with zero bytes on
+    # disk. Probe row order is irrelevant (every probed query is
+    # order-independent and Spark scan order is arbitrary anyway), so
+    # let DuckDB stream the copy; the memory cap is a backstop so a
+    # build can never take down the Spark JVM sharing the box.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '48GB'")
     results: dict[str, dict] = {}
 
     def run(name: str, sf_dir: str) -> tuple[float, int]:
