@@ -108,6 +108,11 @@ HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 # apples-to-oranges; see the r1 caveat above).
 SEMANTICS_CHANGED = {"sim_lsh_topk"}
 
+# Queries whose first run at a given sf_dir pays a one-time bucketed
+# LAYOUT write (sources/maintenance.ensure_bucketed_table); bench warms
+# it untimed so all three timed runs measure consumption.
+LAYOUT_QUERIES = {"q21_blame_bucketed", "basket_pairs_bucketed"}
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -161,10 +166,14 @@ def main() -> None:
         # MEDIAN is the headline number (r5 verdict: min hid noise-
         # driven "regressions" judges then chased); min/max are kept so
         # both the steady-state floor and the noise band stay visible.
-        # For the bucketed twins the first sf0.1 run also pays the one-
-        # time layout write (idempotent ensure_bucketed_table), which
-        # the median correctly excludes — the line measures
-        # exchange-free consumption, the thing the twin exists to prove.
+        if name in LAYOUT_QUERIES:
+            # pay the one-time bucketed layout write (idempotent
+            # ensure_bucketed_table) OUTSIDE the timed runs — otherwise
+            # queries_max records the write, not the noise band, and
+            # the line stops measuring exchange-free consumption (the
+            # thing the twin exists to prove)
+            _force(fn(spark, SF_DIR))
+            _drop_cached(spark)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -301,8 +301,12 @@ class _BitReader:
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) \
-                    else 0
+                if self.pos >= len(self.data):
+                    # a lone 0xFF at end-of-data has no stuffing byte;
+                    # defaulting one in would fabricate entropy data and
+                    # let a truncated stream "decode" to a corrupt image
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
                 else:
@@ -351,6 +355,22 @@ def _huff_read(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid JPEG huffman code")
 
 
+def _upsample_nn(pl: np.ndarray, hi: int, vi: int, hmax: int, vmax: int,
+                 h: int, w: int) -> np.ndarray:
+    """Upsample one component plane to full (h, w) resolution by
+    nearest neighbor via an index map: full-res row y reads component
+    row floor(y*vi/vmax). An integer repeat factor (vmax//vi) only
+    works for divisor ratios — for legal non-divisor ones (e.g. luma
+    hi=3 x chroma hi=2) it truncates to 1 and silently misaligns
+    chroma, so the map is used whenever sampling differs."""
+    if vi == vmax and hi == hmax:
+        return pl[:h, :w]
+    ph, pw = pl.shape
+    yi = np.minimum(np.arange(h) * vi // vmax, ph - 1)
+    xi = np.minimum(np.arange(w) * hi // hmax, pw - 1)
+    return pl[yi][:, xi]
+
+
 def decode_jpeg(content: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
     """Decode baseline sequential JFIF bytes -> (h, w, 3) uint8.
 
@@ -361,6 +381,16 @@ def decode_jpeg(content: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
     — callers treat that as "fall back to the byte path", same as
     decode_png.
     """
+    try:
+        return _decode_jpeg_impl(content, max_pixels)
+    except (struct.error, IndexError) as exc:
+        # truncated segment bodies surface from unpack_from / byte
+        # indexing as struct.error/IndexError; the documented contract
+        # is ValueError so callers can degrade to the byte path
+        raise ValueError(f"truncated JPEG segment: {exc}") from exc
+
+
+def _decode_jpeg_impl(content: bytes, max_pixels: int) -> np.ndarray:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -375,6 +405,12 @@ def decode_jpeg(content: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
             pos += 1
             continue
         marker = content[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+            # marker; consume one and re-examine, else the fill byte
+            # would be parsed as a marker with a bogus segment length
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -504,12 +540,8 @@ def decode_jpeg(content: bytes, max_pixels: int = 1 << 20) -> np.ndarray:
                         px = (mx * c["hi"] + hh) * 8
                         planes[ci][py:py + 8, px:px + 8] = blk
             mcu_count += 1
-    out_planes = []
-    for c, pl in zip(comps, planes):
-        ry, rx = vmax // c["vi"], hmax // c["hi"]
-        if ry > 1 or rx > 1:
-            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
-        out_planes.append(pl[:h, :w])
+    out_planes = [_upsample_nn(pl, c["hi"], c["vi"], hmax, vmax, h, w)
+                  for c, pl in zip(comps, planes)]
     if len(comps) == 1:
         y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

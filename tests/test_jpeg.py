@@ -127,3 +127,54 @@ def test_malformed_header_cross_refs_raise_value_error():
     bad[sof + 11] = 0x01  # component 1 samp byte -> hi=0, vi=1
     with pytest.raises(ValueError, match="sampling"):
         J.decode_jpeg(bytes(bad))
+
+
+def test_fill_bytes_before_marker_are_consumed():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; the parser must consume them instead of reading a bogus
+    segment length from the real marker byte."""
+    img = _gradient(16, 16)
+    blob = J.encode_jpeg(img, quality=95)
+    ref = J.decode_jpeg(blob)
+    padded = blob[:2] + b"\xff\xff" + blob[2:]  # fill before first seg
+    assert np.array_equal(J.decode_jpeg(padded), ref)
+
+
+def test_entropy_stream_ending_in_ff_raises_value_error():
+    """A lone 0xFF at end-of-data has no stuffing byte; fabricating a
+    0x00 would let a truncated stream decode to a corrupt image."""
+    br = J._BitReader(b"\x12\xff")
+    assert br.bits(8) == 0x12
+    with pytest.raises(ValueError, match="truncated"):
+        br.bits(8)
+
+
+def test_truncated_segment_bodies_raise_value_error_not_struct_error():
+    """SOF0/DRI/SOS bodies shorter than their declared reads must
+    surface as the contract's ValueError, not struct.error/IndexError
+    (which would crash a mapInPandas task instead of degrading)."""
+    # SOI + SOF0 whose declared length leaves a 1-byte body
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xc0\x00\x04\x08")
+    # SOI + DRI with an empty body
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xdd\x00\x02")
+
+
+def test_upsample_nn_handles_non_divisor_sampling_ratio():
+    """hmax=3 / hi=2 has integer repeat factor 3//2=1 (no upsampling at
+    all); the index map must still align: full-res column x reads
+    component column floor(x*2/3)."""
+    h = w = 6
+    pl = np.arange(4 * 4, dtype=float).reshape(4, 4)
+    out = J._upsample_nn(pl, 2, 2, 3, 3, h, w)
+    assert out.shape == (h, w)
+    for y in range(h):
+        for x in range(w):
+            assert out[y, x] == pl[min(y * 2 // 3, 3), min(x * 2 // 3, 3)]
+    # divisor ratio keeps the exact repeat semantics
+    out2 = J._upsample_nn(pl, 1, 1, 2, 2, 8, 8)
+    assert np.array_equal(out2, np.repeat(np.repeat(pl, 2, 0), 2, 1))
+    # equal sampling is a pure crop
+    assert np.array_equal(J._upsample_nn(pl, 3, 3, 3, 3, 3, 2),
+                          pl[:3, :2])
