@@ -100,6 +100,8 @@ R6_ADD = [
     "graph_triangle_degree",
     # whole-org payload assembly + pinned-DDL roundtrip contract
     "entity_org_payload_json",
+    # bucketed-census PageRank vs the shuffle-form edge build
+    "graph_pagerank_bucketed",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 
@@ -111,7 +113,8 @@ SEMANTICS_CHANGED = {"sim_lsh_topk"}
 # Queries whose first run at a given sf_dir pays a one-time bucketed
 # LAYOUT write (sources/maintenance.ensure_bucketed_table); bench warms
 # it untimed so all three timed runs measure consumption.
-LAYOUT_QUERIES = {"q21_blame_bucketed", "basket_pairs_bucketed"}
+LAYOUT_QUERIES = {"q21_blame_bucketed", "basket_pairs_bucketed",
+                  "graph_pagerank_bucketed"}
 
 
 def _force(df) -> None:

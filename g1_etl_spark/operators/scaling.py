@@ -28,7 +28,17 @@ def write_bucketed(df: DataFrame, table: str, key: str,
                    buckets: int = 32, sort: bool = True) -> None:
     """Persist `df` bucketed (and bucket-sorted) by `key`: the one-time
     shuffle that makes every later equi-join/agg on `key` exchange-free.
-    Bucket count is a layout contract — both join sides must match."""
+    Bucket count is a layout contract — both join sides must match.
+
+    The pre-write ``repartition(buckets, key)`` uses the same murmur3
+    ``pmod`` hash as bucketing, so each write task holds exactly one
+    bucket and every bucket lands in ONE file — the condition under
+    which Spark reports the scan as sorted (with
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering``, set in
+    session.py) and elides the Sort under a co-located SMJ too.
+    Bucket count therefore also bounds per-file size: size ``buckets``
+    so a bucket's rows fit one task comfortably (32 here; thousands on
+    a real 100 TB fact)."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a crashed previous write can leave the managed location behind,
@@ -40,7 +50,8 @@ def write_bucketed(df: DataFrame, table: str, key: str,
         shutil.rmtree(f"{loc}/{table.lower()}", ignore_errors=True)
     except Exception:
         pass
-    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    writer = (df.repartition(buckets, F.col(key))
+              .write.mode("overwrite").bucketBy(buckets, key))
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)

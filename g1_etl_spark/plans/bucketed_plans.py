@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
 from g1_etl_spark.plans._util import dsum, sql_dsum
+from g1_etl_spark.plans.graph_plans import _D, _ITERS, _PAGERANK_SQL
 from g1_etl_spark.plans.registry import register
 from g1_etl_spark.sources.maintenance import ensure_bucketed_table
 
@@ -143,6 +144,94 @@ def basket_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("support"))
             .orderBy(F.desc("support"), "p1", "p2")
             .limit(50))
+
+
+def _pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge census of the nation trade graph on BUCKETED lineitem and
+    orders layouts — the registered answer to the 1000x probe's named
+    cause for graph_pagerank_trade (PROBE_r06_1000x.json: 112x of the
+    304 s is the lineitem JOIN orders shuffle; the 10 rank iterations
+    touch only the 25-node graph).
+
+    One at-scale move vs graph_plans._trade_edges: the fact-fact
+    orderkey join reads co-located, bucket-SORTED layouts — no
+    exchange AND no sort on either side (write_bucketed's
+    one-file-per-bucket layout + the bucketed-scan ordering conf in
+    session.py). Everything downstream is kept IDENTICAL to the
+    shuffle form: nation maps broadcast onto customer/supplier, plain
+    keyed joins (customer/supplier are facts at target scale, never
+    broadcast), and one (src, dst) fold whose map-side partials
+    reduce to at most 25x25 rows per task.
+
+    Measured dead end, kept as a warning: a first cut pre-aggregated
+    revenue by (custkey, suppkey) before the nation maps "to shrink
+    the join inputs" — but in TPC-H shape that key is nearly unique
+    per lineitem row (~1.1 rows/pair), so the "shrink" was a full
+    extra 60M-row exchange for nothing and the twin LOST to the
+    shuffle form at 100x (14.1 s vs 11.1 s). Pre-aggregation below a
+    join only pays when the group key is genuinely coarser than the
+    row grain. Kept as a separate frame so the plan lint and the
+    exchange asserts see the census, not the post-checkpoint
+    iteration tail."""
+    li = ensure_bucketed_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        "l_orderkey", buckets=_BUCKETS)
+    o = ensure_bucketed_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey"],
+        "o_orderkey", buckets=_BUCKETS)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(F.col("n_nationkey").alias("_ck"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("_sk"),
+                  F.col("n_name").alias("dst"))
+    cust_n = (c.join(F.broadcast(cn), c.c_nationkey == F.col("_ck"))
+              .select("c_custkey", "src"))
+    supp_n = (s.join(F.broadcast(sn), s.s_nationkey == F.col("_sk"))
+              .select("s_suppkey", "dst"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+            .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("src", "dst")
+            .agg((F.sum(F.round(rev * 1_000_000).cast("long"))
+                  .cast("double") / 1_000_000).alias("weight")))
+
+
+@register(
+    "graph_pagerank_bucketed",
+    # oracle: identical to graph_pagerank_trade — only the census
+    # layout and fold order differ, both value-invariant
+    oracle=_PAGERANK_SQL,
+    description="weighted PageRank on the nation trade graph with the "
+                "edge census on BUCKETED lineitem/orders layouts: the "
+                "fact-fact orderkey join is a co-located sort-merge "
+                "join over bucket-sorted one-file-per-bucket layouts "
+                "(no exchange AND no sort on the bucketed key, "
+                "plan-asserted) — the table-layout answer to the "
+                "1000x probe's finding that the census shuffle is the "
+                "whole PageRank cost; same unrolled-CTE oracle as "
+                "graph_pagerank_trade",
+    tags=("graph", "iterative", "scale"),
+)
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.graph import pagerank
+
+    edges = _pagerank_bucketed_edges(spark, sf_dir)
+    outw = (edges.groupBy("src")
+            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000)
+                 .alias("_ow")))
+    e = edges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("_ow")).alias("weight"))
+    n = load_table(spark, sf_dir, "nation")
+    nodes = n.select(F.col("n_name").alias("nation"))
+    pr = pagerank(nodes, e, iters=_ITERS, damping=_D,
+                  id_col="nation", src_col="src", dst_col="dst",
+                  weight_col="weight", normalized=True)
+    return pr.orderBy("nation")
 
 
 @register(

@@ -39,6 +39,13 @@ def get_spark(app_name: str = "g1_etl_spark", cpus: str | int | None = None,
         # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
         # rejects; read as long (ns since epoch) and convert in catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # report bucket-sorted scan ordering so co-located SMJs over
+        # bucketed layouts (sources/maintenance.ensure_bucketed_table,
+        # one file per bucket by construction) elide their Sort nodes.
+        # Costs a file listing at planning time — per-table metadata,
+        # fine even at 100 TB bucket counts; without it Spark 3+ always
+        # re-sorts bucketed scans, halving the layout's benefit.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

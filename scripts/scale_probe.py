@@ -219,13 +219,17 @@ FAMILIES["trade"] += ["join_salted_skew"]
 # r6 additions: degree-ordered triangles; the whole-org payload reads
 # customer/part/supplier/nation, all replicated by the trade builder
 FAMILIES["trade"] += ["graph_triangle_degree", "entity_org_payload_json"]
+# r6 late addition: bucketed-census pagerank (consumes the bucketed
+# lineitem/orders layouts; layout writes warm out via _LAYOUT_QUERIES)
+FAMILIES["trade"] += ["graph_pagerank_bucketed"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the
 # N-copies dir too for these, so both timed runs measure exchange-free
 # CONSUMPTION — the write is linear in data by construction and was
 # dominating their r5 ratios (4.5x/6.2x were write, not query).
-_LAYOUT_QUERIES = {"q21_blame_bucketed", "basket_pairs_bucketed"}
+_LAYOUT_QUERIES = {"q21_blame_bucketed", "basket_pairs_bucketed",
+                   "graph_pagerank_bucketed"}
 
 
 def build_documents(con, copies: int, one: str, many: str) -> None:

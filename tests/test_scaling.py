@@ -27,6 +27,11 @@ def test_bucketed_join_has_no_exchange(spark):
             "formatted"))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join must not shuffle"
+    # one-file-per-bucket sorted layout + the outputOrdering conf make
+    # the scans sorted: the SMJ must not re-Sort either
+    import re
+    assert not re.search(r"\(\d+\) Sort\b", plan), \
+        "bucketed join must not re-sort bucket-sorted scans"
     # and it is still correct
     want = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
             .join(spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"),
@@ -125,11 +130,42 @@ def test_bucketed_twins_are_exchange_free_on_orderkey(spark):
                 assert "l_orderkey" not in ln, f"{name}: {ln}"
 
 
+def test_pagerank_bucketed_census_is_exchange_free_on_orderkey(spark):
+    """The bucketed PageRank census joins lineitem and orders as a
+    co-located SMJ over bucket-sorted layouts: no Exchange may hash on
+    either order key, and no Sort may order by one (the scan itself is
+    sorted — one file per bucket plus the outputOrdering conf). The
+    remaining exchanges — the customer/supplier keyed joins and the
+    (src, dst) fold — are the shuffles the twin exists to leave as the
+    ONLY ones. Linted pre-pagerank because the iteration loop's
+    checkpoints truncate the registered query's visible plan."""
+    from g1_etl_spark.plans.bucketed_plans import _pagerank_bucketed_edges
+
+    import re
+
+    df = _pagerank_bucketed_edges(spark, SF_SMOKE)
+    plan = _formatted(spark, df)
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan  # census visible, not an RDD stub
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+    # the bucket-sorted one-file-per-bucket layout makes the scan
+    # itself sorted: the SMJ must not re-Sort on the order keys either
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    for ln in simple.splitlines():
+        if re.search(r"\bSort\b", ln):
+            assert "l_orderkey" not in ln and "o_orderkey" not in ln, ln
+
+
 def test_bucketed_twins_match_shuffle_form(spark):
     from g1_etl_spark.plans import REGISTRY
 
     for bkt, base in (("q21_blame_bucketed", "q21_late_supplier_blame"),
-                      ("basket_pairs_bucketed", "orders_basket_pairs")):
+                      ("basket_pairs_bucketed", "orders_basket_pairs"),
+                      ("graph_pagerank_bucketed", "graph_pagerank_trade")):
         got = [tuple(r) for r in REGISTRY[bkt].fn(spark, SF_SMOKE).collect()]
         want = [tuple(r) for r in
                 REGISTRY[base].fn(spark, SF_SMOKE).collect()]
