@@ -217,3 +217,24 @@ def test_ensure_bucketed_table_names_are_input_scoped(spark, tmp_path):
     ta = a._jdf.queryExecution().logical().toString()
     tb = b._jdf.queryExecution().logical().toString()
     assert ta != tb, "two sf_dirs resolved to one bucketed table"
+
+
+def test_write_bucketed_one_file_per_bucket(spark):
+    """write_bucketed's pre-write repartition on the bucket key must
+    leave AT MOST one file per bucket — the condition under which the
+    scan reports sorted output and co-located SMJs skip their Sorts.
+    Read lineitem (multiple input partitions at any real size) so a
+    regression to write-task-per-input-partition would fan out files."""
+    import os as _os
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    SC.write_bucketed(li.select("l_orderkey", "l_quantity"),
+                      "t_li_onefile_contract", "l_orderkey", buckets=8)
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = [f for f in _os.listdir(f"{loc}/t_li_onefile_contract")
+             if f.startswith("part-")]
+    assert 0 < len(files) <= 8, files
+    # every file carries its bucket id exactly once: _00000..._00007
+    buckets_seen = {f.split("_")[-1].split(".")[0][:5] for f in files}
+    assert len(buckets_seen) == len(files), \
+        "a bucket produced more than one file"
