@@ -213,6 +213,65 @@ def token_rarity_scores(docs: DataFrame, text_col: str = "text",
                     .alias("rarity_score")))
 
 
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k_smooth: float = 0.5,
+                     scale: int = 1_000_000) -> DataFrame:
+    """Self-trained bigram language-model scoring — the CCNet-style
+    quality gate (train an n-gram LM, keep the low-perplexity tail)
+    expressed as two count aggregations and two vocabulary-sized joins.
+
+    Model: add-k smoothing, P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) with
+    c(w1) counted over bigram-first positions and V the corpus
+    vocabulary. Each bigram contributes a POSITIVE scaled integer
+    nll = round(ln((c(w1)+k·V)/(c(w1,w2)+k)) · scale)  (the ratio is
+    always > 1, so no negative rounding — Spark HALF_UP and DuckDB
+    round() agree on positives; same ln-portability trick as the BM25
+    oracle). Per-doc output: (doc_id, n_bigrams, nll_sum, avg_nll);
+    avg_nll/scale is the mean negative log-likelihood, exp() of it the
+    perplexity — monotone either way, so the gate needs no float exp.
+    Docs with fewer than two tokens have no bigrams and are excluded.
+
+    Scale shape: bigram counts are a map-side-partial groupBy whose
+    result is distinct-bigram-sized (Zipf keeps that far below corpus
+    size); the score pass joins the exploded bigram stream against the
+    two count tables on (w1,w2)/(w1) — AQE broadcasts while they fit,
+    else hash-joins on the token key, the right fallback at 100 TB. V
+    is a one-row aggregate crossed in (broadcast scalar, no collect).
+    """
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    words = (docs.repartition(spread, id_col)
+             .select(F.col(id_col),
+                     F.split(normalize_text(F.col(text_col)), " ")
+                     .alias("w")))
+    big = (words.filter(F.size("w") >= 2)
+           .select(F.col(id_col),
+                   F.explode(F.expr(
+                       "transform(sequence(1, size(w) - 1), "
+                       "i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+                   .alias("b"))
+           .select(id_col, F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2")))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("f12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("f1"))
+    vocab = (words.select(F.explode("w").alias("tok"))
+             .agg(F.countDistinct("tok").alias("vocab")))
+    scored = (big.join(c12, ["w1", "w2"]).join(c1, ["w1"])
+              .join(F.broadcast(vocab))
+              .select(F.col(id_col),
+                      F.round(F.log(
+                          (F.col("f1") + k_smooth * F.col("vocab"))
+                          / (F.col("f12") + F.lit(k_smooth))) * scale)
+                      .cast("long").alias("nll")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("nll").alias("nll_sum"))
+            .select(id_col, "n_bigrams", "nll_sum",
+                    (F.col("nll_sum").cast("double")
+                     / F.col("n_bigrams")).alias("avg_nll")))
+
+
 def bpe_subword_counts(df: "DataFrame", text_col: str = "text",
                        steps: int = 8) -> "DataFrame":
     """The ENCODE side of BPE: corpus subword frequencies after

@@ -184,6 +184,54 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_pq_topk",
+    oracle=None,  # approximate shortlist; the oracle-checkable twin is
+    # sim_pq_recall below (measured recall bound vs exact top-k)
+    description="product-quantization approximate top-10: 16 subspaces "
+                "x 32 deterministic sub-centroids, corpus stored as "
+                "16-byte codes (16x compression), ADC lookup-table "
+                "scoring, exact cosine re-rank of the top-150 shortlist",
+    tags=("similarity",),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.pq_topk(emb, queries, k=_K)
+
+
+@register(
+    "sim_pq_recall",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS q_id,
+           CAST({_K} AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_NQUERIES}
+    """,
+    description="PQ recall contract: exact top-10 left-joined against "
+                "the PQ-ADC(shortlist-150, re-ranked) top-10 per query; "
+                "emits recall_ok = (recall >= 0.7) per q_id (measured "
+                "per-query min 0.9 at sf0.1, 1.0 at sf0.01)",
+    tags=("similarity", "contract"),
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = S.brute_force_topk(emb, queries, k=_K).select("q_id",
+                                                       "neighbor_id")
+    pq = (S.pq_topk(emb, queries, k=_K)
+          .select("q_id", "neighbor_id").withColumn("_hit", F.lit(1)))
+    return (bf.join(pq, ["q_id", "neighbor_id"], "left")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+            .select("q_id", "n_exact",
+                    ((F.col("n_hits") / F.col("n_exact")) >= 0.7)
+                    .alias("recall_ok")))
+
+
+@register(
     "sim_embedding_neardup",
     oracle=None,  # superset-of check + threshold verify in tests
     description="embedding near-dup pairs (cosine>=0.4 — the synthetic "

@@ -723,6 +723,46 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_lm_nll",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents),
+    big AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z
+            FROM toks WHERE len(w) >= 2)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS f12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS f1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(w) AS tok FROM toks)),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln((f1 + 0.5 * vocab) / (f12 + 0.5)) * 1000000)
+                  AS BIGINT) AS nll
+      FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_sum,
+           CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM lp GROUP BY doc_id
+    """,
+    description="CCNet-style LM quality gate: self-trained add-k bigram "
+                "model, per-doc mean negative log-likelihood as a "
+                "scaled integer (round(ln·1e6) — the BM25 ln-"
+                "portability trick); vocabulary-sized count joins, "
+                "AQE-chosen strategy, scalar V crossed in",
+    tags=("text", "curation"),
+)
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.textops import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_curriculum_order",
     oracle=r"""
     WITH s AS (

@@ -155,6 +155,9 @@ _BNLJ_OK = {
     "entity_settings_flat", "entity_products_flat", "sim_lsh_recall",
     # JSON-roundtrip shape contracts reuse the flat twins' plans
     "entity_settings_json", "entity_products_json",
+    # PQ scoring broadcasts the same 5-query constant-tiny side as
+    # brute force; the scan side reads 16-byte codes, not raw vectors
+    "sim_pq_topk", "sim_pq_recall",
     # one-row national-total scalar broadcast (the HAVING-vs-global
     # compare), same shape as q22's avg-balance scalar
     "q11_important_stock",

@@ -196,3 +196,48 @@ def test_bpe_merges_stop_when_dry_midway(spark):
     got = {r["subword"]: r["n_occurrences"]
            for r in bpe_subword_counts(docs, steps=5).collect()}
     assert got == {"ab": 2, "cd": 1}
+
+
+def test_bigram_lm_matches_sequential_reference(spark):
+    """bigram_lm_scores vs a plain-Python bigram LM on a tiny corpus:
+    same smoothing, same scaled-integer rounding."""
+    import math
+    from collections import Counter
+
+    from g1_etl_spark.operators.textops import bigram_lm_scores
+
+    texts = {1: "the cat sat on the mat",
+             2: "the cat sat",
+             3: "a dog barked at the cat",
+             4: "single"}  # 1 token -> no bigrams -> excluded
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+
+    toks = {d: t.split() for d, t in texts.items()}
+    bigrams = {d: list(zip(w, w[1:])) for d, w in toks.items()}
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = len({w for ws in toks.values() for w in ws})
+    assert 4 not in got
+    for d in (1, 2, 3):
+        nll = sum(round(math.log((c1[b[0]] + 0.5 * vocab) / (c12[b] + 0.5))
+                        * 1_000_000) for b in bigrams[d])
+        assert got[d]["n_bigrams"] == len(bigrams[d])
+        assert got[d]["nll_sum"] == nll, d
+        assert got[d]["avg_nll"] == nll / len(bigrams[d])
+
+
+def test_bigram_lm_boilerplate_scores_lower_than_rare_text(spark):
+    """The gate property the operator exists for: a document made of the
+    corpus's dominant repeated phrase is more predictable (lower mean
+    NLL) than a document of corpus-unique words."""
+    from g1_etl_spark.operators.textops import bigram_lm_scores
+
+    common = "click here to subscribe now"
+    rows = [(i, common) for i in range(20)]
+    rows.append((99, "zygote quasar bumblebee vermilion"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_nll"]
+           for r in bigram_lm_scores(docs).collect()}
+    assert got[0] == got[19]
+    assert got[0] < got[99]

@@ -255,3 +255,59 @@ def test_neardup_top_m_tolerates_duplicate_pairs(spark):
     assert partners == [2, 3, 4]
     assert [r["score"] for r in sorted(out, key=lambda r: r["rank"])] \
         == [0.97, 0.93, 0.91]
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    emb = _emb(spark)
+    b1 = S.train_pq_codebooks(emb, m=8, k_sub=16, dim=64, iters=1)
+    b2 = S.train_pq_codebooks(emb, m=8, k_sub=16, dim=64, iters=1)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    # codebooks live on the unit sphere's subspaces: every centroid is a
+    # mean of normalized subvectors, so its norm is bounded by 1
+    assert float(np.linalg.norm(b1, axis=2).max()) <= 1.0 + 1e-9
+
+
+def test_pq_codes_are_m_wide_and_bounded(spark):
+    emb = _emb(spark)
+    books = S.train_pq_codebooks(emb, m=8, k_sub=16, dim=64, iters=1)
+    codes = (emb.select(S._pq_encode(books)(F.col("embedding"))
+                        .alias("code")).collect())
+    assert len(codes) == 500
+    for r in codes:
+        assert len(r["code"]) == 8
+        assert all(0 <= c < 16 for c in r["code"])
+
+
+def test_pq_equals_brute_force_when_shortlist_covers_corpus(spark):
+    """With shortlist >= corpus size the ADC stage prunes nothing, so
+    the exact re-rank must reproduce brute force bit-for-bit (ids,
+    ranks, and scores) — pins the re-rank path's correctness
+    independently of quantization quality."""
+    emb = _emb(spark)
+    q = _queries(emb, 3)
+    bf = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["score"])
+          for r in S.brute_force_topk(emb, q, k=5).collect()}
+    pq = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["score"])
+          for r in S.pq_topk(emb, q, k=5, m=8, k_sub=16,
+                             shortlist=600).collect()}
+    assert bf == pq
+
+
+def test_pq_recall_contract_holds_on_smoke(spark):
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["sim_pq_recall"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert all(r["recall_ok"] for r in rows)
+    assert all(r["n_exact"] == 10 for r in rows)
+
+
+def test_pq_topk_deterministic_across_runs(spark):
+    emb = _emb(spark)
+    q = _queries(emb, 2)
+    a = {(r["q_id"], r["rank"], r["neighbor_id"], r["score"])
+         for r in S.pq_topk(emb, q, k=5).collect()}
+    b = {(r["q_id"], r["rank"], r["neighbor_id"], r["score"])
+         for r in S.pq_topk(emb, q, k=5).collect()}
+    assert a == b
