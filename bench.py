@@ -102,6 +102,11 @@ R6_ADD = [
     "entity_org_payload_json",
     # bucketed-census PageRank vs the shuffle-form edge build
     "graph_pagerank_bucketed",
+    # PQ-ADC approximate top-k (16-byte codes, exact re-rank) vs the
+    # already-benched brute-force and LSH forms
+    "sim_pq_topk",
+    # self-trained bigram-LM quality gate (two count joins + scalar V)
+    "text_bigram_lm_nll",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

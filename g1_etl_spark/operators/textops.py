@@ -254,7 +254,10 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
            .select(id_col, F.col("b.w1").alias("w1"),
                    F.col("b.w2").alias("w2")))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("f12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("f1"))
+    # c(w1) over bigram-first positions == sum of c(w1,·): fold the
+    # (already vocabulary-sized) bigram counts instead of paying a
+    # fourth corpus scan + explode + shuffle
+    c1 = c12.groupBy("w1").agg(F.sum("f12").alias("f1"))
     vocab = (words.select(F.explode("w").alias("tok"))
              .agg(F.countDistinct("tok").alias("vocab")))
     scored = (big.join(c12, ["w1", "w2"]).join(c1, ["w1"])

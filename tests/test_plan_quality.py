@@ -158,6 +158,8 @@ _BNLJ_OK = {
     # PQ scoring broadcasts the same 5-query constant-tiny side as
     # brute force; the scan side reads 16-byte codes, not raw vectors
     "sim_pq_topk", "sim_pq_recall",
+    # one-row vocabulary-size scalar crossed into the score join
+    "text_bigram_lm_nll",
     # one-row national-total scalar broadcast (the HAVING-vs-global
     # compare), same shape as q22's avg-balance scalar
     "q11_important_stock",
@@ -192,6 +194,9 @@ _SINGLE_PART_OK = {
     # whole-org payload: collect_list folds to one doc row per entity
     # (partial lists per partition, merged once — payload boundary)
     "entity_org_payload_json",
+    # one-row vocabulary-size scalar (countDistinct partials merged
+    # once), crossed into the bigram score join — see _BNLJ_OK
+    "text_bigram_lm_nll",
 }
 
 
