@@ -46,6 +46,17 @@ def get_spark(app_name: str = "g1_etl_spark", cpus: str | int | None = None,
         # fine even at 100 TB bucket counts; without it Spark 3+ always
         # re-sorts bucketed scans, halving the layout's benefit.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # Per-PROCESS warehouse: the in-memory catalog is per-process
+        # anyway, so a shared ./spark-warehouse can never provide
+        # cross-process table reuse — but two processes materializing
+        # the same bucketed layout (sources/maintenance.
+        # ensure_bucketed_table) into one shared path DO clobber each
+        # other mid-read (observed: concurrent pytest + driver-sim,
+        # FAILED_READ_FILE on a vanished bucket file). Isolating the
+        # warehouse by pid removes the only sharing that ever happened.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               f"/tmp/g1_spark_warehouse_{os.getpid()}"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

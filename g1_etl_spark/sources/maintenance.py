@@ -152,6 +152,13 @@ def ensure_bucketed_table(spark: SparkSession, sf_dir: str, source: str,
     already-materialized sf_dir within one session would keep serving
     the old layout. Production table formats version the layout; plain
     parquet testdata here is immutable per path.
+
+    Process isolation: the warehouse dir is pid-scoped (session.py), so
+    two concurrent local processes materializing the SAME layout write
+    to disjoint paths — the in-memory catalog never shared tables
+    across processes anyway, and a shared physical path only enabled
+    overwrite-under-reader races. Production table formats make this
+    an atomic-commit concern instead.
     """
     import hashlib
 

@@ -211,6 +211,8 @@ FAMILIES = {
     ],
 }
 # r5 additions to existing families
+FAMILIES["documents"] += ["text_bigram_lm_nll"]
+FAMILIES["embeddings"] += ["sim_pq_topk"]
 FAMILIES["documents"] += ["dedup_minhash_adversarial",
                           "multimodal_features",
                           "multimodal_resize", "multimodal_frames"]
