@@ -105,6 +105,8 @@ R6_ADD = [
     # PQ-ADC approximate top-k (16-byte codes, exact re-rank) vs the
     # already-benched brute-force and LSH forms
     "sim_pq_topk",
+    # IVF-PQ composition (probed cells x ADC codes, exact re-rank)
+    "sim_ivfpq_topk",
     # self-trained bigram-LM quality gate (two count joins + scalar V)
     "text_bigram_lm_nll",
 ]

@@ -535,10 +535,17 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       .alias("score")))
     short = (_two_stage_topk(scored, q_id_col, shortlist)
              .select(q_id_col, "neighbor_id"))
-    # Stage 2 fetches raw vectors for the tiny candidate set only: the
-    # shortlist (n_queries x shortlist rows) broadcasts against the
-    # corpus — a hash semi-lookup by id, the standard IVF-PQ re-rank
-    # fetch — then exact cosine re-ranks to the final top-k.
+    return _exact_rerank(corpus, queries, short, k, id_col, vec_col,
+                         q_id_col, q_vec_col)
+
+
+def _exact_rerank(corpus: DataFrame, queries: DataFrame,
+                  short: DataFrame, k: int, id_col: str, vec_col: str,
+                  q_id_col: str, q_vec_col: str) -> DataFrame:
+    """Exact-cosine re-rank of a (q_id, neighbor_id) candidate list:
+    fetch raw vectors for the tiny candidate set only — the shortlist
+    broadcasts against the corpus, a hash semi-lookup by id (the
+    standard IVF-PQ re-rank fetch) — then window down to top-k."""
     cand = (corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col),
                           l2_norm(F.col(vec_col)).alias("_cn"))
@@ -551,6 +558,58 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       / (F.col("_qn") * F.col("_cn"))).cast("double")
                      .alias("score")))
     return _two_stage_topk(exact, q_id_col, k)
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_cells: int = 16, n_probe: int = 4, m: int = 16,
+                k_sub: int = 32, dim: int = 64,
+                shortlist: int | None = 150, id_col: str = "vec_id",
+                vec_col: str = "embedding", q_id_col: str = "q_id",
+                q_vec_col: str = "q_vec",
+                centroids: np.ndarray | None = None,
+                codebooks: np.ndarray | None = None) -> DataFrame:
+    """IVF-PQ: the composition that serves web-scale ANN (FAISS's
+    default index family) — IVF cells bound WHICH candidates are
+    scored (~n_probe/n_cells of the corpus), PQ codes bound the COST
+    and BYTES of scoring each one (16-byte ADC lookups, no raw vector
+    read), and the exact re-rank restores ranking fidelity on the
+    shortlist. At 100 TB the corpus stores as (cell, code) — both
+    narrow — cell-partitioned so a query's probes prune partitions.
+
+    A shortlist that prunes nothing (None skips the ADC stage; a bound
+    >= the in-cell candidate count ranks but keeps everything) makes
+    the operator equal IVF-Flat by construction — the contract
+    sim_ivfpq_recall pins exactly that — while the default 150 caps
+    re-rank fetches per query.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, dim,
+                                        vec_col=vec_col, id_col=id_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m, k_sub, dim,
+                                       vec_col=vec_col, id_col=id_col)
+    enc = _pq_encode(codebooks)
+    adc = _adc_score(codebooks)
+    c = corpus.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("_code"),
+        _assign_cells(1, centroids)(F.col(vec_col))[0].alias("cell"))
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        F.explode(_assign_cells(n_probe, centroids)(F.col(q_vec_col)))
+        .alias("cell"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col(q_id_col) != F.col(id_col))
+              .select(F.col(q_id_col),
+                      F.col(id_col).alias("neighbor_id"),
+                      adc(F.col(q_vec_col), F.col("_code"))
+                      .alias("score")))
+    if shortlist is not None:
+        cand_ids = (_two_stage_topk(scored, q_id_col, shortlist)
+                    .select(q_id_col, "neighbor_id"))
+    else:
+        cand_ids = scored.select(q_id_col, "neighbor_id")
+    return _exact_rerank(corpus, queries, cand_ids, k, id_col, vec_col,
+                         q_id_col, q_vec_col)
 
 
 def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,

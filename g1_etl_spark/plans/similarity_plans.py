@@ -232,6 +232,87 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_topk",
+    oracle=None,  # approximate; the oracle-checkable twin is
+    # sim_ivfpq_recall below (equality to restricted exact when the
+    # ADC shortlist is uncapped)
+    description="IVF-PQ approximate top-10 (the web-scale ANN index "
+                "shape): queries probe 4 of 16 cells, in-cell "
+                "candidates scored via 16-byte PQ-ADC codes, top-150 "
+                "shortlist exact-cosine re-ranked",
+    tags=("similarity",),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.ivf_pq_topk(emb, queries, k=_K)
+
+
+# Same contract philosophy as sim_ivf_recall: end-to-end recall here is
+# a data property (near-random embeddings scatter neighbors across
+# cells), so the tight machinery-testing invariant is equality to the
+# exact top-k RESTRICTED to the probed cells — run with an effectively
+# unbounded ADC shortlist (1e9; shortlist=None would let Catalyst prune
+# the unused encode/ADC stage out of the plan entirely) so the PQ stage
+# ranks but prunes nothing, and the whole cell-assign -> encode -> ADC
+# -> re-rank pipeline must reproduce restricted brute force exactly
+# (ids, scores, ranks) at ANY scale. ADC pruning quality itself is
+# certified by sim_pq_recall.
+@register(
+    "sim_ivfpq_recall",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS q_id,
+           CAST({_K} AS BIGINT) AS n_ivfpq,
+           TRUE AS matches_restricted_exact
+    FROM embeddings WHERE vec_id < {_NQUERIES}
+    """,
+    description="IVF-PQ contract: with the ADC shortlist unbounded, "
+                "the IVF-PQ top-10 must equal the exact top-10 over the "
+                "probed cells' vectors (ids, scores, ranks) — "
+                "approximation lives ONLY in cell choice + ADC "
+                "pruning, never in scoring or ranking",
+    tags=("similarity", "contract"),
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.similarity import (_assign_cells,
+                                                   train_ivf_centroids)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = train_ivf_centroids(emb, n_cells=16)
+    ivfpq = S.ivf_pq_topk(emb, queries, k=_K, centroids=cents,
+                          shortlist=1_000_000_000)
+
+    corpus = emb.select(
+        "vec_id", "embedding",
+        _assign_cells(1, cents)(F.col("embedding"))[0].alias("cell"))
+    probed = queries.select(
+        "q_id", "q_vec",
+        F.explode(_assign_cells(4, cents)(F.col("q_vec"))).alias("cell"))
+    restricted = (corpus.join(F.broadcast(probed), "cell")
+                  .filter(F.col("q_id") != F.col("vec_id"))
+                  .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                          (S.dot(F.col("q_vec"), F.col("embedding"))
+                           / (S.l2_norm(F.col("q_vec"))
+                              * S.l2_norm(F.col("embedding"))))
+                          .cast("double").alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+    exact_r = (restricted.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= _K)
+               .withColumnRenamed("score", "x_score"))
+    both = ivfpq.join(exact_r, ["q_id", "neighbor_id", "rank"], "full")
+    return (both.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_ivfpq"),
+                 F.min(F.col("score").isNotNull()
+                       & F.col("x_score").isNotNull()
+                       & (F.col("score") == F.col("x_score")))
+                 .alias("matches_restricted_exact")))
+
+
+@register(
     "sim_embedding_neardup",
     oracle=None,  # superset-of check + threshold verify in tests
     description="embedding near-dup pairs (cosine>=0.4 — the synthetic "

@@ -212,7 +212,7 @@ FAMILIES = {
 }
 # r5 additions to existing families
 FAMILIES["documents"] += ["text_bigram_lm_nll"]
-FAMILIES["embeddings"] += ["sim_pq_topk"]
+FAMILIES["embeddings"] += ["sim_pq_topk", "sim_ivfpq_topk"]
 FAMILIES["documents"] += ["dedup_minhash_adversarial",
                           "multimodal_features",
                           "multimodal_resize", "multimodal_frames"]

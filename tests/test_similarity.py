@@ -311,3 +311,27 @@ def test_pq_topk_deterministic_across_runs(spark):
     b = {(r["q_id"], r["rank"], r["neighbor_id"], r["score"])
          for r in S.pq_topk(emb, q, k=5).collect()}
     assert a == b
+
+
+def test_ivfpq_unbounded_shortlist_equals_ivf_flat(spark):
+    """With a prune-nothing shortlist, IVF-PQ must equal IVF-Flat
+    bit-for-bit (ids, ranks, scores): cells restrict identically and
+    the exact re-rank rescores every in-cell candidate."""
+    emb = _emb(spark)
+    q = _queries(emb, 3)
+    cents = S.train_ivf_centroids(emb, n_cells=16)
+    ivf = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["score"])
+           for r in S.ivf_topk(emb, q, k=5, centroids=cents).collect()}
+    ivfpq = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["score"])
+             for r in S.ivf_pq_topk(emb, q, k=5, centroids=cents,
+                                    shortlist=10**9).collect()}
+    assert ivf == ivfpq
+
+
+def test_ivfpq_recall_contract_holds_on_smoke(spark):
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["sim_ivfpq_recall"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert all(r["matches_restricted_exact"] for r in rows)
+    assert all(r["n_ivfpq"] == 10 for r in rows)
