@@ -384,17 +384,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _two_stage_topk(scored, q_id_col, k)
 
 
-def _unit(vec: Column) -> Column:
-    """Array column scaled to unit L2 norm (doubles)."""
-    n = l2_norm(vec)
-    return F.transform(vec, lambda x: x.cast("double")
-                       / F.greatest(n, F.lit(1e-30)))
-
-
 def train_pq_codebooks(corpus: DataFrame, m: int = 16, k_sub: int = 32,
                        dim: int = 64, iters: int = 2,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> np.ndarray:
+                       id_col: str = "vec_id",
+                       sample_mod: int = 1) -> np.ndarray:
     """Deterministic PQ codebooks, shape (m, k_sub, dim//m).
 
     Vectors are L2-normalized first (so squared-L2 ADC ordering equals
@@ -403,24 +397,38 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 16, k_sub: int = 32,
     the k_sub corpus rows with smallest xxhash64(id) (reproducible
     pseudo-random sample, same policy as train_ivf_centroids), refined
     by `iters` Lloyd steps run for ALL subspaces in one distributed pass
-    each (assign = one Arrow matmul per batch; update = posexplode +
-    groupBy(sub, cell, lane) mean — a shuffle of scalar triples, never
-    of vectors). Only the (m × k_sub × dim/m) codebook reaches the
-    driver.
+    each (assign + normalize in ONE Arrow batch UDF — normalizing with
+    a SQL higher-order transform re-evaluates the interpreted L2
+    aggregate per element, dim^2 work per row, the ngrams_from_words
+    trap; update = posexplode + groupBy(sub, cell, lane) mean — a
+    shuffle of scalar triples, never of vectors). Only the
+    (m × k_sub × dim/m) codebook reaches the driver.
+
+    sample_mod > 1 trains on the deterministic 1/sample_mod hash-slice
+    of the corpus (xxhash64(id) % mod == 0) — at 100 TB codebooks are
+    always fit on a bounded sample (FAISS practice); encoding still
+    covers every vector.
     """
     d_sub = dim // m
     assert m * d_sub == dim, (m, dim)
-    seed_rows = (corpus.select(_unit(F.col(vec_col)).alias("v"),
+    seed_rows = (corpus.select(F.col(vec_col).alias("v"),
                                F.xxhash64(F.col(id_col)).alias("h"))
                  .orderBy("h").limit(k_sub).collect())
     seeds = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True),
+                        1e-30)
     books = np.ascontiguousarray(
         seeds.reshape(k_sub, m, d_sub).transpose(1, 0, 2))
+    train = corpus
+    if sample_mod > 1:
+        train = corpus.filter(
+            F.xxhash64(F.col(id_col)) % sample_mod == 0)
     for _ in range(iters):
-        enc = _pq_encode(books)
-        assigned = (corpus
-                    .select(enc(F.col(vec_col)).alias("codes"),
-                            F.posexplode(_unit(F.col(vec_col)))
+        encu = _pq_encode_with_unit(books)
+        assigned = (train
+                    .select(encu(F.col(vec_col)).alias("s"))
+                    .select(F.col("s.code").alias("codes"),
+                            F.posexplode(F.col("s.unit"))
                             .alias("i", "x"))
                     .select((F.col("i") / d_sub).cast("int").alias("sub"),
                             F.col("i"), F.col("x"), F.col("codes")))
@@ -435,6 +443,30 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 16, k_sub: int = 32,
             nxt[r["sub"], r["cell"], r["lane"]] = r["mu"]
         books = nxt
     return books
+
+
+def _pq_encode_with_unit(codebooks: np.ndarray):
+    """Arrow UDF: (PQ code, L2-normalized vector) per input vector in
+    one batch pass — the Lloyd update needs both, and producing them
+    together keeps normalization vectorized in numpy instead of an
+    interpreted per-element SQL transform."""
+    C = codebooks  # (m, k, d_sub)
+
+    @F.pandas_udf("struct<code: array<int>, unit: array<double>>")
+    def encu(v: pd.Series) -> pd.DataFrame:
+        if v.empty:
+            return pd.DataFrame({"code": [], "unit": []})
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        n = X.shape[0]
+        mm, _, d_sub = C.shape
+        Xs = X.reshape(n, mm, d_sub)
+        d2 = ((Xs[:, :, None, :] - C[None]) ** 2).sum(-1)
+        return pd.DataFrame({
+            "code": [r.tolist() for r in d2.argmin(-1).astype("int32")],
+            "unit": [r.tolist() for r in X]})
+
+    return encu
 
 
 def _pq_encode(codebooks: np.ndarray):

