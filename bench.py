@@ -222,6 +222,17 @@ def main() -> None:
             sum(per_query_min[n] for n in R1_SET + R2_ADD
                 if n not in SEMANTICS_CHANGED), 3),
         "sf": float(sf),
+        # host telemetry: round-over-round totals have shown uniform
+        # ~1.2x shifts across UNRELATED queries after a VM reboot (r6:
+        # median per-query min-ratio 1.24 vs r5 on a box booted 2h
+        # earlier, with the bucketed twins simultaneously 0.3-0.4x) —
+        # record enough to tell box drift from plan regressions
+        "env": {
+            "load_avg_1m": round(os.getloadavg()[0], 2),
+            "uptime_s": int(float(open("/proc/uptime").read().split()[0]))
+            if os.path.exists("/proc/uptime") else None,
+            "cpus": os.cpu_count(),
+        },
         # pinned-subset totals for round-over-round comparison
         "r1_common_total_sec": round(
             sum(per_query[n] for n in R1_SET), 3),
