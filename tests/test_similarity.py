@@ -335,3 +335,47 @@ def test_ivfpq_recall_contract_holds_on_smoke(spark):
     assert len(rows) == 5
     assert all(r["matches_restricted_exact"] for r in rows)
     assert all(r["n_ivfpq"] == 10 for r in rows)
+
+
+def test_adc_score_matches_naive_per_row(spark):
+    """_adc_score's batched LUT gather vs an unbatched python loop:
+    same codebooks, same codes, same normalized query — identical
+    negative squared-L2 ADC distances."""
+    emb = _emb(spark)
+    books = S.train_pq_codebooks(emb, m=8, k_sub=16, dim=64, iters=1)
+    rows = (emb.filter(F.col("vec_id") < 30)
+            .select("vec_id", "embedding",
+                    S._pq_encode(books)(F.col("embedding")).alias("code"))
+            .collect())
+    qrow = rows[0]
+    scored = spark.createDataFrame(
+        [(qrow["embedding"], r["code"], r["vec_id"]) for r in rows],
+        "q_vec array<double>, code array<int>, vec_id long")
+    got = {r["vec_id"]: r["s"] for r in scored.select(
+        "vec_id", S._adc_score(books)(F.col("q_vec"), F.col("code"))
+        .alias("s")).collect()}
+
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    for r in rows:
+        want = 0.0
+        for sub, cell in enumerate(r["code"]):
+            diff = q[sub * 8:(sub + 1) * 8] - books[sub, cell]
+            want -= float((diff * diff).sum())
+        assert abs(got[r["vec_id"]] - want) < 1e-9, r["vec_id"]
+
+
+def test_pq_training_hash_sample_is_deterministic_and_usable(spark):
+    """sample_mod trains on the 1/mod hash-slice: deterministic across
+    runs, correct shape, and codes stay in range when encoding the FULL
+    corpus with the sampled-fit codebooks."""
+    emb = _emb(spark)
+    b1 = S.train_pq_codebooks(emb, m=8, k_sub=16, dim=64, iters=1,
+                              sample_mod=4)
+    b2 = S.train_pq_codebooks(emb, m=8, k_sub=16, dim=64, iters=1,
+                              sample_mod=4)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    codes = (emb.select(S._pq_encode(b1)(F.col("embedding"))
+                        .alias("code")).collect())
+    assert all(0 <= c < 16 for r in codes for c in r["code"])
