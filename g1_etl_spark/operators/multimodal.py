@@ -607,6 +607,167 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 resize_stub = resize_media
 
 
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the 2-D DCT is D @ X @ D.T)."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    D = np.cos(np.pi / n * (i + 0.5) * k) * np.sqrt(2.0 / n)
+    D[0] /= np.sqrt(2.0)
+    return D
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _resize_mean(lum: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Area-mean downsample of a 2-D array (box filter): each output
+    cell averages its source block, so pixel noise is attenuated by
+    the block size before the DCT — nearest sampling would carry full
+    noise amplitude into the hash bits. Degenerates to nearest
+    replication when upsampling (empty blocks take the boundary row)."""
+    h, w = lum.shape
+
+    def pool(a: np.ndarray, n: int, axis: int) -> np.ndarray:
+        size = a.shape[axis]
+        b = (np.arange(n) * size) // n
+        sums = np.add.reduceat(a, b, axis=axis)
+        counts = np.maximum(np.diff(np.append(b, size)), 1)
+        shape = [1, 1]
+        shape[axis] = n
+        return sums / counts.reshape(shape)
+
+    return pool(pool(lum, height, 0), width, 1)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash of a decoded image: luminance
+    -> 32x32 area-mean resample -> 2-D DCT-II -> top-left 8x8 block
+    -> each coefficient compared against the median of the 63 non-DC
+    coefficients. Byte-identical images hash identically; small
+    perturbations (noise, re-encode, slight resize) flip few bits, so
+    near-duplicate IMAGES become a small hamming distance — the
+    multimodal analogue of text SimHash, and the hash joins the same
+    banded-hamming machinery. Returned as a SIGNED 64-bit int so it
+    stores in a Spark long.
+
+    Caveat (inherent to pHash): images with a SPARSE low-frequency
+    spectrum (solid fills, exact blocky gradients) have most
+    coefficients equal to the median, so those bits are noise-
+    sensitive; natural images' dense spectra keep coefficients away
+    from the threshold. Exact-duplicate detection is unaffected."""
+    px = arr.astype(np.float64)
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            lum = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                   + 0.114 * px[..., 2])
+        else:
+            lum = px[..., 0]
+    else:
+        lum = px
+    small = _resize_mean(lum, 32, 32)
+    coef = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(coef[1:])
+    bits = coef > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash, decoded): 64-bit perceptual hash per image row
+    via the native decode path (PPM/BMP/PNG/baseline JPEG); rows whose
+    bytes do not decode get decoded=false and a null hash. Narrow Arrow
+    pass — no shuffle, no driver decode."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, ok = [], [], []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                if kind != "image":
+                    continue
+                ids.append(mid)
+                try:
+                    hashes.append(phash64(decode_image(
+                        bytes(blob or b""))))
+                    ok.append(True)
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    hashes.append(None)
+                    ok.append(False)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hashes,
+                                                   dtype="object"),
+                                "decoded": pd.Series(ok, dtype="bool")})
+
+    return media.mapInPandas(
+        op, schema="media_id long, phash long, decoded boolean")
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(d1, d2, hamming): near-duplicate images by banded perceptual-
+    hash hamming distance — same 4x16-bit banding and guarantee
+    structure as text simhash_pairs (exact for hamming <= 3,
+    probabilistic up to max_hamming), exact bit_count(xor) verify on
+    band-colliding candidates only. Scale shape: hash once (narrow),
+    candidates are band-bucket-sized, never corpus-sized."""
+    hashes = image_phash(media).filter(F.col("decoded")).select(
+        F.col("media_id").alias("d"), F.col("phash").alias("sh"))
+    bands = hashes.select("d", "sh", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), 16 * i)
+                 .bitwiseAND((1 << 16) - 1).alias("bits"))
+        for i in range(4)])).alias("bk"))
+    cand = (bands.alias("x").join(
+        bands.alias("y"),
+        (F.col("x.bk") == F.col("y.bk")) & (F.col("x.d") < F.col("y.d")))
+        .select(F.col("x.d").alias("d1"), F.col("x.sh").alias("sh1"),
+                F.col("y.d").alias("d2"), F.col("y.sh").alias("sh2"))
+        .distinct())
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (cand.select("d1", "d2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def phash_container_invariance(media: DataFrame) -> DataFrame:
+    """(media_id, phash_match): for every natively-decodable image row,
+    assert the perceptual hash is a function of the PIXELS, not the
+    container — decode the original bytes, re-encode the raster through
+    a DIFFERENT container (PPM), decode again, and compare hashes. Any
+    nondeterminism or container-sensitivity in decode/resample/DCT
+    turns the row false. One narrow Arrow pass."""
+    import struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, match = [], []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["content"]):
+                if kind != "image":
+                    continue
+                try:
+                    arr = decode_image(bytes(blob or b""))
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    continue
+                ids.append(mid)
+                # PPM is 3-channel: drop alpha / replicate gray before
+                # the roundtrip (phash64's luminance uses the first 3
+                # channels, so the coercion cannot change the hash)
+                rgb = (arr if arr.ndim == 3 else
+                       np.repeat(arr[..., None], 3, axis=2))[..., :3]
+                rt = decode_ppm(encode_ppm(np.ascontiguousarray(rgb)))
+                match.append(phash64(rgb) == phash64(rt))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "phash_match": pd.Series(match,
+                                                         dtype="bool")})
+
+    return media.mapInPandas(op,
+                             schema="media_id long, phash_match boolean")
+
+
 def image_neardup_pairs(media: DataFrame, threshold: float = 0.98,
                         bands: int = 4) -> DataFrame:
     """(d1, d2, score): near-duplicate IMAGES — the multimodal twin of

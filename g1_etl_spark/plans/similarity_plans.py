@@ -507,6 +507,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.element_at(F.col("features"), 7)).alias("f_b"))
 
 
+# The perceptual hash itself (32x32 DCT) is not SQL-expressible, so —
+# like the LSH/IVF families — the HASH VALUES stay rows-only while the
+# driver-checkable contract pins an exact invariant: which rows decode
+# (the id arithmetic the features oracle already certifies) and that
+# the hash is a function of the PIXELS, not the container (PNG bytes
+# vs a PPM re-encode of the same raster must collide exactly).
+# Near-dup pair machinery (banded hamming, the text-simhash shape) is
+# property-tested in tests/test_multimodal.py.
+@register(
+    "multimodal_phash_invariance",
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS phash_match
+    FROM documents WHERE doc_id % 21 = 0
+    """,
+    description="image perceptual-hash contract: every decodable image "
+                "row's 64-bit DCT pHash must equal the pHash of its "
+                "raster re-encoded through a different container "
+                "(PNG -> pixels -> PPM) — container-invariance and "
+                "decode determinism in one driver-checkable boolean; "
+                "the decodable-row set is pinned by the same id "
+                "arithmetic the features oracle certifies",
+    tags=("multimodal", "dedup", "contract"),
+)
+def multimodal_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators import multimodal as M
+
+    media = M.media_with_png(load_table(spark, sf_dir, "documents"))
+    return M.phash_container_invariance(media)
+
+
 @register(
     "sim_label_centroid",
     oracle="""

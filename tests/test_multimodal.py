@@ -430,3 +430,92 @@ def test_fixture_corpus_png_prefixes_are_ascii(spark):
            .filter(~F.col("p").rlike("^[\\x00-\\x7F]*$"))
            .count())
     assert bad == 0
+
+
+# ---------------------------------------------------------------- pHash
+
+def test_phash64_deterministic_and_container_invariant():
+    import numpy as np
+
+    from g1_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+    h1 = M.phash64(img)
+    assert h1 == M.phash64(img)
+    assert -(1 << 63) <= h1 < (1 << 63)
+    # same raster through three containers -> same hash
+    assert M.phash64(M.decode_ppm(M.encode_ppm(img))) == h1
+    assert M.phash64(M.decode_bmp(M.encode_bmp(img))) == h1
+    assert M.phash64(M.decode_png(M.encode_png(img))) == h1
+
+
+def _dense_spectrum_image():
+    """Cosine-mixture test image: a DENSE low-frequency spectrum keeps
+    every hash bit's coefficient well away from the median, so noise
+    robustness is actually exercised. (A blocky synthetic gradient has
+    most DCT coefficients exactly 0 = the median, making its bits pure
+    noise — the documented flat-spectrum caveat, not a hash bug.)"""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    base = (96 + 40 * np.cos(2 * np.pi * y / 64)
+            + 30 * np.cos(2 * np.pi * x / 32)
+            + 20 * np.cos(2 * np.pi * (x + y) / 48)
+            + 12 * np.cos(2 * np.pi * x / 16)
+            + 8 * np.cos(2 * np.pi * y / 12)
+            + 6 * np.cos(2 * np.pi * (2 * x + y) / 40))
+    img = np.clip(base, 0, 255)
+    return np.repeat(img[:, :, None], 3, 2).astype(np.uint8)
+
+
+def test_phash64_small_perturbation_small_hamming():
+    import numpy as np
+
+    from g1_etl_spark.operators import multimodal as M
+
+    grad = _dense_spectrum_image()
+    noisy = np.clip(grad.astype(int)
+                    + np.random.default_rng(3).integers(
+                        -2, 3, grad.shape), 0, 255).astype(np.uint8)
+    other = (255 - grad).astype(np.uint8)  # inverted: sign-flipped coefs
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(M.phash64(grad), M.phash64(noisy)) <= 6
+    assert hamming(M.phash64(grad), M.phash64(other)) > 10
+
+
+def test_phash_pairs_finds_planted_duplicates(spark):
+    import numpy as np
+
+    from g1_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    grad = _dense_spectrum_image()
+    noisy = np.clip(grad.astype(int) + rng.integers(-2, 3, grad.shape),
+                    0, 255).astype(np.uint8)
+    distinct = [rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+                for _ in range(4)]
+    rows = [(1, "image", M.encode_ppm(grad), None),
+            (2, "image", M.encode_png(grad), None),   # byte-different twin
+            (3, "image", M.encode_ppm(noisy), None),
+            (9, "audio", b"not an image", None),
+            (10, "image", b"undecodable", None)]
+    rows += [(20 + i, "image", M.encode_ppm(d), None)
+             for i, d in enumerate(distinct)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    hashes = {r["media_id"]: r for r in M.image_phash(media).collect()}
+    assert hashes[10]["decoded"] is False
+    assert 9 not in hashes  # non-image rows skipped
+    assert hashes[1]["phash"] == hashes[2]["phash"]
+
+    pairs = {(r["d1"], r["d2"]): r["hamming"]
+             for r in M.phash_pairs(media).collect()}
+    assert pairs[(1, 2)] == 0        # same pixels, different container
+    assert pairs[(1, 3)] <= 6        # noisy copy within the bound
+    assert pairs[(2, 3)] <= 6
+    for (d1, d2) in pairs:
+        assert {d1, d2} <= {1, 2, 3}, (d1, d2)  # no random-pair leakage
