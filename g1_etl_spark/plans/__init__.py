@@ -86,8 +86,9 @@ _R6_WINDOW = (
 # text_token_counts, sample_weighted_k, dedup_incremental). 41 + 5 = 46
 # fills most of the window; remaining slots go to queries added or
 # changed late in r6/r7 — graph_pagerank_bucketed, sim_pq_topk,
-# sim_pq_recall, and text_bigram_lm_nll (all added after the r6 window
-# was pinned) get day-one slots — then start the r4 cohort.
+# sim_pq_recall, sim_ivfpq_topk, sim_ivfpq_recall, text_bigram_lm_nll,
+# and multimodal_phash_invariance (all added after the r6 window was
+# pinned) get day-one slots — then start the r4 cohort.
 
 
 def _reorder() -> None:

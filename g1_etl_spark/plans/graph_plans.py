@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
-from g1_etl_spark.operators.graph import (PR_SCALE, pagerank,
+from g1_etl_spark.operators.graph import (PR_SCALE, bfs_closure, pagerank,
                                           triangle_count,
                                           triangle_count_degree)
 from g1_etl_spark.plans.registry import register

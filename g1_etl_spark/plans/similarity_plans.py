@@ -538,6 +538,32 @@ def multimodal_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_pairs",
+    oracle=None,  # the corpus engineers near-identical texts, so an
+    # "equal raster prefix" oracle would go red the day a 1-char-apart
+    # prefix pair lands within the hamming bound — which is the hash
+    # WORKING. Contract twin: multimodal_phash_invariance; pair
+    # machinery property-tested in tests/test_multimodal.py.
+    description="near-duplicate images by banded pHash hamming "
+                "(<= 6 of 64 bits): hash once through the native "
+                "decode path, 4x16-bit band buckets, exact "
+                "bit_count(xor) verify on colliding candidates only — "
+                "the text-simhash scale shape on pixels",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators import multimodal as M
+
+    # every=3: EVERY image-kind row gets a real PNG raster (kind cycles
+    # id % 3, image at 0), so the corpus's engineered duplicate texts
+    # yield actual hamming-0/near-dup image pairs instead of the
+    # default 1-in-21 sprinkle whose pair expectation is ~0
+    media = M.media_with_png(load_table(spark, sf_dir, "documents"),
+                             every=3)
+    return M.phash_pairs(media)
+
+
+@register(
     "sim_label_centroid",
     oracle="""
     WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
