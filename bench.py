@@ -109,6 +109,16 @@ R6_ADD = [
     "sim_ivfpq_topk",
     # self-trained bigram-LM quality gate (two count joins + scalar V)
     "text_bigram_lm_nll",
+    # semi-naive bounded-depth transitive closure (recursive-CTE family)
+    "graph_reachability_trade",
+    # Count-Min sketch build + top-20 probe (mergeable O(d*w) state)
+    "sketch_cms_orders",
+    # exact 2-D Pareto front via distributed strict-prefix max
+    "skyline_parts",
+    # sorted-neighborhood blocking + trigram-jaccard verify
+    "dedup_sorted_neighborhood",
+    # banded pHash near-dup image pairs through the native PNG decoder
+    "multimodal_phash_pairs",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

@@ -1,0 +1,66 @@
+"""Pareto/skyline analytics as distributed prefix aggregation.
+
+No reference analog (superset scope). The classic 2-D skyline
+("minimize x, maximize y": keep every row no other row beats on both
+axes) is usually written as the quadratic NOT EXISTS self-join — which
+is exactly what the DuckDB oracle runs. The Spark form here is EXACT
+but linear: dominance in 2-D reduces to two aggregates,
+
+    dominated(r)  <=>  max(y | x <  r.x) >= r.y     (strictly-cheaper)
+                    OR max(y | x == r.x) >  r.y     (same-x, bigger-y)
+
+so the whole skyline is (1) a per-x group max, (2) a STRICT prefix max
+over the x-ordered group table, (3) one equi-join back on x. No
+pairwise comparisons anywhere, no prune-then-verify residue.
+
+The strict prefix max follows the repo's distributed total-order shape
+(retrieval.global_rank / curation.budget_fill): range-repartition the
+group table on x, take each partition's local strictly-preceding
+running max with a per-partition window, and fold in the (partition-
+count-sized, driver-held) max of all earlier partitions. Exact
+duplicates — two rows with identical (x, y) — dominate neither and are
+both kept, matching the strict-in-one NOT EXISTS semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str,
+               partitions: int | None = None) -> DataFrame:
+    """Rows on the Pareto front of (minimize `min_col`, maximize
+    `max_col`), all input columns preserved. Exact — see module doc.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    pm = (df.groupBy(F.col(min_col).alias("_p"))
+          .agg(F.max(max_col).alias("_gmax")))
+    parts = (pm.repartitionByRange(n, F.col("_p"))
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint())  # freeze pid assignment
+    pmax = {r["_pid"]: r["m"] for r in
+            parts.groupBy("_pid").agg(F.max("_gmax").alias("m"))
+            .collect()}
+    best = None
+    offsets = []
+    for pid in sorted(pmax):
+        offsets.append((pid, best))
+        best = pmax[pid] if best is None else max(best, pmax[pid])
+    # explicit schema: offsets may be empty / all-NULL (first partition
+    # has no predecessor) — same idiom as retrieval.global_rank
+    field = df.schema[max_col].dataType.simpleString()
+    off_df = spark.createDataFrame(offsets, f"_pid INT, _off {field}")
+    lw = (W.partitionBy("_pid").orderBy("_p")
+          .rowsBetween(W.unboundedPreceding, -1))
+    prefix = (parts.withColumn("_lm", F.max("_gmax").over(lw))
+              .join(F.broadcast(off_df), "_pid")
+              # greatest skips NULLs; NULL result = nothing cheaper
+              .select("_p", "_gmax",
+                      F.greatest("_lm", "_off").alias("_strict")))
+    joined = df.join(prefix, df[min_col] == F.col("_p"))
+    dominated = ((F.col("_strict").isNotNull()
+                  & (F.col("_strict") >= F.col(max_col)))
+                 | (F.col("_gmax") > F.col(max_col)))
+    return joined.filter(~dominated).select(*df.columns)

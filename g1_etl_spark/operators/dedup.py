@@ -804,3 +804,62 @@ def fuzzy_blocked_pairs(df: DataFrame, name_col: str,
     return (cand.select("name_a", "name_b",
                         dist.cast("long").alias("dist"))
             .filter(F.col("dist") <= max_dist))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", key_len: int = 24,
+                              window: int = 3, n: int = 3,
+                              threshold: float = 0.5) -> DataFrame:
+    """(d1, d2, gap, jaccard): the classic SORTED-NEIGHBORHOOD record-
+    linkage pass — sort the corpus by a cheap blocking key (here the
+    first `key_len` chars of normalized text), slide a window of
+    `window` ranks, verify each candidate pair with exact word-n-gram
+    Jaccard, keep pairs >= `threshold`.
+
+    Why it scales: candidate generation is O(n·window) — one
+    distributed total-order rank (retrieval.global_rank: range
+    repartition + per-partition window + driver-held offsets, never a
+    single-partition ORDER BY), then the window expands as a tiny
+    explode(1..window) and closes as an EQUI-join on the target rank
+    (rank2 == rank1 + gap), so no range-join fallback. Verification
+    touches only candidates, each an equi-join on doc id against the
+    per-doc distinct-gram arrays. Complementary to the first-word
+    blocking of `fuzzy_blocked_pairs`: production linkage unions
+    several such passes.
+
+    Pairs are oriented by RANK (d1 = the lower-ranked doc), and `gap`
+    is their rank distance — both deterministic given the total order
+    (key, id). Docs with fewer than `n` words take part in the sort
+    but generate no grams and therefore no verified pairs (the oracle
+    twin drops them identically).
+    """
+    from g1_etl_spark.operators.retrieval import global_rank
+
+    keyed = df.select(
+        F.col(id_col),
+        F.substring(normalize_text(F.col(text_col)), 1, key_len)
+        .alias("_bkey"))
+    ranked = (global_rank(keyed, [F.col("_bkey"), F.col(id_col)],
+                          rank_col="_rnk")
+              .select(id_col, "_rnk")
+              .localCheckpoint(eager=True))  # both join sides read it
+    gaps = F.array(*[F.lit(i) for i in range(1, window + 1)])
+    a = (ranked.select(F.col(id_col).alias("d1"),
+                       F.col("_rnk").alias("_r1"),
+                       F.explode(gaps).alias("_gap"))
+         .withColumn("_trg", F.col("_r1") + F.col("_gap")))
+    b = ranked.select(F.col(id_col).alias("d2"),
+                      F.col("_rnk").alias("_trg"))
+    cand = a.join(b, "_trg").select(
+        "d1", "d2", F.col("_gap").cast("long").alias("gap"))
+    grams = _grams_projected(
+        df.filter(F.size(F.split(F.col(text_col), " ")) >= n),
+        text_col, id_col, n)
+    g1 = grams.select(F.col("d").alias("d1"), F.col("grams").alias("_ga"))
+    g2 = grams.select(F.col("d").alias("d2"), F.col("grams").alias("_gb"))
+    verified = cand.join(g1, "d1").join(g2, "d2")
+    common = F.size(F.array_intersect("_ga", "_gb"))
+    jac = (common / (F.size("_ga") + F.size("_gb") - common)
+           ).cast("double")
+    return (verified.select("d1", "d2", "gap", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -1,0 +1,83 @@
+"""Mergeable frequency sketches (Count-Min) as pure DataFrame algebra.
+
+No reference analog (superset scope): the reference has no sketch
+surface. The Count-Min sketch here is the classic Cormode-Muthukrishnan
+structure expressed as a (depth x width)-row TABLE rather than a
+driver-held array: cell (j, b) holds the summed count of every key k
+with h_j(k) = b. Because cell updates are plain SUMs, the sketch is a
+map-side-combinable groupBy — partial sketches built per partition
+merge by addition, which is exactly the property that makes CMS the
+standard streaming/distributed frequency structure. Total state is
+O(depth * width) regardless of key cardinality.
+
+Engine-exactness: the row hashes are LCGs over pure int64 arithmetic —
+``((a_j * k + b_j) % P) % width`` with P = 2^31 - 1 and a_j, b_j fixed
+odd constants — so a SQL oracle computes bit-identical buckets,
+identical cells, and identical estimates. (Spark's xxhash64 and
+DuckDB's hash() disagree; arithmetic does not.) Products stay far
+inside int64: a_j < 2^31 and k < 2^31 gives a_j * k < 2^62.
+
+The point-estimate is the usual one-sided bound:
+
+    est(k) = min_j cell(j, h_j(k))   with   est(k) >= true(k),
+
+overcounting only from collisions (property-tested, never under).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# (a, b) per hash row — classic LCG multipliers; any fixed odd a < P
+# works, these are pinned so the oracle SQL can restate them verbatim.
+CMS_HASHES = ((1_103_515_245, 12_345),
+              (69_069, 362_437),
+              (1_664_525, 1_013_904_223))
+
+
+def _bucket(key, a: int, b: int, width: int):
+    return ((F.lit(a) * key.cast("long") + F.lit(b)) % CMS_P) % width
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 256) -> DataFrame:
+    """(j, bucket, c): the Count-Min table over an integer key column.
+
+    One per-key pre-aggregation (map-side combinable) compacts the
+    stream to distinct keys before the depth-way fanout, so the
+    depth x rows explode happens on |keys| rows, not |stream| rows;
+    the final (j, bucket) groupBy is the sketch merge itself.
+    """
+    counts = (df.groupBy(F.col(key_col).alias("_k"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+    fanout = None
+    for j, (a, b) in enumerate(CMS_HASHES):
+        part = counts.select(
+            F.lit(j).alias("j"),
+            _bucket(F.col("_k"), a, b, width).alias("bucket"),
+            F.col("_c"))
+        fanout = part if fanout is None else fanout.unionByName(part)
+    return (fanout.groupBy("j", "bucket")
+            .agg(F.sum("_c").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame,
+                 key_col: str, width: int = 256,
+                 est_col: str = "cms_est") -> DataFrame:
+    """Point-estimate each key in `keys` against a built sketch:
+    est = min over hash rows of the addressed cell. The probe frame
+    fans each key to its `depth` (j, bucket) addresses and equi-joins
+    the sketch — the sketch is depth*width rows, always broadcastable.
+    Keeps every column of `keys` and appends `est_col`.
+    """
+    probes = None
+    for j, (a, b) in enumerate(CMS_HASHES):
+        part = keys.select(
+            "*", F.lit(j).alias("j"),
+            _bucket(F.col(key_col), a, b, width).alias("bucket"))
+        probes = part if probes is None else probes.unionByName(part)
+    others = [c for c in keys.columns if c != key_col]
+    return (probes.join(F.broadcast(sketch), ["j", "bucket"])
+            .groupBy(key_col, *others)
+            .agg(F.min("c").alias(est_col)))

@@ -87,8 +87,10 @@ _R6_WINDOW = (
 # fills most of the window; remaining slots go to queries added or
 # changed late in r6/r7 — graph_pagerank_bucketed, sim_pq_topk,
 # sim_pq_recall, sim_ivfpq_topk, sim_ivfpq_recall, text_bigram_lm_nll,
-# and multimodal_phash_invariance (all added after the r6 window was
-# pinned) get day-one slots — then start the r4 cohort.
+# multimodal_phash_invariance, graph_reachability_trade,
+# sketch_cms_orders, skyline_parts, and dedup_sorted_neighborhood (all
+# added after the r6 window was pinned) get day-one slots — then start
+# the r4 cohort.
 
 
 def _reorder() -> None:

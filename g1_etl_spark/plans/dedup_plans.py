@@ -495,3 +495,57 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         "doc_id", "component",
         split_assign(F.col("component")).alias("split"))
+
+
+_SNM_SQL = """
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                    1, 24) AS bkey
+      FROM documents),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS rnk
+          FROM keyed),
+    cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                    b.rnk - a.rnk AS gap
+             FROM r a JOIN r b
+               ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (SELECT c.d1, c.d2, c.gap, COUNT(*) AS cmn
+               FROM cand c
+               JOIN sh g1 ON g1.doc_id = c.d1
+               JOIN sh g2 ON g2.doc_id = c.d2 AND g2.g = g1.g
+               GROUP BY 1, 2, 3)
+    SELECT d1, d2, gap,
+           CAST(cmn AS DOUBLE) / (s1.sz + s2.sz - cmn) AS jaccard
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(cmn AS DOUBLE) / (s1.sz + s2.sz - cmn) >= 0.5
+"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=_SNM_SQL,
+    description="sorted-neighborhood record-linkage pass: rank the "
+                "corpus by a 24-char normalized-prefix blocking key "
+                "(distributed total-order rank, no single-partition "
+                "sort), expand a 3-rank sliding window as an "
+                "explode(1..w) + EQUI-join on target rank, verify the "
+                "O(n*w) candidates with exact word-trigram Jaccard "
+                ">= 0.5 — the classic complement to first-word "
+                "blocking (fuzzy_name_pairs) and inverted-index "
+                "candidates (dedup_ngram_jaccard)",
+    tags=("dedup", "scale"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"),
+        key_len=24, window=3, threshold=0.5)

@@ -187,3 +187,89 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("c_mktsegment",
                     F.col("o_orderpriority").alias("mode_priority"), "n"))
+
+
+_CMS_W = 256
+# the three (a, b) LCG rows restated verbatim from operators/sketches —
+# the oracle recomputes the exact buckets, cells and min-estimates
+_CMS_HASHES_SQL = ("(VALUES (0, 1103515245, 12345), "
+                   "(1, 69069, 362437), "
+                   "(2, 1664525, 1013904223)) AS h(j, a, b)")
+
+_CMS_SQL = f"""
+    WITH counts AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+                    FROM orders GROUP BY o_custkey),
+    hashes AS (SELECT * FROM {_CMS_HASHES_SQL}),
+    cells AS (
+      SELECT h.j, ((h.a * c.k + h.b) % 2147483647) % {_CMS_W} AS bucket,
+             CAST(SUM(c.cnt) AS BIGINT) AS c
+      FROM counts c CROSS JOIN hashes h GROUP BY 1, 2),
+    topk AS (SELECT k, cnt FROM counts ORDER BY cnt DESC, k LIMIT 20),
+    probes AS (
+      SELECT t.k, t.cnt, h.j,
+             ((h.a * t.k + h.b) % 2147483647) % {_CMS_W} AS bucket
+      FROM topk t CROSS JOIN hashes h)
+    SELECT p.k AS custkey, p.cnt AS exact_cnt, MIN(s.c) AS cms_est
+    FROM probes p JOIN cells s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY 1, 2 ORDER BY custkey
+"""
+
+
+@register(
+    "sketch_cms_orders",
+    oracle=_CMS_SQL,
+    description="Count-Min sketch (depth 3 x width 256, all-integer "
+                "LCG hashes) over per-customer order counts, probed at "
+                "the exact top-20 customers — the mergeable O(d*w) "
+                "frequency structure (cell updates are SUMs, so "
+                "partition-local sketches merge by addition with "
+                "map-side combine); output carries exact vs estimate "
+                "side by side, and est >= exact is the one-sided CMS "
+                "bound (property-tested); the oracle restates the LCG "
+                "buckets verbatim, so even the COLLISION pattern is "
+                "bit-checked",
+    tags=("sketch", "agg", "scale"),
+)
+def sketch_cms_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = cms_build(orders, "o_custkey", width=_CMS_W)
+    counts = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+              .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    topk = counts.orderBy(F.desc("exact_cnt"), "custkey").limit(20)
+    return (cms_estimate(sketch, topk, "custkey", width=_CMS_W)
+            .select("custkey", "exact_cnt", "cms_est")
+            .orderBy("custkey"))
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= r.p_retailprice
+        AND q.p_size >= r.p_size
+        AND (q.p_retailprice < r.p_retailprice OR q.p_size > r.p_size))
+    ORDER BY p_partkey
+    """,
+    description="2-D skyline / Pareto front of parts (minimize retail "
+                "price, maximize size) — EXACT without any pairwise "
+                "comparison: dominance reduces to a per-price group "
+                "max plus a distributed STRICT prefix max over the "
+                "price-ordered group table (the global_rank/budget_fill "
+                "range-partition shape), then one equi-join back; "
+                "oracle = the textbook quadratic NOT EXISTS self-join, "
+                "a genuinely different algorithm agreeing row-for-row "
+                "(operators/analytics.skyline_2d)",
+    tags=("analytics", "scale"),
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size")
+    return (skyline_2d(part, "p_retailprice", "p_size")
+            .orderBy("p_partkey"))

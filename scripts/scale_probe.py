@@ -224,6 +224,12 @@ FAMILIES["trade"] += ["graph_triangle_degree", "entity_org_payload_json"]
 # r6 late addition: bucketed-census pagerank (consumes the bucketed
 # lineitem/orders layouts; layout writes warm out via _LAYOUT_QUERIES)
 FAMILIES["trade"] += ["graph_pagerank_bucketed"]
+# r6 late additions: semi-naive closure + CMS + skyline read the trade
+# star; sorted-neighborhood + pHash pairs read documents
+FAMILIES["trade"] += ["graph_reachability_trade", "sketch_cms_orders",
+                      "skyline_parts"]
+FAMILIES["documents"] += ["dedup_sorted_neighborhood",
+                          "multimodal_phash_pairs"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -304,3 +304,55 @@ def test_adversarial_fixture_separates_banding_regimes(spark):
 
     assert recall(8) < 0.6      # default banding misses this regime
     assert recall(16) >= 0.9    # the contract's re-tuned banding
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from g1_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # same 24-char prefix, jac ~0.8
+        (3, "zz completely different text about other things entirely"),
+        (4, "short doc"),              # < 3 words after split? 2 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {(r.d1, r.d2): r.jaccard
+           for r in sorted_neighborhood_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    # the short doc and the unrelated doc pair with nothing
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_sorted_neighborhood_window_is_a_hard_contract(spark):
+    from g1_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # two identical docs whose blocking keys sort 5 ranks apart: outside
+    # window=3 they are NOT candidates (that is the blocking trade-off,
+    # not a bug — the oracle twin misses them identically)
+    same = "one two three four five six seven eight nine ten"
+    rows = [(1, "aaa " + same), (2, "bbb x y z w v u t s r q"),
+            (3, "ccc x y z w v u t s r q"), (4, "ddd x y z w v u t s r q"),
+            (5, "eee x y z w v u t s r q"), (6, "fff " + same)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pairs = {(r.d1, r.d2) for r in
+             sorted_neighborhood_pairs(df, window=3, threshold=0.7)
+             .collect()}
+    assert (1, 6) not in pairs
+    # widen the window and the pair appears
+    pairs5 = {(r.d1, r.d2) for r in
+              sorted_neighborhood_pairs(df, window=5, threshold=0.7)
+              .collect()}
+    assert (1, 6) in pairs5
+
+
+def test_sorted_neighborhood_gap_is_rank_distance(spark):
+    from g1_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    t = "red orange yellow green blue indigo violet ultraviolet"
+    df = spark.createDataFrame(
+        [(10, t), (20, t), (30, t)], "doc_id INT, text STRING")
+    got = {(r.d1, r.d2): r.gap
+           for r in sorted_neighborhood_pairs(df).collect()}
+    # identical texts rank adjacently by (key, id): gaps 1, 1, 2
+    assert got == {(10, 20): 1, (20, 30): 1, (10, 30): 2}

@@ -154,3 +154,70 @@ def test_degree_orientation_bounds_hub_fanout(spark):
                  .agg(F.count(F.lit(1)).alias("n"))
                  .agg(F.max("n").alias("m")).collect()[0]["m"])
     assert id_fanout == n
+
+
+def _brute_min_hops(edges, max_hops):
+    """Driver-side BFS reference: dict of (src, dst) -> min hops."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    for s in adj:
+        frontier, seen, hops = {s}, set(), 0
+        while frontier and hops < max_hops:
+            hops += 1
+            frontier = {d for f in frontier for d in adj.get(f, ())} - seen
+            for d in frontier:
+                seen.add(d)
+                out[(s, d)] = hops
+    return out
+
+
+def test_bfs_closure_matches_brute_force_on_random_graph(spark):
+    import random
+
+    from g1_etl_spark.operators.graph import bfs_closure
+
+    rng = random.Random(42)
+    nodes = list(range(12))
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(30)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {(r.src, r.dst): r.hops
+           for r in bfs_closure(df, max_hops=4).collect()}
+    assert got == _brute_min_hops(edges, 4)
+
+
+def test_bfs_closure_chain_hops_and_early_exit(spark):
+    from g1_etl_spark.operators.graph import bfs_closure
+
+    # 0->1->2->3: closure at max_hops=10 exhausts by hop 3 and the
+    # frontier-empty early exit must still return the full closure
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                               "src INT, dst INT")
+    got = {(r.src, r.dst): r.hops for r in
+           bfs_closure(df, max_hops=10).collect()}
+    assert got == {(0, 1): 1, (1, 2): 1, (2, 3): 1,
+                   (0, 2): 2, (1, 3): 2, (0, 3): 3}
+
+
+def test_bfs_closure_cycle_reaches_self(spark):
+    from g1_etl_spark.operators.graph import bfs_closure
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src INT, dst INT")
+    got = {(r.src, r.dst): r.hops for r in
+           bfs_closure(df, max_hops=4).collect()}
+    # 2-cycle: each node reaches itself in 2 hops, the other in 1
+    assert got == {(0, 1): 1, (1, 0): 1, (0, 0): 2, (1, 1): 2}
+
+
+def test_bfs_closure_hops_is_shortest_not_first_listed(spark):
+    from g1_etl_spark.operators.graph import bfs_closure
+
+    # both a long path 0->1->2->3 and a shortcut 0->3: hops(0,3) == 1
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)],
+                               "src INT, dst INT")
+    got = {(r.src, r.dst): r.hops for r in
+           bfs_closure(df, max_hops=4).collect()}
+    assert got[(0, 3)] == 1 and got[(0, 2)] == 2
