@@ -119,6 +119,8 @@ R6_ADD = [
     "dedup_sorted_neighborhood",
     # banded pHash near-dup image pairs through the native PNG decoder
     "multimodal_phash_pairs",
+    # AllPairs/PPJoin prefix-filtered index vs the full inverted index
+    "dedup_ngram_prefix_filter",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

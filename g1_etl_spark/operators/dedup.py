@@ -863,3 +863,58 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str = "text",
            ).cast("double")
     return (verified.select("d1", "d2", "gap", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED index —
+    the AllPairs/PPJoin candidate generation: identical output to
+    `ngram_jaccard_pairs` (same threshold semantics, same oracle), but
+    the inverted index holds only each doc's RAREST grams.
+
+    Why it scales: for J(A,B) >= t the overlap is >= t*max(|A|,|B|), so
+    with every doc's gram set sorted by one GLOBAL order (document
+    frequency asc, gram asc — rarest first), two qualifying docs must
+    collide inside their first |X| - ceil(t*|X|) + 1 grams. Indexing
+    only that prefix shrinks the index ~t fraction (half at t=0.5) and,
+    because prefixes are the RARE grams, the quadratic per-gram pair
+    fan-out concentrates where posting lists are shortest — the skew
+    guard falls out of the ordering instead of needing a max_df cap.
+    Candidates also pass the length filter (min >= t*max) before the
+    verify step, which computes exact Jaccard from the full per-doc
+    gram ARRAYS (array_intersect on candidate pairs only — no second
+    inverted-index pass).
+
+    threshold must be exactly representable in binary (0.5, 0.25, ...)
+    for the ceil arithmetic to be engine-portable; the registered query
+    pins t=0.5.
+    """
+    grams = (_gram_hashes_projected(df, text_col, id_col, n)
+             .select("d", "grams", F.size("grams").alias("sz"))
+             .localCheckpoint(eager=True))  # feeds index AND verify
+    ex = grams.select("d", "sz", F.explode("grams").alias("g"))
+    gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    ow = W.partitionBy("d").orderBy("_df", "g")
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    prefix = (ex.join(gdf, "g")
+              .withColumn("_rn", F.row_number().over(ow))
+              .filter(F.col("_rn") <= plen)
+              .select("d", "sz", "g"))
+    a = prefix.select(F.col("d").alias("d1"), F.col("sz").alias("sz1"),
+                      "g")
+    b = prefix.select(F.col("d").alias("d2"), F.col("sz").alias("sz2"),
+                      "g")
+    cand = (a.join(b, "g")
+            .filter((F.col("d1") < F.col("d2"))
+                    & (F.least("sz1", "sz2")
+                       >= F.lit(threshold) * F.greatest("sz1", "sz2")))
+            .select("d1", "d2").distinct())
+    g1 = grams.select(F.col("d").alias("d1"), F.col("grams").alias("_ga"))
+    g2 = grams.select(F.col("d").alias("d2"), F.col("grams").alias("_gb"))
+    common = F.size(F.array_intersect("_ga", "_gb"))
+    jac = (common / (F.size("_ga") + F.size("_gb") - common)
+           ).cast("double")
+    return (cand.join(g1, "d1").join(g2, "d2")
+            .select("d1", "d2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -88,9 +88,10 @@ _R6_WINDOW = (
 # changed late in r6/r7 — graph_pagerank_bucketed, sim_pq_topk,
 # sim_pq_recall, sim_ivfpq_topk, sim_ivfpq_recall, text_bigram_lm_nll,
 # multimodal_phash_invariance, graph_reachability_trade,
-# sketch_cms_orders, skyline_parts, and dedup_sorted_neighborhood (all
-# added after the r6 window was pinned) get day-one slots — then start
-# the r4 cohort.
+# sketch_cms_orders, skyline_parts, dedup_sorted_neighborhood,
+# dedup_ngram_prefix_filter, and events_gapfill_linear (all added after
+# the r6 window was pinned) get day-one slots — then start the r4
+# cohort.
 
 
 def _reorder() -> None:

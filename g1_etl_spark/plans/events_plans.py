@@ -380,6 +380,89 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gapfill_linear",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+      FROM events WHERE user_id < 10 GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b
+      GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM spans),
+    filled AS (
+      SELECT g.user_id, g.bucket, COALESCE(b.n, 0) AS n, b.total_value
+      FROM grid g LEFT JOIN b USING (user_id, bucket)),
+    anchored AS (
+      SELECT user_id, bucket, n, total_value,
+             LAST_VALUE(total_value IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(CASE WHEN total_value IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER wp AS pb,
+             FIRST_VALUE(total_value IGNORE NULLS) OVER wn AS nv,
+             FIRST_VALUE(CASE WHEN total_value IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER wn AS nb
+      FROM filled
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket, n,
+           CASE WHEN total_value IS NOT NULL THEN total_value
+                ELSE pv + (nv - pv)
+                     * (CAST(epoch_us(bucket) - epoch_us(pb) AS DOUBLE)
+                        / CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE))
+           END AS interp_value
+    FROM anchored
+    """,
+    description="time-series gap fill by LINEAR interpolation: dense "
+                "hourly grid per user, previous/next observed anchors "
+                "via ignore-nulls windows, gap rows get "
+                "pv + (nv-pv)*(step/span) — engine-exact because both "
+                "engines evaluate the identical IEEE expression tree "
+                "on identical anchors (grid edges are observed rows, "
+                "so no extrapolation case exists); the interpolating "
+                "complement of events_gapfill_locf",
+    tags=("events", "window", "timeseries"),
+)
+def events_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    b = (ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+         .select("user_id", F.col("w.start").alias("bucket"), "n",
+                 "total_value"))
+    grid = (b.groupBy("user_id")
+            .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        "lo", "hi", F.expr("INTERVAL 1 HOUR")))
+                    .alias("bucket")))
+    filled = grid.join(b, ["user_id", "bucket"], "left")
+    wp = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    wn = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        W.currentRow, W.unboundedFollowing)
+    obs_bucket = F.when(F.col("total_value").isNotNull(), F.col("bucket"))
+    anchored = filled.select(
+        "user_id", "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"), "total_value",
+        F.last("total_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("pb"),
+        F.first("total_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wn).alias("nb"))
+    step = (F.unix_micros("bucket") - F.unix_micros("pb")).cast("double")
+    span = (F.unix_micros("nb") - F.unix_micros("pb")).cast("double")
+    interp = F.when(
+        F.col("total_value").isNotNull(), F.col("total_value")
+    ).otherwise(F.col("pv")
+                + (F.col("nv") - F.col("pv")) * (step / span))
+    return anchored.select("user_id", "bucket", "n",
+                           interp.alias("interp_value"))
+
+
+@register(
     "events_rate_per_type",
     oracle=f"""
     SELECT event_type,

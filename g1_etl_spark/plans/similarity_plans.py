@@ -548,11 +548,18 @@ def multimodal_phash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(<= 6 of 64 bits): hash once through the native "
                 "decode path, 4x16-bit band buckets, exact "
                 "bit_count(xor) verify on colliding candidates only — "
-                "the text-simhash scale shape on pixels",
-    tags=("multimodal", "dedup"),
+                "the text-simhash scale shape on pixels — then the "
+                "per-doc top-3 cap (similarity.neardup_top_m, score = "
+                "64 - hamming): the 10x probe showed an image "
+                "boilerplate clique of j near-identical rasters emits "
+                "~j^2 raw pairs (1109x output at 10x data), and the "
+                "cap is what keeps emitted pairs LINEAR in corpus size "
+                "at 100 TB, exactly as in sim_neardup_topm",
+    tags=("multimodal", "dedup", "scale"),
 )
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators import multimodal as M
+    from g1_etl_spark.operators.similarity import neardup_top_m
 
     # every=3: EVERY image-kind row gets a real PNG raster (kind cycles
     # id % 3, image at 0), so the corpus's engineered duplicate texts
@@ -560,7 +567,9 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default 1-in-21 sprinkle whose pair expectation is ~0
     media = M.media_with_png(load_table(spark, sf_dir, "documents"),
                              every=3)
-    return M.phash_pairs(media)
+    pairs = M.phash_pairs(media).select(
+        "d1", "d2", (F.lit(64) - F.col("hamming")).alias("score"))
+    return neardup_top_m(pairs, m=3)
 
 
 @register(

@@ -196,6 +196,7 @@ FAMILIES = {
         "events_rate_anomaly", "events_pattern_seq", "events_hll_rollup",
         "events_dedup_ids", "events_scd2_intervals",
         "events_session_docs", "events_percentile_rollup",
+        "events_gapfill_linear",
     ],
     # fact-star replica: 10x lineitem/orders/customer/supplier/part with
     # consistent key offsets, dims verbatim — the TPC-H + graph probe
@@ -229,7 +230,8 @@ FAMILIES["trade"] += ["graph_pagerank_bucketed"]
 FAMILIES["trade"] += ["graph_reachability_trade", "sketch_cms_orders",
                       "skyline_parts"]
 FAMILIES["documents"] += ["dedup_sorted_neighborhood",
-                          "multimodal_phash_pairs"]
+                          "multimodal_phash_pairs",
+                          "dedup_ngram_prefix_filter"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

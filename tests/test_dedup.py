@@ -356,3 +356,45 @@ def test_sorted_neighborhood_gap_is_rank_distance(spark):
            for r in sorted_neighborhood_pairs(df).collect()}
     # identical texts rank adjacently by (key, id): gaps 1, 1, 2
     assert got == {(10, 20): 1, (20, 30): 1, (10, 30): 2}
+
+
+def test_prefix_filter_equals_full_inverted_index(spark):
+    import random
+
+    from g1_etl_spark.operators.dedup import (ngram_jaccard_pairs,
+                                              ngram_jaccard_prefix_pairs)
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        rows.append((d, " ".join(words)))
+    # engineered near-dups: tail-perturbed copies across the jaccard
+    # boundary so the equality check covers hits AND near-misses
+    for d, base in list(rows[:8]):
+        w = base.split()
+        w[-1] = "zzz"
+        rows.append((100 + d, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    full = {(r.d1, r.d2): round(r.jaccard, 12) for r in
+            ngram_jaccard_pairs(df, threshold=0.5, max_df=None).collect()}
+    pref = {(r.d1, r.d2): round(r.jaccard, 12) for r in
+            ngram_jaccard_prefix_pairs(df, threshold=0.5).collect()}
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_filter_indexes_fewer_gram_rows(spark):
+    from pyspark.sql import functions as F
+    from g1_etl_spark.operators.dedup import _gram_hashes_projected
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = _gram_hashes_projected(docs, "text", "doc_id", 3)
+    full_rows = grams.select(F.explode("grams")).count()
+    # the t=0.5 prefix keeps |g| - ceil(|g|/2) + 1 rows per doc:
+    # strictly about half (+1) — assert the index actually shrinks
+    prefix_rows = (grams.select((F.size("grams")
+                                 - F.ceil(F.size("grams") * 0.5) + 1)
+                                .alias("p"))
+                   .agg(F.sum("p")).collect()[0][0])
+    assert prefix_rows < 0.6 * full_rows

@@ -36,3 +36,30 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_gapfill_linear_interpolates_midpoints(spark):
+    from g1_etl_spark.plans.events_plans import events_gapfill_linear
+
+    rows = events_gapfill_linear(spark, "/root/testdata/sf0.001").collect()
+    by_key = {(r.user_id, r.bucket): r for r in rows}
+    assert len(rows) > 0
+    # gap rows (n == 0) must sit strictly between their anchors; spot
+    # check the linear property: value at a gap equals the value
+    # obtained by interpolating its neighbors in bucket order
+    import datetime
+    for r in rows:
+        if r.n == 0:
+            prev_b = r.bucket - datetime.timedelta(hours=1)
+            nxt_b = r.bucket + datetime.timedelta(hours=1)
+            prev = by_key.get((r.user_id, prev_b))
+            nxt = by_key.get((r.user_id, nxt_b))
+            assert prev is not None and nxt is not None
+            # single-hour gap between two observed rows: exact midpoint
+            if prev.n > 0 and nxt.n > 0:
+                mid = prev.interp_value + (nxt.interp_value
+                                           - prev.interp_value) * 0.5
+                assert abs(r.interp_value - mid) < 1e-9
+    # observed rows pass their value through untouched
+    obs = [r for r in rows if r.n > 0]
+    assert obs and all(r.interp_value is not None for r in obs)
