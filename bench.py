@@ -121,6 +121,8 @@ R6_ADD = [
     "multimodal_phash_pairs",
     # AllPairs/PPJoin prefix-filtered index vs the full inverted index
     "dedup_ngram_prefix_filter",
+    # a-priori-pruned triple mining (two basket-keyed self-joins)
+    "orders_basket_triples",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

@@ -967,3 +967,89 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy(*order)
     return (pruned.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 16))
+
+
+# Contract row, same discipline as events_hll_rollup: the HLL numbers
+# are engine-specific, so the oracle checks the EXACT intersection and
+# the Spark side carries err_ok. Inclusion-exclusion compounds three
+# sketch errors (est_a + est_b - est_union), so the bound scales with
+# the UNION size (the largest of the three operands), not the
+# intersection: max(5, 7.5% of exact_union). Pairs whose exact
+# intersection is empty drop out of both engines (inner join / inner
+# enumeration) — the contract certifies estimates only where an
+# intersection exists.
+@register(
+    "events_hll_intersection",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT x.type_a, x.type_b,
+             CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_union
+      FROM inter x JOIN ut u
+        ON u.event_type IN (x.type_a, x.type_b)
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, i.exact_both, u.exact_union,
+           TRUE AS err_ok
+    FROM inter i JOIN uni u
+      ON i.type_a = u.type_a AND i.type_b = u.type_b
+    ORDER BY 1, 2
+    """,
+    description="HLL set-INTERSECTION estimates by inclusion-exclusion "
+                "(est_a + est_b - est_union over mergeable per-type "
+                "user sketches): the audience-overlap question answered "
+                "from O(types * 2^lgK) sketch state instead of a "
+                "user-level distinct join — at 100 TB the sketches are "
+                "built once per type and every pairwise overlap is "
+                "sketch algebra; exact intersection/union joined in, "
+                "err_ok = |est - exact_both| <= max(5, 7.5% "
+                "exact_union)",
+    tags=("events", "sketch", "contract"),
+)
+def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = (ev.groupBy("event_type")
+          .agg(F.hll_sketch_agg("user_id").alias("_sk"),
+               F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+               .alias("_est")))
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("_sk").alias("_ska"), F.col("_est").alias("_ea"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("_sk").alias("_skb"), F.col("_est").alias("_eb"))
+    # types are a tiny dim: the pair frame is |types|^2 rows, broadcast
+    pairs = (a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+             .select("type_a", "type_b", "_ea", "_eb",
+                     F.hll_sketch_estimate(
+                         F.hll_union("_ska", "_skb")).alias("_eu")))
+    est_inter = F.col("_ea") + F.col("_eb") - F.col("_eu")
+    ut = ev.select("event_type", "user_id").distinct()
+    ia = ut.select(F.col("event_type").alias("type_a"),
+                   F.col("user_id").alias("_u"))
+    ib = ut.select(F.col("event_type").alias("type_b"),
+                   F.col("user_id").alias("_u"))
+    inter = (ia.join(ib, "_u")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("exact_both")))
+    # explode the pair to its two member types -> plain equi-join on
+    # event_type (an isin(col, col) membership join would plan as a
+    # broadcast nested loop)
+    uni = (inter.select(
+        "type_a", "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"))
+        .join(ut, "event_type")
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_union")))
+    return (pairs.join(inter, ["type_a", "type_b"])
+            .join(uni, ["type_a", "type_b"])
+            .select("type_a", "type_b", "exact_both", "exact_union",
+                    (F.abs(est_inter - F.col("exact_both"))
+                     <= F.greatest(F.lit(5.0),
+                                   F.col("exact_union") * 0.075))
+                    .alias("err_ok"))
+            .orderBy("type_a", "type_b"))

@@ -862,3 +862,77 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+@register(
+    "orders_basket_triples",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o_custkey,
+             date_trunc('month', o_orderdate) AS mon,
+             p_brand
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey),
+    freq AS (SELECT p_brand FROM baskets
+             GROUP BY p_brand HAVING COUNT(*) >= 2),
+    fb AS (SELECT b.o_custkey, b.mon, b.p_brand
+           FROM baskets b JOIN freq USING (p_brand)),
+    tri AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+             COUNT(*) AS support
+      FROM fb a
+      JOIN fb b ON a.o_custkey = b.o_custkey AND a.mon = b.mon
+               AND a.p_brand < b.p_brand
+      JOIN fb c ON b.o_custkey = c.o_custkey AND b.mon = c.mon
+               AND b.p_brand < c.p_brand
+      GROUP BY 1, 2, 3)
+    SELECT b1, b2, b3, support FROM tri WHERE support >= 2
+    ORDER BY support DESC, b1, b2, b3
+    LIMIT 50
+    """,
+    description="market-basket TRIPLE mining with the A-PRIORI prune, "
+                "over (customer, month) brand baskets — the itemset "
+                "alphabet is the 25-brand dim, so basket size is "
+                "bounded by a CONSTANT at any corpus scale (raw "
+                "part-level triples go degenerate: random 4-item "
+                "baskets never repeat a part triple past tiny sf); "
+                "pass-1 downward-closure cut drops infrequent brands "
+                "before any pair work, then ordered b1<b2<b3 "
+                "enumeration via two basket-keyed self-joins (each "
+                "join group basket-sized), map-side-combined count, "
+                "support >= 2, deterministic top-50",
+    tags=("join", "agg", "topk", "scale"),
+)
+def orders_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    baskets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                       li.l_orderkey == F.col("o_orderkey"))
+               .join(F.broadcast(p.select("p_partkey", "p_brand")),
+                     li.l_partkey == F.col("p_partkey"))
+               .select("o_custkey",
+                       F.date_trunc("month", "o_orderdate").alias("mon"),
+                       "p_brand")
+               .distinct())
+    freq = (baskets.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2).select("p_brand"))
+    fb = (baskets.join(F.broadcast(freq), "p_brand")
+          .select("o_custkey", "mon", "p_brand")
+          .localCheckpoint(eager=True))  # three join sides, one build
+    a, b, c = fb.alias("a"), fb.alias("b"), fb.alias("c")
+    return (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                   & (F.col("a.mon") == F.col("b.mon"))
+                   & (F.col("a.p_brand") < F.col("b.p_brand")))
+            .join(c, (F.col("b.o_custkey") == F.col("c.o_custkey"))
+                  & (F.col("b.mon") == F.col("c.mon"))
+                  & (F.col("b.p_brand") < F.col("c.p_brand")))
+            .groupBy(F.col("a.p_brand").alias("b1"),
+                     F.col("b.p_brand").alias("b2"),
+                     F.col("c.p_brand").alias("b3"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 2)
+            .orderBy(F.desc("support"), "b1", "b2", "b3")
+            .limit(50))

@@ -297,3 +297,39 @@ def histogram_drift_stream(events: DataFrame, reference: DataFrame,
                     "ref_share",
                     F.when(share + F.col("ref_share") > 0, contrib)
                     .otherwise(F.lit(0.0)).alias("contrib")))
+
+
+def cms_sketch_stream(events: DataFrame, window: str = "1 hour",
+                      watermark: str = "2 hours",
+                      width: int = 256) -> DataFrame:
+    """Streaming Count-Min sketch: per tumbling window, the (j, bucket)
+    cell counts of user_id frequencies — the same mergeable structure
+    as operators/sketches.cms_build, maintained incrementally.
+
+    This is the CMS's whole point in a streaming engine: cell updates
+    are SUMs, so the stateful aggregate is an ordinary watermarked
+    groupBy whose state is bounded at depth*width rows PER WINDOW no
+    matter how many distinct users flow through; sketches for closed
+    windows are final and merge across windows (or across streams) by
+    cell-wise addition. The batch twin — cms_build over the same rows —
+    must produce identical cells (equivalence-tested), which also
+    certifies the arithmetic LCG bucketing is deterministic under
+    streaming's incremental accumulation order.
+    """
+    from g1_etl_spark.operators.sketches import CMS_HASHES, CMS_P
+
+    fan = F.explode(F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (((F.lit(a) * F.col("user_id").cast("long") + F.lit(b))
+              % CMS_P) % width).alias("bucket"))
+        for j, (a, b) in enumerate(CMS_HASHES)])).alias("cell")
+    return (events
+            .withWatermark("ts", watermark)
+            .select("ts", fan)
+            .groupBy(F.window("ts", window).alias("w"),
+                     F.col("cell.j").alias("j"),
+                     F.col("cell.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("w.start").alias("window_start"),
+                    "j", "bucket", "c"))

@@ -196,7 +196,7 @@ FAMILIES = {
         "events_rate_anomaly", "events_pattern_seq", "events_hll_rollup",
         "events_dedup_ids", "events_scd2_intervals",
         "events_session_docs", "events_percentile_rollup",
-        "events_gapfill_linear",
+        "events_gapfill_linear", "events_hll_intersection",
     ],
     # fact-star replica: 10x lineitem/orders/customer/supplier/part with
     # consistent key offsets, dims verbatim — the TPC-H + graph probe
@@ -228,7 +228,7 @@ FAMILIES["trade"] += ["graph_pagerank_bucketed"]
 # r6 late additions: semi-naive closure + CMS + skyline read the trade
 # star; sorted-neighborhood + pHash pairs read documents
 FAMILIES["trade"] += ["graph_reachability_trade", "sketch_cms_orders",
-                      "skyline_parts"]
+                      "skyline_parts", "orders_basket_triples"]
 FAMILIES["documents"] += ["dedup_sorted_neighborhood",
                           "multimodal_phash_pairs",
                           "dedup_ngram_prefix_filter"]

@@ -158,6 +158,10 @@ _BNLJ_OK = {
     # PQ scoring broadcasts the same 5-query constant-tiny side as
     # brute force; the scan side reads 16-byte codes, not raw vectors
     "sim_pq_topk", "sim_pq_recall",
+    # the type-pair enumeration (type_a < type_b) broadcasts the
+    # |event_types|-row SKETCH dim (5 rows at any data scale — sketch
+    # state is O(types * 2^lgK), independent of user cardinality)
+    "events_hll_intersection",
     # one-row vocabulary-size scalar crossed into the score join
     "text_bigram_lm_nll",
     # one-row national-total scalar broadcast (the HAVING-vs-global

@@ -765,3 +765,30 @@ def test_histogram_drift_stream_matches_batch(spark, stream_dir):
             assert n == wn and abs(s - ws) < 1e-15 and abs(c - wc) < 1e-12
     finally:
         q.stop()
+
+
+def test_cms_sketch_stream_matches_batch_build(spark, stream_dir):
+    """Streaming CMS cells (complete mode, per tumbling window) must be
+    bit-identical to batch cms_build over the same window's rows — the
+    merge-by-addition property under incremental accumulation, plus the
+    determinism of the arithmetic LCG bucketing."""
+    from g1_etl_spark.operators.sketches import cms_build
+
+    stream = SW.read_events_stream(spark, stream_dir)
+    q = SW.run_to_memory(SW.cms_sketch_stream(stream), "t_cms",
+                         output_mode="complete")
+    try:
+        got = {(r["window_start"], r["j"], r["bucket"]): r["c"]
+               for r in spark.sql("SELECT * FROM t_cms").collect()}
+        batch = _batch(spark, stream_dir).withColumn(
+            "window_start", F.window("ts", "1 hour").start)
+        want = {}
+        for ws_row in batch.select("window_start").distinct().collect():
+            ws = ws_row["window_start"]
+            cells = cms_build(
+                batch.filter(F.col("window_start") == ws), "user_id")
+            for r in cells.collect():
+                want[(ws, r["j"], r["bucket"])] = r["c"]
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()

@@ -206,3 +206,35 @@ def test_histogram_percentile_rollup_bounds(spark):
     # exactly one estimate row per (type, week)
     keys = [(r["event_type"], r["window_start"]) for r in roll]
     assert len(keys) == len(set(keys)) == len(want)
+
+
+def test_hll_intersection_contract_on_engineered_overlap(spark):
+    """Partial/disjoint overlaps (unlike the all-overlap sf corpus):
+    inclusion-exclusion must land within the contract bound, and pairs
+    with an empty exact intersection must not appear."""
+    import datetime
+
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    # A: users 0..99; B: users 50..149 (overlap 50); C: users 200..219
+    # (disjoint from both)
+    for u in range(100):
+        rows.append((len(rows), t0, u, "A", 1.0, "{}"))
+    for u in range(50, 150):
+        rows.append((len(rows), t0, u, "B", 1.0, "{}"))
+    for u in range(200, 220):
+        rows.append((len(rows), t0, u, "C", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {(r.type_a, r.type_b): r
+               for r in REGISTRY["events_hll_intersection"]
+               .fn(spark, d).collect()}
+    assert set(out) == {("A", "B")}  # C-pairs have empty intersections
+    r = out[("A", "B")]
+    assert r.exact_both == 50 and r.exact_union == 150 and r.err_ok
