@@ -889,6 +889,15 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     threshold must be exactly representable in binary (0.5, 0.25, ...)
     for the ceil arithmetic to be engine-portable; the registered query
     pins t=0.5.
+
+    Measured head-to-head (100x replicated corpus, same process,
+    back-to-back; PROBE_r06_100x.json): 95.45s vs 268.26s for
+    ngram_jaccard_pairs — identical 25,600-row output, 2.8x faster.
+    At small sf the extra gram-frequency ranking pass makes the two
+    comparable (bench sf0.1: ~3.0s vs ~1.4s); the crossover is exactly
+    where it should be — the prefix filter pays a fixed ordering cost
+    to shrink the quadratic candidate term, which only dominates at
+    corpus scale.
     """
     grams = (_gram_hashes_projected(df, text_col, id_col, n)
              .select("d", "grams", F.size("grams").alias("sz"))

@@ -81,3 +81,24 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
     return (probes.join(F.broadcast(sketch), ["j", "bucket"])
             .groupBy(key_col, *others)
             .agg(F.min("c").alias(est_col)))
+
+
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """One-row (est) frame: the Count-Min JOIN-SIZE estimate between
+    two keyed relations from their sketches alone — the classic sketch
+    inner product, min over hash rows j of sum_b A[j][b] * B[j][b].
+
+    For every j the bucket-wise inner product expands to
+    sum over key pairs (x, y) with h_j(x) = h_j(y) of a_x * b_y, which
+    contains every TRUE matching pair (x = y) plus non-negative
+    collision terms — so each row overestimates and the min is still
+    an overestimate: est >= |A join B| always (the one-sided bound,
+    property-tested like the point estimate). This is how an optimizer
+    sizes a join from O(d*w) state per relation without touching data.
+    """
+    a = sketch_a.select("j", "bucket", F.col("c").alias("_ca"))
+    b = sketch_b.select("j", "bucket", F.col("c").alias("_cb"))
+    per_row = (a.join(b, ["j", "bucket"])
+               .groupBy("j")
+               .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip")))
+    return per_row.agg(F.min("_ip").alias("est"))

@@ -1053,3 +1053,50 @@ def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("exact_union") * 0.075))
                     .alias("err_ok"))
             .orderBy("type_a", "type_b"))
+
+
+@register(
+    "orders_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 7 AS e
+      FROM orders),
+    m AS (
+      SELECT o_custkey, s, e,
+             MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+      FROM iv)
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(GREATEST(0, datediff('day',
+                GREATEST(s, COALESCE(pm, s)), e))) AS BIGINT)
+             AS covered_days
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    description="interval-UNION coverage: total distinct days covered "
+                "by each customer's (overlapping) 7-day order windows "
+                "— the classic sweep line as pure window algebra: sort "
+                "intervals per key, clip each at the running max of "
+                "prior ends (strictly-preceding frame), sum the "
+                "non-negative remainders; all-integer day arithmetic, "
+                "per-key windows only (never a global sort), the "
+                "aggregate complement of orders_overlap_pairs",
+    tags=("events", "window", "temporal"),
+)
+def orders_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("e"))
+    w = (W.partitionBy("o_custkey").orderBy("s", "e")
+         .rowsBetween(W.unboundedPreceding, -1))
+    m = iv.withColumn("pm", F.max("e").over(w))
+    clip = F.greatest(F.col("s"), F.coalesce(F.col("pm"), F.col("s")))
+    contrib = F.greatest(F.lit(0), F.datediff(F.col("e"), clip))
+    return (m.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(contrib).cast("long").alias("covered_days"))
+            .orderBy("custkey"))

@@ -273,3 +273,61 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", "p_retailprice", "p_size")
     return (skyline_2d(part, "p_retailprice", "p_size")
             .orderBy("p_partkey"))
+
+
+_CMS_JOIN_SQL = f"""
+    WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+                FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, COUNT(*) AS cnt
+           FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+    hashes AS (SELECT * FROM {_CMS_HASHES_SQL}),
+    sa AS (SELECT h.j,
+                  ((h.a * ca.k + h.b) % 2147483647) % {_CMS_W} AS bucket,
+                  CAST(SUM(ca.cnt) AS BIGINT) AS c
+           FROM ca CROSS JOIN hashes h GROUP BY 1, 2),
+    sb AS (SELECT h.j,
+                  ((h.a * cb.k + h.b) % 2147483647) % {_CMS_W} AS bucket,
+                  CAST(SUM(cb.cnt) AS BIGINT) AS c
+           FROM cb CROSS JOIN hashes h GROUP BY 1, 2),
+    ip AS (SELECT sa.j, CAST(SUM(sa.c * sb.c) AS BIGINT) AS v
+           FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+           GROUP BY 1),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_size
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING')
+    SELECT (SELECT MIN(v) FROM ip) AS est,
+           ex.exact_size,
+           (SELECT MIN(v) FROM ip) >= ex.exact_size AS lower_bound_ok
+    FROM ex
+"""
+
+
+@register(
+    "sketch_cms_join_size",
+    oracle=_CMS_JOIN_SQL,
+    description="sketch-based JOIN-SIZE estimation: |orders x BUILDING "
+                "customers on custkey| estimated as the Count-Min "
+                "inner product min_j sum_b A[j][b]*B[j][b] — how an "
+                "optimizer sizes a join from O(d*w) state per relation "
+                "without touching data; every bucket product contains "
+                "all true matches plus non-negative collision terms, "
+                "so est >= exact always (lower_bound_ok carried in the "
+                "row); the LCG buckets are SQL-stated, so the ESTIMATE "
+                "itself hash-matches the oracle, not just the bound",
+    tags=("sketch", "join", "scale"),
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING"))
+    est = cms_join_size(cms_build(orders, "o_custkey", width=_CMS_W),
+                        cms_build(cust, "c_custkey", width=_CMS_W))
+    exact = (orders.join(cust,
+                         orders.o_custkey == cust.c_custkey)
+             .agg(F.count(F.lit(1)).alias("exact_size")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("est", "exact_size",
+                    (F.col("est") >= F.col("exact_size"))
+                    .alias("lower_bound_ok")))

@@ -228,7 +228,8 @@ FAMILIES["trade"] += ["graph_pagerank_bucketed"]
 # r6 late additions: semi-naive closure + CMS + skyline read the trade
 # star; sorted-neighborhood + pHash pairs read documents
 FAMILIES["trade"] += ["graph_reachability_trade", "sketch_cms_orders",
-                      "skyline_parts", "orders_basket_triples"]
+                      "skyline_parts", "orders_basket_triples",
+                      "sketch_cms_join_size", "orders_interval_coverage"]
 FAMILIES["documents"] += ["dedup_sorted_neighborhood",
                           "multimodal_phash_pairs",
                           "dedup_ngram_prefix_filter"]

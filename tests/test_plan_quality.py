@@ -162,6 +162,9 @@ _BNLJ_OK = {
     # |event_types|-row SKETCH dim (5 rows at any data scale — sketch
     # state is O(types * 2^lgK), independent of user cardinality)
     "events_hll_intersection",
+    # one-row est x one-row exact: scalar-aggregate cross, the
+    # documented one-row-build-side case
+    "sketch_cms_join_size",
     # one-row vocabulary-size scalar crossed into the score join
     "text_bigram_lm_nll",
     # one-row national-total scalar broadcast (the HAVING-vs-global
@@ -201,6 +204,9 @@ _SINGLE_PART_OK = {
     # one-row vocabulary-size scalar (countDistinct partials merged
     # once), crossed into the bigram score join — see _BNLJ_OK
     "text_bigram_lm_nll",
+    # two one-row scalars: min-over-3-hash-rows sketch inner product
+    # (d*w-bounded input) and the exact-size count — see _BNLJ_OK
+    "sketch_cms_join_size",
 }
 
 

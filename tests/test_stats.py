@@ -156,3 +156,24 @@ def test_skyline_anticorrelated_keeps_all_correlated_keeps_extreme(spark):
         "id INT, x DOUBLE, y INT")
     rows = skyline_2d(corner, "x", "y").collect()
     assert len(rows) == 1 and rows[0].id == 0
+
+
+def test_cms_join_size_never_undercounts(spark):
+    import random
+
+    from g1_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    rng = random.Random(21)
+    a = spark.createDataFrame(
+        [(rng.randint(0, 300),) for _ in range(2000)], "k LONG")
+    b = spark.createDataFrame(
+        [(rng.randint(100, 500),) for _ in range(1500)], "k LONG")
+    est = cms_join_size(cms_build(a, "k", width=64),
+                        cms_build(b, "k", width=64)).collect()[0]["est"]
+    exact = a.join(b, "k").count()
+    assert est >= exact > 0
+    # and with a wide sketch (collision-free), the estimate is exact
+    est_wide = cms_join_size(
+        cms_build(a, "k", width=65536),
+        cms_build(b, "k", width=65536)).collect()[0]["est"]
+    assert est_wide == exact
