@@ -47,18 +47,21 @@ def cms_build(df: DataFrame, key_col: str, width: int = 256) -> DataFrame:
     One per-key pre-aggregation (map-side combinable) compacts the
     stream to distinct keys before the depth-way fanout, so the
     depth x rows explode happens on |keys| rows, not |stream| rows;
-    the final (j, bucket) groupBy is the sketch merge itself.
+    the final (j, bucket) groupBy is the sketch merge itself. The
+    fanout is ONE explode, not a depth-way unionByName — union
+    branches get no common-subexpression elimination, so a union
+    would re-scan and re-aggregate the input once per hash row
+    (plan-audited: 3 scans -> 1).
     """
     counts = (df.groupBy(F.col(key_col).alias("_k"))
               .agg(F.count(F.lit(1)).alias("_c")))
-    fanout = None
-    for j, (a, b) in enumerate(CMS_HASHES):
-        part = counts.select(
-            F.lit(j).alias("j"),
-            _bucket(F.col("_k"), a, b, width).alias("bucket"),
-            F.col("_c"))
-        fanout = part if fanout is None else fanout.unionByName(part)
-    return (fanout.groupBy("j", "bucket")
+    cell = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _bucket(F.col("_k"), a, b, width).alias("bucket"))
+        for j, (a, b) in enumerate(CMS_HASHES)])).alias("cell")
+    return (counts.select(cell, "_c")
+            .groupBy(F.col("cell.j").alias("j"),
+                     F.col("cell.bucket").alias("bucket"))
             .agg(F.sum("_c").alias("c")))
 
 
@@ -71,12 +74,13 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
     the sketch — the sketch is depth*width rows, always broadcastable.
     Keeps every column of `keys` and appends `est_col`.
     """
-    probes = None
-    for j, (a, b) in enumerate(CMS_HASHES):
-        part = keys.select(
-            "*", F.lit(j).alias("j"),
-            _bucket(F.col(key_col), a, b, width).alias("bucket"))
-        probes = part if probes is None else probes.unionByName(part)
+    cell = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _bucket(F.col(key_col), a, b, width).alias("bucket"))
+        for j, (a, b) in enumerate(CMS_HASHES)])).alias("cell")
+    probes = keys.select("*", cell).select(
+        *keys.columns, F.col("cell.j").alias("j"),
+        F.col("cell.bucket").alias("bucket"))
     others = [c for c in keys.columns if c != key_col]
     return (probes.join(F.broadcast(sketch), ["j", "bucket"])
             .groupBy(key_col, *others)
