@@ -123,6 +123,27 @@ R6_ADD = [
     "dedup_ngram_prefix_filter",
     # a-priori-pruned triple mining (two basket-keyed self-joins)
     "orders_basket_triples",
+    # KMV bottom-k distinct sketch + set-operation (Jaccard) estimates
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    # time-weighted average over irregular series (LOCF weighting)
+    "events_time_weighted_avg",
+    # per-source KL divergence vs the corpus token blend
+    "corpus_kl_sources",
+    # per-doc Shannon character entropy (posexplode + scaled-int logs)
+    "text_char_entropy",
+    # one-pass per-group OLS from algebraic moment sums
+    "feat_ols_per_group",
+    # asymmetric n-gram containment pairs (inverted index, both dirs)
+    "dedup_ngram_containment",
+    # robust MAD outlier flags (two quantile frames broadcast back)
+    "dq_mad_outliers",
+    # ABC/Pareto revenue classes via distributed prefix sum
+    "orders_abc_parts",
+    # RFM quintile segmentation (three distributed total-order ranks)
+    "orders_rfm_scores",
+    # Markov stationary distribution (10 broadcast-tiny iterations)
+    "events_markov_stationary",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

@@ -64,3 +64,59 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str,
                   & (F.col("_strict") >= F.col(max_col)))
                  | (F.col("_gmax") > F.col(max_col)))
     return joined.filter(~dominated).select(*df.columns)
+
+
+def pareto_abc(df: DataFrame, key_col: str, value_col,
+               a_pct: int = 70, b_pct: int = 90,
+               partitions: int | None = None) -> DataFrame:
+    """ABC / Pareto analysis: rank keys by a value (revenue) and class
+    them by CUMULATIVE share — A while the running total is within
+    a_pct% of the grand total, B within b_pct%, C after. The inventory/
+    assortment staple ("which 20% of parts carry 80% of revenue").
+
+    `value_col` must be an exact LONG (pre-scaled money; see
+    plans/_util). The running total is the distributed prefix-sum shape
+    of curation.budget_fill (range-repartition on the sort key, local
+    running sum, driver-held per-partition offsets — one entry PER
+    PARTITION), and the class thresholds compare pure integers
+    (cum * 100 <= total * pct), so there is no float anywhere and any
+    engine agrees bit-for-bit. int64 headroom: cum * 100 overflows past
+    ~9.2e16 of summed scaled value (~9.2e10 in money units at scale
+    1e6) — lower the scale factor of the input before that, not this
+    operator's math.
+
+    Returns (key, value, cum_value, cum_share, abc_class), descending
+    value order with key tie-break.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    base = df.select(F.col(key_col).alias("k"),
+                     F.col(value_col).cast("long").alias("v"),
+                     (-F.col(value_col).cast("long")).alias("_negv"))
+    parts = (base.repartitionByRange(n, "_negv", "k")
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint())  # freeze pid assignment
+    sizes = {r["_pid"]: r["t"] for r in
+             parts.groupBy("_pid").agg(F.sum("v").alias("t")).collect()}
+    offset = 0
+    offsets = []
+    for pid in sorted(sizes):
+        offsets.append((pid, offset))
+        offset += int(sizes[pid] or 0)
+    total = offset
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
+    w = (W.partitionBy("_pid").orderBy("_negv", "k")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (parts.withColumn("_cl", F.sum("v").over(w))
+           .join(F.broadcast(off_df), "_pid")
+           .withColumn("cum_value",
+                       (F.col("_cl") + F.col("_off")).cast("long")))
+    cls = (F.when(F.col("cum_value") * 100 <= F.lit(total) * a_pct, "A")
+           .when(F.col("cum_value") * 100 <= F.lit(total) * b_pct, "B")
+           .otherwise("C"))
+    return (cum.select(F.col("k").alias(key_col),
+                       F.col("v").alias("value"),
+                       "cum_value",
+                       (F.col("cum_value").cast("double")
+                        / F.lit(float(total))).alias("cum_share"),
+                       cls.alias("abc_class")))

@@ -218,6 +218,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8,
+                            max_df: int | None = 1000) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: C(A,B) = |grams(A) n grams(B)|
+    / |grams(A)| — the ASYMMETRIC near-dup measure. Jaccard misses a
+    short doc swallowed by a long one (the union is dominated by the
+    long side); containment is the standard detector for quote/
+    boilerplate/subset relations, emitted in BOTH directions (d1 is
+    the contained side). Same inverted-index shape and skew guard as
+    ngram_jaccard_pairs; only the denominator (and the d1 != d2
+    enumeration) differs.
+    """
+    sh = (_gram_hashes_projected(df, text_col, id_col, n)
+          .select("d", F.size("grams").alias("sz"),
+                  F.explode("grams").alias("g")))
+    sh = sh.localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df).select("g"))
+        sh = sh.join(F.broadcast(hot), "g", "left_anti")
+    a = sh.select(F.col("d").alias("d1"), F.col("sz").alias("sz1"), "g")
+    b = sh.select(F.col("d").alias("d2"), "g")
+    pairs = (a.join(b, "g")
+             .filter(F.col("d1") != F.col("d2"))
+             .groupBy("d1", "sz1", "d2")
+             .agg(F.count(F.lit(1)).alias("common")))
+    cont = (F.col("common").cast("double") / F.col("sz1"))
+    return (pairs.select("d1", "d2", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(d, pos, w): every word with its 0-based position."""
     base = df.select(F.col(id_col).alias("d"),

@@ -74,6 +74,62 @@ def minmax_per_group(df: DataFrame, value_col: str,
                         F.when(rng > 0, (x - F.col("grp_min")) / rng)))
 
 
+def winsorize_per_group(df: DataFrame, value_col: str,
+                        group_cols: list[str],
+                        lo: float = 0.05, hi: float = 0.95,
+                        out_col: str = "winsorized") -> DataFrame:
+    """Adds the group's exact interpolated [lo, hi] quantiles (p_lo,
+    p_hi) and the value clipped into that band — the standard outlier
+    treatment before z-scoring heavy-tailed features. Same scale shape
+    as the other normalizers: tiny per-group stats frame broadcast
+    back, the fact table never shuffled. Clip values are copies of the
+    quantile doubles, so both engines agree bit-for-bit (proven for
+    percentile/quantile_cont by agg_percentiles).
+    """
+    x = F.col(value_col)
+    stats = (df.groupBy(*group_cols)
+             .agg(F.percentile(value_col, lo).alias("p_lo"),
+                  F.percentile(value_col, hi).alias("p_hi")))
+    return (df.join(F.broadcast(stats), group_cols)
+            .withColumn(out_col,
+                        F.greatest(F.least(x, F.col("p_hi")),
+                                   F.col("p_lo"))))
+
+
+def ols_per_group(df: DataFrame, x_col: str, y_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group simple linear regression y = slope*x + intercept from
+    one pass of sufficient statistics — the canonical \"ML at SQL
+    scale\" aggregate (regr_slope/regr_intercept/regr_r2 in ANSI SQL):
+    all five moment sums are algebraic, so they partial-aggregate
+    map-side and merge by addition; no second pass, no residual join.
+    Moments use the sorted-sequential-sum trick (see module docstring)
+    so the oracle's list_sum(list_sort(...)) folds the identical
+    doubles in the identical order. Groups with n < 2 or zero x-
+    variance yield NULL slope/intercept/r2 in both engines.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    base = (df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 _sortsum(x).alias("_sx"), _sortsum(x * x).alias("_sxx"),
+                 _sortsum(y).alias("_sy"), _sortsum(y * y).alias("_syy"),
+                 _sortsum(x * y).alias("_sxy")))
+    n = F.col("n")
+    sx, sxx = F.col("_sx"), F.col("_sxx")
+    sy, syy, sxy = F.col("_sy"), F.col("_syy"), F.col("_sxy")
+    cov_n = n * sxy - sx * sy          # n^2 * covariance
+    varx_n = n * sxx - sx * sx         # n^2 * variance(x)
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    ok = (n > 1) & (varx_n > 0)
+    return base.select(
+        *group_cols, n,
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, (sy - slope * sx) / n).alias("intercept"),
+        F.when(ok & (vary_n > 0),
+               cov_n * cov_n / (varx_n * vary_n)).alias("r2"))
+
+
 def equidepth_bins(df: DataFrame, value_col: str, tie_cols: list[str],
                    n_bins: int = 10, out_col: str = "bin") -> DataFrame:
     """Assigns each row an equi-depth bin 1..n_bins by ascending value.

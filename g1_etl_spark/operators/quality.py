@@ -212,3 +212,34 @@ def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
             .select("bin", "n_old", "n_new",
                     p.alias("p_old"), q.alias("p_new"),
                     ((p - q) * (p - q) / (p + q)).alias("contrib")))
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                 k: float = 5.0) -> DataFrame:
+    """Robust per-group outlier flags via Median Absolute Deviation:
+    flag |x - median| > k * MAD, with MAD = median(|x - median|). The
+    z-score detector (see features.zscore_per_group) is itself skewed
+    by the outliers it hunts — a single huge value inflates the std
+    until nothing is 3 sigma out; median/MAD have a 50% breakdown
+    point. Zero-MAD groups (over half the values identical) flag any
+    deviation at all, the standard convention.
+
+    Scale shape: two tiny per-group quantile aggregates (median, then
+    MAD over the deviations), each broadcast back — the fact table is
+    scanned twice, never shuffled. The medians are exact interpolated
+    percentiles; at truly extreme group sizes swap in
+    percentile_approx and keep the same plan shape.
+    """
+    x = F.col(value_col)
+    med = (df.groupBy(*group_cols)
+           .agg(F.percentile(value_col, 0.5).alias("grp_median")))
+    dev = (df.join(F.broadcast(med), group_cols)
+           .withColumn("_adev", F.abs(x - F.col("grp_median"))))
+    mad = (dev.groupBy(*group_cols)
+           .agg(F.percentile("_adev", 0.5).alias("grp_mad")))
+    return (dev.join(F.broadcast(mad), group_cols)
+            .select(*df.columns, "grp_median", "grp_mad",
+                    F.when(F.col("grp_mad") > 0,
+                           F.col("_adev") > k * F.col("grp_mad"))
+                    .otherwise(F.col("_adev") > 0)
+                    .alias("is_outlier")))

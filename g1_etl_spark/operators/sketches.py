@@ -38,7 +38,12 @@ CMS_HASHES = ((1_103_515_245, 12_345),
 
 
 def _bucket(key, a: int, b: int, width: int):
-    return ((F.lit(a) * key.cast("long") + F.lit(b)) % CMS_P) % width
+    # key is reduced mod P BEFORE the multiply: (a*(k mod P) + b) mod P
+    # == (a*k + b) mod P exactly, and a * (k mod P) < 2^62 stays inside
+    # int64 for ANY long key — without the reduction a replicated key
+    # space past ~8.4e9 overflows under ANSI (caught by the 10x probe)
+    return ((F.lit(a) * (key.cast("long") % CMS_P) + F.lit(b))
+            % CMS_P) % width
 
 
 def cms_build(df: DataFrame, key_col: str, width: int = 256) -> DataFrame:
@@ -85,6 +90,64 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
     return (probes.join(F.broadcast(sketch), ["j", "bucket"])
             .groupBy(key_col, *others)
             .agg(F.min("c").alias(est_col)))
+
+
+KMV_K = 256
+# KMV reuses the CMS row-0 LCG: h(k) = (a*k + b) mod P is a BIJECTION on
+# [0, P) for keys below P (P prime, a coprime), so distinct keys map to
+# distinct pseudo-uniform hashes and the k-th minimum is collision-free.
+KMV_A, KMV_B = CMS_HASHES[0]
+
+
+def kmv_hash(key) -> "F.Column":
+    # same pre-reduction as _bucket: identical value mod P, no int64
+    # overflow on keys past ~8.4e9 (bijectivity then holds per residue
+    # class of P rather than globally — still uniform, still the same
+    # value as the SQL oracle's (a*k + b) % P for keys below P)
+    return (F.lit(KMV_A) * (key.cast("long") % CMS_P)
+            + F.lit(KMV_B)) % CMS_P
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """k-row (h) frame: the k smallest DISTINCT hash values of a key
+    column — the KMV / bottom-k distinct sketch (Bar-Yossef et al.).
+
+    Scale shape: the distinct() is a map-side-combinable groupBy on the
+    hash, and orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps its local bottom-k and the driver merges k-sized
+    heaps, never a global sort shuffle. State is O(k) regardless of key
+    cardinality, and two sketches merge by union + re-limit (the
+    property the set-operation estimates below rely on).
+    """
+    return (df.select(kmv_hash(F.col(key_col)).alias("h"))
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = KMV_K,
+                          est_col: str = "est") -> DataFrame:
+    """One-row (k_used, kth_hash, est): the classic KMV estimator
+    (k-1) * P / h_(k) when the sketch is full; with fewer than k
+    distinct hashes the sketch IS the value set, so the count is exact.
+    The estimate is two exact-integer operands and one IEEE divide, so
+    a SQL oracle reproduces it bit-for-bit.
+    """
+    agg = sketch.agg(F.count(F.lit(1)).alias("k_used"),
+                     F.max("h").alias("kth_hash"))
+    est = F.when(
+        F.col("k_used") >= k,
+        ((F.col("k_used") - 1) * F.lit(CMS_P)).cast("double")
+        / F.col("kth_hash").cast("double"),
+    ).otherwise(F.col("k_used").cast("double"))
+    return agg.select("k_used", "kth_hash", est.alias(est_col))
+
+
+def kmv_union(sketch_a: DataFrame, sketch_b: DataFrame,
+              k: int = KMV_K) -> DataFrame:
+    """Bottom-k of the union of two KMV sketches == the KMV sketch of
+    the UNION of the underlying sets (bottom-k(A u B) = bottom-k(
+    bottom-k(A) u bottom-k(B)) — the mergeability identity)."""
+    return (sketch_a.unionByName(sketch_b)
+            .distinct().orderBy("h").limit(k))
 
 
 def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:

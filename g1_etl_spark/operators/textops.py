@@ -378,3 +378,93 @@ def _bpe_iterate(df: "DataFrame", text_col: str,
                         .otherwise(F.col("sym")).alias("sym"))
                 .localCheckpoint(eager=True))
     return toks, merges
+
+
+def char_entropy(docs: "DataFrame", text_col: str = "text",
+                 id_col: str = "doc_id",
+                 scale: int = 1_000_000) -> "DataFrame":
+    """Per-document Shannon character entropy — the classic gibberish/
+    compression-quality signal (near 0 for repeated filler, near
+    ln(alphabet) for uniform noise). Each distinct character with count
+    c in a doc of length n contributes c * ln(n/c); the log values are
+    pinned to scaled integers (round(ln * scale), the BM25/bigram-LM
+    ln-portability trick — n >= c keeps every term non-negative), so
+    the per-doc sum is exact integer arithmetic and the final
+    entropy_nats is two IEEE divides on identical operands.
+
+    Scale shape: one posexplode of char positions (rows = total corpus
+    chars, pre-spread across the cluster by a repartition on the doc
+    id), one (doc, char) count aggregate — map-side combinable — and
+    one per-doc rollup. No collects, no windows.
+    """
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    base = (docs.repartition(spread, id_col)
+            .select(F.col(id_col), F.col(text_col).alias("_t"),
+                    F.length(text_col).cast("long").alias("n"))
+            .filter(F.col("n") > 0))
+    chars = base.select(
+        id_col, "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_i"),
+        F.col("_t")).select(
+        id_col, "n", F.col("_t").substr(F.col("_i"), F.lit(1)).alias("ch"))
+    cnt = (chars.groupBy(id_col, "n", "ch")
+           .agg(F.count(F.lit(1)).alias("c")))
+    term = (F.col("c")
+            * F.round(F.ln(F.col("n").cast("double")
+                           / F.col("c").cast("double")) * scale)
+            .cast("long"))
+    return (cnt.groupBy(id_col, "n")
+            .agg(F.count(F.lit(1)).alias("n_distinct_chars"),
+                 F.sum(term).alias("entropy_scaled"))
+            .select(F.col(id_col),
+                    F.col("n").alias("n_chars"),
+                    "n_distinct_chars", "entropy_scaled",
+                    (F.col("entropy_scaled").cast("double")
+                     / F.col("n").cast("double") / scale)
+                    .alias("entropy_nats")))
+
+
+def kl_divergence_by_source(docs: "DataFrame", text_col: str = "text",
+                            source_col: str = "source",
+                            scale: int = 1_000_000) -> "DataFrame":
+    """KL(source token distribution || corpus token distribution) per
+    source — the standard domain-shift / mixture-skew measure when
+    assembling a training corpus from many sources (a source whose
+    token mix diverges from the blend gets a high score). Each (source,
+    token) cell contributes c_st * ln(c_st*n / (n_s*c_t)); the ln of
+    the exact-integer ratio is pinned to a scaled integer, the per-
+    source sum is exact, and Gibbs' inequality keeps the true value
+    >= 0 (the rounded sum can only dip ~1e-6 below; property-tested).
+
+    Scale shape: one token explode -> (source, token) counts (map-side
+    combinable, vocabulary-sized result), token marginals as a second
+    vocabulary-sized aggregate joined back on the token key (AQE
+    broadcasts while it fits), corpus total crossed in as a broadcast
+    scalar. Never wider than the vocabulary.
+    """
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (docs.repartition(spread, source_col, "doc_id")
+            .select(F.col(source_col).alias("source"),
+                    F.explode(F.split(normalize_text(F.col(text_col)),
+                                      " ")).alias("tok")))
+    st = (toks.groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).alias("c_st")))
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").alias("n"))
+    term = (F.col("c_st")
+            * F.round(F.ln(F.col("c_st").cast("double")
+                           * F.col("n").cast("double")
+                           / (F.col("n_s").cast("double")
+                              * F.col("c_t").cast("double"))) * scale)
+            .cast("long"))
+    joined = (st.join(t, "tok")
+              .join(F.broadcast(s), "source")
+              .crossJoin(F.broadcast(tot)))
+    return (joined.groupBy("source", "n_s")
+            .agg(F.sum(term).alias("kl_scaled"))
+            .select("source", F.col("n_s").alias("n_tokens"),
+                    "kl_scaled",
+                    (F.col("kl_scaled").cast("double")
+                     / F.col("n_s").cast("double") / scale)
+                    .alias("kl_nats")))

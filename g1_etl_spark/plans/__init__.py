@@ -89,9 +89,19 @@ _R6_WINDOW = (
 # sim_pq_recall, sim_ivfpq_topk, sim_ivfpq_recall, text_bigram_lm_nll,
 # multimodal_phash_invariance, graph_reachability_trade,
 # sketch_cms_orders, skyline_parts, dedup_sorted_neighborhood,
-# dedup_ngram_prefix_filter, and events_gapfill_linear (all added after
-# the r6 window was pinned) get day-one slots — then start the r4
-# cohort.
+# dedup_ngram_prefix_filter, events_gapfill_linear, plus the late-r6
+# additions sketch_cms_join_size, orders_interval_coverage,
+# orders_basket_triples, events_hll_intersection, sketch_kmv_distinct,
+# sketch_kmv_jaccard, feat_winsorize, feat_ols_per_group,
+# events_time_weighted_avg, events_attribution_last_touch,
+# text_char_entropy, corpus_kl_sources, dq_benford,
+# dedup_ngram_containment, dq_mad_outliers, stats_welch_ttest,
+# orders_abc_parts, orders_rfm_scores, text_readability and
+# events_markov_stationary (all
+# added after the r6 window was pinned) get day-one slots — then start the r4
+# cohort. That overfills one 50-row window; day-one slots take
+# priority over re-certification (a never-checked row outranks a
+# banked green), so push the overflow of the r3 cohort to r8.
 
 
 def _reorder() -> None:

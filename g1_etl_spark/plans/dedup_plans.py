@@ -592,3 +592,34 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_prefix_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2, CAST(common AS DOUBLE) / s1.sz AS containment
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+    WHERE CAST(common AS DOUBLE) / s1.sz >= 0.8
+    """,
+    description="asymmetric n-gram CONTAINMENT pairs (|A n B| / |A| "
+                ">= 0.8, both directions, d1 = the contained side) — "
+                "catches the short-doc-swallowed-by-long-doc relation "
+                "Jaccard structurally misses (the union denominator is "
+                "dominated by the long side); same inverted-index + "
+                "hot-shingle skew guard as dedup_ngram_jaccard "
+                "(operators/dedup.ngram_containment_pairs)",
+    tags=("dedup",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8)

@@ -1105,3 +1105,198 @@ def orders_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(contrib).cast("long").alias("covered_days"))
             .orderBy("custkey"))
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt_us
+      FROM events),
+    seg AS (
+      SELECT user_id, value,
+             CAST(nxt_us - t_us AS DOUBLE) / 1000000 AS dt_sec
+      FROM e WHERE nxt_us IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           {sql_dsum('dt_sec', 'span_sec')},
+           {sql_dsum('value * dt_sec', 'weighted_sum')},
+           CAST(SUM(CAST(round((value * dt_sec) * 1000000) AS BIGINT))
+                AS DOUBLE)
+             / CAST(SUM(CAST(round(dt_sec * 1000000) AS BIGINT))
+                    AS DOUBLE) AS twap
+    FROM seg GROUP BY user_id
+    """,
+    description="time-weighted average (TWAP / TimescaleDB time_weight "
+                "parity): each reading holds until the user's next "
+                "event (LOCF weighting), so the mean is integral-"
+                "weighted, not row-weighted — the correct rollup for "
+                "irregularly-sampled series; per-user window + one "
+                "aggregate, both partitioned on user_id (no single-"
+                "partition exchange); both weighted sums go through "
+                "the scaled-long exact path and the ratio is one IEEE "
+                "divide of the two exact sums",
+    tags=("events", "temporal"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    seg = (ev.select("user_id", "value", t.alias("t_us"),
+                     F.lead(t).over(w).alias("nxt_us"))
+           .filter(F.col("nxt_us").isNotNull())
+           .withColumn("dt_sec",
+                       (F.col("nxt_us") - F.col("t_us")).cast("double")
+                       / 1000000))
+
+    def _sc(c):
+        return F.sum(F.round(c * 1000000).cast("long"))
+
+    num = _sc(F.col("value") * F.col("dt_sec"))
+    den = _sc(F.col("dt_sec"))
+    return (seg.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 (den.cast("double") / 1000000).alias("span_sec"),
+                 (num.cast("double") / 1000000).alias("weighted_sum"),
+                 (num.cast("double") / den.cast("double")).alias("twap")))
+
+
+_TOUCH_TYPES = ("click", "view", "signup")
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view',
+                                                 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS channel
+      FROM events),
+    conv AS (SELECT COALESCE(channel, 'none') AS channel, value
+             FROM seq WHERE event_type = 'purchase')
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           {sql_dsum('value', 'revenue')}
+    FROM conv GROUP BY channel
+    """,
+    description="last-touch attribution: each purchase credits the "
+                "user's most recent prior touch event (click/view/"
+                "signup; 'none' when cold) — the marketing-analytics "
+                "staple, expressed as one ignore-nulls last_value over "
+                "a per-user ordered window (rows to 1 PRECEDING, so a "
+                "purchase never self-attributes) + one small groupBy; "
+                "revenue through the exact scaled-long sum",
+    tags=("events", "temporal"),
+)
+def events_attribution_last_touch(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type").isin(*_TOUCH_TYPES),
+                   F.col("event_type"))
+    seq = ev.select("user_id", "event_type", "value",
+                    F.last(touch, ignorenulls=True).over(w)
+                    .alias("channel"))
+    conv = (seq.filter(F.col("event_type") == "purchase")
+            .select(F.coalesce(F.col("channel"), F.lit("none"))
+                    .alias("channel"), "value"))
+    return (conv.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("conversions"),
+                 dsum("value", "revenue")))
+
+
+_MK_ITERS = 10
+_MK_SCALE = 1_000_000_000_000
+
+
+def _mk_iter_cte(k: int) -> str:
+    return f"""
+    d{k} AS (
+      SELECT t.state, COALESCE(s.v, 0.0) AS dp
+      FROM types t LEFT JOIN (
+        SELECT m.j AS state,
+               CAST(SUM(CAST(round(d.dp * m.p * {_MK_SCALE})
+                             AS BIGINT)) AS DOUBLE) / {_MK_SCALE} AS v
+        FROM d{k - 1} d JOIN mat m ON d.state = m.i
+        GROUP BY m.j) s USING (state))
+"""
+
+
+_MARKOV_SQL = ("""
+    WITH types AS (SELECT DISTINCT event_type AS state FROM events),
+    cnt AS (SELECT COUNT(*) AS c FROM types),
+    seq AS (SELECT event_type AS i,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS j
+            FROM events),
+    pairs AS (SELECT i, j FROM seq WHERE j IS NOT NULL),
+    cnts AS (SELECT i, j, COUNT(*) AS c FROM pairs GROUP BY i, j),
+    tot AS (SELECT i, COUNT(*) AS n_i FROM pairs GROUP BY i),
+    mat AS (SELECT cnts.i, cnts.j,
+                   CAST(c AS DOUBLE) / CAST(n_i AS DOUBLE) AS p
+            FROM cnts JOIN tot USING (i)),
+    d0 AS (SELECT state, CAST(1.0 AS DOUBLE) / cnt.c AS dp
+           FROM types CROSS JOIN cnt)
+""" + ","
+               + ",".join(_mk_iter_cte(k)
+                          for k in range(1, _MK_ITERS + 1))
+               + f"""
+    SELECT state, dp AS stationary_p FROM d{_MK_ITERS} ORDER BY state
+""")
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_MARKOV_SQL,
+    description="stationary distribution of the user-behavior Markov "
+                "chain (10 power iterations from uniform over the "
+                "event-type transition matrix): where sessions spend "
+                "their time in the long run — the behavioral-model "
+                "summary on top of events_transition_matrix; the "
+                "matrix is |types|^2 rows (constant at any corpus "
+                "scale) so every iteration joins a broadcast-tiny "
+                "frame, the one data-sized pass is the lead-window "
+                "pair census (partitioned per user); per-iteration "
+                "sums go through the pagerank scaled-long trick so "
+                "the fixed point is engine-exact, oracle = the same "
+                "10 iterations unrolled as chained CTEs",
+    tags=("events", "graph", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("i"),
+                       F.lead("event_type").over(w).alias("j"))
+             .filter(F.col("j").isNotNull()))
+    cnts = pairs.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    mat = (cnts.join(tot, "i")
+           .select("i", "j", (F.col("c").cast("double")
+                              / F.col("n_i").cast("double")).alias("p"))
+           .localCheckpoint(eager=True))  # feeds all 10 iterations
+    types = (ev.select(F.col("event_type").alias("state")).distinct()
+             .localCheckpoint(eager=True))
+    cnt = types.agg(F.count(F.lit(1)).alias("c"))
+    dist = (types.crossJoin(F.broadcast(cnt))
+            .select("state", (F.lit(1.0).cast("double")
+                              / F.col("c")).alias("dp")))
+    for k in range(1, _MK_ITERS + 1):
+        contrib = (mat.join(dist.withColumnRenamed("state", "i"), "i")
+                   .groupBy(F.col("j").alias("state"))
+                   .agg((F.sum(F.round(F.col("dp") * F.col("p")
+                                       * _MK_SCALE).cast("long"))
+                         .cast("double") / _MK_SCALE).alias("v")))
+        dist = (types.join(contrib, "state", "left")
+                .select("state",
+                        F.coalesce(F.col("v"), F.lit(0.0)).alias("dp")))
+        if k % 5 == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select("state", F.col("dp").alias("stationary_p")) \
+               .orderBy("state")

@@ -226,3 +226,75 @@ def feat_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.features import pca_project
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, iters=_PCA_ITERS).orderBy("vec_id")
+
+
+@register(
+    "feat_winsorize",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p_lo,
+             quantile_cont(o_totalprice, 0.95) AS p_hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           g.p_lo, g.p_hi,
+           CASE WHEN o.o_totalprice < g.p_lo THEN g.p_lo
+                WHEN o.o_totalprice > g.p_hi THEN g.p_hi
+                ELSE o.o_totalprice END AS winsorized
+    FROM orders o JOIN g USING (o_orderpriority)
+    """,
+    description="per-group winsorization: clip to the exact p05/p95 "
+                "band — heavy-tail outlier treatment before scaling; "
+                "tiny quantile frame broadcast back, fact never "
+                "shuffled (operators/features.winsorize_per_group)",
+    tags=("features",),
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    return FE.winsorize_per_group(o, "o_totalprice", ["o_orderpriority"])
+
+
+_OLS_SORTSUM = _SORTSUM
+
+
+@register(
+    "feat_ols_per_group",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_OLS_SORTSUM.format(expr='l_quantity')} AS sx,
+             {_OLS_SORTSUM.format(expr='l_quantity * l_quantity')} AS sxx,
+             {_OLS_SORTSUM.format(expr='l_extendedprice')} AS sy,
+             {_OLS_SORTSUM.format(expr='l_extendedprice * l_extendedprice')}
+               AS syy,
+             {_OLS_SORTSUM.format(expr='l_quantity * l_extendedprice')}
+               AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+             AS slope,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           * sx) / n END AS intercept,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+             AS r2
+    FROM m
+    """,
+    description="per-group OLS regression (price ~ quantity): slope/"
+                "intercept/r2 from ONE pass of five algebraic moment "
+                "sums (the ANSI regr_* family) — map-side partial agg, "
+                "no residual second pass; sorted-sequential sums keep "
+                "both engines bit-identical "
+                "(operators/features.ols_per_group)",
+    tags=("features", "stats"),
+)
+def feat_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return FE.ols_per_group(li, "l_quantity", "l_extendedprice",
+                            ["l_returnflag"])

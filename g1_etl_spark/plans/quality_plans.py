@@ -256,3 +256,87 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderdate") < cut),
         o.filter(F.col("o_orderdate") >= cut),
         "o_totalprice", n_bins=16).orderBy("bin")
+
+
+@register(
+    "dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT o.digit, o.n_obs,
+           CAST(o.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE) AS observed_p,
+           CAST(round(log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS benford_p_e9,
+           CAST(round(CAST(o.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE)
+                      * 1000000000) AS BIGINT)
+             - CAST(round(log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                          * 1000000000) AS BIGINT) AS dev_e9
+    FROM obs o, tot t
+    """,
+    description="Benford first-significant-digit audit over order "
+                "totals: observed digit shares vs the log10(1+1/d) "
+                "law, deviation in scaled-integer billionths — the "
+                "classic synthetic-data / fraud smell test; a 9-row "
+                "aggregate with the total crossed in as a broadcast "
+                "scalar, all shares single IEEE divides (no order-"
+                "sensitive float summation anywhere)",
+    tags=("quality", "stats"),
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = (F.substring(F.floor(F.col("o_totalprice")).cast("long")
+                         .cast("string"), 1, 1).cast("long"))
+    obs = (o.filter(F.col("o_totalprice") >= 1)
+           .groupBy(digit.alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    p_obs = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    p_ben = (F.round(F.log10(F.lit(1.0)
+                             + F.lit(1.0) / F.col("digit").cast("double"))
+                     * 1000000000).cast("long"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs", p_obs.alias("observed_p"),
+                    p_ben.alias("benford_p_e9"),
+                    (F.round(p_obs * 1000000000).cast("long") - p_ben)
+                    .alias("dev_e9")))
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS grp_median
+      FROM orders GROUP BY o_orderpriority),
+    dev AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             m.grp_median,
+             abs(o.o_totalprice - m.grp_median) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)),
+    mad AS (
+      SELECT o_orderpriority, quantile_cont(adev, 0.5) AS grp_mad
+      FROM dev GROUP BY o_orderpriority)
+    SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+           d.grp_median, m.grp_mad,
+           CASE WHEN m.grp_mad > 0 THEN d.adev > 5.0 * m.grp_mad
+                ELSE d.adev > 0 END AS is_outlier
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    """,
+    description="robust per-group outlier flags via median absolute "
+                "deviation (|x - med| > 5*MAD): immune to the masking "
+                "that defeats z-scores — the outlier inflates the std "
+                "it is measured against, while median/MAD have a 50% "
+                "breakdown point; two tiny quantile frames broadcast "
+                "back, fact scanned twice and never shuffled "
+                "(operators/quality.mad_outliers)",
+    tags=("quality", "stats"),
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    return Q.mad_outliers(o, "o_totalprice", ["o_orderpriority"], k=5.0)

@@ -331,3 +331,346 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("est", "exact_size",
                     (F.col("est") >= F.col("exact_size"))
                     .alias("lower_bound_ok")))
+
+
+_KMV_K = 256
+_KMV_H = "(1103515245 * {key} + 12345) % 2147483647"
+
+_KMV_SQL = f"""
+    WITH hashes AS (
+      SELECT DISTINCT {_KMV_H.format(key='l_orderkey')} AS h
+      FROM lineitem),
+    bot AS (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K}),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                 CAST(MAX(h) AS BIGINT) AS kth_hash FROM bot),
+    e AS (SELECT k_used, kth_hash,
+                 CASE WHEN k_used >= {_KMV_K}
+                      THEN CAST((k_used - 1) * 2147483647 AS DOUBLE)
+                           / CAST(kth_hash AS DOUBLE)
+                      ELSE CAST(k_used AS DOUBLE) END AS est
+          FROM s),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM hashes)
+    SELECT e.k_used, e.kth_hash, e.est, ex.exact_distinct,
+           abs(e.est / CAST(ex.exact_distinct AS DOUBLE) - 1.0) <= 0.3125
+             AS rel_err_ok
+    FROM e, ex
+"""
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=_KMV_SQL,
+    description="KMV / bottom-k distinct sketch (k=256, bijective LCG "
+                "hash): est = (k-1)*P/h_(k) — the O(k)-state mergeable "
+                "distinct counter (per-partition bottom-k heaps merge "
+                "via TakeOrderedAndProject, no global sort); exact "
+                "count carried alongside and the 5/sqrt(k) relative-"
+                "error contract shipped as a boolean; the LCG hash is "
+                "SQL-stated so the ESTIMATE itself is bit-checked, "
+                "unlike HLL where only the bound can be "
+                "(operators/sketches.kmv_build)",
+    tags=("sketch", "agg", "scale"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sketches import (kmv_build,
+                                                 kmv_distinct_estimate)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = kmv_distinct_estimate(kmv_build(li, "l_orderkey", k=_KMV_K),
+                                k=_KMV_K)
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("k_used", "kth_hash", "est", "exact_distinct",
+                    (F.abs(F.col("est")
+                           / F.col("exact_distinct").cast("double")
+                           - 1.0) <= 0.3125).alias("rel_err_ok")))
+
+
+_KMV_JACCARD_SQL = f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_H.format(key='o_custkey')} AS h
+      FROM orders WHERE year(o_orderdate) = 1995),
+    b AS (
+      SELECT DISTINCT {_KMV_H.format(key='o_custkey')} AS h
+      FROM orders WHERE year(o_orderdate) = 1996),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+    u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+          ORDER BY h LIMIT {_KMV_K}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                 CAST(SUM(CASE WHEN u.h IN (SELECT h FROM ka)
+                                AND u.h IN (SELECT h FROM kb)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS matches
+          FROM u),
+    ex AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE in_a AND in_b) AS BIGINT)
+               AS exact_inter,
+             CAST(COUNT(*) AS BIGINT) AS exact_union
+      FROM (SELECT h, COUNT(*) FILTER (WHERE s = 'a') > 0 AS in_a,
+                   COUNT(*) FILTER (WHERE s = 'b') > 0 AS in_b
+            FROM (SELECT h, 'a' AS s FROM a
+                  UNION ALL SELECT h, 'b' AS s FROM b)
+            GROUP BY h)),
+    j AS (SELECT m.k_used, m.matches,
+                 CAST(m.matches AS DOUBLE) / CAST(m.k_used AS DOUBLE)
+                   AS jaccard_est,
+                 CAST(ex.exact_inter AS DOUBLE)
+                   / CAST(ex.exact_union AS DOUBLE) AS exact_jaccard,
+                 ex.exact_inter, ex.exact_union
+          FROM m, ex)
+    SELECT k_used, matches, jaccard_est, exact_jaccard,
+           exact_inter, exact_union,
+           abs(jaccard_est - exact_jaccard)
+             <= 5.0 * sqrt(exact_jaccard * (1.0 - exact_jaccard)
+                           / CAST(k_used AS DOUBLE))
+                + 1.0 / CAST(k_used AS DOUBLE) AS err_ok
+    FROM j
+"""
+
+
+@register(
+    "sketch_kmv_jaccard",
+    oracle=_KMV_JACCARD_SQL,
+    description="KMV set-operation estimation: Jaccard(1995 buyers, "
+                "1996 buyers) from two O(k) sketches alone — union "
+                "sketch = bottom-k of the two sketches' union (the "
+                "mergeability identity), estimate = |union-sketch "
+                "members present in BOTH input sketches| / k (any "
+                "union-sketch element of A is <= A's k-th minimum, so "
+                "sketch membership IS set membership — no false "
+                "negatives by construction); this is where KMV beats "
+                "HLL, whose intersections need inclusion-exclusion "
+                "error stacking; exact Jaccard carried alongside with "
+                "a 5-sigma binomial error contract, every arithmetic "
+                "step restated in the oracle so even the ESTIMATE "
+                "hash-matches (operators/sketches.kmv_union)",
+    tags=("sketch", "agg", "scale"),
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sketches import kmv_build, kmv_union
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995)
+    b = orders.filter(F.year("o_orderdate") == 1996)
+    ka = kmv_build(a, "o_custkey", k=_KMV_K)
+    kb = kmv_build(b, "o_custkey", k=_KMV_K)
+    u = kmv_union(ka, kb, k=_KMV_K)
+    m = (u.join(F.broadcast(ka), "h", "left_semi")
+         .join(F.broadcast(kb), "h", "left_semi")
+         .agg(F.count(F.lit(1)).alias("matches"))
+         .crossJoin(F.broadcast(
+             u.agg(F.count(F.lit(1)).alias("k_used")))))
+    ha = a.select(F.col("o_custkey").alias("k")).distinct()
+    hb = b.select(F.col("o_custkey").alias("k")).distinct()
+    ex = (ha.unionByName(hb).distinct()
+          .agg(F.count(F.lit(1)).alias("exact_union"))
+          .crossJoin(F.broadcast(
+              ha.join(hb, "k", "left_semi")
+              .agg(F.count(F.lit(1)).alias("exact_inter")))))
+    j_est = F.col("matches").cast("double") / F.col("k_used").cast("double")
+    j_ex = (F.col("exact_inter").cast("double")
+            / F.col("exact_union").cast("double"))
+    bound = (F.lit(5.0) * F.sqrt(j_ex * (F.lit(1.0) - j_ex)
+                                 / F.col("k_used").cast("double"))
+             + F.lit(1.0) / F.col("k_used").cast("double"))
+    return (m.crossJoin(F.broadcast(ex))
+            .select("k_used", "matches", j_est.alias("jaccard_est"),
+                    j_ex.alias("exact_jaccard"),
+                    "exact_inter", "exact_union",
+                    (F.abs(j_est - j_ex) <= bound).alias("err_ok")))
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {_SORTSUM.format(expr='o_totalprice')} AS sx,
+             {_SORTSUM.format(expr='o_totalprice * o_totalprice')} AS sxx
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_mktsegment),
+    g AS (SELECT c_mktsegment, n, sx / n AS mean,
+                 ((sxx - sx * sx / n) / (n - 1)) / n AS sem2
+          FROM m),
+    w AS (SELECT a.n AS n1, b.n AS n2, a.mean AS mean1, b.mean AS mean2,
+                 a.sem2 AS v1, b.sem2 AS v2
+          FROM g a, g b
+          WHERE a.c_mktsegment = 'BUILDING'
+            AND b.c_mktsegment = 'MACHINERY')
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           mean1 - mean2 AS mean_diff,
+           (mean1 - mean2) / sqrt(v1 + v2) AS t_stat,
+           (v1 + v2) * (v1 + v2)
+             / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)) AS welch_df,
+           abs((mean1 - mean2) / sqrt(v1 + v2)) > 1.96 AS reject_95
+    FROM w
+    """,
+    description="Welch two-sample t-test (BUILDING vs MACHINERY order "
+                "totals): t statistic and Welch-Satterthwaite degrees "
+                "of freedom from the same one-pass algebraic moments "
+                "as the OLS/variance family — the A/B-test primitive "
+                "at aggregate scale (no row ever leaves its segment's "
+                "partial sum); sorted-sequential sums keep both "
+                "engines bit-identical, the final t/df are fixed "
+                "expression trees on identical doubles",
+    tags=("stats", "agg"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    x = F.col("o_totalprice")
+    m = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .groupBy("c_mktsegment")
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              sortsum(x).alias("sx"),
+              sortsum(x * x).alias("sxx")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    g = m.select("c_mktsegment", n.alias("n"), (sx / n).alias("mean"),
+                 (((sxx - sx * sx / n) / (n - 1)) / n).alias("sem2"))
+    a = (g.filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("n").alias("n1"), F.col("mean").alias("mean1"),
+                 F.col("sem2").alias("v1")))
+    b = (g.filter(F.col("c_mktsegment") == "MACHINERY")
+         .select(F.col("n").alias("n2"), F.col("mean").alias("mean2"),
+                 F.col("sem2").alias("v2")))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2, v1, v2 = (F.col("mean1"), F.col("mean2"),
+                      F.col("v1"), F.col("v2"))
+    t = (m1 - m2) / F.sqrt(v1 + v2)
+    df_w = ((v1 + v2) * (v1 + v2)
+            / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)))
+    return (a.crossJoin(F.broadcast(b))
+            .select(n1.cast("long").alias("n1"),
+                    n2.cast("long").alias("n2"),
+                    (m1 - m2).alias("mean_diff"),
+                    t.alias("t_stat"), df_w.alias("welch_df"),
+                    (F.abs(t) > 1.96).alias("reject_95")))
+
+
+@register(
+    "orders_abc_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 1000000) AS BIGINT)) AS BIGINT) AS v
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS total FROM rev),
+    c AS (SELECT l_partkey, v,
+                 CAST(SUM(v) OVER (ORDER BY v DESC, l_partkey)
+                      AS BIGINT) AS cum_value
+          FROM rev)
+    SELECT c.l_partkey, c.v AS value, c.cum_value,
+           CAST(c.cum_value AS DOUBLE) / CAST(t.total AS DOUBLE)
+             AS cum_share,
+           CASE WHEN c.cum_value * 100 <= t.total * 70 THEN 'A'
+                WHEN c.cum_value * 100 <= t.total * 90 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, tot t
+    """,
+    description="ABC / Pareto revenue classes per part (A = first 70% "
+                "of cumulative revenue, B to 90%, C the tail): the "
+                "global running total uses the distributed range-"
+                "partition prefix-sum shape (budget_fill/global_rank), "
+                "NOT a single-partition SUM OVER — the oracle's window "
+                "IS that single-task form, a genuinely different "
+                "evaluation agreeing bit-for-bit because the running "
+                "totals are exact scaled longs and the class "
+                "thresholds compare pure integers "
+                "(operators/analytics.pareto_abc)",
+    tags=("analytics", "agg", "scale"),
+)
+def orders_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import pareto_abc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))
+                              * 1000000).cast("long")).alias("v")))
+    return pareto_abc(rev, "l_partkey", "v", a_pct=70, b_pct=90)
+
+
+@register(
+    "orders_rfm_scores",
+    oracle="""
+    WITH anchor AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS ad
+                    FROM orders),
+    per AS (
+      SELECT o_custkey AS custkey,
+             CAST(MAX(o_orderdate) AS DATE) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS msc
+      FROM orders GROUP BY 1),
+    base AS (
+      SELECT custkey,
+             CAST(date_diff('day', last_d, a.ad) AS BIGINT)
+               AS recency_days,
+             frequency, msc
+      FROM per, anchor a),
+    r AS (SELECT *,
+            ROW_NUMBER() OVER (ORDER BY recency_days, custkey) AS rr,
+            ROW_NUMBER() OVER (ORDER BY frequency, custkey) AS rf,
+            ROW_NUMBER() OVER (ORDER BY msc, custkey) AS rm,
+            COUNT(*) OVER () AS n
+          FROM base)
+    SELECT custkey, recency_days, frequency,
+           CAST(msc AS DOUBLE) / 1000000 AS monetary,
+           CAST(6 - (FLOOR((rr - 1) * 5 / n) + 1) AS INT) AS r_score,
+           CAST(FLOOR((rf - 1) * 5 / n) + 1 AS INT) AS f_score,
+           CAST(FLOOR((rm - 1) * 5 / n) + 1 AS INT) AS m_score,
+           CAST(CAST(6 - (FLOOR((rr - 1) * 5 / n) + 1) AS INT)
+                AS VARCHAR)
+             || CAST(CAST(FLOOR((rf - 1) * 5 / n) + 1 AS INT) AS VARCHAR)
+             || CAST(CAST(FLOOR((rm - 1) * 5 / n) + 1 AS INT) AS VARCHAR)
+             AS rfm
+    FROM r
+    """,
+    description="RFM customer segmentation (recency/frequency/monetary "
+                "quintiles, 5 = best): one per-customer aggregate, the "
+                "global max-date anchor crossed in as a broadcast "
+                "scalar, then three equi-depth quintile assignments "
+                "via the distributed total-order rank (never a single-"
+                "partition NTILE; the oracle's three ROW_NUMBER "
+                "windows are that single-task form) — the classic "
+                "marketing-segmentation table, exact scaled-long "
+                "money (operators/features.equidepth_bins x3)",
+    tags=("analytics", "stats", "scale"),
+)
+def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.features import equidepth_bins
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_ad"))
+    per = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.round(F.col("o_totalprice") * 1000000)
+                      .cast("long")).alias("_msc")))
+    base = (per.crossJoin(F.broadcast(anchor))
+            .select("custkey",
+                    F.datediff(F.col("_ad"), F.col("_last")).cast("long")
+                    .alias("recency_days"),
+                    "frequency", "_msc"))
+    b = equidepth_bins(base, "recency_days", ["custkey"], 5, "_rb")
+    b = equidepth_bins(b, "frequency", ["custkey"], 5, "_fb")
+    b = equidepth_bins(b, "_msc", ["custkey"], 5, "_mb")
+    r = (F.lit(6) - F.col("_rb")).cast("int")
+    f_ = F.col("_fb").cast("int")
+    m = F.col("_mb").cast("int")
+    return b.select(
+        "custkey", "recency_days", "frequency",
+        (F.col("_msc").cast("double") / 1000000).alias("monetary"),
+        r.alias("r_score"), f_.alias("f_score"), m.alias("m_score"),
+        F.concat(r.cast("string"), f_.cast("string"),
+                 m.cast("string")).alias("rfm"))

@@ -911,3 +911,136 @@ def text_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (T.bpe_subword_counts(load_table(spark, sf_dir, "documents"),
                                  steps=_BPE_STEPS)
             .orderBy(F.desc("n_occurrences"), "subword"))
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, length(text) AS n,
+             substr(text, CAST(i AS INTEGER), 1) AS ch
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
+      WHERE length(text) > 0),
+    cnt AS (SELECT doc_id, n, ch, COUNT(*) AS c
+            FROM pos GROUP BY 1, 2, 3),
+    term AS (
+      SELECT doc_id, n, c,
+             c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                            * 1000000) AS BIGINT) AS v
+      FROM cnt)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(v) AS BIGINT) AS entropy_scaled,
+           CAST(SUM(v) AS DOUBLE) / CAST(n AS DOUBLE) / 1000000
+             AS entropy_nats
+    FROM term GROUP BY doc_id, n
+    """,
+    description="per-document Shannon character entropy — the classic "
+                "gibberish / compression-quality gate (0 for repeated "
+                "filler, ln(alphabet) for uniform noise); char counts "
+                "via one posexplode + map-side-combinable aggregate, "
+                "log terms pinned to scaled integers (the ln-"
+                "portability trick; n >= c keeps every term "
+                "non-negative) so the doc sum is exact integer "
+                "arithmetic (operators/textops.char_entropy)",
+    tags=("text", "curation"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.textops import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_kl_sources",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+               ' ')) AS tok
+      FROM documents),
+    st AS (SELECT source, tok, COUNT(*) AS c_st
+           FROM toks GROUP BY 1, 2),
+    s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+          FROM st GROUP BY 1),
+    t AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+          FROM st GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st),
+    term AS (
+      SELECT st.source,
+             st.c_st
+               * CAST(round(ln(CAST(st.c_st AS DOUBLE)
+                               * CAST(tot.n AS DOUBLE)
+                               / (CAST(s.n_s AS DOUBLE)
+                                  * CAST(t.c_t AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS v,
+             s.n_s
+      FROM st JOIN s USING (source) JOIN t USING (tok), tot)
+    SELECT source, n_s AS n_tokens,
+           CAST(SUM(v) AS BIGINT) AS kl_scaled,
+           CAST(SUM(v) AS DOUBLE) / CAST(n_s AS DOUBLE) / 1000000
+             AS kl_nats
+    FROM term GROUP BY source, n_s
+    """,
+    description="per-source KL divergence vs the corpus token blend — "
+                "the domain-shift / mixture-skew measure for multi-"
+                "source training corpora; (source, token) counts and "
+                "token marginals are both vocabulary-sized aggregates "
+                "joined on the token key (AQE-chosen strategy), corpus "
+                "total crossed in as a broadcast scalar; log-ratio "
+                "terms pinned to scaled integers, Gibbs' inequality "
+                "keeps the true value >= 0 (property-tested) "
+                "(operators/textops.kl_divergence_by_source)",
+    tags=("text", "curation", "stats"),
+)
+def corpus_kl_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.textops import kl_divergence_by_source
+
+    return kl_divergence_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_readability",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             GREATEST(1, length(regexp_replace(text, '[^.!?]', '',
+                                               'g'))) AS n_sentences,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g'))
+                  AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           n_words, n_chars,
+           0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       / 3.0)
+             - 15.59 AS fk_grade
+    FROM s
+    """,
+    description="Flesch-Kincaid-style readability grade per doc (chars-"
+                "per-word / 3 as the syllable proxy; sentence count by "
+                "terminator-character census, floor 1): a pure per-row "
+                "projection — counting via regexp_replace length, no "
+                "tokenizer UDF, no shuffle at all; ratios are single "
+                "IEEE divides so both engines agree bit-for-bit",
+    tags=("text", "curation"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_sent = F.greatest(F.lit(1),
+                        F.length(F.regexp_replace(t, r"[^.!?]", "")))
+    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_chars = F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    base = d.select("doc_id", n_sent.cast("long").alias("n_sentences"),
+                    n_words.alias("n_words"), n_chars.alias("n_chars"))
+    grade = (F.lit(0.39) * (F.col("n_words").cast("double")
+                            / F.col("n_sentences").cast("double"))
+             + F.lit(11.8) * (F.col("n_chars").cast("double")
+                              / F.col("n_words").cast("double") / 3.0)
+             - F.lit(15.59))
+    return base.select("doc_id", "n_sentences", "n_words", "n_chars",
+                       grade.alias("fk_grade"))

@@ -692,3 +692,104 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
                 stateStructType=_HH_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_TW_OUT = ("user_id long, seg_start_us long, seg_end_us long, "
+           "n_segments long, span_sec double, weighted_sum double, "
+           "twap double")
+_TW_STATE = ("last_us long, last_val double, has_last boolean, "
+             "acc_num long, acc_den long, n_seg long, "
+             "buf_us array<long>, buf_id array<long>, "
+             "buf_val array<double>")
+_TW_SCALE = 1_000_000
+
+
+def _round_half_up(x: float) -> int:
+    """Spark's F.round is HALF_UP (ties away from zero) while Python's
+    round() is banker's — on the .5 ties the scaled products do hit
+    (2-decimal values x micro-precise dt), the two disagree by 1 and
+    the batch-equality contract breaks. floor(x + 0.5) is HALF_UP for
+    the non-negative operands here."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def _advance_twap(key, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct running TWAP: unsealed events buffer in state;
+    once the watermark passes an event, every (prev, next) segment it
+    completes integrates value*dt into the scaled-long accumulators —
+    the SAME arithmetic, in the same order, as the batch twin
+    (events_time_weighted_avg), so the last emitted row per user equals
+    the batch result over the sealed prefix. The newest sealed event is
+    carried as the open segment's left edge."""
+    (user_id,) = key
+    (last_us, last_val, has_last, acc_num, acc_den, n_seg,
+     bus, bid, bval) = (
+        (state.get[0], state.get[1], state.get[2], state.get[3],
+         state.get[4], state.get[5], list(state.get[6]),
+         list(state.get[7]), list(state.get[8]))
+        if state.exists else (0, 0.0, False, 0, 0, 0, [], [], []))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, val in zip(pdf["us"], pdf["event_id"],
+                                    pdf["value"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bval.append(float(val))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    for i in order:
+        if bus[i] > wm_us:
+            break  # not sealed yet; neither is anything after it
+        us, val = bus[i], bval[i]
+        if has_last:
+            dt_sec = (us - last_us) / 1_000_000
+            acc_num += _round_half_up((last_val * dt_sec) * _TW_SCALE)
+            acc_den += _round_half_up(dt_sec * _TW_SCALE)
+            n_seg += 1
+            rows.append({
+                "user_id": user_id, "seg_start_us": last_us,
+                "seg_end_us": us, "n_segments": n_seg,
+                "span_sec": float(acc_den) / _TW_SCALE,
+                "weighted_sum": float(acc_num) / _TW_SCALE,
+                "twap": (float(acc_num) / float(acc_den)
+                         if acc_den else None)})
+        last_us, last_val, has_last = us, val, True
+        consumed.append(i)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bval[i]
+    state.update((last_us, last_val, has_last, acc_num, acc_den,
+                  n_seg, bus, bid, bval))
+    if bus:
+        # wake when the watermark can seal the earliest buffered event
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(rows, columns=["user_id", "seg_start_us",
+                                      "seg_end_us", "n_segments",
+                                      "span_sec", "weighted_sum",
+                                      "twap"])
+
+
+def streaming_time_weighted(events: DataFrame,
+                            delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_time_weighted_avg: per-user
+    LOCF-weighted running average, one row per sealed segment, O(open
+    buffer) state per user bounded by the watermark delay."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id",
+                        F.unix_micros("ts").alias("us"), "value", "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _advance_twap,
+                outputStructType=_TW_OUT,
+                stateStructType=_TW_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -233,6 +233,18 @@ FAMILIES["trade"] += ["graph_reachability_trade", "sketch_cms_orders",
 FAMILIES["documents"] += ["dedup_sorted_neighborhood",
                           "multimodal_phash_pairs",
                           "dedup_ngram_prefix_filter"]
+# late-r6 additions: KMV sketches + Benford + OLS/winsorize read the
+# trade star; TWAP/attribution read events; entropy/KL read documents
+FAMILIES["trade"] += ["sketch_kmv_distinct", "sketch_kmv_jaccard",
+                      "dq_benford", "feat_ols_per_group",
+                      "feat_winsorize", "dq_mad_outliers",
+                      "stats_welch_ttest", "orders_abc_parts",
+                      "orders_rfm_scores"]
+FAMILIES["events"] += ["events_time_weighted_avg",
+                       "events_attribution_last_touch",
+                       "events_markov_stationary"]
+FAMILIES["documents"] += ["text_char_entropy", "corpus_kl_sources",
+                          "dedup_ngram_containment", "text_readability"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -229,3 +229,39 @@ def test_source_overlap_bounds_and_symmetry(spark):
     # each unordered pair appears exactly once
     pairs = [(r["source_a"], r["source_b"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_char_entropy_extremes(spark):
+    """Entropy is 0 for a single repeated character, ln(m) for a
+    uniform m-character doc, and never exceeds ln(n_distinct)."""
+    import math
+
+    from g1_etl_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcd" * 25), (3, "hello world")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert got[1].entropy_nats == 0.0 and got[1].n_distinct_chars == 1
+    assert abs(got[2].entropy_nats - math.log(4)) < 1e-5
+    for r in got.values():
+        assert -1e-9 <= r.entropy_nats \
+            <= math.log(max(r.n_distinct_chars, 1)) + 1e-5
+
+
+def test_kl_by_source_gibbs_and_identical_sources(spark):
+    """KL >= 0 up to 1e-6-scale rounding; two sources with identical
+    token distributions both score ~0 while a divergent one doesn't."""
+    from g1_etl_spark.operators.textops import kl_divergence_by_source
+
+    same = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [(1, same, "en", "a", len(same)), (2, same, "en", "b", len(same)),
+         (3, "zzz qqq vvv kkk xxx", "en", "c", 19)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {r.source: r.kl_nats for r in
+           kl_divergence_by_source(df).collect()}
+    assert all(v >= -1e-4 for v in got.values())
+    assert got["a"] < got["c"] and got["b"] < got["c"]
+    assert abs(got["a"] - got["b"]) < 1e-9

@@ -398,3 +398,22 @@ def test_prefix_filter_indexes_fewer_gram_rows(spark):
                                 .alias("p"))
                    .agg(F.sum("p")).collect()[0][0])
     assert prefix_rows < 0.6 * full_rows
+
+
+def test_containment_asymmetric_subset_doc(spark):
+    """A short doc fully contained in a long one scores containment
+    1.0 in the contained direction, far less in the reverse — the
+    relation Jaccard misses (here union-dominated to ~0.2)."""
+    from g1_etl_spark.operators.dedup import (ngram_containment_pairs,
+                                              ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, short), (2, long)],
+                               "doc_id long, text string")
+    pairs = {(r.d1, r.d2): r.containment
+             for r in ngram_containment_pairs(df, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(2, 1)] < 0.2
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []   # jaccard blind to the subset relation at 0.5

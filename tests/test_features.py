@@ -123,3 +123,37 @@ def test_whiten_per_group_string_group_key(spark):
     from g1_etl_spark.operators.features import whiten_per_group
     out = whiten_per_group(df, group_col="lang").collect()
     assert len(out) == 80 and {r["lang"] for r in out} == {"en", "de"}
+
+
+def test_ols_recovers_planted_line(spark):
+    from g1_etl_spark.operators.features import ols_per_group
+
+    rows = [("g", float(x), 2.0 * x + 3.0) for x in range(50)]
+    rows += [("one", 1.0, 5.0)]           # n=1 -> NULLs
+    rows += [("flat", 4.0, float(y)) for y in range(5)]  # zero x-var
+    df = spark.createDataFrame(rows, "grp STRING, x DOUBLE, y DOUBLE")
+    out = {r.grp: r for r in
+           ols_per_group(df, "x", "y", ["grp"]).collect()}
+    assert abs(out["g"].slope - 2.0) < 1e-9
+    assert abs(out["g"].intercept - 3.0) < 1e-9
+    assert abs(out["g"].r2 - 1.0) < 1e-12
+    assert out["one"].slope is None and out["one"].r2 is None
+    assert out["flat"].slope is None
+
+
+def test_winsorize_bounds_and_idempotence(spark):
+    from g1_etl_spark.operators.features import winsorize_per_group
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)] + [("a", 1e9), ("a", -1e9)],
+        "grp STRING, x DOUBLE")
+    out = winsorize_per_group(df, "x", ["grp"])
+    rows = out.collect()
+    for r in rows:
+        assert r.p_lo <= r.winsorized <= r.p_hi
+    # interior values untouched; only values outside the band move
+    inner = [r for r in rows if r.p_lo <= r.x <= r.p_hi]
+    assert inner and all(r.winsorized == r.x for r in inner)
+    moved = [r for r in rows if r.winsorized != r.x]
+    assert all(r.x < r.p_lo or r.x > r.p_hi for r in moved)
+    assert {r.x for r in moved} >= {1e9, -1e9}  # planted outliers clipped

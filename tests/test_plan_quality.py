@@ -179,6 +179,20 @@ _BNLJ_OK = {
     # whole-org payload: six ONE-ROW entity folds crossJoined at the
     # payload boundary (entity_plans._org_payload_doc docstring)
     "entity_org_payload_json",
+    # one-row sketch-estimate x one-row exact-count scalar crosses
+    # (the KMV frames themselves are k<=256 rows, broadcast semi-joins)
+    "sketch_kmv_distinct", "sketch_kmv_jaccard",
+    # one-row corpus-total scalar crossed into the vocabulary-sized
+    # (source, token) score join — the bigram-LM shape
+    "corpus_kl_sources",
+    # one-row total-count scalar crossed into the 9-row digit frame
+    "dq_benford",
+    # one-row segment-A stats x one-row segment-B stats (two scalar
+    # aggregates crossed for the t/df expressions)
+    "stats_welch_ttest",
+    # one-row max-date anchor + three one-row equidepth totals crossed
+    # into the per-customer frame (the feat_equidepth_bins shape x3)
+    "orders_rfm_scores",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -207,6 +221,16 @@ _SINGLE_PART_OK = {
     # two one-row scalars: min-over-3-hash-rows sketch inner product
     # (d*w-bounded input) and the exact-size count — see _BNLJ_OK
     "sketch_cms_join_size",
+    # one-row scalar aggregates over k<=256-row sketch frames (k_used/
+    # kth_hash/matches) and the one-row exact counts — see _BNLJ_OK
+    "sketch_kmv_distinct", "sketch_kmv_jaccard",
+    # one-row corpus-total scalar (SUM partials merged once) — the
+    # vocabulary-sized score join itself is exchange-hashed
+    "corpus_kl_sources",
+    # one-row total over the 9-row digit frame
+    "dq_benford",
+    # one-row anchor + three one-row equidepth totals (see _BNLJ_OK)
+    "orders_rfm_scores",
 }
 
 

@@ -124,3 +124,30 @@ def test_distribution_drift_constant_column_pins_bin0(spark):
     rows = distribution_drift(d, d, "x", n_bins=8).collect()
     assert len(rows) == 1 and rows[0]["bin"] == 0
     assert rows[0]["n_old"] == 10 and rows[0]["contrib"] == 0.0
+
+
+def test_mad_outliers_flags_planted_and_resists_masking(spark):
+    """One huge value is flagged by MAD but would survive a 3-sigma
+    z-test (it inflates the std it's measured against) — the masking
+    case the robust detector exists for. Zero-MAD groups flag any
+    deviation."""
+    from g1_etl_spark.operators.quality import mad_outliers
+
+    base = [("g", float(v)) for v in range(1, 22)]   # 1..21, median 11
+    # three co-conspiring outliers: each inflates the std the others
+    # are measured against (a single one always sits at z ~ sqrt(n))
+    planted = [("g", 1e6), ("g", 1.1e6), ("g", 0.9e6)]
+    df = spark.createDataFrame(base + planted + [("z", 5.0)] * 9
+                               + [("z", 6.0)],
+                               "grp STRING, x DOUBLE")
+    got = {(r.grp, r.x): r.is_outlier
+           for r in mad_outliers(df, "x", ["grp"], k=5.0).collect()}
+    assert all(got[p] is True for p in planted)
+    assert all(not got[("g", float(v))] for v in range(1, 22))
+    # z-score masking check: none of the planted points is 3 sigma out
+    import statistics
+    vals = [v for _, v in base + planted]
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert all((v - mu) / sd < 3.0 for _, v in planted)
+    # zero-MAD group: majority value 5.0 -> MAD 0; the lone 6.0 flags
+    assert got[("z", 6.0)] is True and got[("z", 5.0)] is False

@@ -177,3 +177,129 @@ def test_cms_join_size_never_undercounts(spark):
         cms_build(a, "k", width=65536),
         cms_build(b, "k", width=65536)).collect()[0]["est"]
     assert est_wide == exact
+
+
+def test_kmv_merge_identity_and_estimate_error(spark):
+    """bottom-k(A u B) == bottom-k(bottom-k(A) u bottom-k(B)), and the
+    full-sketch estimator lands within 5/sqrt(k) of the truth on a key
+    space much larger than k."""
+    from g1_etl_spark.operators.sketches import (kmv_build,
+                                                 kmv_distinct_estimate,
+                                                 kmv_union)
+
+    a = spark.createDataFrame([(i * 3,) for i in range(4000)], "k LONG")
+    b = spark.createDataFrame([(i * 5,) for i in range(2400)], "k LONG")
+    direct = [r.h for r in
+              kmv_build(a.unionByName(b), "k", k=128).collect()]
+    merged = [r.h for r in
+              kmv_union(kmv_build(a, "k", k=128),
+                        kmv_build(b, "k", k=128), k=128).collect()]
+    assert sorted(direct) == sorted(merged)
+
+    exact = a.unionByName(b).distinct().count()
+    row = kmv_distinct_estimate(
+        kmv_build(a.unionByName(b), "k", k=128), k=128).collect()[0]
+    assert row.k_used == 128
+    assert abs(row.est / exact - 1.0) <= 5 / (128 ** 0.5)
+
+
+def test_kmv_small_set_is_exact(spark):
+    from g1_etl_spark.operators.sketches import (kmv_build,
+                                                 kmv_distinct_estimate)
+
+    df = spark.createDataFrame([(i,) for i in range(40)] * 3, "k LONG")
+    row = kmv_distinct_estimate(kmv_build(df, "k", k=256),
+                                k=256).collect()[0]
+    assert row.k_used == 40 and row.est == 40.0
+
+
+def test_kmv_jaccard_union_membership_no_false_negatives(spark):
+    """Every union-sketch hash belonging to set A is <= A's k-th
+    minimum, hence IS in A's sketch — so the match count can only
+    miss pairs outside the bottom-k window, never within it; on a
+    small-enough universe the estimate is exactly the true Jaccard."""
+    from g1_etl_spark.operators.sketches import kmv_build, kmv_union
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k LONG")
+    b = spark.createDataFrame([(i,) for i in range(60, 160)], "k LONG")
+    ka, kb = kmv_build(a, "k", k=256), kmv_build(b, "k", k=256)
+    u = kmv_union(ka, kb, k=256)
+    matches = (u.join(ka, "h", "left_semi").join(kb, "h", "left_semi")
+               .count())
+    assert u.count() == 160            # |A u B| < k -> sketch holds all
+    assert matches == 40               # |A n B| exactly
+
+
+def test_welch_ttest_separated_vs_identical_groups(spark):
+    """Clearly separated groups reject at 95%; identical groups give
+    t = 0. Hand-check t against the textbook formula."""
+    from g1_etl_spark.plans import REGISTRY  # noqa: F401 (plan twin)
+    from pyspark.sql import functions as F
+
+    def welch(df):
+        def sortsum(expr):
+            return F.aggregate(F.array_sort(F.collect_list(expr)),
+                               F.lit(0.0), lambda acc, x: acc + x)
+        m = (df.groupBy("g")
+             .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  sortsum(F.col("x")).alias("sx"),
+                  sortsum(F.col("x") * F.col("x")).alias("sxx")))
+        n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+        g = m.select("g", n.alias("n"), (sx / n).alias("mean"),
+                     (((sxx - sx * sx / n) / (n - 1)) / n).alias("v"))
+        rows = {r.g: r for r in g.collect()}
+        a, b = rows["a"], rows["b"]
+        return (a.mean - b.mean) / ((a.v + b.v) ** 0.5)
+
+    sep = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v) + 100.0) for v in range(10)],
+        "g STRING, x DOUBLE")
+    assert abs(welch(sep)) > 1.96
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v)) for v in range(10)],
+        "g STRING, x DOUBLE")
+    assert welch(same) == 0.0
+
+
+def test_pareto_abc_classes_and_prefix_exactness(spark):
+    """Cumulative totals equal the single-window form; classes follow
+    the 70/90 thresholds; top value is A, tail is C; an equal-value
+    tie breaks by key."""
+    from g1_etl_spark.operators.analytics import pareto_abc
+
+    # values engineered so cum shares cross 0.7 and 0.9 mid-list
+    vals = [("k1", 50), ("k2", 25), ("k3", 10), ("k4", 8),
+            ("k5", 4), ("k6", 2), ("k7", 1)]            # total 100
+    df = spark.createDataFrame(vals, "k STRING, v LONG")
+    rows = {r.k: r for r in pareto_abc(df, "k", "v").collect()}
+    assert rows["k1"].abc_class == "A"      # cum 50 <= 70
+    assert rows["k2"].abc_class == "B"      # cum 75 crosses 70
+    cums = sorted((r.cum_value, r.k) for r in rows.values())
+    assert [c for c, _ in cums] == [50, 75, 85, 93, 97, 99, 100]
+    # exact thresholds: cum*100 <= 7000 -> A; <= 9000 -> B
+    for r in rows.values():
+        want = ("A" if r.cum_value * 100 <= 7000
+                else "B" if r.cum_value * 100 <= 9000 else "C")
+        assert r.abc_class == want, r
+    assert rows["k7"].abc_class == "C"
+
+
+def test_rfm_scores_are_quintiles(spark):
+    """Driver-level sanity on the registered query at sf0.001: every
+    score in 1..5, quintile sizes differ by at most one, rfm string
+    matches the three scores."""
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["orders_rfm_scores"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import Counter
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, col) for r in rows]
+        assert set(vals) <= {1, 2, 3, 4, 5}
+        sizes = Counter(vals).values()
+        assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert r.rfm == f"{r.r_score}{r.f_score}{r.m_score}"

