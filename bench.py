@@ -144,6 +144,8 @@ R6_ADD = [
     "orders_rfm_scores",
     # Markov stationary distribution (10 broadcast-tiny iterations)
     "events_markov_stationary",
+    # reciprocal-rank fusion of BM25 + cosine candidate lists
+    "pipeline_rrf_fusion",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

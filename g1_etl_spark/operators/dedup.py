@@ -239,14 +239,28 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
         hot = (sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_df).select("g"))
         sh = sh.join(F.broadcast(hot), "g", "left_anti")
-    a = sh.select(F.col("d").alias("d1"), F.col("sz").alias("sz1"), "g")
-    b = sh.select(F.col("d").alias("d2"), "g")
+    # enumerate each unordered pair ONCE (d1 < d2 halves the index
+    # join's fan-out and the pair-count shuffle), then produce the two
+    # directed orientations with a single explode — the one-explode
+    # symmetrize idiom (no CSE across unionByName branches, so a union
+    # would re-run the whole pair aggregation per direction)
+    a = sh.select(F.col("d").alias("da"), F.col("sz").alias("sza"), "g")
+    b = sh.select(F.col("d").alias("db"), F.col("sz").alias("szb"), "g")
     pairs = (a.join(b, "g")
-             .filter(F.col("d1") != F.col("d2"))
-             .groupBy("d1", "sz1", "d2")
+             .filter(F.col("da") < F.col("db"))
+             .groupBy("da", "sza", "db", "szb")
              .agg(F.count(F.lit(1)).alias("common")))
-    cont = (F.col("common").cast("double") / F.col("sz1"))
-    return (pairs.select("d1", "d2", cont.alias("containment"))
+    both = pairs.select(
+        "common",
+        F.explode(F.array(
+            F.struct(F.col("da").alias("d1"), F.col("sza").alias("sz1"),
+                     F.col("db").alias("d2")),
+            F.struct(F.col("db").alias("d1"), F.col("szb").alias("sz1"),
+                     F.col("da").alias("d2")))).alias("o"))
+    cont = (F.col("common").cast("double") / F.col("o.sz1"))
+    return (both.select(F.col("o.d1").alias("d1"),
+                        F.col("o.d2").alias("d2"),
+                        cont.alias("containment"))
             .filter(F.col("containment") >= threshold))
 
 

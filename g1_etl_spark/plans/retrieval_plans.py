@@ -331,3 +331,111 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.desc("cos_score"), "neighbor_id")
     return (rer.withColumn("final_rank", F.row_number().over(w))
             .filter(F.col("final_rank") <= _HYBRID_K))
+
+
+_RRF_K0 = 60          # the standard RRF constant
+_RRF_K = 5
+
+_RRF_TAIL = f"""
+    qe AS (SELECT vec_id AS eq_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN ({_HYBRID_QIDS_SQL})),
+    cos_scored AS (
+      SELECT qe.eq_id AS q_id, e.vec_id AS neighbor_id,
+             {_HDOT} / ({_HNORM_Q} * {_HNORM_C}) AS cos_score
+      FROM embeddings e, qe WHERE e.vec_id <> qe.eq_id),
+    cosk AS (
+      SELECT * FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_score DESC,
+                                           neighbor_id) AS cos_rank
+        FROM cos_scored)
+      WHERE cos_rank <= {_HYBRID_CAND_K}),
+    fused AS (
+      SELECT COALESCE(b.q_id, c.q_id) AS q_id,
+             COALESCE(b.neighbor_id, c.neighbor_id) AS neighbor_id,
+             CAST(b.rank AS BIGINT) AS bm25_rank,
+             CAST(c.cos_rank AS BIGINT) AS cos_rank,
+             COALESCE(1.0 / ({_RRF_K0}.0 + b.rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K0}.0 + c.cos_rank), 0.0)
+               AS rrf_score
+      FROM cand b FULL OUTER JOIN cosk c
+        ON b.q_id = c.q_id AND b.neighbor_id = c.neighbor_id),
+    rrf_final AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_score DESC,
+                                            neighbor_id) AS rrf_rank
+      FROM fused)
+    SELECT q_id, neighbor_id, bm25_rank, cos_rank, rrf_score,
+           CAST(rrf_rank AS BIGINT) AS rrf_rank
+    FROM rrf_final WHERE rrf_rank <= {_RRF_K}
+"""
+
+
+def _rrf_oracle() -> str:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    base = REGISTRY["text_bm25_topk"].oracle
+    out = base.replace(f"WHERE rank <= {_K}",
+                       f"WHERE rank <= {_HYBRID_CAND_K}")
+    marker = "SELECT CAST(q_id AS BIGINT) AS q_id, neighbor_id, score, rank"
+    head, tail = out.rsplit(marker, 1)
+    out = (head + ",\n    cand AS (" + marker + tail.rstrip().rstrip(",")
+           + "),\n" + _RRF_TAIL)
+    assert "cand AS (" in out and "rrf_rank" in out, "splice failed"
+    return out
+
+
+@register(
+    "pipeline_rrf_fusion",
+    oracle=_rrf_oracle(),
+    description="reciprocal-rank-fusion hybrid retrieval: BM25 top-20 "
+                "and exact-cosine top-20 fused by 1/(60+rank) sums "
+                "(the score-free fusion that needs no cross-modality "
+                "calibration, unlike the hybrid rerank's raw cosine) — "
+                "full outer join on the two candidate lists, so a doc "
+                "surfaced by only one modality still scores; ranks are "
+                "integers and each RRF term is a single IEEE divide, "
+                "so fusion is engine-exact; oracle spliced from the "
+                "BM25 oracle + the proven cosine fold",
+    tags=("retrieval", "similarity", "pipeline"),
+)
+def pipeline_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from g1_etl_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(_QUERIES, ["q_id", "term"])
+    cand = (R.bm25_topk(docs, q, k=_HYBRID_CAND_K, k1=_K1, b=_B)
+            .select("q_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("bm25_rank")))
+    qe = (emb.filter(F.col("vec_id").isin(*_HYBRID_QIDS))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    scored = (emb.crossJoin(F.broadcast(qe))
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                      (S.dot(F.col("q_vec"), F.col("embedding"))
+                       / (S.l2_norm(F.col("q_vec"))
+                          * S.l2_norm(F.col("embedding"))))
+                      .alias("cos_score")))
+    wc = W.partitionBy("q_id").orderBy(F.desc("cos_score"), "neighbor_id")
+    cosk = (scored.withColumn("cos_rank",
+                              F.row_number().over(wc).cast("long"))
+            .filter(F.col("cos_rank") <= _HYBRID_CAND_K)
+            .select("q_id", "neighbor_id", "cos_rank"))
+    fused = (cand.join(cosk, ["q_id", "neighbor_id"], "full_outer")
+             .select("q_id", "neighbor_id", "bm25_rank", "cos_rank",
+                     (F.coalesce(F.lit(1.0)
+                                 / (F.lit(float(_RRF_K0))
+                                    + F.col("bm25_rank")), F.lit(0.0))
+                      + F.coalesce(F.lit(1.0)
+                                   / (F.lit(float(_RRF_K0))
+                                      + F.col("cos_rank")), F.lit(0.0)))
+                     .alias("rrf_score")))
+    wf = W.partitionBy("q_id").orderBy(F.desc("rrf_score"), "neighbor_id")
+    return (fused.withColumn("rrf_rank",
+                             F.row_number().over(wf).cast("long"))
+            .filter(F.col("rrf_rank") <= _RRF_K))

@@ -245,6 +245,9 @@ FAMILIES["events"] += ["events_time_weighted_avg",
                        "events_markov_stationary"]
 FAMILIES["documents"] += ["text_char_entropy", "corpus_kl_sources",
                           "dedup_ngram_containment", "text_readability"]
+# rrf fusion reads documents + embeddings; probed under the embeddings
+# family (the cosine stage is the data-sized half)
+FAMILIES["embeddings"] += ["pipeline_rrf_fusion"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

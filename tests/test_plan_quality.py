@@ -174,6 +174,9 @@ _BNLJ_OK = {
     "dq_distribution_drift",
     # reuses bm25's corpus-stats scalar (see text_bm25_topk)
     "pipeline_hybrid_search",
+    # bm25's corpus-stats scalar + the 5-query constant-tiny cosine
+    # broadcast side (brute force inside the fusion)
+    "pipeline_rrf_fusion",
     # k-row centroid frame cross-joined into the scoring pass (k=4)
     "sim_kmeans_exact",
     # whole-org payload: six ONE-ROW entity folds crossJoined at the
@@ -212,6 +215,8 @@ _SINGLE_PART_OK = {
     "dq_distribution_drift",
     # bm25 corpus-stats scalar inside the candidate stage
     "pipeline_hybrid_search",
+    # same bm25 scalar inside the fusion's candidate stage
+    "pipeline_rrf_fusion",
     # whole-org payload: collect_list folds to one doc row per entity
     # (partial lists per partition, merged once — payload boundary)
     "entity_org_payload_json",

@@ -249,3 +249,54 @@ def test_neardup_top_m_matches_reference(spark, pairs, m):
     for doc in got:
         got[doc].sort(key=lambda t: t[2])
     assert got == _ref_top_m(pairs, m)
+
+
+@given(vals=st.lists(st.integers(min_value=1, max_value=10_000),
+                     min_size=1, max_size=50),
+       parts=st.integers(min_value=1, max_value=5))
+@_settings
+def test_pareto_abc_matches_window_prefix_sum(spark, vals, parts):
+    """The distributed prefix sum equals the single-window form for
+    any value multiset, the last cumulative value is the grand total,
+    and classes follow the integer 70/90 thresholds exactly."""
+    from g1_etl_spark.operators.analytics import pareto_abc
+
+    df = spark.createDataFrame(
+        [(f"k{i}", v) for i, v in enumerate(vals)], ["k", "v"])
+    got = pareto_abc(df, "k", "v", partitions=parts).collect()
+    total = sum(vals)
+    want = {}
+    cum = 0
+    for v, k in sorted(((v, f"k{i}") for i, v in enumerate(vals)),
+                       key=lambda t: (-t[0], t[1])):
+        cum += v
+        want[k] = (v, cum,
+                   "A" if cum * 100 <= total * 70
+                   else "B" if cum * 100 <= total * 90 else "C")
+    assert len(got) == len(vals)
+    for r in got:
+        wv, wc, wcls = want[r.k]
+        assert (r.value, r.cum_value, r.abc_class) == (wv, wc, wcls), r.k
+    assert max(r.cum_value for r in got) == total
+
+
+@given(a_keys=st.sets(st.integers(min_value=0, max_value=2_000),
+                      min_size=1, max_size=300),
+       b_keys=st.sets(st.integers(min_value=0, max_value=2_000),
+                      min_size=1, max_size=300),
+       k=st.sampled_from([16, 64, 256]))
+@_settings
+def test_kmv_union_merge_identity_property(spark, a_keys, b_keys, k):
+    """bottom-k(hashes(A u B)) == bottom-k(bottom-k(A) u bottom-k(B))
+    for ANY key sets and sketch size — the mergeability identity the
+    set-operation estimates rely on."""
+    from g1_etl_spark.operators.sketches import kmv_build, kmv_union
+
+    a = spark.createDataFrame([(x,) for x in a_keys], "k LONG")
+    b = spark.createDataFrame([(x,) for x in b_keys], "k LONG")
+    direct = sorted(r.h for r in
+                    kmv_build(a.unionByName(b), "k", k=k).collect())
+    merged = sorted(r.h for r in
+                    kmv_union(kmv_build(a, "k", k=k),
+                              kmv_build(b, "k", k=k), k=k).collect())
+    assert direct == merged

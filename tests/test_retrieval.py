@@ -241,3 +241,36 @@ def test_bigram_lm_boilerplate_scores_lower_than_rare_text(spark):
            for r in bigram_lm_scores(docs).collect()}
     assert got[0] == got[19]
     assert got[0] < got[99]
+
+
+def test_rrf_fusion_scores_and_both_modality_dominance(spark):
+    """Every emitted row's rrf_score equals the recomputed 1/(60+r)
+    sum from its own ranks; a doc present in BOTH candidate lists
+    always outscores a doc holding the same single rank in one list."""
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["pipeline_rrf_fusion"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+        want = ((1.0 / (60.0 + r.bm25_rank) if r.bm25_rank is not None
+                 else 0.0)
+                + (1.0 / (60.0 + r.cos_rank) if r.cos_rank is not None
+                   else 0.0))
+        assert r.rrf_score == want, r
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ranks = sorted(r.rrf_rank for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        both = [r for r in rs if r.bm25_rank is not None
+                and r.cos_rank is not None]
+        single = [r for r in rs if r.bm25_rank is None
+                  or r.cos_rank is None]
+        for b in both:
+            for s in single:
+                same_rank = (s.bm25_rank or s.cos_rank)
+                if same_rank is not None and \
+                        same_rank >= min(b.bm25_rank, b.cos_rank):
+                    assert b.rrf_score > s.rrf_score
