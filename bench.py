@@ -146,6 +146,12 @@ R6_ADD = [
     "events_markov_stationary",
     # reciprocal-rank fusion of BM25 + cosine candidate lists
     "pipeline_rrf_fusion",
+    # leave-one-out target encoding (broadcast group stats, exact LOO)
+    "feat_target_encoding",
+    # customer-cohort LTV matrix (per-customer min joined back)
+    "orders_cohort_ltv",
+    # PMI collocations over the constant top-50 token alphabet
+    "text_pmi_pairs",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

@@ -298,3 +298,46 @@ def feat_ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return FE.ols_per_group(li, "l_quantity", "l_extendedprice",
                             ["l_returnflag"])
+
+
+@register(
+    "feat_target_encoding",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(round(o_totalprice * 1000000) AS BIGINT) AS own_sc
+      FROM orders),
+    g AS (
+      SELECT o_orderpriority,
+             CAST(SUM(own_sc) AS BIGINT) AS sum_sc,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY o_orderpriority)
+    SELECT s.o_orderkey, s.o_orderpriority, s.o_totalprice,
+           CASE WHEN g.n > 1
+                THEN CAST(g.sum_sc - s.own_sc AS DOUBLE)
+                     / (g.n - 1) / 1000000 END AS loo_mean
+    FROM s JOIN g USING (o_orderpriority)
+    """,
+    description="leave-one-out target encoding (the ML categorical "
+                "encoder that avoids self-leakage): each row gets the "
+                "mean target of the OTHER rows in its category, "
+                "(group_sum - own) / (n-1) — one tiny per-group "
+                "aggregate broadcast back, the subtraction exact in "
+                "scaled longs so no row's own value contaminates its "
+                "feature even in the last bit; singleton categories "
+                "yield NULL in both engines",
+    tags=("features",),
+)
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select("o_orderkey", "o_orderpriority", "o_totalprice",
+                 F.round(F.col("o_totalprice") * 1000000).cast("long")
+                 .alias("_own"))
+    g = (s.groupBy("o_orderpriority")
+         .agg(F.sum("_own").alias("_sum"),
+              F.count(F.lit(1)).alias("_n")))
+    loo = ((F.col("_sum") - F.col("_own")).cast("double")
+           / (F.col("_n") - 1) / 1000000)
+    return (s.join(F.broadcast(g), "o_orderpriority")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                    F.when(F.col("_n") > 1, loo).alias("loo_mean")))

@@ -674,3 +674,60 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("r_score"), f_.alias("f_score"), m.alias("m_score"),
         F.concat(r.cast("string"), f_.cast("string"),
                  m.cast("string")).alias("rfm"))
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(CAST(o_orderdate AS DATE)))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey),
+    act AS (
+      SELECT fo.cohort_month,
+             date_trunc('month', CAST(o.o_orderdate AS DATE))
+               AS order_month,
+             o.o_custkey, o.o_totalprice
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey)
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(order_month AS DATE) AS order_month,
+           CAST((year(order_month) * 12 + month(order_month))
+                - (year(cohort_month) * 12 + month(cohort_month))
+                AS INT) AS months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS revenue
+    FROM act GROUP BY cohort_month, order_month
+    """,
+    description="customer-cohort lifetime-value matrix: customers "
+                "grouped by first-order month, revenue and active "
+                "counts per (cohort, calendar month) — the standard "
+                "retention/LTV triangle; one per-customer min "
+                "aggregate joined back (AQE-chosen strategy), month "
+                "arithmetic as pure integers (y*12+m) so the offsets "
+                "are engine-exact, money through scaled longs",
+    tags=("analytics", "agg"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fo = (o.groupBy("o_custkey")
+          .agg(F.trunc(F.min(F.col("o_orderdate").cast("date")), "month")
+               .alias("cohort_month")))
+    act = (o.join(fo, "o_custkey")
+           .select("cohort_month",
+                   F.trunc(F.col("o_orderdate").cast("date"), "month")
+                   .alias("order_month"),
+                   "o_custkey", "o_totalprice"))
+    months = ((F.year("order_month") * 12 + F.month("order_month"))
+              - (F.year("cohort_month") * 12 + F.month("cohort_month")))
+    return (act.groupBy("cohort_month", "order_month")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(F.round(F.col("o_totalprice") * 1000000)
+                        .cast("long")).cast("double") / 1000000)
+                 .alias("revenue"))
+            .select("cohort_month", "order_month",
+                    months.cast("int").alias("months_since"),
+                    "n_customers", "n_orders", "revenue"))

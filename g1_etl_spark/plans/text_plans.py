@@ -1044,3 +1044,87 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.lit(15.59))
     return base.select("doc_id", "n_sentences", "n_words", "n_chars",
                        grade.alias("fk_grade"))
+
+
+_PMI_TOP = 50
+
+
+@register(
+    "text_pmi_pairs",
+    oracle=rf"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                 ' ')) AS tok
+        FROM documents)),
+    freq AS (SELECT tok, COUNT(*) AS df FROM pres GROUP BY tok),
+    top AS (SELECT tok FROM freq
+            ORDER BY df DESC, tok LIMIT {_PMI_TOP}),
+    p AS (SELECT pres.doc_id, pres.tok FROM pres
+          JOIN top USING (tok)),
+    d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM pres),
+    pair AS (
+      SELECT a.tok AS t1, b.tok AS t2,
+             CAST(COUNT(*) AS BIGINT) AS c12
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    m AS (SELECT tok, CAST(df AS BIGINT) AS df FROM freq
+          WHERE tok IN (SELECT tok FROM top))
+    SELECT pair.t1, pair.t2, pair.c12,
+           m1.df AS df1, m2.df AS df2,
+           CAST(round(ln(CAST(pair.c12 AS DOUBLE)
+                         * CAST(d.n_docs AS DOUBLE)
+                         / (CAST(m1.df AS DOUBLE)
+                            * CAST(m2.df AS DOUBLE))) * 1000000)
+                AS BIGINT) AS pmi_scaled
+    FROM pair JOIN m m1 ON pair.t1 = m1.tok
+              JOIN m m2 ON pair.t2 = m2.tok, d
+    """,
+    description="pointwise mutual information of token co-occurrence "
+                "(document-level presence) over the top-50 corpus "
+                "tokens — the collocation / association-mining "
+                "primitive; the alphabet cap bounds the pair space at "
+                "a CONSTANT (50*49/2) at any corpus scale, so the "
+                "per-doc self-join fan-out is basket-bounded exactly "
+                "like the market-basket miners; PMI pinned to scaled "
+                "integers via the ln-portability trick",
+    tags=("text", "stats"),
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    pres = (d.repartition(spread, "doc_id")
+            .select("doc_id",
+                    F.explode(F.split(normalize_text(F.col("text")),
+                                      " ")).alias("tok"))
+            .distinct())
+    pres = pres.localCheckpoint(eager=True)  # 3 consumers below
+    freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = freq.orderBy(F.desc("df"), "tok").limit(_PMI_TOP)
+    p = pres.join(F.broadcast(top.select("tok")), "tok")
+    n_docs = pres.agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    a = p.select(F.col("doc_id"), F.col("tok").alias("t1"))
+    b = p.select(F.col("doc_id"), F.col("tok").alias("t2"))
+    pair = (a.join(b, "doc_id")
+            .filter(F.col("t1") < F.col("t2"))
+            .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12")))
+    m = top.select("tok", F.col("df").cast("long").alias("df"))
+    pmi = (F.round(F.ln(F.col("c12").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / (F.col("df1").cast("double")
+                           * F.col("df2").cast("double"))) * 1000000)
+           .cast("long"))
+    return (pair
+            .join(F.broadcast(m.select(F.col("tok").alias("t1"),
+                                       F.col("df").alias("df1"))), "t1")
+            .join(F.broadcast(m.select(F.col("tok").alias("t2"),
+                                       F.col("df").alias("df2"))), "t2")
+            .crossJoin(F.broadcast(n_docs))
+            .select("t1", "t2", "c12", "df1", "df2",
+                    pmi.alias("pmi_scaled")))

@@ -239,12 +239,14 @@ FAMILIES["trade"] += ["sketch_kmv_distinct", "sketch_kmv_jaccard",
                       "dq_benford", "feat_ols_per_group",
                       "feat_winsorize", "dq_mad_outliers",
                       "stats_welch_ttest", "orders_abc_parts",
-                      "orders_rfm_scores"]
+                      "orders_rfm_scores", "feat_target_encoding",
+                      "orders_cohort_ltv"]
 FAMILIES["events"] += ["events_time_weighted_avg",
                        "events_attribution_last_touch",
                        "events_markov_stationary"]
 FAMILIES["documents"] += ["text_char_entropy", "corpus_kl_sources",
-                          "dedup_ngram_containment", "text_readability"]
+                          "dedup_ngram_containment", "text_readability",
+                          "text_pmi_pairs"]
 # rrf fusion reads documents + embeddings; probed under the embeddings
 # family (the cosine stage is the data-sized half)
 FAMILIES["embeddings"] += ["pipeline_rrf_fusion"]

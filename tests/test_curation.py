@@ -265,3 +265,69 @@ def test_kl_by_source_gibbs_and_identical_sources(spark):
     assert all(v >= -1e-4 for v in got.values())
     assert got["a"] < got["c"] and got["b"] < got["c"]
     assert abs(got["a"] - got["b"]) < 1e-9
+
+
+def test_pmi_pairs_sign_semantics(spark):
+    """The Spark PMI pipeline (presence explode -> top-N alphabet ->
+    per-doc pair join -> scaled-ln) on a hand-built corpus: engineered
+    always-together tokens score positive, never-together pairs are
+    absent, and every emitted value matches the exact formula."""
+    import math
+
+    import pyspark.sql.functions as F
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    rows = []
+    i = 0
+    for _ in range(10):
+        rows.append((i, "red blue filler")); i += 1
+    for _ in range(10):
+        rows.append((i, "hot filler")); i += 1
+    for _ in range(10):
+        rows.append((i, "cold filler")); i += 1
+    for _ in range(5):
+        rows.append((i, "mix red filler")); i += 1
+    for _ in range(5):
+        rows.append((i, "mix cold filler")); i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the registered plan's pipeline, inlined on the toy corpus
+    pres = (df.select("doc_id",
+                      F.explode(F.split(normalize_text(F.col("text")),
+                                        " ")).alias("tok")).distinct())
+    freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = freq.orderBy(F.desc("df"), "tok").limit(50)
+    p_ = pres.join(F.broadcast(top.select("tok")), "tok")
+    n_docs = pres.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = p_.select("doc_id", F.col("tok").alias("t1"))
+    b = p_.select("doc_id", F.col("tok").alias("t2"))
+    pair = (a.join(b, "doc_id").filter(F.col("t1") < F.col("t2"))
+            .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12")))
+    m = top.select("tok", F.col("df").cast("long").alias("df"))
+    pmi_col = (F.round(F.ln(F.col("c12").cast("double")
+                            * F.col("n_docs").cast("double")
+                            / (F.col("df1").cast("double")
+                               * F.col("df2").cast("double"))) * 1e6)
+               .cast("long"))
+    got = {(r.t1, r.t2): r.pmi_scaled / 1e6 for r in
+           pair.join(F.broadcast(m.select(F.col("tok").alias("t1"),
+                                          F.col("df").alias("df1"))), "t1")
+           .join(F.broadcast(m.select(F.col("tok").alias("t2"),
+                                      F.col("df").alias("df2"))), "t2")
+           .crossJoin(F.broadcast(n_docs))
+           .select("t1", "t2", pmi_col.alias("pmi_scaled")).collect()}
+
+    # exact reference on python sets
+    pres_py = {}
+    for d, t in rows:
+        for tok in t.split():
+            pres_py.setdefault(tok, set()).add(d)
+    D = len(rows)
+    for (t1, t2), v in got.items():
+        c12 = len(pres_py[t1] & pres_py[t2])
+        assert c12 > 0
+        want = math.log(c12 * D / (len(pres_py[t1]) * len(pres_py[t2])))
+        assert abs(v - want) < 2e-6, (t1, t2)
+    assert got[("blue", "red")] > 0.9         # always together
+    assert ("cold", "hot") not in got         # never co-occur
+    assert abs(got.get(("filler", "red"), 0.0)) < 0.2

@@ -157,3 +157,29 @@ def test_winsorize_bounds_and_idempotence(spark):
     moved = [r for r in rows if r.winsorized != r.x]
     assert all(r.x < r.p_lo or r.x > r.p_hi for r in moved)
     assert {r.x for r in moved} >= {1e9, -1e9}  # planted outliers clipped
+
+
+def test_target_encoding_excludes_own_row(spark):
+    """The encoded value for each row equals the mean of the OTHER
+    rows in its category — verified by hand on a 3-row group — and a
+    singleton category yields NULL."""
+    from g1_etl_spark.plans import REGISTRY  # noqa: F401 (plan twin)
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+         (4, "solo", 99.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double")
+    s = df.select("*", F.round(F.col("o_totalprice") * 1e6)
+                  .cast("long").alias("_own"))
+    g = (s.groupBy("o_orderpriority")
+         .agg(F.sum("_own").alias("_sum"), F.count(F.lit(1)).alias("_n")))
+    loo = ((F.col("_sum") - F.col("_own")).cast("double")
+           / (F.col("_n") - 1) / 1e6)
+    out = {r.o_orderkey: r.loo_mean for r in
+           s.join(g, "o_orderpriority")
+           .select("o_orderkey",
+                   F.when(F.col("_n") > 1, loo).alias("loo_mean"))
+           .collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    assert out[4] is None

@@ -236,6 +236,8 @@ _SINGLE_PART_OK = {
     "dq_benford",
     # one-row anchor + three one-row equidepth totals (see _BNLJ_OK)
     "orders_rfm_scores",
+    # one-row doc-count scalar (countDistinct partials merged once)
+    "text_pmi_pairs",
 }
 
 

@@ -303,3 +303,24 @@ def test_rfm_scores_are_quintiles(spark):
         assert max(sizes) - min(sizes) <= 1
     for r in rows:
         assert r.rfm == f"{r.r_score}{r.f_score}{r.m_score}"
+
+
+def test_cohort_ltv_shape_and_conservation(spark):
+    """Cohort matrix at sf0.001: months_since >= 0 everywhere, the
+    diagonal (months_since 0) contains every cohort's full customer
+    count, and total revenue across cells equals the plain order sum."""
+    from pyspark.sql import functions as F
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["orders_cohort_ltv"].fn(spark, sf).collect()
+    assert rows and all(r.months_since >= 0 for r in rows)
+    o = load_table(spark, sf, "orders")
+    want_rev = (o.agg((F.sum(F.round(F.col("o_totalprice") * 1e6)
+                             .cast("long")).cast("double") / 1e6)
+                      .alias("t")).collect()[0].t)
+    assert abs(sum(r.revenue for r in rows) - want_rev) < 1e-3
+    n_cust = o.select("o_custkey").distinct().count()
+    diag = [r for r in rows if r.months_since == 0]
+    assert sum(r.n_customers for r in diag) == n_cust
