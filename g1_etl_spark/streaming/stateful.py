@@ -793,3 +793,68 @@ def streaming_time_weighted(events: DataFrame,
                 stateStructType=_TW_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_KMV_OUT = ("event_type string, k_used long, kth_hash long, "
+            "est double, emit_seq long")
+_KMV_STATE = "hashes array<long>, seq long"
+_KMV_P = 2_147_483_647
+_KMV_A, _KMV_B = 1_103_515_245, 12_345
+_KMV_STREAM_K = 256
+
+
+def _track_kmv(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    """KMV bottom-k distinct sketch per group over an unbounded stream:
+    state is the k smallest distinct LCG hashes seen — O(k) regardless
+    of key cardinality, and ORDER-INDEPENDENT (the bottom-k set after
+    any prefix permutation is identical), so unlike Space-Saving the
+    final emission equals the batch sketch EXACTLY, not just within
+    bounds. Hash arithmetic restates operators/sketches.kmv_hash
+    verbatim so stream and batch agree bit-for-bit."""
+    (etype,) = key
+    hs, seq = ((sorted(state.get[0]), state.get[1])
+               if state.exists else ([], 0))
+    cur = set(hs)
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            h = (_KMV_A * (int(uid) % _KMV_P) + _KMV_B) % _KMV_P
+            if h in cur:
+                continue
+            if len(hs) < _KMV_STREAM_K:
+                cur.add(h)
+                hs.append(h)
+                hs.sort()
+            elif h < hs[-1]:
+                cur.discard(hs[-1])
+                hs[-1] = h
+                cur.add(h)
+                hs.sort()
+    seq += 1
+    state.update((hs, seq))
+    k_used = len(hs)
+    kth = hs[-1] if hs else 0
+    est = (float((k_used - 1) * _KMV_P) / float(kth)
+           if k_used >= _KMV_STREAM_K else float(k_used))
+    yield pd.DataFrame(
+        [{"event_type": etype, "k_used": k_used, "kth_hash": kth,
+          "est": est, "emit_seq": seq}],
+        columns=["event_type", "k_used", "kth_hash", "est", "emit_seq"])
+
+
+def streaming_kmv_distinct(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch KMV distinct sketch: per-event-type
+    running distinct-user estimate with O(k) state. Emits one summary
+    row per group per batch in update mode; consumers keep each type's
+    row at max emit_seq — the final one equals
+    operators/sketches.kmv_build + kmv_distinct_estimate over the same
+    data bit-for-bit (order independence of bottom-k)."""
+    return (events
+            .select("event_type", "user_id")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _track_kmv,
+                outputStructType=_KMV_OUT,
+                stateStructType=_KMV_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

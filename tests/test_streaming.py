@@ -856,3 +856,45 @@ def test_streaming_twap_matches_batch_prefix(spark):
                 == (b.n_segments, b.span_sec, b.weighted_sum, b.twap), u
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_kmv_equals_batch_sketch_exactly(spark):
+    """Bottom-k is order-independent, so the stream's FINAL emission
+    per event type must equal the batch KMV build + estimate over the
+    same rows bit-for-bit — a strict twin contract no counter sketch
+    (Space-Saving, CMS) can make."""
+    from g1_etl_spark.operators.sketches import (kmv_build,
+                                                 kmv_distinct_estimate)
+    from g1_etl_spark.streaming.stateful import streaming_kmv_distinct
+
+    tmp = str(TMP) + "_kmv"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_kmv_distinct(stream), "t_kmv",
+                             output_mode="update")
+        try:
+            rows = spark.sql("SELECT * FROM t_kmv").collect()
+        finally:
+            q.stop()
+        last = {}
+        for r in rows:
+            cur = last.get(r.event_type)
+            if cur is None or r.emit_seq > cur.emit_seq:
+                last[r.event_type] = r
+        assert last
+        ev = spark.read.parquet(tmp)
+        for etype, r in last.items():
+            sub = ev.filter(F.col("event_type") == etype)
+            b = kmv_distinct_estimate(
+                kmv_build(sub, "user_id", k=256), k=256).collect()[0]
+            assert (r.k_used, r.kth_hash, r.est) \
+                == (b.k_used, b.kth_hash, b.est), etype
+            exact = sub.select("user_id").distinct().count()
+            if r.k_used >= 256:
+                assert abs(r.est / exact - 1) <= 5 / 16
+            else:
+                assert r.est == float(exact)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
