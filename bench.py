@@ -152,6 +152,8 @@ R6_ADD = [
     "orders_cohort_ltv",
     # PMI collocations over the constant top-50 token alphabet
     "text_pmi_pairs",
+    # Zipf exponent fit (global rank + one-pass OLS composition)
+    "text_zipf_fit",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD
 

@@ -98,7 +98,7 @@ _R6_WINDOW = (
 # dedup_ngram_containment, dq_mad_outliers, stats_welch_ttest,
 # orders_abc_parts, orders_rfm_scores, text_readability,
 # events_markov_stationary, pipeline_rrf_fusion, feat_target_encoding,
-# orders_cohort_ltv and text_pmi_pairs (all
+# orders_cohort_ltv, text_pmi_pairs and text_zipf_fit (all
 # added after the r6 window was pinned) get day-one slots — then start the r4
 # cohort. That overfills one 50-row window; day-one slots take
 # priority over re-certification (a never-checked row outranks a

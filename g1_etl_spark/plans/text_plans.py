@@ -1128,3 +1128,81 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n_docs))
             .select("t1", "t2", "c12", "df1", "df2",
                     pmi.alias("pmi_scaled")))
+
+
+_ZIPF_TOP = 500
+_SORTSUM_SQL = "list_sum(list_sort(list({expr})))"
+
+
+@register(
+    "text_zipf_fit",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+        regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq),
+    fit AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)
+               / 1000000.0 AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)
+               / 1000000.0 AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {_SORTSUM_SQL.format(expr='x')} AS sx,
+             {_SORTSUM_SQL.format(expr='x * x')} AS sxx,
+             {_SORTSUM_SQL.format(expr='y')} AS sy,
+             {_SORTSUM_SQL.format(expr='y * y')} AS syy,
+             {_SORTSUM_SQL.format(expr='x * y')} AS sxy
+      FROM fit)
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+    description="Zipf's-law exponent fit: OLS of ln(freq) on ln(rank) "
+                "over the top-500 token ranks — the classic corpus "
+                "health check (natural text slopes near -1; synthetic "
+                "or deduplicated corpora drift); composes the "
+                "distributed total-order rank (no single-partition "
+                "window on the Spark side; the oracle's ROW_NUMBER is "
+                "that single-task form) with the one-pass OLS moment "
+                "machinery; each ln is pinned to a scaled integer "
+                "before the sorted-sequential moment sums, so the fit "
+                "is engine-exact; the fit region is a CONSTANT 500 "
+                "rows at any corpus scale",
+    tags=("text", "stats", "scale"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+    from g1_etl_spark.operators.features import ols_per_group
+    from g1_etl_spark.operators.retrieval import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    toks = (d.repartition(spread, "doc_id")
+            .select(F.explode(F.split(normalize_text(F.col("text")),
+                                      " ")).alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = global_rank(freq, [F.desc("f"), F.asc("tok")],
+                         rank_col="r")
+
+    def pin_ln(c):
+        return (F.round(F.ln(c.cast("double")) * 1000000).cast("long")
+                / F.lit(1000000.0))
+
+    fit = (ranked.filter(F.col("r") <= _ZIPF_TOP)
+           .select(pin_ln(F.col("r")).alias("x"),
+                   pin_ln(F.col("f")).alias("y"),
+                   F.lit(1).alias("g")))
+    out = ols_per_group(fit, "x", "y", ["g"])
+    return out.select(F.col("n").cast("long").alias("n_ranks"),
+                      F.col("slope").alias("zipf_slope"),
+                      "intercept", "r2")

@@ -246,7 +246,7 @@ FAMILIES["events"] += ["events_time_weighted_avg",
                        "events_markov_stationary"]
 FAMILIES["documents"] += ["text_char_entropy", "corpus_kl_sources",
                           "dedup_ngram_containment", "text_readability",
-                          "text_pmi_pairs"]
+                          "text_pmi_pairs", "text_zipf_fit"]
 # rrf fusion reads documents + embeddings; probed under the embeddings
 # family (the cosine stage is the data-sized half)
 FAMILIES["embeddings"] += ["pipeline_rrf_fusion"]

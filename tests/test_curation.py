@@ -331,3 +331,31 @@ def test_pmi_pairs_sign_semantics(spark):
     assert got[("blue", "red")] > 0.9         # always together
     assert ("cold", "hot") not in got         # never co-occur
     assert abs(got.get(("filler", "red"), 0.0)) < 0.2
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus engineered with freq(rank) ~ rank^-1 must fit slope
+    ~ -1 with high r2 — run through the registered query's own
+    operators (global rank + pinned-ln OLS) on a temp frame."""
+    import pyspark.sql.functions as F
+    from g1_etl_spark.operators.features import ols_per_group
+    from g1_etl_spark.operators.retrieval import global_rank
+
+    # 60 tokens, token i repeated floor(600/i) times -> exact power law
+    rows = []
+    for i in range(1, 61):
+        rows += [(f"t{i:03d}",)] * (600 // i)
+    freq = (spark.createDataFrame(rows, "tok string")
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    ranked = global_rank(freq, [F.desc("f"), F.asc("tok")], rank_col="r")
+
+    def pin_ln(c):
+        return (F.round(F.ln(c.cast("double")) * 1e6).cast("long")
+                / F.lit(1e6))
+
+    fit = ranked.select(pin_ln(F.col("r")).alias("x"),
+                        pin_ln(F.col("f")).alias("y"),
+                        F.lit(1).alias("g"))
+    out = ols_per_group(fit, "x", "y", ["g"]).collect()[0]
+    assert -1.1 < out.slope < -0.9, out.slope
+    assert out.r2 > 0.99

@@ -196,6 +196,9 @@ _BNLJ_OK = {
     # one-row max-date anchor + three one-row equidepth totals crossed
     # into the per-customer frame (the feat_equidepth_bins shape x3)
     "orders_rfm_scores",
+    # one-row corpus-doc-count scalar crossed into the constant-sized
+    # (<= 50*49/2 rows) PMI pair frame
+    "text_pmi_pairs",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
