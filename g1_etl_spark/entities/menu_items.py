@@ -68,7 +68,8 @@ def transform(menu_items: DataFrame, categories: DataFrame,
 
     j = (mi
          .join(F.broadcast(cats), "category_id", "left")
-         .join(F.broadcast(wm), "id", "left")
+         # wm_integrations grows with the catalog — no hint; AQE decides
+         .join(wm, "id", "left")
          .join(F.broadcast(dd), "dispensary_id", "left")
          .join(F.broadcast(price_win), "dispensary_id", "left"))
 

@@ -100,7 +100,8 @@ def q21_blame_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         late2.hint("merge"), (has_other.l_orderkey == late2.t_k)
         & (has_other.l_suppkey != late2.t_s), "left_anti")
     s = load_table(spark, sf_dir, "supplier")
-    return (blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+    # supplier grows with sf — no hint; AQE broadcasts while it fits
+    return (blamed.join(s, blamed.l_suppkey == s.s_suppkey)
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name")

@@ -231,7 +231,8 @@ def join_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with sf — no hint; AQE broadcasts while it fits
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name")
         .orderBy(F.desc("o_orderkey"))
         .limit(100)
@@ -252,7 +253,8 @@ def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part grows with sf — no hint; AQE broadcasts while it fits
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "l_linenumber", "l_partkey", "p_name",
                 "p_retailprice")
     )
@@ -910,7 +912,7 @@ def orders_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     baskets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
                        li.l_orderkey == F.col("o_orderkey"))
-               .join(F.broadcast(p.select("p_partkey", "p_brand")),
+               .join(p.select("p_partkey", "p_brand"),
                      li.l_partkey == F.col("p_partkey"))
                .select("o_custkey",
                        F.date_trunc("month", "o_orderdate").alias("mon"),

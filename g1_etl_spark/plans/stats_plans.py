@@ -179,7 +179,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    counts = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer grows with sf — no hint; AQE broadcasts while it fits
+    counts = (o.join(c, o.o_custkey == c.c_custkey)
               .groupBy("c_mktsegment", "o_orderpriority")
               .agg(F.count(F.lit(1)).alias("n")))
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("n"), "o_orderpriority")
@@ -528,7 +529,8 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit(0.0), lambda acc, x: acc + x)
 
     x = F.col("o_totalprice")
-    m = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer grows with sf — no hint; AQE broadcasts while it fits
+    m = (o.join(c, o.o_custkey == c.c_custkey)
          .groupBy("c_mktsegment")
          .agg(F.count(F.lit(1)).cast("double").alias("n"),
               sortsum(x).alias("sx"),

@@ -451,7 +451,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date")))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part grows with sf — no hint; AQE broadcasts while it fits
+        .join(p, li.l_partkey == p.p_partkey)
         .agg((F.lit(100.0) * dsum_col(promo) / dsum_col(disc_price))
              .alias("promo_revenue"),
              F.count(F.lit(1)).alias("n")))
@@ -482,7 +483,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
             | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
             | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30)))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .filter(pred)
             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                       "revenue"),
@@ -572,7 +573,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand") == "Brand#23")
     thresholds = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
                   .agg((F.lit(0.2) * F.avg("l_quantity")).alias("thresh")))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .join(thresholds, li.l_partkey == thresholds.t_partkey)
             .filter(F.col("l_quantity") < F.col("thresh"))
             .agg((F.sum(F.round(F.col("l_extendedprice") * 1_000_000)
@@ -683,7 +684,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_n = (s.join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
               .select("s_suppkey", "supp_nation"))
     joined = (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+        li.join(p.filter(F.col("p_type") == "ECONOMY"),
                 li.l_partkey == p.p_partkey)
         .join(o.filter(
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
@@ -756,7 +757,7 @@ def q21_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     blamed = has_other.join(
         late2, (has_other.l_orderkey == late2.t_k)
         & (has_other.l_suppkey != late2.t_s), "left_anti")
-    return (blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+    return (blamed.join(s, blamed.l_suppkey == s.s_suppkey)
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name")
@@ -799,7 +800,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.col("p_retailprice") * 0.4 * F.col("l_quantity"))
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+        li.join(p.select("p_partkey", "p_retailprice"),
                 li.l_partkey == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
@@ -878,11 +879,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type",
-                                     "p_size")),
+        li.join(p.select("p_partkey", "p_brand", "p_type", "p_size"),
                 li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
-              "left_anti")
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -922,7 +921,7 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     y96 = ((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
-    ship = (li.join(F.broadcast(p.select("p_partkey")),
+    ship = (li.join(p.select("p_partkey"),
                     li.l_partkey == F.col("p_partkey"))
             .groupBy("l_suppkey", "l_partkey")
             .agg(dsum("l_quantity", "total_qty"),
@@ -999,7 +998,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (supply
             .join(min_cost, (supply.l_partkey == F.col("mc_partkey"))
                   & (supply.supplycost == F.col("mc_cost")))
-            .join(F.broadcast(p.select("p_partkey", "p_brand")),
+            .join(p.select("p_partkey", "p_brand"),
                   supply.l_partkey == F.col("p_partkey"))
             .join(eu_supp, supply.l_suppkey == eu_supp.s_suppkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey",

@@ -251,6 +251,99 @@ _SINGLE_PART_OK = {
 _ARRAY_COL_OK: set[str] = set()
 
 
+# ---------------------------------------------------------------------
+# Broadcast-hint lint (round 7). An explicit F.broadcast() on a frame
+# whose cardinality grows with sf is an executor OOM at the 100 TB
+# north star: part is sf*200k rows (~20 B at 100 TB), customer sf*150k,
+# supplier sf*10k. AQE broadcasts those frames anyway while they fit,
+# so the hint buys nothing at bench scale and breaks at cluster scale.
+# Round 6's verdict found 14 such sites; all were removed. This lint is
+# the tripwire: it walks every registered query's ANALYZED logical plan
+# (hints survive there as ResolvedHint nodes), and flags any broadcast
+# hint whose subtree scans an sf-scaled base table without a
+# cardinality-bounding Aggregate/GlobalLimit between hint and scan.
+# Constant-size frames (nation, region, driver-built LocalRelations,
+# k-row sketch/centroid frames, one-row scalar aggregates) pass.
+
+# Column signatures identifying a parquet scan of an sf-scaled table.
+_SF_SCALED_SIGS = ("l_orderkey#", "o_orderkey#", "c_custkey#",
+                   "s_suppkey#", "p_partkey#", "event_id#", "doc_id#",
+                   "vec_id#")
+
+# Nodes that bound the cardinality of the hinted subtree. An Aggregate
+# on a constant alphabet (brand, event_type) or a scalar agg is bounded;
+# an Aggregate grouped on a sf-scaled key would NOT be, but no exempted
+# plan does that — additions must be reviewed against this comment.
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit")
+
+# A filter pinning a UNIQUE id column below/to a small constant bounds
+# the frame to <= that many rows regardless of sf — the fixed-query-set
+# idiom (`embeddings.filter(vec_id < 5)` in every sim_*/pipeline_*
+# plan). Only unique keys qualify; a `<` on a non-key column would be a
+# constant *fraction* (linear) and must not match.
+_BOUNDED_ID_FILTER = re.compile(
+    r"Filter \(?(?:vec_id|doc_id|event_id|o_orderkey|p_partkey"
+    r"|c_custkey|s_suppkey)#\d+L? (?:<|<=|=) cast\((\d+) as bigint\)")
+_BOUNDED_ID_MAX = 4096
+# `id IN (<literal list>)` on a unique key: bounded by the list length
+# (which is bounded by the plan text itself).
+_BOUNDED_ID_IN = re.compile(
+    r"Filter \(?cast\((?:vec_id|doc_id|event_id|o_orderkey|p_partkey"
+    r"|c_custkey|s_suppkey)#\d+L? as bigint\) IN \(cast\(\d+")
+
+# name -> justification, for hinted subtrees that scan an sf-scaled
+# table but are bounded by an operator-level CONTRACT the plan text
+# can't show. Review each addition: the justification must say why the
+# frame stays executor-memory-sized at any sf.
+_BROADCAST_SFSCALED_OK: dict[str, str] = {
+    "merge_upsert_orders": (
+        "broadcasts the CDC delta's key set; upsert contract is "
+        "delta << base (never shuffle base — test_upsert_never_"
+        "shuffles_base). A 100 TB deployment bounds delta batches."),
+    "merge_join_delta": (
+        "same CDC contract: the delta batch (emulated as a modulo "
+        "sample) is the small side by definition."),
+    "corpus_decontaminate": (
+        "broadcasts the benchmark suite's n-gram hashes; benchmarks "
+        "are a fixed external corpus (constant size), emulated here "
+        "as a modulo sample of documents."),
+}
+
+_TREE_PREFIX = re.compile(r"^(?:(?::  |   |:- |\+- ))*")
+
+
+def _hinted_sfscaled_scans(analyzed: str) -> list[str]:
+    """Return violation descriptions for broadcast hints over unbounded
+    sf-scaled scans in an analyzed-plan string."""
+    lines = analyzed.splitlines()
+    depths = [len(_TREE_PREFIX.match(ln).group(0)) // 3 for ln in lines]
+    bad = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln:
+            continue
+        d = depths[i]
+        j = i + 1
+        sub: list[str] = []
+        while j < len(lines) and depths[j] > d:
+            sub.append(lines[j])
+            j += 1
+        scans = [s for s in sub if "Relation" in s
+                 and any(sig in s for sig in _SF_SCALED_SIGS)]
+        bounded = any(any(b in s for b in _BOUNDING_NODES) for s in sub)
+        if not bounded:
+            for s in sub:
+                m = _BOUNDED_ID_FILTER.search(s)
+                if (m and int(m.group(1)) <= _BOUNDED_ID_MAX) \
+                        or _BOUNDED_ID_IN.search(s):
+                    bounded = True
+                    break
+        if scans and not bounded:
+            tables = sorted({sig.rstrip("#") for s in scans
+                             for sig in _SF_SCALED_SIGS if sig in s})
+            bad.append(f"broadcast hint over sf-scaled scan(s) {tables}")
+    return bad
+
+
 def test_plan_lint_every_registered_query(spark):
     """Fleet-wide physical-plan lint: NO registered query may contain a
     cartesian product, a Python row-UDF, or an unexpected BNLJ /
@@ -264,6 +357,10 @@ def test_plan_lint_every_registered_query(spark):
     bad = []
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, SF_SMOKE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if name not in _BROADCAST_SFSCALED_OK:
+            for v in _hinted_sfscaled_scans(analyzed):
+                bad.append((name, v))
         plan = df._jdf.queryExecution().explainString(mode)
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
