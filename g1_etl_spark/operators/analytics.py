@@ -78,12 +78,14 @@ def pareto_abc(df: DataFrame, key_col: str, value_col,
     plans/_util). The running total is the distributed prefix-sum shape
     of curation.budget_fill (range-repartition on the sort key, local
     running sum, driver-held per-partition offsets — one entry PER
-    PARTITION), and the class thresholds compare pure integers
-    (cum * 100 <= total * pct), so there is no float anywhere and any
-    engine agrees bit-for-bit. int64 headroom: cum * 100 overflows past
-    ~9.2e16 of summed scaled value (~9.2e10 in money units at scale
-    1e6) — lower the scale factor of the input before that, not this
-    operator's math.
+    PARTITION), and the class thresholds compare pure integers, so
+    there is no float anywhere and any engine agrees bit-for-bit. The
+    thresholds are precomputed on the driver with Python bigints
+    (thr = total * pct // 100 — exactly equivalent to the oracle's
+    cum * 100 <= total * pct for integer cum) so the executor-side
+    comparison is a plain cum <= lit(thr) with full int64 headroom:
+    no cum*100 blow-up, the operator is safe to the same ~9.2e18
+    scaled-value bound as every other scaled-long sum in the repo.
 
     Returns (key, value, cum_value, cum_share, abc_class), descending
     value order with key tie-break.
@@ -111,8 +113,12 @@ def pareto_abc(df: DataFrame, key_col: str, value_col,
            .join(F.broadcast(off_df), "_pid")
            .withColumn("cum_value",
                        (F.col("_cl") + F.col("_off")).cast("long")))
-    cls = (F.when(F.col("cum_value") * 100 <= F.lit(total) * a_pct, "A")
-           .when(F.col("cum_value") * 100 <= F.lit(total) * b_pct, "B")
+    # Python-bigint thresholds; cum <= total*pct//100  ⟺  cum*100 <=
+    # total*pct for integer cum, without the int64 overflow at cum*100.
+    thr_a = total * a_pct // 100
+    thr_b = total * b_pct // 100
+    cls = (F.when(F.col("cum_value") <= F.lit(thr_a), "A")
+           .when(F.col("cum_value") <= F.lit(thr_b), "B")
            .otherwise("C"))
     return (cum.select(F.col("k").alias(key_col),
                        F.col("v").alias("value"),

@@ -53,16 +53,39 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                          normalized=True)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+def _shingle_cte(cap: int | None) -> str:
+    """The word-trigram shingle CTEs, restating BOTH implementation
+    behaviors the round-6 advice found missing from the oracles:
+    (1) docs with fewer than n words contribute ONE whole-text
+    fallback gram (so two identical 1-2 word docs DO pair at
+    containment/jaccard 1.0, in Spark and oracle alike), and (2) the
+    max_df hot-shingle cap drops grams in more than `cap` docs from
+    the PAIR JOIN while per-doc sizes stay pre-cap (matching
+    operators/dedup: sz is computed before the left_anti hot filter).
+    `cap=None` emits the capless variant (the prefix-filter plan,
+    whose skew guard is the prefix ordering itself)."""
+    base = """words AS (SELECT doc_id, text, string_split(text, ' ') AS w
                    FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
+    gr AS (SELECT DISTINCT doc_id,
                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
            FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
-           WHERE len(w) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+           WHERE len(w) >= 3
+           UNION ALL
+           SELECT doc_id, text AS g FROM words WHERE len(w) < 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gr GROUP BY doc_id),"""
+    if cap is None:
+        return base + """
+    sh AS (SELECT doc_id, g FROM gr)"""
+    return base + f"""
+    sh AS (SELECT doc_id, g FROM gr
+           WHERE g NOT IN (SELECT g FROM gr
+                           GROUP BY g HAVING COUNT(*) > {cap}))"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_shingle_cte(1000)},
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
@@ -82,14 +105,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
-_PAIRS_SQL = """
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
-                   FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
-           WHERE len(w) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+_PAIRS_SQL = f"""
+    WITH {_shingle_cte(1000)},
     cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
@@ -556,14 +573,8 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME oracle as dedup_ngram_jaccard: prefix filtering is a
     # candidate-generation optimization, not a semantics change, and
     # sharing the oracle string certifies the two forms result-identical
-    oracle="""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
-                   FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
-           WHERE len(w) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    oracle=f"""
+    WITH {_shingle_cte(None)},
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
@@ -584,8 +595,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "posting lists (the skew guard falls out of the "
                 "ordering, no max_df cap needed); length filter "
                 "min >= t*max prunes candidates before the exact "
-                "array-intersect verify; oracle = the identical SQL "
-                "as dedup_ngram_jaccard, certifying the optimization "
+                "array-intersect verify; oracle = the CAPLESS variant "
+                "of dedup_ngram_jaccard's full-index SQL (this plan "
+                "has no max_df), certifying the prefix optimization "
                 "result-neutral",
     tags=("dedup", "scale"),
 )
@@ -596,14 +608,8 @@ def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_containment",
-    oracle="""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
-                   FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-           FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
-           WHERE len(w) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    oracle=f"""
+    WITH {_shingle_cte(1000)},
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
               GROUP BY 1, 2)

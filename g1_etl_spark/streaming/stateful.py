@@ -708,11 +708,22 @@ def _round_half_up(x: float) -> int:
     """Spark's F.round is HALF_UP (ties away from zero) while Python's
     round() is banker's — on the .5 ties the scaled products do hit
     (2-decimal values x micro-precise dt), the two disagree by 1 and
-    the batch-equality contract breaks. floor(x + 0.5) is HALF_UP for
-    the non-negative operands here."""
+    the batch-equality contract breaks. Sign-aware: floor(x+0.5) for
+    x >= 0, ceil(x-0.5) for x < 0, matching F.round on NEGATIVE
+    value*dt products too (negative event values are legal input)."""
     import math
 
-    return int(math.floor(x + 0.5))
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+
+def _spark_mod(n: int, p: int) -> int:
+    """Spark/SQL `%` keeps the sign of the DIVIDEND; Python's `%` is
+    always non-negative for positive p. The streaming twins restate
+    batch hash arithmetic in Python, so they must use THIS mod or the
+    stream != batch for any negative key (latent until negative ids
+    appear — the equality contract shouldn't depend on the dataset)."""
+    r = abs(n) % p
+    return r if n >= 0 else -r
 
 
 def _advance_twap(key, pdfs: Iterator[pd.DataFrame],
@@ -818,7 +829,8 @@ def _track_kmv(key, pdfs: Iterator[pd.DataFrame],
     cur = set(hs)
     for pdf in pdfs:
         for uid in pdf["user_id"]:
-            h = (_KMV_A * (int(uid) % _KMV_P) + _KMV_B) % _KMV_P
+            h = _spark_mod(_KMV_A * _spark_mod(int(uid), _KMV_P)
+                           + _KMV_B, _KMV_P)
             if h in cur:
                 continue
             if len(hs) < _KMV_STREAM_K:

@@ -417,3 +417,47 @@ def test_containment_asymmetric_subset_doc(spark):
     assert pairs[(2, 1)] < 0.2
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []   # jaccard blind to the subset relation at 0.5
+
+
+def test_oracle_restates_cap_and_short_doc_fallback(spark):
+    """Round-6 advice: the jaccard/containment oracles omitted the
+    max_df=1000 hot-shingle cap and the short-doc whole-text fallback
+    gram — latent because the stock corpus has neither case. This
+    test ENGINEERS both on a synthetic corpus and asserts the Spark
+    operator and the registered DuckDB oracle agree row-for-row:
+    - two identical 2-word docs must pair at 1.0 (fallback gram);
+    - an exact-dup pair whose ONLY shared gram is hot (df > 1000)
+      must be dropped by both sides (cap), not just by Spark."""
+    import duckdb
+    import pandas as pd
+
+    from g1_etl_spark.operators.dedup import (ngram_containment_pairs,
+                                              ngram_jaccard_pairs)
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    rows = [(1, "hi there"), (2, "hi there"), (3, "lone short")]
+    # 1001 docs carrying the hot gram pushes its df over the cap;
+    # docs 5001/5002 share ONLY that gram (exact dups of it)
+    rows += [(100 + i, f"hot hot hot u{i} v{i} w{i}") for i in range(1001)]
+    rows += [(5001, "hot hot hot"), (5002, "hot hot hot")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for name, fn, val in (
+            ("dedup_ngram_jaccard",
+             lambda: ngram_jaccard_pairs(df, threshold=0.5), "jaccard"),
+            ("dedup_ngram_containment",
+             lambda: ngram_containment_pairs(df, threshold=0.8),
+             "containment")):
+        got = {(r["d1"], r["d2"], round(r[val], 9))
+               for r in fn().collect()}
+        want = {(r[0], r[1], round(r[2], 9))
+                for r in con.execute(REGISTRY[name].oracle).fetchall()}
+        assert got == want, f"{name}: spark {got ^ want} differs"
+        # fallback: the identical 2-word docs pair at exactly 1.0
+        assert (1, 2, 1.0) in got, name
+        # cap: the hot-gram-only exact dups must NOT pair
+        assert not any(d1 == 5001 or d1 == 5002 for d1, _, _ in got), name

@@ -286,6 +286,24 @@ def test_pareto_abc_classes_and_prefix_exactness(spark):
     assert rows["k7"].abc_class == "C"
 
 
+def test_pareto_abc_no_int64_overflow_near_scaled_long_bound(spark):
+    """Round-6 advice: the old cum*100 comparison overflowed int64 once
+    total scaled value passed ~9.2e16 (100x below the repo's 9.2e18
+    scaled-long norm). Thresholds are now Python-bigint precomputed, so
+    totals right up to the int64 bound classify correctly."""
+    from g1_etl_spark.operators.analytics import pareto_abc
+
+    e18 = 1_000_000_000_000_000_000
+    vals = [("k1", 4 * e18), ("k2", e18 + e18 // 5), ("k3", e18 - e18 // 5)]
+    df = spark.createDataFrame(vals, "k STRING, v LONG")
+    rows = {r.k: r for r in pareto_abc(df, "k", "v").collect()}
+    total = 6 * e18                                  # near the int64 max
+    assert rows["k1"].abc_class == "A"               # cum 66.7%
+    assert rows["k2"].abc_class == "B"               # cum 86.7%
+    assert rows["k3"].abc_class == "C"               # cum 100%
+    assert rows["k3"].cum_value == total             # exact, no wrap
+
+
 def test_rfm_scores_are_quintiles(spark):
     """Driver-level sanity on the registered query at sf0.001: every
     score in 1..5, quintile sizes differ by at most one, rfm string
