@@ -66,6 +66,39 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str,
     return joined.filter(~dominated).select(*df.columns)
 
 
+def global_prefix_sum(df: DataFrame, order_cols: list, value_col: str,
+                      out_col: str = "cum",
+                      partitions: int | None = None) -> DataFrame:
+    """Inclusive running SUM of `value_col` (an integer column) over a
+    TOTAL order — the distributed prefix-sum shape shared by pareto_abc
+    and curation.budget_fill, factored out: range-repartition on the
+    sort key, per-partition local running sum, driver-held offsets
+    (one per PARTITION, bounded and tiny). No single-partition window
+    anywhere. `order_cols` must be a total order (caller tie-breaks);
+    exclusive form = out_col - value_col at the call site."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    parts = (df.repartitionByRange(n, *order_cols)
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint())  # freeze pid assignment
+    sizes = {r["_pid"]: r["t"] for r in
+             parts.groupBy("_pid").agg(F.sum(value_col).alias("t"))
+             .collect()}
+    offset = 0
+    offsets = []
+    for pid in sorted(sizes):
+        offsets.append((pid, offset))
+        offset += int(sizes[pid] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
+    w = (W.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (parts.withColumn("_cl", F.sum(value_col).over(w))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col,
+                        (F.col("_cl") + F.col("_off")).cast("long"))
+            .drop("_pid", "_cl", "_off"))
+
+
 def pareto_abc(df: DataFrame, key_col: str, value_col,
                a_pct: int = 70, b_pct: int = 90,
                partitions: int | None = None) -> DataFrame:

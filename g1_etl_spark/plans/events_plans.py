@@ -1300,3 +1300,50 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist = dist.localCheckpoint(eager=True)
     return dist.select("state", F.col("dp").alias("stationary_p")) \
                .orderBy("state")
+
+
+@register(
+    "events_ewma_value",
+    oracle="""
+    WITH r AS (SELECT user_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS i,
+                      COUNT(*) OVER (PARTITION BY user_id) AS n
+               FROM events),
+    t AS (SELECT user_id, n,
+                 value * pow(2.0, -(CASE WHEN i = 1 THEN n - 1
+                                         ELSE n - i + 1 END)) AS term
+          FROM r)
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+           list_sum(list_sort(list(term))) AS ewma
+    FROM t GROUP BY user_id
+    """,
+    description="per-user EWMA (alpha = 1/2) of event values in (ts, "
+                "event_id) order — the smoothing recursion y_n = "
+                "(x_n + y_{n-1}) / 2 unrolled to closed-form weights "
+                "2^-k: every weight is a power of two, so each "
+                "value*weight product is an exact exponent shift "
+                "(no mantissa rounding) in both engines, and the "
+                "per-user sum runs sorted-sequential — alpha=1/2 is "
+                "the ONE smoothing constant with a bit-deterministic "
+                "cross-engine contract. Scale shape: two windows and "
+                "one aggregate, all partitioned by user_id",
+    tags=("events", "window", "stats"),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = W.partitionBy("user_id")
+    r = ev.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    k = F.when(F.col("i") == 1, F.col("n") - 1) \
+        .otherwise(F.col("n") - F.col("i") + 1)
+    t = r.select("user_id", "n",
+                 (F.col("value") * F.pow(F.lit(2.0), -k)).alias("term"))
+    return (t.groupBy("user_id")
+            .agg(F.max("n").cast("long").alias("n_events"),
+                 F.aggregate(F.array_sort(F.collect_list("term")),
+                             F.lit(0.0), lambda a, x: a + x)
+                 .alias("ewma")))

@@ -341,3 +341,71 @@ def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.join(F.broadcast(g), "o_orderpriority")
             .select("o_orderkey", "o_orderpriority", "o_totalprice",
                     F.when(F.col("_n") > 1, loo).alias("loo_mean")))
+
+
+@register(
+    "feat_woe_iv",
+    oracle="""
+    WITH s AS (SELECT o_totalprice AS x,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                        AS is_bad
+               FROM orders),
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s),
+    b AS (SELECT LEAST(CAST(floor((x - lo) / (hi - lo) * 10) AS INT), 9)
+                   AS bin,
+                 is_bad
+          FROM s CROSS JOIN mm),
+    g AS (SELECT bin, COUNT(*) - SUM(is_bad) AS good,
+                 SUM(is_bad) AS bad
+          FROM b GROUP BY bin),
+    t AS (SELECT SUM(good) AS tg, SUM(bad) AS tb FROM g)
+    SELECT bin, CAST(good AS BIGINT) AS good, CAST(bad AS BIGINT) AS bad,
+           CAST(round(ln(((good + 0.5) * (tb + 5.0))
+                         / ((bad + 0.5) * (tg + 5.0))) * 1000000)
+                AS BIGINT) AS woe_e6,
+           (CAST(good AS DOUBLE) / tg - CAST(bad AS DOUBLE) / tb)
+             * (CAST(round(ln(((good + 0.5) * (tb + 5.0))
+                              / ((bad + 0.5) * (tg + 5.0))) * 1000000)
+                     AS BIGINT) / 1000000.0) AS iv_term
+    FROM g CROSS JOIN t
+    ORDER BY bin
+    """,
+    description="weight-of-evidence / information-value bins (credit-"
+                "scoring & feature-selection staple): 10 equi-width "
+                "bins over order totals vs the o_orderstatus='F' label, "
+                "Laplace-smoothed WOE = ln(good share / bad share) "
+                "pinned to a scaled integer (the repo's ln-pinning "
+                "idiom) so both engines agree bit-for-bit; iv_term is "
+                "the per-bin IV contribution on the pinned WOE. "
+                "Scale shape: one min/max scalar broadcast over the "
+                "scan, one 10-row bin aggregate — two passes, no "
+                "shuffle wider than 10 rows",
+    tags=("features", "stats"),
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(F.col("o_totalprice").alias("x"),
+                 F.when(F.col("o_orderstatus") == "F", 1)
+                 .otherwise(0).alias("is_bad"))
+    mm = s.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    b = (s.crossJoin(F.broadcast(mm))
+         .select(F.least(F.floor((F.col("x") - F.col("lo"))
+                                 / (F.col("hi") - F.col("lo")) * 10)
+                         .cast("int"), F.lit(9)).alias("bin"),
+                 "is_bad"))
+    g = b.groupBy("bin").agg(
+        (F.count(F.lit(1)) - F.sum("is_bad")).alias("good"),
+        F.sum("is_bad").alias("bad"))
+    t = g.agg(F.sum("good").alias("tg"), F.sum("bad").alias("tb"))
+    woe_e6 = F.round(F.ln(
+        ((F.col("good") + 0.5) * (F.col("tb") + 5.0))
+        / ((F.col("bad") + 0.5) * (F.col("tg") + 5.0))) * 1000000) \
+        .cast("long")
+    w = g.crossJoin(F.broadcast(t)).withColumn("woe_e6", woe_e6)
+    return (w.select(
+        "bin", F.col("good").cast("long").alias("good"),
+        F.col("bad").cast("long").alias("bad"), "woe_e6",
+        ((F.col("good").cast("double") / F.col("tg")
+          - F.col("bad").cast("double") / F.col("tb"))
+         * (F.col("woe_e6") / F.lit(1000000.0))).alias("iv_term"))
+        .orderBy("bin"))

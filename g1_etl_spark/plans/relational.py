@@ -938,3 +938,89 @@ def orders_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("support") >= 2)
             .orderBy(F.desc("support"), "b1", "b2", "b3")
             .limit(50))
+
+
+@register(
+    "orders_rule_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o_custkey,
+             date_trunc('month', o_orderdate) AS mon, p_brand
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(*) AS n_baskets
+          FROM (SELECT DISTINCT o_custkey, mon FROM baskets)),
+    supp AS (SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY 1),
+    pairs AS (SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS c_ab
+              FROM baskets a JOIN baskets b
+                ON a.o_custkey = b.o_custkey AND a.mon = b.mon
+               AND a.p_brand < b.p_brand
+              GROUP BY 1, 2),
+    dirs AS (SELECT b1 AS antecedent, b2 AS consequent, c_ab FROM pairs
+             UNION ALL
+             SELECT b2, b1, c_ab FROM pairs)
+    SELECT antecedent, consequent, CAST(c_ab AS BIGINT) AS pair_support,
+           CAST(c_ab AS DOUBLE) / sa.cnt AS confidence,
+           CAST(c_ab * n_baskets AS DOUBLE) / (sa.cnt * sb.cnt) AS lift
+    FROM dirs JOIN supp sa ON antecedent = sa.p_brand
+              JOIN supp sb ON consequent = sb.p_brand
+              CROSS JOIN n
+    WHERE c_ab >= 20
+    ORDER BY lift DESC, antecedent, consequent LIMIT 50
+    """,
+    description="association rules over (customer, month) brand "
+                "baskets: confidence = supp(A,B)/supp(A) and lift = "
+                "supp(A,B)*N / (supp(A)*supp(B)) for both rule "
+                "directions, support floor 20, top-50 by lift — the "
+                "market-basket layer ABOVE the pair/triple miners "
+                "(orders_basket_pairs/_triples). Every statistic is a "
+                "ratio of exact BIGINT counts (one float division "
+                "each), so the ranking is bit-deterministic. Scale "
+                "shape: the self-join keys on the basket (group size "
+                "~items-per-basket, constant 25-brand alphabet caps "
+                "the pair space at 300), supports are one groupBy, N "
+                "is a one-row scalar cross",
+    tags=("join", "agg", "scale"),
+)
+def orders_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    baskets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                       li.l_orderkey == F.col("o_orderkey"))
+               .join(p.select("p_partkey", "p_brand"),
+                     li.l_partkey == F.col("p_partkey"))
+               .select("o_custkey",
+                       F.date_trunc("month", "o_orderdate").alias("mon"),
+                       "p_brand")
+               .distinct()
+               .localCheckpoint(eager=True))  # N + supports + two sides
+    n = (baskets.select("o_custkey", "mon").distinct()
+         .agg(F.count(F.lit(1)).alias("n_baskets")))
+    supp = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("o_custkey", "mon", F.col("p_brand").alias("b1"))
+    b = baskets.select("o_custkey", "mon", F.col("p_brand").alias("b2"))
+    pairs = (a.join(b, ["o_custkey", "mon"])
+             .filter(F.col("b1") < F.col("b2"))
+             .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c_ab")))
+    dirs = (pairs.select("c_ab", F.explode(F.array(
+        F.struct(F.col("b1").alias("antecedent"),
+                 F.col("b2").alias("consequent")),
+        F.struct(F.col("b2").alias("antecedent"),
+                 F.col("b1").alias("consequent")))).alias("r"))
+        .select("r.antecedent", "r.consequent", "c_ab"))
+    sa = supp.select(F.col("p_brand").alias("antecedent"),
+                     F.col("cnt").alias("c_a"))
+    sb = supp.select(F.col("p_brand").alias("consequent"),
+                     F.col("cnt").alias("c_b"))
+    return (dirs.join(sa, "antecedent").join(sb, "consequent")
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("c_ab") >= 20)
+            .select("antecedent", "consequent",
+                    F.col("c_ab").cast("long").alias("pair_support"),
+                    (F.col("c_ab").cast("double") / F.col("c_a"))
+                    .alias("confidence"),
+                    ((F.col("c_ab") * F.col("n_baskets")).cast("double")
+                     / (F.col("c_a") * F.col("c_b"))).alias("lift"))
+            .orderBy(F.desc("lift"), "antecedent", "consequent")
+            .limit(50))

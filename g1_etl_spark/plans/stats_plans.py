@@ -733,3 +733,125 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cohort_month", "order_month",
                     months.cast("int").alias("months_since"),
                     "n_customers", "n_orders", "revenue"))
+
+
+@register(
+    "stats_auc_purchase",
+    oracle="""
+    WITH g AS (SELECT value AS s, COUNT(*) AS cnt,
+                      SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS pos
+               FROM events GROUP BY value),
+    c AS (SELECT s, pos, cnt - pos AS neg,
+                 COALESCE(SUM(cnt - pos) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS neg_below
+          FROM g),
+    t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                 CAST(SUM(neg) AS BIGINT) AS n_neg,
+                 CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS u2
+          FROM c)
+    SELECT n_pos, n_neg,
+           CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+    FROM t
+    """,
+    description="ROC-AUC of `value` predicting event_type='purchase' "
+                "via the exact Mann-Whitney U statistic: group by "
+                "distinct score (the 2-decimal grid bounds that frame "
+                "independent of row count), distributed prefix sum of "
+                "negative counts over the score order "
+                "(operators/analytics.global_prefix_sum — range "
+                "repartition + driver-held per-partition offsets, no "
+                "single-partition window over raw rows), tie-corrected "
+                "U kept as a pure BIGINT (doubled to avoid the .5 tie "
+                "term) so the one final division is the only float op "
+                "— bit-identical across engines; the oracle's "
+                "windowed form is the same math",
+    tags=("stats", "ml", "scale"),
+)
+def stats_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy(F.col("value").alias("s"))
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("pos")))
+    g = g.withColumn("neg", F.col("cnt") - F.col("pos"))
+    c = global_prefix_sum(g, [F.col("s")], "neg", out_col="cum_neg")
+    t = c.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * (F.col("cum_neg") - F.col("neg"))
+                              + F.col("neg"))).cast("long").alias("u2"))
+    return t.select(
+        "n_pos", "n_neg",
+        (F.col("u2").cast("double")
+         / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))).alias("auc"))
+
+
+@register(
+    "stats_chi2_segment_priority",
+    oracle=f"""
+    WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    obs AS (SELECT seg, pri, COUNT(*) AS o FROM j GROUP BY 1, 2),
+    rt AS (SELECT seg, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT pri, SUM(o) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT SUM(o) AS n, COUNT(DISTINCT seg) AS nr,
+                  COUNT(DISTINCT pri) AS nc FROM obs),
+    cells AS (SELECT o, CAST(r AS DOUBLE) * c / n AS e, nr, nc, n
+              FROM obs JOIN rt USING (seg) JOIN ct USING (pri)
+              CROSS JOIN nt)
+    SELECT {_SORTSUM.format(expr='(o - e) * (o - e) / e')} AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+           CAST(n AS BIGINT) AS n,
+           sqrt({_SORTSUM.format(expr='(o - e) * (o - e) / e')}
+                / (CAST(n AS DOUBLE) * LEAST(nr - 1, nc - 1)))
+             AS cramers_v
+    FROM cells GROUP BY nr, nc, n
+    """,
+    description="chi-square test of independence for market segment x "
+                "order priority (+ Cramer's V effect size): observed "
+                "counts are one groupBy over the join, expected counts "
+                "are row-total x column-total / n on the "
+                "alphabet-bounded 5x5 cell frame, the chi2 sum runs "
+                "sorted-sequential over the 25 cell terms so both "
+                "engines add identical doubles in identical order — "
+                "the categorical-association primitive next to the "
+                "Welch t-test's numeric one",
+    tags=("stats", "agg"),
+)
+def stats_chi2_segment_priority(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    j = (o.join(cu, o.o_custkey == cu.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri")))
+    obs = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o").alias("c"))
+    nt = obs.agg(F.sum("o").alias("n"),
+                 F.countDistinct("seg").alias("nr"),
+                 F.countDistinct("pri").alias("nc"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    cells = (obs.join(rt, "seg").join(ct, "pri")
+             .crossJoin(F.broadcast(nt))
+             .withColumn("e", e)
+             .withColumn("term", (F.col("o") - F.col("e"))
+                         * (F.col("o") - F.col("e")) / F.col("e")))
+    out = cells.groupBy("nr", "nc", "n").agg(sortsum("term").alias("chi2"))
+    return out.select(
+        F.col("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("df"),
+        F.col("n").cast("long").alias("n"),
+        F.sqrt(F.col("chi2")
+               / (F.col("n").cast("double")
+                  * F.least(F.col("nr") - 1, F.col("nc") - 1)))
+        .alias("cramers_v"))

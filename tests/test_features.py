@@ -183,3 +183,25 @@ def test_target_encoding_excludes_own_row(spark):
            .collect()}
     assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
     assert out[4] is None
+
+
+def test_woe_iv_signs_track_bad_rate(spark):
+    """Bins with below-average bad rate get positive WOE, above-average
+    negative; bins partition the rows exactly."""
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["feat_woe_iv"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows == sorted(rows, key=lambda r: r.bin)
+    tg = sum(r.good for r in rows)
+    tb = sum(r.bad for r in rows)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert tg + tb == orders.count()
+    overall = tb / (tg + tb)
+    for r in rows:
+        rate = r.bad / (r.good + r.bad)
+        # smoothing keeps the sign aligned except within its ~0.5-count
+        # epsilon of the boundary; the fixture bins sit well away
+        if abs(rate - overall) > 0.01:
+            assert (r.woe_e6 > 0) == (rate < overall), r
+        assert r.iv_term >= -1e-9  # IV contributions are non-negative

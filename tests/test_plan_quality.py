@@ -199,6 +199,14 @@ _BNLJ_OK = {
     # one-row corpus-doc-count scalar crossed into the constant-sized
     # (<= 50*49/2 rows) PMI pair frame
     "text_pmi_pairs",
+    # one-row grand-total scalar crossed into the 5x5 contingency cells
+    "stats_chi2_segment_priority",
+    # one-row min/max scalar over the scan (equidepth shape) + one-row
+    # good/bad totals over the 10-row bin frame
+    "feat_woe_iv",
+    # one-row basket-count scalar crossed into the <=300-row rule frame
+    # (constant 25-brand alphabet)
+    "orders_rule_lift",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -241,6 +249,15 @@ _SINGLE_PART_OK = {
     "orders_rfm_scores",
     # one-row doc-count scalar (countDistinct partials merged once)
     "text_pmi_pairs",
+    # one-row final U/n_pos/n_neg aggregate over the score-grid frame
+    # (the prefix sum itself is range-partitioned, never one partition)
+    "stats_auc_purchase",
+    # one-row grand-total scalar + the 25-cell final chi2 fold
+    "stats_chi2_segment_priority",
+    # one-row min/max + one-row totals scalars (10-row bin frame)
+    "feat_woe_iv",
+    # one-row basket-count scalar (distinct partials merged once)
+    "orders_rule_lift",
 }
 
 

@@ -63,3 +63,47 @@ def test_gapfill_linear_interpolates_midpoints(spark):
     # observed rows pass their value through untouched
     obs = [r for r in rows if r.n > 0]
     assert obs and all(r.interp_value is not None for r in obs)
+
+
+def test_rule_lift_confidence_and_lift_consistency(spark):
+    """Every emitted rule satisfies the identities conf = supp(AB)/
+    supp(A) and lift = conf / (supp(B)/N), recomputed driver-side from
+    the same basket definition."""
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rules = REGISTRY["orders_rule_lift"].fn(spark, sf).collect()
+    assert rules, "support floor too high for sf0.001?"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    baskets = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .join(p, li.l_partkey == p.p_partkey)
+               .select("o_custkey",
+                       F.date_trunc("month", "o_orderdate").alias("mon"),
+                       "p_brand").distinct().collect())
+    from collections import Counter
+    per_basket = {}
+    for r in baskets:
+        per_basket.setdefault((r.o_custkey, r.mon), set()).add(r.p_brand)
+    n = len(per_basket)
+    supp = Counter()
+    pair = Counter()
+    for brands in per_basket.values():
+        for x in brands:
+            supp[x] += 1
+        for x in brands:
+            for y in brands:
+                if x < y:
+                    pair[(x, y)] += 1
+    for r in rules:
+        ab = pair[tuple(sorted((r.antecedent, r.consequent)))]
+        assert r.pair_support == ab >= 20
+        assert abs(r.confidence - ab / supp[r.antecedent]) < 1e-12
+        assert abs(r.lift - ab * n / (supp[r.antecedent]
+                                      * supp[r.consequent])) < 1e-9
+    # descending-lift order with name tie-breaks
+    key = [(-r.lift, r.antecedent, r.consequent) for r in rules]
+    assert key == sorted(key)

@@ -342,3 +342,104 @@ def test_cohort_ltv_shape_and_conservation(spark):
     n_cust = o.select("o_custkey").distinct().count()
     diag = [r for r in rows if r.months_since == 0]
     assert sum(r.n_customers for r in diag) == n_cust
+
+
+def test_auc_perfect_and_tied_separation(spark):
+    """Planted fixtures: perfectly separated scores give AUC=1, fully
+    reversed give 0, and an all-tied score column gives exactly 0.5
+    (the tie-corrected U counts half per tied pair)."""
+    from g1_etl_spark.operators.analytics import global_prefix_sum
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "s DOUBLE, pos LONG")
+        g = (df.groupBy("s")
+             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos"))
+             .withColumn("neg", F.col("cnt") - F.col("pos")))
+        c = global_prefix_sum(g, [F.col("s")], "neg", out_col="cum_neg")
+        r = c.agg(
+            F.sum("pos").alias("np"), F.sum("neg").alias("nn"),
+            F.sum(F.col("pos") * (2 * (F.col("cum_neg") - F.col("neg"))
+                                  + F.col("neg"))).alias("u2")).collect()[0]
+        return r.u2 / (2.0 * r.np * r.nn)
+
+    sep = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    assert auc_of(sep) == 1.0
+    rev = [(float(i), 0 if i >= 5 else 1) for i in range(10)]
+    assert auc_of(rev) == 0.0
+    tied = [(7.0, 1)] * 3 + [(7.0, 0)] * 5
+    assert auc_of(tied) == 0.5
+
+
+def test_auc_registered_matches_sklearn_formula(spark):
+    """The registered query's AUC equals the O(n log n) rank-sum AUC
+    computed driver-side over the same sf0.001 events."""
+    from g1_etl_spark.plans import REGISTRY
+
+    row = REGISTRY["stats_auc_purchase"].fn(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("value", "event_type").collect())
+    scored = sorted((r.value, r.event_type == "purchase") for r in ev)
+    # average ranks with tie correction
+    import itertools
+    u = 0.0
+    n_pos = sum(1 for _, p in scored if p)
+    n_neg = len(scored) - n_pos
+    rank = 0
+    for _, grp in itertools.groupby(scored, key=lambda t: t[0]):
+        grp = list(grp)
+        avg_rank = rank + (len(grp) + 1) / 2.0
+        u += sum(avg_rank for _, p in grp if p)
+        rank += len(grp)
+    auc = (u - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - auc) < 1e-12
+
+
+def test_chi2_zero_on_exact_independence(spark):
+    """An engineered contingency table with exact independence (every
+    cell = row_total*col_total/n) must give chi2 == 0 and V == 0."""
+    from g1_etl_spark.plans import REGISTRY  # noqa: F401  (idiom anchor)
+    rows = []
+    # 2x2 with perfectly proportional counts: (10,20) / (30,60)
+    rows += [("a", "x")] * 10 + [("a", "y")] * 20
+    rows += [("b", "x")] * 30 + [("b", "y")] * 60
+    df = spark.createDataFrame(rows, "seg STRING, pri STRING")
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    obs = df.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o").alias("c"))
+    nt = obs.agg(F.sum("o").alias("n"))
+    cells = (obs.join(rt, "seg").join(ct, "pri").crossJoin(F.broadcast(nt))
+             .withColumn("e", F.col("r").cast("double") * F.col("c")
+                         / F.col("n"))
+             .withColumn("t", (F.col("o") - F.col("e"))
+                         * (F.col("o") - F.col("e")) / F.col("e")))
+    chi2 = cells.agg(sortsum("t").alias("x")).collect()[0].x
+    assert chi2 == 0.0
+
+
+def test_ewma_closed_form_matches_recursion(spark):
+    """events_ewma_value's closed-form weights equal the textbook
+    recursion y_n = (x_n + y_{n-1}) / 2 run driver-side per user."""
+    from g1_etl_spark.plans import REGISTRY
+
+    got = {r.user_id: r for r in REGISTRY["events_ewma_value"].fn(
+        spark, "/root/testdata/sf0.001").collect()}
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", "ts", "event_id", "value").collect())
+    from collections import defaultdict
+    series = defaultdict(list)
+    for r in ev:
+        series[r.user_id].append((r.ts, r.event_id, r.value))
+    for uid, rows in series.items():
+        rows.sort()
+        y = rows[0][2]
+        for _, _, x in rows[1:]:
+            y = (x + y) / 2.0
+        assert got[uid].n_events == len(rows)
+        assert abs(got[uid].ewma - y) < 1e-9, uid
