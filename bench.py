@@ -164,8 +164,12 @@ R7_ADD = [
     "feat_woe_iv",
     # association-rule confidence/lift over brand baskets
     "orders_rule_lift",
-    # per-user EWMA alpha=1/2 (exact power-of-two weights)
+    # per-user EWMA alpha=1/2 (ordered fold, bit-deterministic)
     "events_ewma_value",
+    # Gini concentration via distributed rank + 128-bit rank-weighted sum
+    "stats_gini_customers",
+    # calibration reliability bins (per-bin ECE terms)
+    "stats_reliability_bins",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
 

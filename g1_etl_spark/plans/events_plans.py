@@ -1305,45 +1305,38 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_ewma_value",
     oracle="""
-    WITH r AS (SELECT user_id, value,
-                      ROW_NUMBER() OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS i,
-                      COUNT(*) OVER (PARTITION BY user_id) AS n
-               FROM events),
-    t AS (SELECT user_id, n,
-                 value * pow(2.0, -(CASE WHEN i = 1 THEN n - 1
-                                         ELSE n - i + 1 END)) AS term
-          FROM r)
-    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
-           list_sum(list_sort(list(term))) AS ewma
-    FROM t GROUP BY user_id
+    WITH s AS (SELECT user_id,
+                      list(value ORDER BY ts, event_id) AS vals
+               FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> (x + acc) / 2) AS ewma
+    FROM s
     """,
     description="per-user EWMA (alpha = 1/2) of event values in (ts, "
-                "event_id) order — the smoothing recursion y_n = "
-                "(x_n + y_{n-1}) / 2 unrolled to closed-form weights "
-                "2^-k: every weight is a power of two, so each "
-                "value*weight product is an exact exponent shift "
-                "(no mantissa rounding) in both engines, and the "
-                "per-user sum runs sorted-sequential — alpha=1/2 is "
-                "the ONE smoothing constant with a bit-deterministic "
-                "cross-engine contract. Scale shape: two windows and "
-                "one aggregate, all partitioned by user_id",
+                "event_id) order, computed as the LITERAL recursion "
+                "y_n = (x_n + y_{n-1}) / 2 via an ordered fold "
+                "(aggregate over the time-sorted array / DuckDB "
+                "list_reduce): both engines execute the identical "
+                "IEEE op sequence — one add and one exact "
+                "exponent-shift halving per step — so the result is "
+                "bit-deterministic, and a stateful streaming twin "
+                "carrying just (y, count) reproduces it EXACTLY "
+                "(streaming/stateful.streaming_ewma; the state update "
+                "IS the fold step). Scale shape: one groupBy user, "
+                "per-user arrays bounded by per-user event counts",
     tags=("events", "window", "stats"),
 )
 def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wn = W.partitionBy("user_id")
-    r = ev.select(
-        "user_id", "value",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wn).alias("n"))
-    k = F.when(F.col("i") == 1, F.col("n") - 1) \
-        .otherwise(F.col("n") - F.col("i") + 1)
-    t = r.select("user_id", "n",
-                 (F.col("value") * F.pow(F.lit(2.0), -k)).alias("term"))
-    return (t.groupBy("user_id")
-            .agg(F.max("n").cast("long").alias("n_events"),
-                 F.aggregate(F.array_sort(F.collect_list("term")),
-                             F.lit(0.0), lambda a, x: a + x)
-                 .alias("ewma")))
+    # sort struct(ts, event_id, value) lexicographically = time order,
+    # then fold the value sequence with first element as the seed
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"])
+    g = ev.groupBy("user_id").agg(vals.alias("vals"))
+    return g.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.aggregate(F.expr("slice(vals, 2, size(vals) - 1)"),
+                    F.element_at("vals", 1),
+                    lambda acc, x: (x + acc) / 2).alias("ewma"))

@@ -855,3 +855,114 @@ def stats_chi2_segment_priority(spark: SparkSession,
                / (F.col("n").cast("double")
                   * F.least(F.col("nr") - 1, F.col("nc") - 1)))
         .alias("cramers_v"))
+
+
+@register(
+    "stats_gini_customers",
+    oracle="""
+    WITH r AS (SELECT o_custkey,
+                      SUM(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                        AS x
+               FROM orders GROUP BY o_custkey),
+    rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+           FROM r),
+    t AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(i AS HUGEINT) * x) AS six,
+                 SUM(CAST(x AS HUGEINT)) AS sx
+          FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) / 1000000.0 AS total_revenue,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM t
+    """,
+    description="Gini coefficient of per-customer revenue "
+                "concentration via the rank formula G = (2*sum(i*x_i) "
+                "- (n+1)*sum(x)) / (n*sum(x)) over ascending-revenue "
+                "ranks: revenues are exact scaled longs, the rank is "
+                "the distributed total-order rank (retrieval."
+                "global_rank — range repartition + offsets, no "
+                "single-partition sort), and the rank-weighted sum "
+                "runs in 128-bit integers (decimal(38,0) / hugeint) "
+                "so both engines hold it exactly — the two final "
+                "int-to-double casts and one division are the only "
+                "float ops. The inequality-audit primitive for spend/ "
+                "token/revenue concentration",
+    tags=("stats", "agg", "scale"),
+)
+def stats_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.retrieval import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    r = (o.groupBy("o_custkey")
+         .agg(F.sum(F.round(F.col("o_totalprice") * 1000000)
+                    .cast("long")).alias("x")))
+    rk = global_rank(r, [F.col("x"), F.col("o_custkey")], rank_col="i")
+    d38 = "decimal(38,0)"
+    t = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast(d38) * F.col("x")).alias("six"),
+        F.sum(F.col("x").cast(d38)).alias("sx"))
+    return t.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("sx").cast("double") / 1000000.0).alias("total_revenue"),
+        ((2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+         .cast("double")
+         / (F.col("n") * F.col("sx")).cast("double")).alias("gini"))
+
+
+@register(
+    "stats_reliability_bins",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(value) AS maxv FROM events),
+    p AS (SELECT value / maxv AS prob,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS hit
+          FROM events CROSS JOIN mx),
+    b AS (SELECT LEAST(CAST(floor(prob * 10) AS INT), 9) AS bin,
+                 prob, hit
+          FROM p)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS accuracy,
+           {_SORTSUM.format(expr='prob')} / COUNT(*) AS confidence,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*)
+             - {_SORTSUM.format(expr='prob')} / COUNT(*) AS gap
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    description="calibration reliability bins (the ECE diagram): "
+                "treat value/max(value) as a predicted probability of "
+                "event_type='purchase', bucket into 10 equal-width "
+                "probability bins, and emit per-bin accuracy (label "
+                "rate), confidence (mean predicted probability, "
+                "sorted-sequential sum) and their gap — the per-bin "
+                "terms of expected calibration error. One max scalar "
+                "cross + one 10-row aggregate; the probability "
+                "normalization is a single division per row so both "
+                "engines bin identical doubles",
+    tags=("stats", "ml"),
+)
+def stats_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    mx = ev.agg(F.max("value").alias("maxv"))
+    p = (ev.crossJoin(F.broadcast(mx))
+         .select((F.col("value") / F.col("maxv")).alias("prob"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("hit")))
+    b = p.select(F.least(F.floor(F.col("prob") * 10).cast("int"),
+                         F.lit(9)).alias("bin"), "prob", "hit")
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("hit").alias("hits"),
+        sortsum("prob").alias("sp"))
+    return (g.select(
+        "bin", F.col("cnt").cast("long").alias("n"),
+        (F.col("hits").cast("double") / F.col("cnt")).alias("accuracy"),
+        (F.col("sp") / F.col("cnt")).alias("confidence"),
+        (F.col("hits").cast("double") / F.col("cnt")
+         - F.col("sp") / F.col("cnt")).alias("gap"))
+        .orderBy("bin"))

@@ -870,3 +870,73 @@ def streaming_kmv_distinct(events: DataFrame) -> DataFrame:
                 stateStructType=_KMV_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_EW_OUT = "user_id long, i long, ewma double"
+_EW_STATE = ("y double, cnt long, buf_us array<long>, "
+             "buf_id array<long>, buf_val array<double>")
+
+
+def _advance_ewma(key, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct running EWMA (alpha = 1/2): unsealed events
+    buffer in state; each event the watermark seals applies ONE fold
+    step y = (x + y) / 2 — the exact op the batch twin
+    (events_ewma_value) folds over the time-sorted array, so the row
+    emitted at sealed position i equals the batch EWMA of that prefix
+    BIT-FOR-BIT (same IEEE add, same exact halving — no tolerance).
+    Carried state is (y, count) plus the watermark-bounded buffer."""
+    (user_id,) = key
+    y, cnt, bus, bid, bval = (
+        (state.get[0], state.get[1], list(state.get[2]),
+         list(state.get[3]), list(state.get[4]))
+        if state.exists else (0.0, 0, [], [], []))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, val in zip(pdf["us"], pdf["event_id"],
+                                    pdf["value"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bval.append(float(val))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    for i in order:
+        if bus[i] > wm_us:
+            break  # not sealed yet; neither is anything after it
+        x = bval[i]
+        y = x if cnt == 0 else (x + y) / 2
+        cnt += 1
+        rows.append({"user_id": user_id, "i": cnt, "ewma": y})
+        consumed.append(i)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bval[i]
+    state.update((y, cnt, bus, bid, bval))
+    if bus:
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(rows, columns=["user_id", "i", "ewma"])
+
+
+def streaming_ewma(events: DataFrame,
+                   delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_ewma_value: per-user running
+    EWMA (alpha = 1/2) in event-time order, one row per sealed event,
+    O(1) committed state per user (y, count) + the watermark-bounded
+    unsealed buffer. The last emitted row per user equals the batch
+    fold over the same sealed prefix exactly — see _advance_ewma."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id",
+                        F.unix_micros("ts").alias("us"), "value", "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _advance_ewma,
+                outputStructType=_EW_OUT,
+                stateStructType=_EW_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -207,6 +207,9 @@ _BNLJ_OK = {
     # one-row basket-count scalar crossed into the <=300-row rule frame
     # (constant 25-brand alphabet)
     "orders_rule_lift",
+    # one-row max-value scalar crossed over the scan (probability
+    # normalization — the equidepth/woe shape)
+    "stats_reliability_bins",
 }
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
@@ -258,6 +261,11 @@ _SINGLE_PART_OK = {
     "feat_woe_iv",
     # one-row basket-count scalar (distinct partials merged once)
     "orders_rule_lift",
+    # one-row final (n, six, sx) aggregate over the ranked per-customer
+    # frame (the rank itself is range-partitioned)
+    "stats_gini_customers",
+    # one-row max scalar + the 10-row bin fold
+    "stats_reliability_bins",
 }
 
 

@@ -423,9 +423,12 @@ def test_chi2_zero_on_exact_independence(spark):
     assert chi2 == 0.0
 
 
-def test_ewma_closed_form_matches_recursion(spark):
-    """events_ewma_value's closed-form weights equal the textbook
-    recursion y_n = (x_n + y_{n-1}) / 2 run driver-side per user."""
+def test_ewma_fold_matches_recursion_bitwise(spark):
+    """events_ewma_value is the literal recursion y_n = (x_n +
+    y_{n-1}) / 2 as an ordered fold — the driver-side Python recursion
+    executes the identical IEEE op sequence, so equality is EXACT, not
+    within tolerance (this is the property that lets the streaming
+    twin's (y, count) state reproduce the batch result bit-for-bit)."""
     from g1_etl_spark.plans import REGISTRY
 
     got = {r.user_id: r for r in REGISTRY["events_ewma_value"].fn(
@@ -440,6 +443,48 @@ def test_ewma_closed_form_matches_recursion(spark):
         rows.sort()
         y = rows[0][2]
         for _, _, x in rows[1:]:
-            y = (x + y) / 2.0
+            y = (x + y) / 2
         assert got[uid].n_events == len(rows)
-        assert abs(got[uid].ewma - y) < 1e-9, uid
+        assert got[uid].ewma == y, uid
+
+
+def test_gini_known_distributions(spark):
+    """Engineered extremes: Gini = 0 for perfect equality and
+    (n-1)/n when one customer holds everything; the registered query
+    stays in [0, 1) on real data."""
+    from g1_etl_spark.operators.retrieval import global_rank
+
+    def gini_of(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k LONG, x LONG")
+        rk = global_rank(df, [F.col("x"), F.col("k")], rank_col="i")
+        d38 = "decimal(38,0)"
+        r = rk.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("i").cast(d38) * F.col("x")).alias("six"),
+                   F.sum(F.col("x").cast(d38)).alias("sx")).collect()[0]
+        return float((2 * int(r.six) - (r.n + 1) * int(r.sx))
+                     / (r.n * int(r.sx)))
+
+    assert gini_of([100] * 8) == 0.0
+    n = 10
+    assert gini_of([0] * (n - 1) + [1000]) == (n - 1) / n
+    from g1_etl_spark.plans import REGISTRY
+    row = REGISTRY["stats_gini_customers"].fn(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 <= row.gini < 1.0 and row.n_customers > 0
+
+
+def test_reliability_bins_partition_and_bounds(spark):
+    """Bins cover all events exactly once; accuracy and confidence are
+    probabilities; confidence sits inside its bin's range."""
+    from g1_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["stats_reliability_bins"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 + 1e-12
+        assert lo <= r.confidence <= hi, r
+        assert abs(r.gap - (r.accuracy - r.confidence)) < 1e-15

@@ -903,3 +903,47 @@ def test_streaming_kmv_equals_batch_sketch_exactly(spark):
                 assert r.est == float(exact)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ewma_matches_batch_fold_bitwise(spark):
+    """Each emitted row's ewma equals the batch recursion over that
+    user's first i sealed events EXACTLY (no tolerance): the stream's
+    state update and the batch twin's ordered fold are the same IEEE
+    op sequence — the design property events_ewma_value was built for."""
+    from g1_etl_spark.streaming.stateful import streaming_ewma
+
+    tmp = str(TMP) + "_ewma"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(
+            spark, tmp, 1).filter(F.col("user_id") < 10)
+        q = SW.run_to_memory(streaming_ewma(stream), "t_ewma",
+                             output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM t_ewma").collect()
+        finally:
+            q.stop()
+        assert rows
+        ev = (spark.read.parquet(tmp).filter(F.col("user_id") < 10)
+              .select("user_id", "ts", "event_id", "value").collect())
+        from collections import defaultdict
+        series = defaultdict(list)
+        for r in ev:
+            series[r.user_id].append((r.ts, r.event_id, r.value))
+        prefix = {}
+        for uid, evs in series.items():
+            evs.sort()
+            y = None
+            ys = []
+            for _, _, x in evs:
+                y = x if y is None else (x + y) / 2
+                ys.append(y)
+            prefix[uid] = ys
+        seen = defaultdict(int)
+        for r in sorted(rows, key=lambda r: (r.user_id, r.i)):
+            assert r.i == seen[r.user_id] + 1, "gap in emission order"
+            seen[r.user_id] = r.i
+            assert r.ewma == prefix[r.user_id][r.i - 1], (r.user_id, r.i)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
