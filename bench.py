@@ -170,6 +170,12 @@ R7_ADD = [
     "stats_gini_customers",
     # calibration reliability bins (per-bin ECE terms)
     "stats_reliability_bins",
+    # trailing-1h rolling z-score anomaly flags (exact window moments)
+    "events_anomaly_zscore",
+    # exact-integer CUSUM drift statistic per event type
+    "events_cusum_drift",
+    # Heaps'-law vocabulary-growth fit across sources
+    "text_heaps_fit",
 ]
 HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
 

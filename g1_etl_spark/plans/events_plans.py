@@ -1340,3 +1340,132 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.expr("slice(vals, 2, size(vals) - 1)"),
                     F.element_at("vals", 1),
                     lambda acc, x: (x + acc) / 2).alias("ewma"))
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, value, epoch_us(ts) AS us,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS sx,
+             SUM(CAST(round(value * value * 1000000) AS BIGINT)) OVER w
+               AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_type, event_id, value, n,
+             (value - CAST(sx AS DOUBLE) / 1000000.0 / n)
+               / sqrt(((CAST(sxx AS DOUBLE) / 1000000.0)
+                       - (CAST(sx AS DOUBLE) / 1000000.0)
+                         * (CAST(sx AS DOUBLE) / 1000000.0) / n)
+                      / (n - 1)) AS zscore
+      FROM s
+      WHERE n >= 30
+        AND ((CAST(sxx AS DOUBLE) / 1000000.0)
+             - (CAST(sx AS DOUBLE) / 1000000.0)
+               * (CAST(sx AS DOUBLE) / 1000000.0) / n) > 0)
+    SELECT event_type, event_id, value, CAST(n AS BIGINT) AS n_window,
+           zscore
+    FROM z WHERE abs(zscore) > 3
+    """,
+    description="rolling-window anomaly flags: per event type, each "
+                "event's z-score against the trailing-1h mean/std "
+                "(RANGE frame over epoch-micros), emitting |z| > 3 "
+                "rows — the monitoring primitive over irregular "
+                "streams. Window moments are exact scaled-long sums "
+                "(value and value^2 pre-scaled per row), so mean/std/"
+                "z are fixed expression trees on identical doubles in "
+                "both engines; windows with n < 30 or zero variance "
+                "are excluded. Scale shape: one range-frame window "
+                "partitioned by type, no self-join",
+    tags=("events", "window", "stats", "quality"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (W.partitionBy("event_type").orderBy(us.alias("us"))
+         .rangeBetween(-3_599_999_999, 0))
+    s = ev.select(
+        "event_type", "event_id", "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).over(w)
+        .alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value") * 1000000)
+              .cast("long")).over(w).alias("sxx"))
+    sx_d = F.col("sx").cast("double") / 1000000.0
+    sxx_d = F.col("sxx").cast("double") / 1000000.0
+    n = F.col("n")
+    var = (sxx_d - sx_d * sx_d / n) / (n - 1)
+    z = (F.col("value") - sx_d / n) / F.sqrt(var)
+    return (s.filter((n >= 30) & ((sxx_d - sx_d * sx_d / n) > 0))
+            .withColumn("zscore", z)
+            .filter(F.abs(F.col("zscore")) > 3)
+            .select("event_type", "event_id", "value",
+                    n.cast("long").alias("n_window"), "zscore"))
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 1000000) AS BIGINT) AS xs,
+                      epoch_us(ts) AS us, event_id
+               FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS total
+            FROM s GROUP BY event_type),
+    run AS (SELECT s.event_type, n, total,
+                   ROW_NUMBER() OVER w AS i,
+                   SUM(xs) OVER (PARTITION BY s.event_type
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS prefix
+            FROM s JOIN tot USING (event_type)
+            WINDOW w AS (PARTITION BY s.event_type
+                         ORDER BY us, event_id)),
+    dev AS (SELECT event_type, n,
+                   abs(CAST(n AS HUGEINT) * prefix
+                       - CAST(i AS HUGEINT) * total) AS d
+            FROM run)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(MAX(d) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS max_cusum
+    FROM dev GROUP BY event_type, n
+    """,
+    description="CUSUM drift statistic per event type: max over time "
+                "of |running sum of (x_i - mean)| in event order — "
+                "the change-point screening primitive. Computed "
+                "EXACTLY in integers via the identity n*S_i = "
+                "n*prefix_i - i*total (128-bit products), so no float "
+                "accumulates across rows; the single division by "
+                "n*scale happens once per type. Scale shape: one "
+                "grouped total + one per-type ordered window, "
+                "partitioned by type throughout",
+    tags=("events", "window", "stats", "quality"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "event_id",
+                  F.unix_micros("ts").alias("us"),
+                  F.round(F.col("value") * 1000000).cast("long")
+                  .alias("xs"))
+    tot = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xs").alias("total"))
+    w = W.partitionBy("event_type").orderBy("us", "event_id")
+    run = (s.join(tot, "event_type")
+           .select("event_type", "n", "total",
+                   F.row_number().over(w).alias("i"),
+                   F.sum("xs").over(
+                       w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                   .alias("prefix")))
+    d38 = "decimal(38,0)"
+    d = F.abs(F.col("n").cast(d38) * F.col("prefix")
+              - F.col("i").cast(d38) * F.col("total"))
+    return (run.withColumn("d", d)
+            .groupBy("event_type", "n")
+            .agg(F.max("d").alias("maxd"))
+            .select("event_type", F.col("n").cast("long").alias("n_events"),
+                    (F.col("maxd").cast("double")
+                     / (F.col("n").cast("double") * 1000000.0))
+                    .alias("max_cusum")))

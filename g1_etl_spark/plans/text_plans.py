@@ -1206,3 +1206,72 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("n").cast("long").alias("n_ranks"),
                       F.col("slope").alias("zipf_slope"),
                       "intercept", "r2")
+
+
+@register(
+    "text_heaps_fit",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(
+        regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    m AS (SELECT source, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS v
+          FROM toks GROUP BY source),
+    fit AS (
+      SELECT CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT)
+               / 1000000.0 AS x,
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT)
+               / 1000000.0 AS y
+      FROM m),
+    mm AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {_SORTSUM_SQL.format(expr='x')} AS sx,
+             {_SORTSUM_SQL.format(expr='x * x')} AS sxx,
+             {_SORTSUM_SQL.format(expr='y')} AS sy,
+             {_SORTSUM_SQL.format(expr='y * y')} AS syy,
+             {_SORTSUM_SQL.format(expr='x * y')} AS sxy
+      FROM fit)
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM mm
+    """,
+    description="Heaps'-law fit: OLS of ln(vocabulary size) on "
+                "ln(token count) across sources — vocabulary-growth "
+                "exponent beta (natural text ~0.4-0.6; template/"
+                "boilerplate corpora collapse toward 0, random noise "
+                "toward 1), the companion corpus health check to "
+                "text_zipf_fit and corpus_kl_sources. Per-source "
+                "(N, V) is one tokenize + groupBy pass; the fit frame "
+                "is |sources| rows (constant); same pinned-ln + "
+                "sorted-moment OLS machinery as the Zipf fit",
+    tags=("text", "stats"),
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+    from g1_etl_spark.operators.features import ols_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    toks = (d.repartition(spread, "doc_id")
+            .select("source",
+                    F.explode(F.split(normalize_text(F.col("text")),
+                                      " ")).alias("tok")))
+    m = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("tok").alias("v"))
+
+    def pin_ln(c):
+        return (F.round(F.ln(c.cast("double")) * 1000000).cast("long")
+                / F.lit(1000000.0))
+
+    fit = m.select(pin_ln(F.col("n_tok")).alias("x"),
+                   pin_ln(F.col("v")).alias("y"),
+                   F.lit(1).alias("g"))
+    out = ols_per_group(fit, "x", "y", ["g"])
+    return out.select(F.col("n").cast("long").alias("n_sources"),
+                      F.col("slope").alias("heaps_beta"),
+                      "intercept", "r2")

@@ -250,11 +250,15 @@ FAMILIES["documents"] += ["text_char_entropy", "corpus_kl_sources",
 # rrf fusion reads documents + embeddings; probed under the embeddings
 # family (the cosine stage is the data-sized half)
 FAMILIES["embeddings"] += ["pipeline_rrf_fusion"]
-# r7 additions: AUC + EWMA read events; chi2/WOE/rule-lift read the
-# trade star
-FAMILIES["events"] += ["stats_auc_purchase", "events_ewma_value"]
+# r7 additions: AUC + EWMA + anomaly/CUSUM read events; chi2/WOE/
+# rule-lift/Gini read the trade star; Heaps + reliability read
+# documents/events
+FAMILIES["events"] += ["stats_auc_purchase", "events_ewma_value",
+                       "events_anomaly_zscore", "events_cusum_drift",
+                       "stats_reliability_bins"]
 FAMILIES["trade"] += ["stats_chi2_segment_priority", "feat_woe_iv",
-                      "orders_rule_lift"]
+                      "orders_rule_lift", "stats_gini_customers"]
+FAMILIES["documents"] += ["text_heaps_fit"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -488,3 +488,85 @@ def test_reliability_bins_partition_and_bounds(spark):
         lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 + 1e-12
         assert lo <= r.confidence <= hi, r
         assert abs(r.gap - (r.accuracy - r.confidence)) < 1e-15
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """A planted 100x spike inside a calm window must be flagged;
+    z-scores of flagged rows replicate driver-side from the same
+    trailing-window moments."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [(i, "t", base + dt.timedelta(seconds=30 * i),
+             10.0 + (i % 5) * 0.01) for i in range(100)]
+    rows.append((999, "t", base + dt.timedelta(seconds=30 * 60),
+                 1000.0))  # spike inside the hour
+    df = spark.createDataFrame(
+        rows, "event_id LONG, event_type STRING, ts TIMESTAMP, "
+              "value DOUBLE")
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros("ts")
+    w = (W.partitionBy("event_type").orderBy(us.alias("us"))
+         .rangeBetween(-3_599_999_999, 0))
+    s = df.select(
+        "event_id", "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).over(w)
+        .alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value") * 1000000)
+              .cast("long")).over(w).alias("sxx"))
+    sx_d = F.col("sx").cast("double") / 1000000.0
+    sxx_d = F.col("sxx").cast("double") / 1000000.0
+    n = F.col("n")
+    var = (sxx_d - sx_d * sx_d / n) / (n - 1)
+    z = (F.col("value") - sx_d / n) / F.sqrt(var)
+    flagged = (s.filter((n >= 30) & ((sxx_d - sx_d * sx_d / n) > 0))
+               .withColumn("zscore", z)
+               .filter(F.abs(F.col("zscore")) > 3).collect())
+    assert any(r.event_id == 999 for r in flagged)
+    # the calm rows are never flagged
+    assert all(r.event_id == 999 for r in flagged)
+
+
+def test_cusum_zero_for_constant_series(spark):
+    """A constant series has S_i = 0 everywhere -> max_cusum == 0;
+    a mean shift mid-series produces a strictly positive statistic
+    that peaks near the change point."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    const = [(i, "c", base + dt.timedelta(seconds=i), 5.0)
+             for i in range(50)]
+    shift = [(i, "s", base + dt.timedelta(seconds=i),
+              1.0 if i < 25 else 9.0) for i in range(50)]
+    df = spark.createDataFrame(
+        const + shift,
+        "event_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+    import tempfile
+    import os
+    tmp = tempfile.mkdtemp()
+    try:
+        # route through parquet so the registered query's load path
+        # (ns->us conversion) is exercised end-to-end
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        from g1_etl_spark.plans import REGISTRY
+        out = {r.event_type: r for r in
+               REGISTRY["events_cusum_drift"].fn(spark, tmp).collect()}
+        assert out["c"].max_cusum == 0.0
+        # shift magnitude 4 over half the series: S peaks at 25*(mean
+        # diff)/... just assert clearly positive
+        assert out["s"].max_cusum > 10.0
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_heaps_beta_in_natural_range(spark):
+    from g1_etl_spark.plans import REGISTRY
+
+    row = REGISTRY["text_heaps_fit"].fn(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_sources == 20
+    assert 0.0 < row.heaps_beta < 1.0
+    assert 0.0 <= row.r2 <= 1.0
