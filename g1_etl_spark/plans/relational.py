@@ -986,6 +986,11 @@ def orders_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
+    # no checkpoint: all four consumers (N, supports, both join sides)
+    # sit in ONE action plan, so the planner emits ReusedExchange for
+    # the identical distinct subtree — the shuffle runs once without
+    # pinning ~|baskets| rows in block storage (an eager checkpoint
+    # here heap-OOMed the 1000x probe; exchange reuse costs nothing)
     baskets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
                        li.l_orderkey == F.col("o_orderkey"))
                .join(p.select("p_partkey", "p_brand"),
@@ -993,8 +998,7 @@ def orders_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("o_custkey",
                        F.date_trunc("month", "o_orderdate").alias("mon"),
                        "p_brand")
-               .distinct()
-               .localCheckpoint(eager=True))  # N + supports + two sides
+               .distinct())
     n = (baskets.select("o_custkey", "mon").distinct()
          .agg(F.count(F.lit(1)).alias("n_baskets")))
     supp = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))

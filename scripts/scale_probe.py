@@ -389,11 +389,29 @@ def main() -> None:
     con.execute("SET memory_limit = '48GB'")
     results: dict[str, dict] = {}
 
-    def run(name: str, sf_dir: str) -> tuple[float, int]:
+    # Scale the initial shuffle-partition count with the replica factor
+    # for the N-copies runs, exactly as a real deployment would (the
+    # session docstring: "on a 1000-executor cluster this is left to
+    # AQE's coalescing with a high initial partition number"). The fixed
+    # local 32 is sized for sf0.1; at 1000 copies a 150M-row hash
+    # aggregate lands ~5M rows in EACH of 32 concurrent tasks inside one
+    # 48g heap and dies with AGGREGATE_OUT_OF_MEMORY (hit by
+    # orders_rule_lift's basket distinct, r7). AQE coalesces the small
+    # stages back down, so 1x timings are unaffected by the config knob.
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nx_parts = max(base_parts, min(1024, base_parts * copies // 50))
+
+    def run(name: str, sf_dir: str, parts: int = base_parts
+            ) -> tuple[float, int]:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        out_rows = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            t0 = time.perf_counter()
+            out_rows = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(base_parts))
         spark.catalog.clearCache()
         for r in spark.sparkContext._jsc.getPersistentRDDs().values():
             r.unpersist()
@@ -405,22 +423,42 @@ def main() -> None:
         one, many = f"{BASE}/{fam}_x1", f"{BASE}/{fam}_x{copies}"
         os.makedirs(one, exist_ok=True)
         os.makedirs(many, exist_ok=True)
-        if fam == "embeddings":
-            build_embeddings(spark, copies, one, many)
-        elif fam == "documents":
-            build_documents(con, copies, one, many)
-        elif fam == "trade":
-            build_trade(con, copies, one, many)
-        else:
-            build_events(con, copies, one, many)
+        need = {"trade": ("region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem"),
+                "documents": ("documents",),
+                "events": ("events",),
+                "embeddings": ("embeddings",)}[fam]
+        # replicas are deterministic functions of (source, copies) —
+        # reuse a complete build (a crashed query run otherwise pays
+        # the multi-minute 600M-row rebuild on every retry)
+        done = all(os.path.exists(f"{d}/{t}.parquet")
+                   and os.path.getsize(f"{d}/{t}.parquet") > 0
+                   for d in (one, many) for t in need)
+        if not done:
+            if fam == "embeddings":
+                build_embeddings(spark, copies, one, many)
+            elif fam == "documents":
+                build_documents(con, copies, one, many)
+            elif fam == "trade":
+                build_trade(con, copies, one, many)
+            else:
+                build_events(con, copies, one, many)
         print(f"== {fam} x{copies} ==")
         for q in FAMILIES[fam]:
             if only is not None and q not in only:
                 continue
-            run(q, one)  # absorb plan/codegen warmup
-            if q in _LAYOUT_QUERIES:
-                run(q, many)  # pay the one-time layout write untimed
-            (t1, r1), (tn, rn) = run(q, one), run(q, many)
+            try:
+                run(q, one)  # absorb plan/codegen warmup
+                if q in _LAYOUT_QUERIES:
+                    run(q, many, nx_parts)  # one-time layout, untimed
+                (t1, r1), (tn, rn) = run(q, one), run(q, many, nx_parts)
+            except Exception as ex:  # record, keep probing the rest
+                msg = str(ex).split("\n")[0][:300]
+                print(f"{q:26s} FAILED at {copies}x: {msg}", flush=True)
+                results[q] = {"family": fam, "copies": copies,
+                              "error": msg,
+                              "nx_shuffle_partitions": nx_parts}
+                continue
             print(f"{q:26s} 1x={t1:6.2f}s  {copies}x={tn:7.2f}s  "
                   f"ratio={tn / t1:5.1f}  rows {r1} -> {rn} "
                   f"({rn / max(r1, 1):.1f}x)", flush=True)
@@ -429,6 +467,7 @@ def main() -> None:
                 "t1_sec": round(t1, 3), "tn_sec": round(tn, 3),
                 "ratio": round(tn / t1, 2),
                 "rows_1x": r1, "rows_nx": rn,
+                "nx_shuffle_partitions": nx_parts,
             }
 
     if json_path:
