@@ -66,37 +66,70 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str,
     return joined.filter(~dominated).select(*df.columns)
 
 
-def global_prefix_sum(df: DataFrame, order_cols: list, value_col: str,
-                      out_col: str = "cum",
-                      partitions: int | None = None) -> DataFrame:
-    """Inclusive running SUM of `value_col` (an integer column) over a
-    TOTAL order — the distributed prefix-sum shape shared by pareto_abc
-    and curation.budget_fill, factored out: range-repartition on the
-    sort key, per-partition local running sum, driver-held offsets
-    (one per PARTITION, bounded and tiny). No single-partition window
-    anywhere. `order_cols` must be a total order (caller tie-breaks);
-    exclusive form = out_col - value_col at the call site."""
+def global_prefix_sums_with_totals(
+        df: DataFrame, order_cols: list, sums: dict[str, str],
+        partitions: int | None = None) -> tuple[DataFrame, list[int]]:
+    """Inclusive running SUMs of one or more integer columns over a
+    TOTAL order — the distributed prefix-sum shape shared by
+    pareto_abc, curation.budget_fill, stats_auc_purchase and
+    events_cusum_drift, factored out: ONE range-repartition on the
+    sort key, per-partition local running sums, driver-held offsets
+    (one row per PARTITION, bounded and tiny — Python-bigint exact).
+    No single-partition window anywhere. `sums` maps out_col ->
+    value_col; every value column rides the same repartition/window
+    pass. `order_cols` must be a total order (caller tie-breaks);
+    exclusive form = out_col - value_col at the call site.
+
+    Returns (frame, grand_totals) where grand_totals[i] is the exact
+    Python-int sum of the i-th value column — free here (the offsets
+    pass already folds every partition total), and callers like
+    pareto_abc need it for driver-side thresholds."""
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     parts = (df.repartitionByRange(n, *order_cols)
              .withColumn("_pid", F.spark_partition_id())
              .localCheckpoint())  # freeze pid assignment
-    sizes = {r["_pid"]: r["t"] for r in
-             parts.groupBy("_pid").agg(F.sum(value_col).alias("t"))
-             .collect()}
-    offset = 0
+    items = list(sums.items())
+    totals = {r["_pid"]: [r[f"_t{i}"] for i in range(len(items))]
+              for r in parts.groupBy("_pid").agg(
+                  *(F.sum(v).alias(f"_t{i}")
+                    for i, (_, v) in enumerate(items))).collect()}
+    running = [0] * len(items)
     offsets = []
-    for pid in sorted(sizes):
-        offsets.append((pid, offset))
-        offset += int(sizes[pid] or 0)
-    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
+    for pid in sorted(totals):
+        offsets.append((pid, *running))
+        running = [r + int(t or 0) for r, t in zip(running, totals[pid])]
+    off_schema = "_pid INT, " + ", ".join(
+        f"_off{i} BIGINT" for i in range(len(items)))
+    off_df = spark.createDataFrame(offsets, off_schema)
     w = (W.partitionBy("_pid").orderBy(*order_cols)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (parts.withColumn("_cl", F.sum(value_col).over(w))
-            .join(F.broadcast(off_df), "_pid")
-            .withColumn(out_col,
-                        (F.col("_cl") + F.col("_off")).cast("long"))
-            .drop("_pid", "_cl", "_off"))
+    out = parts
+    for i, (_, v) in enumerate(items):
+        out = out.withColumn(f"_cl{i}", F.sum(v).over(w))
+    out = out.join(F.broadcast(off_df), "_pid")
+    for i, (o, _) in enumerate(items):
+        out = out.withColumn(
+            o, (F.col(f"_cl{i}") + F.col(f"_off{i}")).cast("long"))
+    drop = ["_pid"] + [c for i in range(len(items))
+                       for c in (f"_cl{i}", f"_off{i}")]
+    return out.drop(*drop), running
+
+
+def global_prefix_sums(df: DataFrame, order_cols: list,
+                       sums: dict[str, str],
+                       partitions: int | None = None) -> DataFrame:
+    """:func:`global_prefix_sums_with_totals` without the totals."""
+    return global_prefix_sums_with_totals(df, order_cols, sums,
+                                          partitions=partitions)[0]
+
+
+def global_prefix_sum(df: DataFrame, order_cols: list, value_col: str,
+                      out_col: str = "cum",
+                      partitions: int | None = None) -> DataFrame:
+    """Single-column form of :func:`global_prefix_sums`."""
+    return global_prefix_sums(df, order_cols, {out_col: value_col},
+                              partitions=partitions)
 
 
 def pareto_abc(df: DataFrame, key_col: str, value_col,
@@ -108,10 +141,10 @@ def pareto_abc(df: DataFrame, key_col: str, value_col,
     assortment staple ("which 20% of parts carry 80% of revenue").
 
     `value_col` must be an exact LONG (pre-scaled money; see
-    plans/_util). The running total is the distributed prefix-sum shape
-    of curation.budget_fill (range-repartition on the sort key, local
-    running sum, driver-held per-partition offsets — one entry PER
-    PARTITION), and the class thresholds compare pure integers, so
+    plans/_util). The running total is
+    :func:`global_prefix_sums_with_totals` on (-value, key) order (one
+    range-repartition, local running sum, driver-held per-partition
+    offsets), and the class thresholds compare pure integers, so
     there is no float anywhere and any engine agrees bit-for-bit. The
     thresholds are precomputed on the driver with Python bigints
     (thr = total * pct // 100 — exactly equivalent to the oracle's
@@ -123,29 +156,11 @@ def pareto_abc(df: DataFrame, key_col: str, value_col,
     Returns (key, value, cum_value, cum_share, abc_class), descending
     value order with key tie-break.
     """
-    spark = df.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
     base = df.select(F.col(key_col).alias("k"),
                      F.col(value_col).cast("long").alias("v"),
                      (-F.col(value_col).cast("long")).alias("_negv"))
-    parts = (base.repartitionByRange(n, "_negv", "k")
-             .withColumn("_pid", F.spark_partition_id())
-             .localCheckpoint())  # freeze pid assignment
-    sizes = {r["_pid"]: r["t"] for r in
-             parts.groupBy("_pid").agg(F.sum("v").alias("t")).collect()}
-    offset = 0
-    offsets = []
-    for pid in sorted(sizes):
-        offsets.append((pid, offset))
-        offset += int(sizes[pid] or 0)
-    total = offset
-    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
-    w = (W.partitionBy("_pid").orderBy("_negv", "k")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cum = (parts.withColumn("_cl", F.sum("v").over(w))
-           .join(F.broadcast(off_df), "_pid")
-           .withColumn("cum_value",
-                       (F.col("_cl") + F.col("_off")).cast("long")))
+    cum, (total,) = global_prefix_sums_with_totals(
+        base, ["_negv", "k"], {"cum_value": "v"}, partitions=partitions)
     # Python-bigint thresholds; cum <= total*pct//100  ⟺  cum*100 <=
     # total*pct for integer cum, without the int64 overflow at cum*100.
     thr_a = total * a_pct // 100

@@ -249,46 +249,25 @@ def budget_fill(docs: DataFrame, order_cols: list, tokens_col: Column,
 
     The running total is a GLOBAL prefix sum, but a bare
     ``SUM() OVER (ORDER BY ...)`` collapses to one task at scale, so
-    this uses the same distributed total-order shape as
-    retrieval.global_rank: range-repartition on the sort key, local
-    running sum per partition, then add the (partition-count-sized,
-    driver-held) prefix of earlier partitions' token totals.
+    this rides analytics.global_prefix_sum (range-repartition on the
+    sort key, local running sum per partition, then add the
+    partition-count-sized, driver-held prefix of earlier partitions'
+    token totals).
 
     Returns doc rows (id ordering columns + keep_cols) with `tokens`
     and `cum_tokens`; filter semantics: a doc is kept iff its own
     cumulative total <= budget (greedy prefix, no partial docs).
     """
-    spark = docs.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
+    from g1_etl_spark.operators.analytics import global_prefix_sum
     # NULL token counts become 0 explicitly: the window SUM would skip
     # them (silently inheriting the previous cumulative total and
-    # passing the budget gate for free), and an all-NULL partition
-    # would return a None partition total below
+    # passing the budget gate for free)
     base = docs.select(*order_cols, *keep_cols,
                        F.coalesce(tokens_col.cast("long"), F.lit(0))
                        .alias("tokens"))
-    parts = (base.repartitionByRange(n, *order_cols)
-             .withColumn("_pid", F.spark_partition_id())
-             .localCheckpoint())  # freeze pid assignment
-    sizes = {r["_pid"]: r["t"] for r in
-             parts.groupBy("_pid").agg(F.sum("tokens").alias("t"))
-             .collect()}
-    offset = 0
-    offsets = []
-    for pid in sorted(sizes):
-        offsets.append((pid, offset))
-        offset += int(sizes[pid])
-    # explicit schema: offsets may be empty, and inference would widen
-    # _pid (same idiom as retrieval.global_rank)
-    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
-    w = (W.partitionBy("_pid").orderBy(*order_cols)
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (parts.withColumn("_cum_local", F.sum("tokens").over(w))
-            .join(F.broadcast(off_df), "_pid")
-            .withColumn("cum_tokens",
-                        (F.col("_cum_local") + F.col("_off")).cast("long"))
-            .filter(F.col("cum_tokens") <= budget)
-            .drop("_pid", "_cum_local", "_off"))
+    return (global_prefix_sum(base, order_cols, "tokens",
+                              out_col="cum_tokens", partitions=partitions)
+            .filter(F.col("cum_tokens") <= budget))
 
 
 def source_overlap(docs: DataFrame, text_col: str = "text",

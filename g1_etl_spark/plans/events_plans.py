@@ -1327,6 +1327,18 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "stats"),
 )
 def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCALE BOUND (explicit): each user's full (ts, event_id, value)
+    # history materializes as ONE array row before the fold — memory
+    # per task is O(max events per user) ≈ 24 B/struct, so ~1 M events
+    # for a single pathological key (bot traffic) is ~24 MB in one row:
+    # tolerable, verified by tests/test_stats.py::
+    # test_ewma_fold_survives_1m_event_skew_key. Beyond that, run the
+    # streaming twin instead (streaming/stateful.streaming_ewma): it
+    # applies the IDENTICAL per-element update with O(1) carried
+    # (y, count) state — bit-equal output, no array materialization —
+    # at the cost of time-ordered delivery per key. user_id is
+    # high-cardinality — the partition key is fine; the bound is about
+    # one hot key, not the key count.
     ev = load_table(spark, sf_dir, "events")
     # sort struct(ts, event_id, value) lexicographically = time order,
     # then fold the value sequence with first element as the seed
@@ -1378,28 +1390,56 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(value and value^2 pre-scaled per row), so mean/std/"
                 "z are fixed expression trees on identical doubles in "
                 "both engines; windows with n < 30 or zero variance "
-                "are excluded. Scale shape: one range-frame window "
-                "partitioned by type, no self-join",
+                "are excluded. Scale shape: the RANGE window is keyed "
+                "(event_type, hour-bucket), NOT the constant-"
+                "cardinality type alone — each row is computed in its "
+                "own bucket and carried (one duplicate) into the next "
+                "bucket, whose trailing-1h frames are the only ones "
+                "that can reach back to it, so partition count grows "
+                "with the time span and no task ever owns a full "
+                "type's history",
     tags=("events", "window", "stats", "quality"),
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
-    w = (W.partitionBy("event_type").orderBy(us.alias("us"))
-         .rangeBetween(-3_599_999_999, 0))
+    # Trailing-1h RANGE window, computed bucket-locally: bucket b holds
+    # the rows born in hour b plus a carried copy of every hour-(b-1)
+    # row. A row at time t in bucket b has t - 3_599_999_999 >
+    # (b-1)*H, so its frame can only reach rows in buckets b-1 and b —
+    # both present in partition (event_type, b) exactly once. The
+    # window sums are therefore over the IDENTICAL row sets as a
+    # per-type global window (exact scaled-long sums — order-free), at
+    # the cost of one duplicated pass of the input instead of a
+    # one-task-per-type sort at 100 TB.
+    hour_us = 3_600_000_000
     s = ev.select(
         "event_type", "event_id", "value",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1000000).cast("long").alias("xs"),
+        F.round(F.col("value") * F.col("value") * 1000000)
+        .cast("long").alias("xxs"))
+    s = s.withColumn("_hb", F.expr(f"us div {hour_us}"))
+    fan = F.explode(F.array(
+        F.struct(F.col("_hb").alias("b"), F.lit(False).alias("carry")),
+        F.struct((F.col("_hb") + F.lit(1)).alias("b"),
+                 F.lit(True).alias("carry"))))
+    u = (s.withColumn("_f", fan)
+         .select("event_type", "event_id", "value", "us", "xs", "xxs",
+                 F.col("_f.b").alias("b"), F.col("_f.carry").alias("carry")))
+    w = (W.partitionBy("event_type", "b").orderBy("us")
+         .rangeBetween(-3_599_999_999, 0))
+    st = u.select(
+        "event_type", "event_id", "value", "carry",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(F.round(F.col("value") * 1000000).cast("long")).over(w)
-        .alias("sx"),
-        F.sum(F.round(F.col("value") * F.col("value") * 1000000)
-              .cast("long")).over(w).alias("sxx"))
+        F.sum("xs").over(w).alias("sx"),
+        F.sum("xxs").over(w).alias("sxx"))
     sx_d = F.col("sx").cast("double") / 1000000.0
     sxx_d = F.col("sxx").cast("double") / 1000000.0
     n = F.col("n")
     var = (sxx_d - sx_d * sx_d / n) / (n - 1)
     z = (F.col("value") - sx_d / n) / F.sqrt(var)
-    return (s.filter((n >= 30) & ((sxx_d - sx_d * sx_d / n) > 0))
+    return (st.filter(~F.col("carry"))
+            .filter((n >= 30) & ((sxx_d - sx_d * sx_d / n) > 0))
             .withColumn("zscore", z)
             .filter(F.abs(F.col("zscore")) > 3)
             .select("event_type", "event_id", "value",
@@ -1439,26 +1479,55 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "EXACTLY in integers via the identity n*S_i = "
                 "n*prefix_i - i*total (128-bit products), so no float "
                 "accumulates across rows; the single division by "
-                "n*scale happens once per type. Scale shape: one "
-                "grouped total + one per-type ordered window, "
-                "partitioned by type throughout",
+                "n*scale happens once per type. Scale shape: the "
+                "running sums ride analytics.global_prefix_sums over "
+                "the TOTAL (event_type, us, event_id) order (one "
+                "range-repartition + per-partition local sums + "
+                "driver-held offsets), then per-type prefixes are "
+                "recovered by subtracting the earlier types' grand "
+                "totals (a broadcast of one row per event type) — no "
+                "per-type single-task ordered window anywhere",
     tags=("events", "window", "stats", "quality"),
 )
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sums
+
     ev = load_table(spark, sf_dir, "events")
     s = ev.select("event_type", "event_id",
                   F.unix_micros("ts").alias("us"),
                   F.round(F.col("value") * 1000000).cast("long")
-                  .alias("xs"))
-    tot = s.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("xs").alias("total"))
-    w = W.partitionBy("event_type").orderBy("us", "event_id")
-    run = (s.join(tot, "event_type")
-           .select("event_type", "n", "total",
-                   F.row_number().over(w).alias("i"),
-                   F.sum("xs").over(
-                       w.rowsBetween(W.unboundedPreceding, W.currentRow))
-                   .alias("prefix")))
+                  .alias("xs"),
+                  F.lit(1).cast("long").alias("one"))
+    # GLOBAL inclusive prefixes over (event_type, us, event_id): gx =
+    # running sum of xs, gi = running row count. Within one type that
+    # order is exactly (us, event_id), so the per-type prefix/index are
+    #   prefix_i = gx - (sum of earlier types' totals)
+    #   i        = gi - (count of earlier types' rows)
+    # and both corrections come from ONE bounded aggregate (one row per
+    # event type — constant cardinality) folded on the driver with
+    # Python bigints and broadcast back.
+    g = global_prefix_sums(s, ["event_type", "us", "event_id"],
+                           {"gx": "xs", "gi": "one"})
+    tot_rows = (s.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("xs").alias("total"))
+                .collect())  # bounded: one row per event type
+    # sort by UTF-8 bytes — Spark's UTF8String comparator — so the
+    # running bases follow the same type order as the range partitioner
+    tot_rows.sort(key=lambda r: r["event_type"].encode("utf-8"))
+    base_x = base_i = 0
+    rows = []
+    for r in tot_rows:
+        rows.append((r["event_type"], int(r["n"]), int(r["total"]),
+                     base_x, base_i))
+        base_x += int(r["total"] or 0)
+        base_i += int(r["n"])
+    base = spark.createDataFrame(
+        rows, "event_type STRING, n BIGINT, total BIGINT, "
+              "bx BIGINT, bi BIGINT")
+    run = (g.join(F.broadcast(base), "event_type")
+           .withColumn("i", F.col("gi") - F.col("bi"))
+           .withColumn("prefix", F.col("gx") - F.col("bx")))
     d38 = "decimal(38,0)"
     d = F.abs(F.col("n").cast(d38) * F.col("prefix")
               - F.col("i").cast(d38) * F.col("total"))

@@ -448,6 +448,53 @@ def test_ewma_fold_matches_recursion_bitwise(spark):
         assert got[uid].ewma == y, uid
 
 
+def test_ewma_fold_survives_1m_event_skew_key(spark):
+    """The documented scale bound of events_ewma_value (events_plans.py):
+    one pathological user (bot traffic) with ~1 M events materializes
+    its whole history as ONE array row before the fold — ~24 MB, which
+    must complete AND still be the bit-exact recursion. Pins the bound
+    at probe scale so 'fine for high-cardinality keys' stays an
+    evidenced claim, not a hope; beyond this, the streaming twin's
+    O(1) (y, count) state is the documented escape hatch."""
+    import os
+    import shutil
+    import tempfile
+
+    n = 1_000_000
+    base_us = 1_735_689_600_000_000  # 2025-01-01 UTC in epoch micros
+    bot = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit("bot").alias("user_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * 1_000_000)
+        .alias("ts"),
+        F.lit("click").alias("event_type"),
+        (((F.col("id") * 2654435761) % 1000).cast("double") / 100.0)
+        .alias("value"))
+    normal = spark.range(10).select(
+        (F.col("id") + n).alias("event_id"),
+        F.lit("human").alias("user_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * 1_000_000)
+        .alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.col("id").cast("double").alias("value"))
+    df = bot.unionByName(normal)
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "events.parquet"))
+        from g1_etl_spark.plans import REGISTRY
+        got = {r.user_id: r for r in
+               REGISTRY["events_ewma_value"].fn(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got["bot"].n_events == n
+    y = ((0 * 2654435761) % 1000) / 100.0
+    for i in range(1, n):
+        y = (((i * 2654435761) % 1000) / 100.0 + y) / 2
+    assert got["bot"].ewma == y  # bit-exact, not approximate
+    assert got["human"].n_events == 10
+
+
 def test_gini_known_distributions(spark):
     """Engineered extremes: Gini = 0 for perfect equality and
     (n-1)/n when one customer holds everything; the registered query
