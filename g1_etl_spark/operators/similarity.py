@@ -573,15 +573,23 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def _exact_rerank(corpus: DataFrame, queries: DataFrame,
                   short: DataFrame, k: int, id_col: str, vec_col: str,
-                  q_id_col: str, q_vec_col: str) -> DataFrame:
+                  q_id_col: str, q_vec_col: str,
+                  broadcast_short: bool = True) -> DataFrame:
     """Exact-cosine re-rank of a (q_id, neighbor_id) candidate list:
     fetch raw vectors for the tiny candidate set only — the shortlist
     broadcasts against the corpus, a hash semi-lookup by id (the
-    standard IVF-PQ re-rank fetch) — then window down to top-k."""
+    standard IVF-PQ re-rank fetch) — then window down to top-k.
+
+    ``broadcast_short=False`` drops the hint for callers whose
+    candidate set is NOT bounded (ivf_pq_topk with an uncapped
+    shortlist passes the full probed-cell contents — a constant
+    FRACTION of the corpus, which must never be force-broadcast at the
+    100 TB north star; AQE still broadcasts it while it fits)."""
+    short = F.broadcast(short) if broadcast_short else short
     cand = (corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col),
                           l2_norm(F.col(vec_col)).alias("_cn"))
-            .join(F.broadcast(short), "neighbor_id"))
+            .join(short, "neighbor_id"))
     qn = queries.select(F.col(q_id_col), F.col(q_vec_col),
                         l2_norm(F.col(q_vec_col)).alias("_qn"))
     exact = (cand.join(F.broadcast(qn), q_id_col)
@@ -635,13 +643,18 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       F.col(id_col).alias("neighbor_id"),
                       adc(F.col(q_vec_col), F.col("_code"))
                       .alias("score")))
+    # a shortlist that caps per-query fetches is broadcast-sized by
+    # construction; an uncapped/no-op shortlist is ~n_probe/n_cells of
+    # the corpus and must not carry a broadcast hint (the recall
+    # contract runs that way at any sf)
+    bounded = shortlist is not None and shortlist <= 100_000
     if shortlist is not None:
         cand_ids = (_two_stage_topk(scored, q_id_col, shortlist)
                     .select(q_id_col, "neighbor_id"))
     else:
         cand_ids = scored.select(q_id_col, "neighbor_id")
     return _exact_rerank(corpus, queries, cand_ids, k, id_col, vec_col,
-                         q_id_col, q_vec_col)
+                         q_id_col, q_vec_col, broadcast_short=bounded)
 
 
 def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95,

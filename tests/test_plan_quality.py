@@ -315,6 +315,16 @@ _BOUNDED_ID_MAX = 4096
 _BOUNDED_ID_IN = re.compile(
     r"Filter \(?cast\((?:vec_id|doc_id|event_id|o_orderkey|p_partkey"
     r"|c_custkey|s_suppkey)#\d+L? as bigint\) IN \(cast\(\d+")
+# A top-k rank filter (`Filter (rank#N <= k)` over a row_number window)
+# bounds the frame to k rows PER WINDOW GROUP. Every plan relying on
+# this (the sim_pq*/sim_ivfpq* candidate sets) windows by q_id, whose
+# frame is the fixed ≤5-row query set — so the hinted frame is ≤ 5*k
+# rows at any sf. A rank filter whose window partitions by an
+# sf-scaled key would NOT be bounded; like the _BOUNDING_NODES
+# aggregate caveat above, additions must be reviewed against this
+# comment (the per-path walk landed in round 8; before that the
+# sibling branch's vec_id filter masked these, a false negative).
+_BOUNDED_RANK_FILTER = re.compile(r"Filter \(?rank#\d+ <= (\d+)\)")
 
 # name -> justification, for hinted subtrees that scan an sf-scaled
 # table but are bounded by an operator-level CONTRACT the plan text
@@ -337,9 +347,27 @@ _BROADCAST_SFSCALED_OK: dict[str, str] = {
 _TREE_PREFIX = re.compile(r"^(?:(?::  |   |:- |\+- ))*")
 
 
+def _is_bounding_line(ln: str) -> bool:
+    if any(b in ln for b in _BOUNDING_NODES):
+        return True
+    m = _BOUNDED_ID_FILTER.search(ln)
+    if m and int(m.group(1)) <= _BOUNDED_ID_MAX:
+        return True
+    m = _BOUNDED_RANK_FILTER.search(ln)
+    if m and int(m.group(1)) <= _BOUNDED_ID_MAX:
+        return True
+    return bool(_BOUNDED_ID_IN.search(ln))
+
+
 def _hinted_sfscaled_scans(analyzed: str) -> list[str]:
     """Return violation descriptions for broadcast hints over unbounded
-    sf-scaled scans in an analyzed-plan string."""
+    sf-scaled scans in an analyzed-plan string.
+
+    Boundedness is checked PER SCAN, on the ancestor path between that
+    scan and the hint — not anywhere in the hint's subtree. A hint over
+    join(bounded aggregate, unbounded sf-scaled scan) is exactly the
+    OOM shape this lint exists to catch: the aggregate bounds its OWN
+    branch, not the sibling scan (round-8 ADVICE fix)."""
     lines = analyzed.splitlines()
     depths = [len(_TREE_PREFIX.match(ln).group(0)) // 3 for ln in lines]
     bad = []
@@ -348,24 +376,34 @@ def _hinted_sfscaled_scans(analyzed: str) -> list[str]:
             continue
         d = depths[i]
         j = i + 1
-        sub: list[str] = []
-        while j < len(lines) and depths[j] > d:
-            sub.append(lines[j])
-            j += 1
-        scans = [s for s in sub if "Relation" in s
-                 and any(sig in s for sig in _SF_SCALED_SIGS)]
-        bounded = any(any(b in s for b in _BOUNDING_NODES) for s in sub)
-        if not bounded:
-            for s in sub:
-                m = _BOUNDED_ID_FILTER.search(s)
-                if (m and int(m.group(1)) <= _BOUNDED_ID_MAX) \
-                        or _BOUNDED_ID_IN.search(s):
-                    bounded = True
-                    break
-        if scans and not bounded:
-            tables = sorted({sig.rstrip("#") for s in scans
-                             for sig in _SF_SCALED_SIGS if sig in s})
-            bad.append(f"broadcast hint over sf-scaled scan(s) {tables}")
+        sub_end = j
+        while sub_end < len(lines) and depths[sub_end] > d:
+            sub_end += 1
+        unbounded_tables: set[str] = set()
+        for k in range(j, sub_end):
+            s = lines[k]
+            if "Relation" not in s \
+                    or not any(sig in s for sig in _SF_SCALED_SIGS):
+                continue
+            # walk the ancestor chain from this scan up to the hint:
+            # each step goes to the nearest preceding line of strictly
+            # smaller depth (its parent in the tree rendering)
+            bounded = False
+            cur = depths[k]
+            p = k - 1
+            while p > i and cur > d + 1:
+                if depths[p] < cur:
+                    cur = depths[p]
+                    if _is_bounding_line(lines[p]):
+                        bounded = True
+                        break
+                p -= 1
+            if not bounded:
+                unbounded_tables.update(
+                    sig.rstrip("#") for sig in _SF_SCALED_SIGS if sig in s)
+        if unbounded_tables:
+            bad.append("broadcast hint over sf-scaled scan(s) "
+                       f"{sorted(unbounded_tables)}")
     return bad
 
 
@@ -428,3 +466,34 @@ def test_org_payload_assembly_plan_pre_checkpoint(spark):
     assert "BatchEvalPython" not in plan
     # the assembly itself must be visible (not an RDD scan stub)
     assert "Scan parquet" in plan
+
+
+def test_bucketed_twins_elide_smj_sort(spark):
+    """The bucketed q21/basket twins' 100 TB margin rests on the
+    one-file-per-bucket sorted layout: the co-located SMJs must consume
+    the scans' outputOrdering directly. Pinned property (the r7 bench
+    saw the twins' margin narrow — this makes a layout/conf regression
+    fail HERE, not as a silent slowdown):
+
+      * every Sort on an order key must be (a) partition-LOCAL (no
+        Exchange beneath it — already asserted by test_scaling) and
+        (b) sit directly above a hash-DISTINCT HashAggregate, whose
+        output is inherently unordered and already deduped-small.
+        Those local re-sorts are the floor for hash-based distinct.
+      * a Sort whose child chain reaches a FileScan without crossing a
+        HashAggregate means the scan stopped reporting its bucket-sort
+        (one file per bucket + bucketedTableScan.outputOrdering) — the
+        actual regression this test exists to catch."""
+    sort_re = re.compile(r"\bSort \[(?:l|o)_orderkey#")
+    for name in ("q21_blame_bucketed", "basket_pairs_bucketed"):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        lines = simple.splitlines()
+        for i, ln in enumerate(lines):
+            if not sort_re.search(ln):
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "HashAggregate" in child, (
+                f"{name}: order-key Sort above a non-distinct child — "
+                f"bucket-sorted scan no longer reports its ordering:\n"
+                f"{ln}\n{child}")
