@@ -410,11 +410,15 @@ def main() -> None:
             out_rows = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
         finally:
+            # cache/checkpoint cleanup must run on the FAILURE path
+            # too: the error-continue loop otherwise keeps the failed
+            # query's localCheckpoint blocks pinned for the rest of the
+            # probe, cascading memory pressure into later queries
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(base_parts))
-        spark.catalog.clearCache()
-        for r in spark.sparkContext._jsc.getPersistentRDDs().values():
-            r.unpersist()
+            spark.catalog.clearCache()
+            for r in spark.sparkContext._jsc.getPersistentRDDs().values():
+                r.unpersist()
         return dt, out_rows
 
     for fam in families:
@@ -430,10 +434,24 @@ def main() -> None:
                 "embeddings": ("embeddings",)}[fam]
         # replicas are deterministic functions of (source, copies) —
         # reuse a complete build (a crashed query run otherwise pays
-        # the multi-minute 600M-row rebuild on every retry)
-        done = all(os.path.exists(f"{d}/{t}.parquet")
-                   and os.path.getsize(f"{d}/{t}.parquet") > 0
-                   for d in (one, many) for t in need)
+        # the multi-minute 600M-row rebuild on every retry). A build
+        # that CRASHED mid-write can leave readable-but-partial state
+        # behind (a Spark dataset directory holding only its committed
+        # part files, a truncated DuckDB COPY file), so reuse demands
+        # proof of completion, not mere existence: Spark directories
+        # must carry their _SUCCESS marker, and the build as a whole
+        # must have written its terminal sentinel (placed after the
+        # LAST table) — otherwise rebuild.
+        def _complete(path: str) -> bool:
+            if not os.path.exists(path):
+                return False
+            if os.path.isdir(path):
+                return os.path.exists(f"{path}/_SUCCESS")
+            return os.path.getsize(path) > 0
+        sentinel = f"{many}/_BUILD_COMPLETE"
+        done = os.path.exists(sentinel) and all(
+            _complete(f"{d}/{t}.parquet")
+            for d in (one, many) for t in need)
         if not done:
             if fam == "embeddings":
                 build_embeddings(spark, copies, one, many)
@@ -443,6 +461,8 @@ def main() -> None:
                 build_trade(con, copies, one, many)
             else:
                 build_events(con, copies, one, many)
+            with open(sentinel, "w") as sf:
+                sf.write("ok\n")
         print(f"== {fam} x{copies} ==")
         for q in FAMILIES[fam]:
             if only is not None and q not in only:
