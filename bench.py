@@ -177,7 +177,16 @@ R7_ADD = [
     # Heaps'-law vocabulary-growth fit across sources
     "text_heaps_fit",
 ]
-HEADLINE = R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
+R8_ADD = [
+    # lag-1..5 autocorrelation via the distributed per-type event index
+    "events_acf",
+    # hour-of-day seasonal profile + eta-squared strength
+    "events_seasonal_hour",
+    # pinned-ln mutual information on the 5x5 contingency
+    "stats_mi_segment_priority",
+]
+HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
+            + R8_ADD)
 
 # The cross-round drift trackers: every query in a pinned comparison
 # subset runs FIVE trials (vs 3 for the rest) and its MIN is the

@@ -1538,3 +1538,207 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("maxd").cast("double")
                      / (F.col("n").cast("double") * 1000000.0))
                     .alias("max_cusum")))
+
+
+@register(
+    "events_acf",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 1000000) AS BIGINT) AS xs,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY epoch_us(ts), event_id)
+                        AS i
+               FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(xs AS HUGEINT)) AS t,
+                   SUM(CAST(xs AS HUGEINT) * xs) AS ss
+            FROM s GROUP BY event_type),
+    l AS (SELECT UNNEST(range(1, 6)) AS lag),
+    p AS (SELECT a.event_type, l.lag,
+                 SUM(CAST(a.xs AS HUGEINT) * b.xs) AS nk,
+                 SUM(CAST(a.xs AS HUGEINT)) AS s1,
+                 SUM(CAST(b.xs AS HUGEINT)) AS s2,
+                 COUNT(*) AS c
+          FROM s a CROSS JOIN l
+          JOIN s b ON a.event_type = b.event_type AND b.i = a.i - l.lag
+          GROUP BY a.event_type, l.lag)
+    SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+           CAST(p.c AS BIGINT) AS n_pairs,
+           (CAST(nk AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))
+              * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+            + CAST(c AS DOUBLE)
+              * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(ss AS DOUBLE)
+              - CAST(n AS DOUBLE)
+                * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))) AS acf
+    FROM p JOIN tot USING (event_type)
+    ORDER BY p.event_type, p.lag
+    """,
+    description="lag-1..5 autocorrelation of event values per type "
+                "(the seasonality/burstiness screen before fitting "
+                "anything AR-shaped): ACF_k = sum((x_i - m)(x_{i-k} - "
+                "m)) / sum((x_i - m)^2), expanded so EVERY "
+                "accumulation is an exact 128-bit integer sum of "
+                "scaled longs (sum x_i*x_{i-k}, the two lagged "
+                "marginal sums, count, total, sum of squares) and the "
+                "mean-centering happens once per (type, lag) in a "
+                "fixed double expression tree both engines share. "
+                "Scale shape: the per-type event index rides the "
+                "distributed prefix-sum helper (no per-type ordered "
+                "window — event_type is constant-cardinality), lagged "
+                "pairs meet via ONE equi-join on (type, i - lag) "
+                "against (type, i) with the 5-lag fan-out a pure "
+                "projection explode, and every aggregate is "
+                "(types x 5)-row bounded",
+    tags=("events", "stats", "scale"),
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sums
+
+    n_lags = 5
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "event_id",
+                  F.unix_micros("ts").alias("us"),
+                  F.round(F.col("value") * 1000000).cast("long")
+                  .alias("xs"),
+                  F.lit(1).cast("long").alias("one"))
+    # per-type 1-based event index i = global running count minus the
+    # earlier types' row counts (same shape as events_cusum_drift)
+    g = global_prefix_sums(s, ["event_type", "us", "event_id"],
+                           {"gi": "one"})
+    d38 = "decimal(38,0)"
+    tot_rows = (s.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("xs").alias("t"),
+                     F.sum(F.col("xs").cast(d38) * F.col("xs"))
+                     .alias("ss"))
+                .collect())  # bounded: one row per event type
+    tot_rows.sort(key=lambda r: r["event_type"].encode("utf-8"))
+    base_i = 0
+    rows = []
+    for r in tot_rows:
+        rows.append((r["event_type"], int(r["n"]), int(r["t"]),
+                     r["ss"], base_i))
+        base_i += int(r["n"])
+    base = spark.createDataFrame(
+        rows, "event_type STRING, n BIGINT, t BIGINT, "
+              "ss DECIMAL(38,0), bi BIGINT")
+    idx = (g.join(F.broadcast(base.select("event_type", "bi")),
+                  "event_type")
+           .select("event_type", (F.col("gi") - F.col("bi")).alias("i"),
+                   "xs"))
+    # 5-lag fan-out as a projection explode (no join), then ONE shuffle
+    # equi-join matching row i with row i-lag of the same type
+    a = (idx.select("event_type", "i", F.col("xs").alias("xa"),
+                    F.explode(F.array(*[F.lit(k) for k in
+                                        range(1, n_lags + 1)]))
+                    .alias("lag"))
+         .withColumn("j", F.col("i") - F.col("lag")))
+    b = idx.select(F.col("event_type").alias("bt"),
+                   F.col("i").alias("j"), F.col("xs").alias("xb"))
+    p = (a.join(b, (a.event_type == b.bt) & (a.j == b.j))
+         .groupBy("event_type", "lag")
+         .agg(F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("nk"),
+              F.sum("xa").alias("s1"), F.sum("xb").alias("s2"),
+              F.count(F.lit(1)).alias("c")))
+    out = p.join(F.broadcast(base), "event_type")
+    n_d = F.col("n").cast("double")
+    m = F.col("t").cast("double") / n_d
+    num = (F.col("nk").cast("double")
+           - (F.col("s1").cast("double") + F.col("s2").cast("double")) * m
+           + F.col("c").cast("double") * m * m)
+    den = F.col("ss").cast("double") - n_d * m * m
+    return (out.select("event_type", F.col("lag").cast("long").alias("lag"),
+                       F.col("c").cast("long").alias("n_pairs"),
+                       (num / den).alias("acf"))
+            .orderBy("event_type", "lag"))
+
+
+@register(
+    "events_seasonal_hour",
+    oracle="""
+    WITH s AS (SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+                      CAST(round(value * 1000000) AS BIGINT) AS xs
+               FROM events),
+    h AS (SELECT event_type, hh, COUNT(*) AS nh,
+                 SUM(CAST(xs AS HUGEINT)) AS th
+          FROM s GROUP BY event_type, hh),
+    tot AS (SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(xs AS HUGEINT)) AS t,
+                   SUM(CAST(xs AS HUGEINT) * xs) AS ss
+            FROM s GROUP BY event_type),
+    st AS (SELECT event_type,
+                  (list_sum(list_sort(list(
+                       CAST(th AS DOUBLE) * CAST(th AS DOUBLE)
+                       / CAST(nh AS DOUBLE))))
+                   - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(ss AS DOUBLE)
+                     - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(n AS DOUBLE)) AS strength
+           FROM h JOIN tot USING (event_type)
+           GROUP BY event_type, n, t, ss)
+    SELECT h.event_type, CAST(hh AS BIGINT) AS hour,
+           CAST(nh AS BIGINT) AS n_events,
+           CAST(th AS DOUBLE) / CAST(nh AS DOUBLE) / 1000000.0
+             AS mean_value,
+           strength AS seasonal_strength
+    FROM h JOIN st USING (event_type)
+    ORDER BY h.event_type, hh
+    """,
+    description="hour-of-day seasonal profile per event type: mean "
+                "value per (type, hour) plus the type's seasonal "
+                "STRENGTH = between-hour sum of squares over total sum "
+                "of squares (the eta-squared screen for 'does hour of "
+                "day explain this metric'). Hourly and per-type "
+                "moments are exact 128-bit sums of scaled longs; the "
+                "only order-sensitive float reduction — the 24 "
+                "per-hour terms of the between-hour SS — runs "
+                "sorted-sequential (the repo's sortsum idiom) so both "
+                "engines add identical doubles in identical order. "
+                "Scale shape: two grouped aggregates (types x 24 and "
+                "types rows), one equi-join between them — nothing "
+                "wider than the 120-row profile ever shuffles",
+    tags=("events", "stats"),
+)
+def events_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    s = ev.select("event_type", F.hour("ts").alias("hh"),
+                  F.round(F.col("value") * 1000000).cast("long")
+                  .alias("xs"))
+    h = s.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("xs").cast(d38)).alias("th"))
+    tot = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xs").cast(d38)).alias("t"),
+        F.sum(F.col("xs").cast(d38) * F.col("xs")).alias("ss"))
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    t_d = F.col("t").cast("double")
+    n_d = F.col("n").cast("double")
+    grand = t_d * t_d / n_d
+    st = (h.join(tot, "event_type")
+          .groupBy("event_type", "n", "t", "ss")
+          .agg(sortsum(F.col("th").cast("double")
+                       * F.col("th").cast("double")
+                       / F.col("nh").cast("double")).alias("bsum"))
+          .select("event_type",
+                  ((F.col("bsum") - grand)
+                   / (F.col("ss").cast("double") - grand))
+                  .alias("strength")))
+    return (h.join(st, "event_type")
+            .select("event_type", F.col("hh").cast("long").alias("hour"),
+                    F.col("nh").cast("long").alias("n_events"),
+                    (F.col("th").cast("double")
+                     / F.col("nh").cast("double") / 1000000.0)
+                    .alias("mean_value"),
+                    F.col("strength").alias("seasonal_strength"))
+            .orderBy("event_type", "hour"))

@@ -858,6 +858,72 @@ def stats_chi2_segment_priority(spark: SparkSession,
 
 
 @register(
+    "stats_mi_segment_priority",
+    oracle="""
+    WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    obs AS (SELECT seg, pri, COUNT(*) AS o FROM j GROUP BY 1, 2),
+    rt AS (SELECT seg, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT pri, SUM(o) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (SELECT o, n,
+                     CAST(round(ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+                                   / (CAST(r AS DOUBLE)
+                                      * CAST(c AS DOUBLE))) * 1000000)
+                          AS BIGINT) AS pmi_e6
+              FROM obs JOIN rt USING (seg) JOIN ct USING (pri)
+              CROSS JOIN nt)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(o AS HUGEINT) * pmi_e6) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS mi_nats
+    FROM cells GROUP BY n
+    """,
+    description="mutual information I(segment; priority) in nats — the "
+                "model-free dependence measure next to "
+                "stats_chi2_segment_priority's test statistic: each "
+                "observed cell's pointwise MI ln(p_ij / (p_i p_j)) = "
+                "ln(o*n / (r*c)) is PINNED to a scaled integer (the "
+                "repo's ln-pinning idiom), so the MI total is an EXACT "
+                "128-bit integer sum of count-weighted pinned terms "
+                "with one final division — no float accumulates across "
+                "cells in either engine. Scale shape: one groupBy over "
+                "the customer join, then everything is the "
+                "alphabet-bounded 5x5 cell frame with one-row scalar "
+                "crosses",
+    tags=("stats", "agg"),
+)
+def stats_mi_segment_priority(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    j = (o.join(cu, o.o_custkey == cu.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri")))
+    obs = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o").alias("c"))
+    nt = obs.agg(F.sum("o").alias("n"))
+    pmi_e6 = F.round(F.ln(
+        (F.col("o").cast("double") * F.col("n").cast("double"))
+        / (F.col("r").cast("double") * F.col("c").cast("double")))
+        * 1000000).cast("long")
+    d38 = "decimal(38,0)"
+    cells = (obs.join(rt, "seg").join(ct, "pri")
+             .crossJoin(F.broadcast(nt))
+             .withColumn("pmi_e6", pmi_e6))
+    return (cells.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum(F.col("o").cast(d38) * F.col("pmi_e6"))
+                 .alias("wsum"))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.col("n_cells").cast("long").alias("n_cells"),
+                    (F.col("wsum").cast("double")
+                     / (F.col("n").cast("double") * 1000000.0))
+                    .alias("mi_nats")))
+
+
+@register(
     "stats_gini_customers",
     oracle="""
     WITH r AS (SELECT o_custkey,

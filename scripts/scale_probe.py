@@ -360,11 +360,18 @@ def main() -> None:
     args = sys.argv[1:]
     only, json_path = None, None
     rest = []
+    nx_override = None
     for a in args:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
         elif a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a.startswith("--nx-parts="):
+            # manual N-copies shuffle-partition override: the default
+            # formula (base*copies/50, capped 1024) sized rule-lift's
+            # 1000x basket distinct at 640 partitions and OOMed the
+            # 48g single JVM; a real cluster sizes this to the data
+            nx_override = int(a.split("=", 1)[1])
         else:
             rest.append(a)
     copies = int(rest[0]) if rest else 10
@@ -399,7 +406,8 @@ def main() -> None:
     # orders_rule_lift's basket distinct, r7). AQE coalesces the small
     # stages back down, so 1x timings are unaffected by the config knob.
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    nx_parts = max(base_parts, min(1024, base_parts * copies // 50))
+    nx_parts = nx_override or max(base_parts,
+                                  min(1024, base_parts * copies // 50))
 
     def run(name: str, sf_dir: str, parts: int = base_parts
             ) -> tuple[float, int]:

@@ -201,6 +201,9 @@ _BNLJ_OK = {
     "text_pmi_pairs",
     # one-row grand-total scalar crossed into the 5x5 contingency cells
     "stats_chi2_segment_priority",
+    # one-row grand-total scalar crossed into the 5x5 MI cell frame
+    # (the chi2 shape with pinned-ln pointwise terms)
+    "stats_mi_segment_priority",
     # one-row min/max scalar over the scan (equidepth shape) + one-row
     # good/bad totals over the 10-row bin frame
     "feat_woe_iv",
@@ -257,6 +260,8 @@ _SINGLE_PART_OK = {
     "stats_auc_purchase",
     # one-row grand-total scalar + the 25-cell final chi2 fold
     "stats_chi2_segment_priority",
+    # one-row grand-total scalar + the 25-cell weighted-pinned-MI fold
+    "stats_mi_segment_priority",
     # one-row min/max + one-row totals scalars (10-row bin frame)
     "feat_woe_iv",
     # one-row basket-count scalar (distinct partials merged once)

@@ -617,3 +617,96 @@ def test_heaps_beta_in_natural_range(spark):
     assert row.n_sources == 20
     assert 0.0 < row.heaps_beta < 1.0
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_acf_alternating_series(spark):
+    """An alternating +v/-v series has ACF_1 = -(n-1)/n and
+    ACF_2 = (n-2)/n (mean exactly zero, every accumulation an exact
+    integer in both engines)."""
+    import datetime as dt
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    base = dt.datetime(2025, 1, 1)
+    n = 40
+    rows = [(i, "alt", base + dt.timedelta(seconds=i),
+             4.0 if i % 2 == 0 else -4.0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, event_type STRING, ts TIMESTAMP, "
+              "value DOUBLE")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "events.parquet"))
+        from g1_etl_spark.plans import REGISTRY
+        out = {r.lag: r for r in
+               REGISTRY["events_acf"].fn(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_pairs == n - 1
+    assert math.isclose(out[1].acf, -(n - 1) / n, rel_tol=1e-12)
+    assert math.isclose(out[2].acf, (n - 2) / n, rel_tol=1e-12)
+
+
+def test_seasonal_strength_pure_hour_signal(spark):
+    """When value is a pure function of hour-of-day, the between-hour
+    sum of squares IS the total sum of squares: strength == 1.0 exactly
+    (identical integer sums on both sides of the ratio)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [(d * 24 + h, "s", base + dt.timedelta(days=d, hours=h),
+             float(h + 1))
+            for d in range(3) for h in range(24)]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, event_type STRING, ts TIMESTAMP, "
+              "value DOUBLE")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "events.parquet"))
+        from g1_etl_spark.plans import REGISTRY
+        out = REGISTRY["events_seasonal_hour"].fn(spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert len(out) == 24
+    for r in out:
+        assert r.seasonal_strength == 1.0
+        assert r.mean_value == float(r.hour + 1)
+        assert r.n_events == 3
+
+
+def test_mutual_information_independent_is_zero(spark):
+    """A joint distribution that factorizes exactly (every customer
+    orders once per priority) has every pointwise term ln(1) = 0, so
+    MI == 0.0 exactly under the pinned-integer accumulation."""
+    import os
+    import shutil
+    import tempfile
+
+    cust = [(k, "SEG_A" if k < 2 else "SEG_B") for k in range(4)]
+    orders = [(k * 10 + p, k, f"P{p}")
+              for k in range(4) for p in range(3)]
+    cdf = spark.createDataFrame(cust, "c_custkey LONG, c_mktsegment STRING")
+    odf = spark.createDataFrame(
+        orders, "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING")
+    tmp = tempfile.mkdtemp()
+    try:
+        cdf.write.mode("overwrite").parquet(
+            os.path.join(tmp, "customer.parquet"))
+        odf.write.mode("overwrite").parquet(
+            os.path.join(tmp, "orders.parquet"))
+        from g1_etl_spark.plans import REGISTRY
+        row = REGISTRY["stats_mi_segment_priority"].fn(
+            spark, tmp).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert row.n == 12
+    assert row.n_cells == 6
+    assert row.mi_nats == 0.0
