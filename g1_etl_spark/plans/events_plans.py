@@ -1588,11 +1588,13 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "fixed double expression tree both engines share. "
                 "Scale shape: the per-type event index rides the "
                 "distributed prefix-sum helper (no per-type ordered "
-                "window — event_type is constant-cardinality), lagged "
-                "pairs meet via ONE equi-join on (type, i - lag) "
-                "against (type, i) with the 5-lag fan-out a pure "
-                "projection explode, and every aggregate is "
-                "(types x 5)-row bounded",
+                "window — event_type is constant-cardinality), then "
+                "ALL five lags come from one window pass over "
+                "(type, 64Ki-index-block) partitions with the previous "
+                "block's last 5 rows carried forward (carry fraction "
+                "5/65536; partition count grows with data), and every "
+                "aggregate is (types x 5)-row bounded — no lag "
+                "fan-out join",
     tags=("events", "stats", "scale"),
 )
 def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,20 +1632,51 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "event_type")
            .select("event_type", (F.col("gi") - F.col("bi")).alias("i"),
                    "xs"))
-    # 5-lag fan-out as a projection explode (no join), then ONE shuffle
-    # equi-join matching row i with row i-lag of the same type
-    a = (idx.select("event_type", "i", F.col("xs").alias("xa"),
-                    F.explode(F.array(*[F.lit(k) for k in
-                                        range(1, n_lags + 1)]))
-                    .alias("lag"))
-         .withColumn("j", F.col("i") - F.col("lag")))
-    b = idx.select(F.col("event_type").alias("bt"),
-                   F.col("i").alias("j"), F.col("xs").alias("xb"))
-    p = (a.join(b, (a.event_type == b.bt) & (a.j == b.j))
-         .groupBy("event_type", "lag")
-         .agg(F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("nk"),
-              F.sum("xa").alias("s1"), F.sum("xb").alias("s2"),
-              F.count(F.lit(1)).alias("c")))
+    # All 5 lags from ONE window pass over fixed-size index blocks
+    # (the zscore carry shape on the ROW axis): block b holds rows with
+    # (i-1) div B == b plus a carried copy of the previous block's last
+    # n_lags rows — the only rows a lag-1..5 frame can reach back to —
+    # so partition count grows with data, the carry fraction is
+    # n_lags/B, and there is no lag-fan-out join at all (an earlier
+    # 5x explode + equi-join form measured 234 s at the 1000x probe;
+    # this window form replaces its 500M-row shuffle with a second
+    # 100M-row one).
+    blk_sz = 65536
+    blk = F.expr(f"(i - 1) div {blk_sz}")
+    arr = F.concat(
+        F.array(F.struct(blk.alias("b"), F.lit(False).alias("carry"))),
+        F.when(F.pmod(F.col("i") - 1, F.lit(blk_sz)) >= blk_sz - n_lags,
+               F.array(F.struct((blk + 1).alias("b"),
+                                F.lit(True).alias("carry"))))
+        .otherwise(F.array().cast(
+            "array<struct<b:bigint,carry:boolean>>")))
+    u = (idx.withColumn("_f", F.explode(arr))
+         .select("event_type", "i", "xs",
+                 F.col("_f.b").alias("b"), F.col("_f.carry").alias("carry")))
+    w = W.partitionBy("event_type", "b").orderBy("i")
+    lagged = u.select(
+        "event_type", "xs", "carry",
+        *[F.lag("xs", k).over(w).alias(f"l{k}")
+          for k in range(1, n_lags + 1)])
+    m_rows = lagged.filter(~F.col("carry"))
+    p = m_rows.groupBy("event_type").agg(
+        *[x for k in range(1, n_lags + 1) for x in (
+            F.sum(F.col("xs").cast(d38) * F.col(f"l{k}"))
+            .alias(f"nk{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("xs")))
+            .alias(f"s1_{k}"),
+            F.sum(f"l{k}").alias(f"s2_{k}"),
+            F.count(F.col(f"l{k}")).alias(f"c{k}"))])
+    melt = F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("lag"),
+                 F.col(f"nk{k}").alias("nk"),
+                 F.col(f"s1_{k}").alias("s1"),
+                 F.col(f"s2_{k}").alias("s2"),
+                 F.col(f"c{k}").alias("c"))
+        for k in range(1, n_lags + 1)]))
+    p = (p.withColumn("_m", melt)
+         .select("event_type", "_m.lag", "_m.nk", "_m.s1", "_m.s2",
+                 "_m.c"))
     out = p.join(F.broadcast(base), "event_type")
     n_d = F.col("n").cast("double")
     m = F.col("t").cast("double") / n_d

@@ -924,6 +924,153 @@ def stats_mi_segment_priority(spark: SparkSession,
 
 
 @register(
+    "stats_ks_value_purchase",
+    oracle="""
+    WITH s AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END AS p
+               FROM events),
+    g AS (SELECT v, SUM(p) AS c1, COUNT(*) - SUM(p) AS c2
+          FROM s GROUP BY v),
+    c AS (SELECT SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+          FROM g WINDOW w AS (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)),
+    t AS (SELECT MAX(cum1) AS n1, MAX(cum2) AS n2,
+                 MAX(abs(CAST((SELECT MAX(cum2) FROM c) AS HUGEINT)
+                         * cum1
+                         - CAST((SELECT MAX(cum1) FROM c) AS HUGEINT)
+                           * cum2)) AS d
+          FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_other,
+           CAST(d AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+    FROM t
+    """,
+    description="two-sample Kolmogorov-Smirnov statistic: does the "
+                "value distribution of purchase events differ from "
+                "everything else — D = max |F1(v) - F2(v)| over the "
+                "pooled support, computed EXACTLY as max |n2*cum1(v) - "
+                "n1*cum2(v)| / (n1*n2) on 128-bit integers (cumulative "
+                "counts per distinct scaled value), one division at "
+                "the end. The distribution-shift screen next to "
+                "stats_welch_ttest's mean test. Scale shape: one "
+                "groupBy per distinct value, cumulative counts via the "
+                "distributed prefix-sum helper over the value order "
+                "(both samples ride ONE repartition pass), one scalar "
+                "aggregate — no single-partition ordered window",
+    tags=("stats", "agg", "scale"),
+)
+def stats_ks_value_purchase(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import (
+        global_prefix_sums_with_totals)
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.round(F.col("value") * 1000000).cast("long")
+                  .alias("v"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).cast("long").alias("p"))
+    g = (s.groupBy("v")
+         .agg(F.sum("p").alias("c1"),
+              (F.count(F.lit(1)) - F.sum("p")).alias("c2")))
+    c, (n1, n2) = global_prefix_sums_with_totals(
+        g, ["v"], {"cum1": "c1", "cum2": "c2"})
+    d38 = "decimal(38,0)"
+    d = F.abs(F.lit(n2).cast(d38) * F.col("cum1")
+              - F.lit(n1).cast(d38) * F.col("cum2"))
+    return (c.agg(F.max(d).alias("d"))
+            .select(F.lit(n1).cast("long").alias("n_purchase"),
+                    F.lit(n2).cast("long").alias("n_other"),
+                    (F.col("d").cast("double")
+                     / (F.lit(float(n1)) * F.lit(float(n2))))
+                    .alias("ks_d")))
+
+
+@register(
+    "stats_spearman_qty_price",
+    oracle="""
+    WITH li AS (SELECT l_quantity AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+                FROM lineitem),
+    qm AS (SELECT q, COUNT(*) AS c FROM li GROUP BY q),
+    qr AS (SELECT q, 2 * SUM(c) OVER (ORDER BY q
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                     - c + 1 AS rq2
+           FROM qm),
+    pm AS (SELECT p, COUNT(*) AS c FROM li GROUP BY p),
+    pr AS (SELECT p, 2 * SUM(c) OVER (ORDER BY p
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                     - c + 1 AS rp2
+           FROM pm),
+    r AS (SELECT rq2, rp2 FROM li JOIN qr USING (q) JOIN pr USING (p)),
+    t AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(rq2 AS HUGEINT)) AS sx,
+                 SUM(CAST(rp2 AS HUGEINT)) AS sy,
+                 SUM(CAST(rq2 AS HUGEINT) * rq2) AS sxx,
+                 SUM(CAST(rp2 AS HUGEINT) * rp2) AS syy,
+                 SUM(CAST(rq2 AS HUGEINT) * rp2) AS sxy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS spearman_rho
+    FROM t
+    """,
+    description="Spearman rank correlation between quantity and "
+                "extended price (the monotone-association complement "
+                "to agg_moments' Pearson): tie groups get AVERAGE "
+                "ranks held exactly as DOUBLED integers (2*cum - cnt "
+                "+ 1 = lo+hi of the tie run, from a cumulative count "
+                "over the distinct-value order), every moment is a "
+                "128-bit integer sum, and the doubling cancels in the "
+                "Pearson ratio — so rho is a fixed double tree on "
+                "identical integers in both engines. Scale shape: two "
+                "distinct-value rank maps (the quantity map is "
+                "alphabet-sized; the price map rides the distributed "
+                "prefix-sum helper), joined back by value as plain "
+                "equi-joins, one scalar moment aggregate",
+    tags=("stats", "agg", "scale"),
+)
+def stats_spearman_qty_price(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(F.col("l_quantity").alias("q"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("p"))
+    qm = s.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    qr = (global_prefix_sum(qm, ["q"], "c", out_col="cum")
+          .select("q", (2 * F.col("cum") - F.col("c") + 1).alias("rq2")))
+    pm = s.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    pr = (global_prefix_sum(pm, ["p"], "c", out_col="cum")
+          .select("p", (2 * F.col("cum") - F.col("c") + 1).alias("rp2")))
+    d38 = "decimal(38,0)"
+    r = s.join(qr, "q").join(pr, "p")
+    t = r.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("rq2").cast(d38)).alias("sx"),
+              F.sum(F.col("rp2").cast(d38)).alias("sy"),
+              F.sum(F.col("rq2").cast(d38) * F.col("rq2")).alias("sxx"),
+              F.sum(F.col("rp2").cast(d38) * F.col("rp2")).alias("syy"),
+              F.sum(F.col("rq2").cast(d38) * F.col("rp2")).alias("sxy"))
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = ((n_d * F.col("sxy").cast("double") - sx_d * sy_d)
+           / F.sqrt((n_d * F.col("sxx").cast("double") - sx_d * sx_d)
+                    * (n_d * F.col("syy").cast("double") - sy_d * sy_d)))
+    return t.select(F.col("n").cast("long").alias("n"),
+                    rho.alias("spearman_rho"))
+
+
+@register(
     "stats_gini_customers",
     oracle="""
     WITH r AS (SELECT o_custkey,

@@ -258,6 +258,12 @@ _SINGLE_PART_OK = {
     # one-row final U/n_pos/n_neg aggregate over the score-grid frame
     # (the prefix sum itself is range-partitioned, never one partition)
     "stats_auc_purchase",
+    # one-row final max-|deviation| aggregate over the distinct-value
+    # CDF frame (the dual-column prefix sum is range-partitioned)
+    "stats_ks_value_purchase",
+    # one-row final six-moment aggregate over the rank-joined rows
+    # (both rank maps are range-partitioned prefix sums)
+    "stats_spearman_qty_price",
     # one-row grand-total scalar + the 25-cell final chi2 fold
     "stats_chi2_segment_priority",
     # one-row grand-total scalar + the 25-cell weighted-pinned-MI fold

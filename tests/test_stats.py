@@ -710,3 +710,87 @@ def test_mutual_information_independent_is_zero(spark):
     assert row.n == 12
     assert row.n_cells == 6
     assert row.mi_nats == 0.0
+
+
+def test_ks_proportional_zero_disjoint_one(spark):
+    """KS D == 0.0 exactly when the two samples put proportional mass
+    on every value, and == 1.0 exactly when their supports are
+    disjoint (all-integer deviations in both cases)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    base = dt.datetime(2025, 1, 1)
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, event_type STRING, ts TIMESTAMP, "
+                  "value DOUBLE")
+        tmp = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "events.parquet"))
+        return tmp
+
+    from g1_etl_spark.plans import REGISTRY
+    # proportional: purchase sees each value once, other sees it twice
+    rows = []
+    for i, v in enumerate([1.0, 2.5, 7.0, 9.0]):
+        rows.append((3 * i, "purchase", base + dt.timedelta(seconds=i), v))
+        rows.append((3 * i + 1, "click", base + dt.timedelta(seconds=i), v))
+        rows.append((3 * i + 2, "view", base + dt.timedelta(seconds=i), v))
+    tmp = write(rows)
+    try:
+        r = REGISTRY["stats_ks_value_purchase"].fn(spark, tmp).collect()[0]
+        assert (r.n_purchase, r.n_other) == (4, 8)
+        assert r.ks_d == 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # disjoint supports: every purchase value below every other value
+    rows = [(i, "purchase", base + dt.timedelta(seconds=i), float(i))
+            for i in range(5)]
+    rows += [(10 + i, "click", base + dt.timedelta(seconds=i),
+              100.0 + i) for i in range(7)]
+    tmp = write(rows)
+    try:
+        r = REGISTRY["stats_ks_value_purchase"].fn(spark, tmp).collect()[0]
+        assert (r.n_purchase, r.n_other) == (5, 7)
+        assert r.ks_d == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_spearman_monotone_and_tied(spark):
+    """rho == +/-1 for strictly monotone relations regardless of the
+    marginal shapes, and the tie-averaged ranks reproduce scipy-style
+    Spearman on a small tied example (hand-computed)."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from g1_etl_spark.plans import REGISTRY
+
+    def run(pairs):
+        df = spark.createDataFrame(
+            [(i, float(q), float(p)) for i, (q, p) in enumerate(pairs)],
+            "l_orderkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE")
+        tmp = tempfile.mkdtemp()
+        try:
+            df.write.mode("overwrite").parquet(
+                os.path.join(tmp, "lineitem.parquet"))
+            return REGISTRY["stats_spearman_qty_price"].fn(
+                spark, tmp).collect()[0]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    up = run([(q, q * q + 1) for q in range(1, 20)])
+    assert math.isclose(up.spearman_rho, 1.0, rel_tol=1e-12)
+    down = run([(q, 1000 - q * q) for q in range(1, 20)])
+    assert math.isclose(down.spearman_rho, -1.0, rel_tol=1e-12)
+    # tied example: q = [1,1,2], p = [10,20,30] -> rank_q = [1.5,1.5,3],
+    # rank_p = [1,2,3]; rho = cov/sd_q sd_p = 0.5/ (sqrt(1.5)*sqrt(2)/..
+    # hand value: rho = sqrt(3)/2
+    tied = run([(1, 10), (1, 20), (2, 30)])
+    assert math.isclose(tied.spearman_rho, math.sqrt(3) / 2,
+                        rel_tol=1e-12)
