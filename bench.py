@@ -184,6 +184,10 @@ R8_ADD = [
     "events_seasonal_hour",
     # pinned-ln mutual information on the 5x5 contingency
     "stats_mi_segment_priority",
+    # exact-integer two-sample KS via the dual-column prefix sum
+    "stats_ks_value_purchase",
+    # tie-averaged Spearman rho from two distributed rank maps
+    "stats_spearman_qty_price",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)
