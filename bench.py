@@ -188,6 +188,10 @@ R8_ADD = [
     "stats_ks_value_purchase",
     # tie-averaged Spearman rho from two distributed rank maps
     "stats_spearman_qty_price",
+    # damped weighted PageRank over the top-50 token co-occurrence graph
+    "text_textrank_keywords",
+    # closed-form 2-feature ridge from nine exact integer moments
+    "feat_ridge_price",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)

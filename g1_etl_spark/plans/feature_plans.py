@@ -409,3 +409,96 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
           - F.col("bad").cast("double") / F.col("tb"))
          * (F.col("woe_e6") / F.lit(1000000.0))).alias("iv_term"))
         .orderBy("bin"))
+
+
+@register(
+    "feat_ridge_price",
+    oracle="""
+    WITH s AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+                      CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+               FROM lineitem),
+    m AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(x1 AS HUGEINT)) AS s1,
+                 SUM(CAST(x2 AS HUGEINT)) AS s2,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+                 SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+                 SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+                 SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+                 SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+          FROM s),
+    c AS (SELECT CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                 CAST(sy AS DOUBLE) AS syd,
+                 CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 1000000.0 AS a11,
+                 CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 1000000.0 AS a22,
+                 CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a12,
+                 CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b1,
+                 CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b2
+          FROM m),
+    k AS (SELECT nd, s1d, s2d, syd,
+                 (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)
+                   AS w1s,
+                 (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)
+                   AS w2s
+          FROM c)
+    SELECT CAST(nd AS BIGINT) AS n,
+           w1s AS coef_quantity,
+           w2s * 100.0 AS coef_discount,
+           (syd - w1s * s1d - w2s * s2d) / nd / 100.0 AS intercept
+    FROM k
+    """,
+    description="closed-form ridge regression (lambda = 1e6 in scaled "
+                "units, intercept unpenalized) of extended price on "
+                "(quantity, discount): the 2-feature normal equations "
+                "are NINE exact 128-bit integer moment sums of "
+                "pre-scaled longs, then the centered 2x2 system is "
+                "inverted in one fixed double expression tree both "
+                "engines share — the regularized sibling of "
+                "feat_ols_per_group, and the shape every closed-form "
+                "GLM takes at 100 TB: one aggregate scan, driver-sized "
+                "algebra, no iteration. Coefficients reported in "
+                "ORIGINAL units via exact scale-factor multiplications",
+    tags=("features", "stats"),
+)
+def feat_ridge_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    s = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    m = s.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x1").cast(d38)).alias("s1"),
+              F.sum(F.col("x2").cast(d38)).alias("s2"),
+              F.sum(F.col("y").cast(d38)).alias("sy"),
+              F.sum(F.col("x1").cast(d38) * F.col("x1")).alias("s11"),
+              F.sum(F.col("x2").cast(d38) * F.col("x2")).alias("s22"),
+              F.sum(F.col("x1").cast(d38) * F.col("x2")).alias("s12"),
+              F.sum(F.col("x1").cast(d38) * F.col("y")).alias("s1y"),
+              F.sum(F.col("x2").cast(d38) * F.col("y")).alias("s2y"))
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    syd = F.col("sy").cast("double")
+    lam = F.lit(1000000.0)
+    a11 = F.col("s11").cast("double") - s1d * s1d / nd + lam
+    a22 = F.col("s22").cast("double") - s2d * s2d / nd + lam
+    a12 = F.col("s12").cast("double") - s1d * s2d / nd
+    b1 = F.col("s1y").cast("double") - s1d * syd / nd
+    b2 = F.col("s2y").cast("double") - s2d * syd / nd
+    det = a11 * a22 - a12 * a12
+    w1s = (a22 * b1 - a12 * b2) / det
+    w2s = (a11 * b2 - a12 * b1) / det
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        w1s.alias("coef_quantity"),
+        (w2s * 100.0).alias("coef_discount"),
+        ((syd - w1s * s1d - w2s * s2d) / nd / 100.0).alias("intercept"))

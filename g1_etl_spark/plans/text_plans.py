@@ -1275,3 +1275,124 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("n").cast("long").alias("n_sources"),
                       F.col("slope").alias("heaps_beta"),
                       "intercept", "r2")
+
+
+_TR_ITERS = 10
+_TR_SCALE = 1_000_000_000_000
+
+
+def _tr_iter_cte(k: int) -> str:
+    return f"""
+    d{k} AS (
+      SELECT t.state,
+             0.15 / CAST(cnt.c AS DOUBLE)
+               + 0.85 * COALESCE(s.v, 0.0) AS dp
+      FROM nodes t CROSS JOIN cnt LEFT JOIN (
+        SELECT m.j AS state,
+               CAST(SUM(CAST(round(d.dp * m.p * {_TR_SCALE})
+                             AS BIGINT)) AS DOUBLE) / {_TR_SCALE} AS v
+        FROM d{k - 1} d JOIN mat m ON d.state = m.i
+        GROUP BY m.j) s USING (state))
+"""
+
+
+_TEXTRANK_SQL = (rf"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                 ' ')) AS tok
+        FROM documents)),
+    freq AS (SELECT tok, COUNT(*) AS df FROM pres GROUP BY tok),
+    top AS (SELECT tok FROM freq
+            ORDER BY df DESC, tok LIMIT {_PMI_TOP}),
+    p AS (SELECT pres.doc_id, pres.tok FROM pres JOIN top USING (tok)),
+    pairs AS (
+      SELECT a.tok AS i, b.tok AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok <> b.tok
+      GROUP BY 1, 2),
+    deg AS (SELECT i, SUM(c) AS w FROM pairs GROUP BY i),
+    mat AS (SELECT pairs.i, pairs.j,
+                   CAST(c AS DOUBLE) / CAST(w AS DOUBLE) AS p
+            FROM pairs JOIN deg USING (i)),
+    nodes AS (SELECT tok AS state FROM top),
+    cnt AS (SELECT COUNT(*) AS c FROM nodes),
+    d0 AS (SELECT state, CAST(1.0 AS DOUBLE) / cnt.c AS dp
+           FROM nodes CROSS JOIN cnt)
+""" + ","
+                 + ",".join(_tr_iter_cte(k)
+                            for k in range(1, _TR_ITERS + 1))
+                 + f"""
+    SELECT state AS token, dp AS textrank
+    FROM d{_TR_ITERS} ORDER BY token
+""")
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_TEXTRANK_SQL,
+    description="TextRank keyword scores: damped weighted PageRank "
+                "(d = 0.85, 10 iterations from uniform) over the "
+                "document-level co-occurrence graph of the top-50 "
+                "corpus tokens (text_pmi_pairs' alphabet and pair "
+                "census, kept symmetric) — the classic unsupervised "
+                "keyword-extraction primitive. Row-normalized edge "
+                "weights c_ij / wdeg_i; per-iteration sums go through "
+                "the pagerank scaled-long trick and the damping term "
+                "is one fixed double tree, so the fixed point is "
+                "engine-exact; oracle = the same 10 iterations "
+                "unrolled as chained CTEs. Scale shape: one data-sized "
+                "distinct-presence pass; the graph is <= 50x49 edges "
+                "(CONSTANT at any corpus scale), every iteration joins "
+                "broadcast-tiny frames",
+    tags=("text", "graph", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    pres = (d.repartition(spread, "doc_id")
+            .select("doc_id",
+                    F.explode(F.split(normalize_text(F.col("text")),
+                                      " ")).alias("tok"))
+            .distinct())
+    pres = pres.localCheckpoint(eager=True)  # feeds freq + pair census
+    freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = freq.orderBy(F.desc("df"), "tok").limit(_PMI_TOP)
+    p = pres.join(F.broadcast(top.select("tok")), "tok")
+    a = p.select("doc_id", F.col("tok").alias("i"))
+    b = p.select("doc_id", F.col("tok").alias("j"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("i") != F.col("j"))
+             .groupBy("i", "j").agg(F.count(F.lit(1)).alias("c")))
+    deg = pairs.groupBy("i").agg(F.sum("c").alias("w"))
+    mat = (pairs.join(deg, "i")
+           .select("i", "j", (F.col("c").cast("double")
+                              / F.col("w").cast("double")).alias("p"))
+           .localCheckpoint(eager=True))  # feeds all 10 iterations
+    nodes = (top.select(F.col("tok").alias("state"))
+             .localCheckpoint(eager=True))
+    cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
+    dist = (nodes.crossJoin(F.broadcast(cnt))
+            .select("state", (F.lit(1.0).cast("double")
+                              / F.col("c")).alias("dp")))
+    for k in range(1, _TR_ITERS + 1):
+        contrib = (mat.join(dist.withColumnRenamed("state", "i"), "i")
+                   .groupBy(F.col("j").alias("state"))
+                   .agg((F.sum(F.round(F.col("dp") * F.col("p")
+                                       * _TR_SCALE).cast("long"))
+                         .cast("double") / _TR_SCALE).alias("v")))
+        dist = (nodes.crossJoin(F.broadcast(cnt))
+                .join(contrib, "state", "left")
+                .select("state",
+                        (F.lit(0.15) / F.col("c").cast("double")
+                         + F.lit(0.85)
+                         * F.coalesce(F.col("v"), F.lit(0.0)))
+                        .alias("dp")))
+        if k % 5 == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return (dist.select(F.col("state").alias("token"),
+                        F.col("dp").alias("textrank"))
+            .orderBy("token"))

@@ -259,12 +259,13 @@ FAMILIES["events"] += ["stats_auc_purchase", "events_ewma_value",
 FAMILIES["trade"] += ["stats_chi2_segment_priority", "feat_woe_iv",
                       "orders_rule_lift", "stats_gini_customers"]
 FAMILIES["documents"] += ["text_heaps_fit"]
-# r8 additions: ACF/seasonality/KS read events; MI + Spearman read the
-# trade star
+# r8 additions: ACF/seasonality/KS read events; MI + Spearman + ridge
+# read the trade star; TextRank reads documents
 FAMILIES["events"] += ["events_acf", "events_seasonal_hour",
                        "stats_ks_value_purchase"]
 FAMILIES["trade"] += ["stats_mi_segment_priority",
-                      "stats_spearman_qty_price"]
+                      "stats_spearman_qty_price", "feat_ridge_price"]
+FAMILIES["documents"] += ["text_textrank_keywords"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -199,6 +199,9 @@ _BNLJ_OK = {
     # one-row corpus-doc-count scalar crossed into the constant-sized
     # (<= 50*49/2 rows) PMI pair frame
     "text_pmi_pairs",
+    # one-row token-count scalar crossed into the <=50-node TextRank
+    # frame each iteration (the markov/pagerank shape)
+    "text_textrank_keywords",
     # one-row grand-total scalar crossed into the 5x5 contingency cells
     "stats_chi2_segment_priority",
     # one-row grand-total scalar crossed into the 5x5 MI cell frame
@@ -255,6 +258,8 @@ _SINGLE_PART_OK = {
     "orders_rfm_scores",
     # one-row doc-count scalar (countDistinct partials merged once)
     "text_pmi_pairs",
+    # one-row token-count scalar + the <=50-row iteration folds
+    "text_textrank_keywords",
     # one-row final U/n_pos/n_neg aggregate over the score-grid frame
     # (the prefix sum itself is range-partitioned, never one partition)
     "stats_auc_purchase",
@@ -264,6 +269,9 @@ _SINGLE_PART_OK = {
     # one-row final six-moment aggregate over the rank-joined rows
     # (both rank maps are range-partitioned prefix sums)
     "stats_spearman_qty_price",
+    # one-row final nine-moment aggregate (closed-form ridge normal
+    # equations; partials merged once)
+    "feat_ridge_price",
     # one-row grand-total scalar + the 25-cell final chi2 fold
     "stats_chi2_segment_priority",
     # one-row grand-total scalar + the 25-cell weighted-pinned-MI fold

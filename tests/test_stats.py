@@ -794,3 +794,43 @@ def test_spearman_monotone_and_tied(spark):
     tied = run([(1, 10), (1, 20), (2, 30)])
     assert math.isclose(tied.spearman_rho, math.sqrt(3) / 2,
                         rel_tol=1e-12)
+
+
+def test_ridge_recovers_planted_coefficients(spark):
+    """With a wide-variance planted linear relation the fixed
+    lambda = 1e6 (scaled units) shrinkage is ~1e-6 relative: the
+    closed-form solution must recover y = 3*q + 50000*d + 7 to within
+    0.1%."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    rows = []
+    for i in range(2000):
+        q = float(i % 997)
+        disc = ((i * 7) % 11) / 100.0
+        y = 3.0 * q + 50000.0 * disc + 7.0
+        rows.append((i, q, disc, y))
+    df = spark.createDataFrame(
+        rows, "l_orderkey LONG, l_quantity DOUBLE, l_discount DOUBLE, "
+              "l_extendedprice DOUBLE")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "lineitem.parquet"))
+        from g1_etl_spark.plans import REGISTRY
+        r = REGISTRY["feat_ridge_price"].fn(spark, tmp).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert r.n == 2000
+    assert math.isclose(r.coef_quantity, 3.0, rel_tol=1e-3)
+    assert math.isclose(r.coef_discount, 50000.0, rel_tol=1e-2)
+    # ridge shrinkage on the slopes lands in the intercept by the
+    # centered identity b0 = mean(y) - b1*mean(x1) - b2*mean(x2)
+    mq = sum(p[1] for p in rows) / len(rows)
+    md = sum(p[2] for p in rows) / len(rows)
+    my = sum(p[3] for p in rows) / len(rows)
+    assert math.isclose(
+        r.intercept, my - r.coef_quantity * mq - r.coef_discount * md,
+        rel_tol=1e-9)
