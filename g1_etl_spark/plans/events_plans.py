@@ -1397,7 +1397,9 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucket, whose trailing-1h frames are the only ones "
                 "that can reach back to it, so partition count grows "
                 "with the time span and no task ever owns a full "
-                "type's history",
+                "type's history. Bit-exact streaming twin: "
+                "streaming/stateful.streaming_zscore_anomaly (same "
+                "scaled-long window sums as O(window) state)",
     tags=("events", "window", "stats", "quality"),
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:

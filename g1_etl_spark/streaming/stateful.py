@@ -940,3 +940,126 @@ def streaming_ewma(events: DataFrame,
                 stateStructType=_EW_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_ZS_OUT = ("event_type string, event_id long, value double, "
+           "n_window long, zscore double")
+_ZS_STATE = ("win_us array<long>, win_xs array<long>, "
+             "win_xxs array<long>, run_n long, run_sx long, "
+             "run_sxx long, buf_us array<long>, buf_id array<long>, "
+             "buf_val array<double>")
+_ZS_WIN_US = 3_599_999_999
+
+
+def _advance_zscore(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct trailing-1h anomaly flags: unsealed events
+    buffer in state; sealed events enter the trailing window in
+    (us, event_id) order — all RANGE-frame peers (identical us) are
+    admitted BEFORE any of them emits, matching the batch RANGE
+    semantics — with the window kept as exact scaled-long running sums
+    (integer add on entry, integer subtract on evict, the identical
+    accumulators the batch twin sums per frame). The z expression is
+    the same IEEE tree as events_anomaly_zscore, so every emitted flag
+    equals the batch row over the same sealed prefix bit-for-bit.
+    Committed state: the O(events-per-hour-per-type) trailing window +
+    the watermark-bounded unsealed buffer — the inherent bound of ANY
+    trailing-window stream operator. Like the other twins, equality
+    assumes no post-watermark stragglers (delay chosen by the caller)."""
+    import math
+
+    (event_type,) = key
+    if state.exists:
+        (win_us, win_xs, win_xxs, run_n, run_sx, run_sxx,
+         bus, bid, bval) = (
+            list(state.get[0]), list(state.get[1]), list(state.get[2]),
+            state.get[3], state.get[4], state.get[5],
+            list(state.get[6]), list(state.get[7]), list(state.get[8]))
+    else:
+        win_us, win_xs, win_xxs = [], [], []
+        run_n = run_sx = run_sxx = 0
+        bus, bid, bval = [], [], []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, val in zip(pdf["us"], pdf["event_id"],
+                                    pdf["value"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bval.append(float(val))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    gi = 0
+    while gi < len(order):
+        if bus[order[gi]] > wm_us:
+            break  # not sealed; neither is anything after it
+        us = bus[order[gi]]
+        group = []
+        while gi < len(order) and bus[order[gi]] == us:
+            group.append(order[gi])
+            gi += 1
+        # evict entries that fell out of [us - 3599999999, us]
+        lo = us - _ZS_WIN_US
+        k = 0
+        while k < len(win_us) and win_us[k] < lo:
+            run_n -= 1
+            run_sx -= win_xs[k]
+            run_sxx -= win_xxs[k]
+            k += 1
+        if k:
+            del win_us[:k], win_xs[:k], win_xxs[:k]
+        for i in group:  # peers enter before anyone emits
+            xs = _round_half_up(bval[i] * 1_000_000)
+            xxs = _round_half_up(bval[i] * bval[i] * 1_000_000)
+            win_us.append(bus[i])
+            win_xs.append(xs)
+            win_xxs.append(xxs)
+            run_n += 1
+            run_sx += xs
+            run_sxx += xxs
+        for i in group:
+            n = run_n
+            if n < 30:
+                continue
+            sx_d = run_sx / 1_000_000.0
+            sxx_d = run_sxx / 1_000_000.0
+            var_num = sxx_d - sx_d * sx_d / n
+            if not var_num > 0:
+                continue
+            z = (bval[i] - sx_d / n) / math.sqrt(var_num / (n - 1))
+            if abs(z) > 3:
+                rows.append({"event_type": event_type,
+                             "event_id": bid[i], "value": bval[i],
+                             "n_window": n, "zscore": z})
+        consumed.extend(group)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bval[i]
+    state.update((win_us, win_xs, win_xxs, run_n, run_sx, run_sxx,
+                  bus, bid, bval))
+    if bus:
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(rows, columns=["event_type", "event_id",
+                                      "value", "n_window", "zscore"])
+
+
+def streaming_zscore_anomaly(events: DataFrame,
+                             delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_anomaly_zscore: per-type
+    trailing-1h |z| > 3 flags in event-time order, exact scaled-long
+    window sums carried as O(window) state — see _advance_zscore."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("event_type", "event_id",
+                        F.unix_micros("ts").alias("us"), "value", "ts"))
+    return (prepared
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _advance_zscore,
+                outputStructType=_ZS_OUT,
+                stateStructType=_ZS_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

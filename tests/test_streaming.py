@@ -947,3 +947,55 @@ def test_streaming_ewma_matches_batch_fold_bitwise(spark):
             assert r.ewma == prefix[r.user_id][r.i - 1], (r.user_id, r.i)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_zscore_flags_equal_batch_bitwise(spark):
+    """Every flag the stream emits equals the batch
+    events_anomaly_zscore row over the same data EXACTLY (event ids,
+    window sizes, and the z value bit-for-bit): the stream carries the
+    identical scaled-long window sums and applies the identical IEEE
+    z tree. Planted 100x spikes inside calm series guarantee flags
+    exist; a second event type exercises the keying."""
+    import datetime as dt
+
+    from g1_etl_spark.plans import REGISTRY
+    from g1_etl_spark.streaming.stateful import streaming_zscore_anomaly
+
+    tmp = str(TMP) + "_zs"
+    shutil.rmtree(tmp, ignore_errors=True)
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    for t, typ in enumerate(["click", "error"]):
+        for i in range(240):
+            calm = 5.0 + ((i * 7 + t) % 11) / 10.0
+            val = 500.0 + t if i == 150 else calm
+            rows.append((t * 1000 + i,
+                         base + dt.timedelta(seconds=20 * i + t),
+                         int(i % 9), typ, val, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    try:
+        # sequential time-sliced files so mod-time order = time order
+        ev_dir = tmp + "/events.parquet"
+        for lo, hi in ((0, 60), (60, 130), (130, 180), (180, 240)):
+            (df.filter((F.col("event_id") % 1000 >= lo)
+                       & (F.col("event_id") % 1000 < hi))
+             .coalesce(1).write.mode("append").parquet(ev_dir))
+        stream = SW.read_events_stream(spark, ev_dir, 1)
+        q = SW.run_to_memory(streaming_zscore_anomaly(stream), "t_zs",
+                             output_mode="append")
+        try:
+            got = {(r.event_type, r.event_id):
+                   (r.n_window, r.zscore, r.value)
+                   for r in spark.sql("SELECT * FROM t_zs").collect()}
+        finally:
+            q.stop()
+        want = {(r.event_type, r.event_id):
+                (r.n_window, r.zscore, r.value)
+                for r in REGISTRY["events_anomaly_zscore"]
+                .fn(spark, tmp).collect()}
+        assert want, "planted spikes produced no batch flags"
+        assert got == want  # exact, including the z bits
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
