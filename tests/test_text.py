@@ -1,5 +1,12 @@
 
 
+"""Engineered-corpus properties of the text/graph operators (the
+oracle-parity gate covers real data; these pin closed-form fixed
+points)."""
+
+from __future__ import annotations
+
+
 def test_textrank_uniform_on_complete_graph(spark):
     """Identical documents make the co-occurrence graph complete with
     equal weights — the damped fixed point is uniform, so every token
