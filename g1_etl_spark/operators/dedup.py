@@ -973,3 +973,82 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     return (cand.join(g1, "d1").join(g2, "d2")
             .select("d1", "d2", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def damerau_levenshtein_py(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner):
+    edit distance whose fourth operation is transposing two ADJACENT
+    characters, allowed even when later edits touch the transposed
+    region — 'CA' -> 'ABC' is 2 here (3 under the restricted/OSA
+    variant). This is the variant DuckDB's damerau_levenshtein()
+    implements, asserted exhaustively in
+    tests/test_dedup.py::test_damerau_matches_duckdb."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxd = la + lb
+    # d is (la+2) x (lb+2) with a sentinel row/col of maxd
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            m = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,                      # substitute/match
+                d[i + 1][j] + 1,                     # insert
+                d[i][j + 1] + 1,                     # delete
+                d[k][m] + (i - 1 - k) + 1 + (j - 1 - m))  # transpose
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def damerau_blocked_pairs(df: DataFrame, name_col: str,
+                          max_dist: int = 1,
+                          block_col: Column | None = None) -> DataFrame:
+    """(name_a, name_b, dist): fuzzy_blocked_pairs' transposition-aware
+    sibling — distinct values of `name_col` paired when their
+    UNRESTRICTED Damerau-Levenshtein distance is <= max_dist, found via
+    the same block + length-band candidate generation (|len(a)-len(b)|
+    <= dist lower-bounds DL exactly as it does Levenshtein, since a
+    transposition preserves length). The distance itself has no Spark
+    builtin, so candidates — and only candidates, already bounded by
+    the blocking contract — cross into an Arrow-batched pandas UDF
+    running the Lowrance-Wagner DP; everything before that cut is
+    JVM-side. Integer output, bit-deterministic by construction."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    blk = (block_col if block_col is not None
+           else F.split(F.col("name"), " ").getItem(0))
+    names = (df.select(F.col(name_col).alias("name")).distinct()
+             .select("name", blk.alias("_blk"),
+                     F.length("name").alias("_len")))
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("_blk").alias("b1"), F.col("_len").alias("l1"))
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("_blk").alias("b2"), F.col("_len").alias("l2"))
+    cand = a.join(b, (F.col("b1") == F.col("b2"))
+                  & (F.col("name_a") < F.col("name_b"))
+                  & (F.abs(F.col("l1") - F.col("l2")) <= max_dist))
+
+    @pandas_udf("long")
+    def _dl(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        return pd.Series([damerau_levenshtein_py(x, y)
+                          for x, y in zip(xa, xb)], dtype="int64")
+
+    return (cand.select("name_a", "name_b",
+                        _dl("name_a", "name_b").alias("dist"))
+            .filter(F.col("dist") <= max_dist))

@@ -169,3 +169,75 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
                .groupBy("j")
                .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip")))
     return per_row.agg(F.min("_ip").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership sketch for semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 256  # 256 x 64 = 16384 bits; ~0.1% FP at ~1k keys, k=3
+
+
+def _bloom_idx(key, a: int, b: int, m: int):
+    # same int64-safe LCG family as the CMS rows (see _bucket): the
+    # bit positions are pure integer arithmetic, so they are identical
+    # on any engine and any partitioning
+    return ((F.lit(a) * (key.cast("long") % CMS_P) + F.lit(b))
+            % CMS_P) % m
+
+
+def bloom_build(df: DataFrame, key_col: str,
+                width_words: int = BLOOM_WORDS) -> DataFrame:
+    """One-row (bitmap: map<long,long>) Bloom filter over an integer
+    key column — k = len(CMS_HASHES) = 3 bits per key.
+
+    Like the CMS, the sketch is DataFrame algebra end to end: each key
+    explodes to its 3 bit positions, positions group to (word, bit_or
+    mask) — a map-side-combinable SUM-like merge, so partial filters
+    built per partition OR together for free — and the <= width_words
+    surviving words fold into a single map row. The materialized
+    sketch is ~8 KB REGARDLESS of key cardinality: that is the whole
+    point — at 100 TB the dim side of a selective semi-join may be
+    too big to broadcast, but its Bloom filter never is (this is the
+    explicit, engine-portable form of Spark's own runtime
+    bloomFilter-pushdown rewrite).
+    """
+    m = width_words * 64
+    idxs = F.array(*[_bloom_idx(F.col(key_col), a, b, m)
+                     for a, b in CMS_HASHES])
+    words = (df.select(F.explode(idxs).alias("idx"))
+             .select(F.shiftright("idx", 6).alias("word"),
+                     F.expr("shiftleft(1L, cast(idx & 63 AS INT))")
+                     .alias("mask"))
+             .groupBy("word").agg(F.expr("bit_or(mask)").alias("mask")))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask")))
+        .alias("bitmap"))
+
+
+def bloom_might_contain(fact: DataFrame, key_col: str,
+                        bloom: DataFrame,
+                        width_words: int = BLOOM_WORDS) -> DataFrame:
+    """Rows of `fact` whose key passes the Bloom filter — a superset
+    of the true matches (no false negatives BY CONSTRUCTION: every bit
+    of a present key was set at build time), with false positives
+    bounded by the (m, k, n) envelope. The one-row sketch crosses in
+    as a broadcast scalar; the membership test is 3 map lookups and
+    bit tests per row, fully inside codegen — no shuffle of the fact
+    side at all. Callers that need EXACT semantics follow with the
+    real (now candidate-only) semi-join; see sketch_bloom_semijoin."""
+    m = width_words * 64
+    out = fact.crossJoin(F.broadcast(bloom))
+    helpers = []
+    conds = []
+    for j, (a, b) in enumerate(CMS_HASHES):
+        col = f"_bf{j}"
+        helpers.append(col)
+        out = out.withColumn(col, _bloom_idx(F.col(key_col), a, b, m))
+        conds.append(F.expr(
+            f"(coalesce(element_at(bitmap, {col} div 64), 0L)"
+            f" & shiftleft(1L, cast({col} % 64 AS INT))) != 0"))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond).drop("bitmap", *helpers)

@@ -1777,3 +1777,69 @@ def events_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_value"),
                     F.col("strength").alias("seasonal_strength"))
             .orderBy("event_type", "hour"))
+
+
+@register(
+    "events_holt_forecast",
+    oracle="""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events),
+    h AS (
+      SELECT user_id, i, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT o.user_id, o.i,
+             (o.x + (h.l + h.b)) / 2,
+             (((o.x + (h.l + h.b)) / 2 - h.l) + h.b) / 2
+      FROM h JOIN ord o ON o.user_id = h.user_id AND o.i = h.i + 1),
+    n AS (SELECT user_id, max(i) AS n_events FROM ord GROUP BY user_id)
+    SELECT h.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+           h.l AS level, h.b AS trend,
+           h.l + 3.0 * h.b AS forecast_3
+    FROM h JOIN n ON h.user_id = n.user_id AND h.i = n.n_events
+    """,
+    description="per-user Holt double exponential smoothing (alpha = "
+                "beta = 1/2) of event values in (ts, event_id) order, "
+                "plus the 3-step-ahead linear forecast level + 3*trend "
+                "— events_ewma_value's trend-aware sibling. The "
+                "recursion l' = (x + (l + b))/2, b' = ((l' - l) + b)/2 "
+                "runs as an ordered fold carrying a (level, trend) "
+                "struct (Spark aggregate() over the time-sorted array; "
+                "the oracle iterates the same recursion as a recursive "
+                "CTE — NOT list_reduce, whose struct accumulator in "
+                "DuckDB 1.0 is mutated field-by-field, so a 'b' "
+                "expression reading acc.l would see the already-"
+                "updated level); every step is one add, one subtract "
+                "and two exact exponent-shift halvings executed in the "
+                "IDENTICAL IEEE sequence in both engines, so the result "
+                "is bit-deterministic with no tolerance. Scale shape "
+                "and per-user array bound are exactly "
+                "events_ewma_value's (see its SCALE BOUND note); the "
+                "O(1)-state streaming twin is "
+                "streaming/stateful.streaming_holt, bit-equal by the "
+                "same argument as streaming_ewma",
+    tags=("events", "window", "stats", "forecast"),
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"].cast("double"))
+    g = ev.groupBy("user_id").agg(vals.alias("vals"))
+    seed = F.struct(F.element_at("vals", 1).alias("l"),
+                    F.lit(0.0).alias("b"))
+
+    def step(acc, x):
+        lvl = (x + (acc["l"] + acc["b"])) / 2
+        return F.struct(lvl.alias("l"),
+                        (((lvl - acc["l"]) + acc["b"]) / 2).alias("b"))
+
+    st = F.aggregate(F.expr("slice(vals, 2, size(vals) - 1)"), seed, step)
+    return g.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        st["l"].alias("level"), st["b"].alias("trend"),
+        (st["l"] + F.lit(3.0) * st["b"]).alias("forecast_3"))

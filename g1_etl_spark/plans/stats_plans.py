@@ -1179,3 +1179,245 @@ def stats_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hits").cast("double") / F.col("cnt")
          - F.col("sp") / F.col("cnt")).alias("gap"))
         .orderBy("bin"))
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH a AS (
+      SELECT n_name,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    p AS (SELECT sign(a1.x - a2.x) AS cx, sign(a1.y - a2.y) AS cy
+          FROM a a1 JOIN a a2 ON a1.n_name < a2.n_name),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nc,
+                 CAST(SUM(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nd,
+                 CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tx,
+                 CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ty
+          FROM p)
+    SELECT n0, nc, nd,
+           CAST(nc - nd AS DOUBLE)
+           / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+             AS tau_b
+    FROM t
+    """,
+    description="Kendall tau-b rank correlation between per-nation "
+                "total quantity and total revenue — the "
+                "concordance-based complement to "
+                "stats_spearman_qty_price (tau is robust to the "
+                "monotone-transform class Spearman is, but weights "
+                "each discordant PAIR equally instead of squaring rank "
+                "gaps). Pair enumeration is quadratic by nature, so it "
+                "runs on the nation-bounded aggregate (25 rows -> 300 "
+                "pairs, the same census-then-analyze shape as the "
+                "graph family); every count is a BIGINT off exact "
+                "scaled-integer sums and the single final expression "
+                "is the only float math. Tie pairs (sign = 0) are "
+                "excluded from nc/nd and discounted from each "
+                "denominator factor per the tau-b definition",
+    tags=("stats", "agg"),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    a = (li.join(o.select("o_orderkey", "o_custkey"),
+                 li.l_orderkey == F.col("o_orderkey"))
+         .join(c.select("c_custkey", "c_nationkey"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n.select("n_nationkey", "n_name")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("n_name")
+         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+              .cast("long").alias("x"),
+              F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .cast("long").alias("y")))
+    a1 = a.select(F.col("n_name").alias("k1"), F.col("x").alias("x1"),
+                  F.col("y").alias("y1"))
+    a2 = a.select(F.col("n_name").alias("k2"), F.col("x").alias("x2"),
+                  F.col("y").alias("y2"))
+    # a2 is the 25-row nation aggregate — explicit broadcast keeps the
+    # inequality pair join a BNLJ over a bounded frame, never a
+    # CartesianProduct (hint passes the sf-scaled lint: the aggregate
+    # bounds every scan on the hint path)
+    p = (a1.join(F.broadcast(a2), F.col("k1") < F.col("k2"))
+         .select(F.signum((F.col("x1") - F.col("x2")).cast("double"))
+                 .cast("long").alias("cx"),
+                 F.signum((F.col("y1") - F.col("y2")).cast("double"))
+                 .cast("long").alias("cy")))
+    t = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("cx") * F.col("cy") == 1, 1).otherwise(0))
+        .cast("long").alias("nc"),
+        F.sum(F.when(F.col("cx") * F.col("cy") == -1, 1).otherwise(0))
+        .cast("long").alias("nd"),
+        F.sum(F.when(F.col("cx") == 0, 1).otherwise(0))
+        .cast("long").alias("tx"),
+        F.sum(F.when(F.col("cy") == 0, 1).otherwise(0))
+        .cast("long").alias("ty"))
+    return t.select(
+        "n0", "nc", "nd",
+        ((F.col("nc") - F.col("nd")).cast("double")
+         / F.sqrt((F.col("n0") - F.col("tx")).cast("double")
+                  * (F.col("n0") - F.col("ty")).cast("double")))
+        .alias("tau_b"))
+
+
+@register(
+    "sketch_bloom_semijoin",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           CAST(SUM(CAST(round(l_quantity * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%widget%')
+    """,
+    description="Bloom-pruned exact semi-join: lineitem rows whose "
+                "part is a widget, rolled up to exact counts and "
+                "scaled-integer sums. The plan is the two-phase "
+                "at-scale shape: (1) operators/sketches.bloom_build "
+                "folds the filtered dim keys into ONE ~8 KB map row "
+                "(same int64 LCG bit math as the CMS — engine-exact, "
+                "merge = bit_or, size independent of key count, so it "
+                "broadcasts when the dim itself could not); (2) "
+                "bloom_might_contain tests every fact row JVM-side "
+                "with zero fact shuffle, guaranteeing NO false "
+                "negatives; (3) only the surviving candidates enter "
+                "the real semi-join, which restores exactness by "
+                "discarding the Bloom's bounded false positives — so "
+                "the result is bit-equal to the plain IN-subquery "
+                "oracle while the shuffle carries only "
+                "candidate-selectivity x fact rows. This is Spark's "
+                "runtime bloomFilter pushdown made explicit, portable, "
+                "and testable (candidate bounds asserted in "
+                "tests/test_stats.py)",
+    tags=("sketch", "join", "scale"),
+)
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.sketches import (bloom_build,
+                                                 bloom_might_contain)
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (part.filter(F.col("p_name").like("%widget%"))
+           .select("p_partkey"))
+    cand = bloom_might_contain(li, "l_partkey", bloom_build(dim,
+                                                            "p_partkey"))
+    exact = cand.join(dim, cand.l_partkey == dim.p_partkey, "left_semi")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        (F.sum(F.round(F.col("l_quantity") * 1_000_000).cast("long"))
+         .cast("double") / 1_000_000).alias("sum_qty"),
+        (F.sum(F.round(rev * 1_000_000).cast("long"))
+         .cast("double") / 1_000_000).alias("revenue"))
+
+
+@register(
+    "stats_kruskal_value_type",
+    oracle="""
+    WITH s AS (SELECT event_type AS g, value AS v FROM events),
+    vm AS (SELECT v, COUNT(*) AS cnt FROM s GROUP BY v),
+    rm AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW)
+                  - cnt + 1 AS r2
+           FROM vm),
+    gv AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY g, v),
+    gs AS (SELECT g, CAST(SUM(c * r2) AS BIGINT) AS rg2,
+                  CAST(SUM(c) AS BIGINT) AS ng
+           FROM gv JOIN rm USING (v) GROUP BY g),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(ng) AS BIGINT) AS n,
+                   list_sum(list_sort(list(
+                     CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE)
+                     / CAST(ng AS DOUBLE)))) AS sterm
+            FROM gs),
+    tie AS (SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t
+            FROM vm)
+    SELECT k_groups, n,
+           3.0 * sterm / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+             - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+           (3.0 * sterm / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+             - 3.0 * CAST(n + 1 AS DOUBLE))
+           / (1.0 - CAST(t AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             AS h_tie_corrected
+    FROM agg CROSS JOIN tie
+    """,
+    description="Kruskal-Wallis H test of `value` across event types — "
+                "the k-group rank-based ANOVA completing the "
+                "inference family (Welch t = 2 groups parametric, "
+                "KS = 2 groups distribution-free, chi2 = categorical; "
+                "this is k groups distribution-free), with the "
+                "standard tie correction. Rank machinery is "
+                "stats_spearman's: tie groups hold AVERAGE ranks as "
+                "exact DOUBLED integers off a cumulative count over "
+                "the distinct-value grid (the 2-decimal grid bounds "
+                "the frame; the cumulative is "
+                "operators/analytics.global_prefix_sum — "
+                "range-partitioned, never a raw-row window). Note the "
+                "doubling cancels: with R'=2R, sum R'^2/n = 4 sum "
+                "R^2/n, so H = 3*S'/(N(N+1)) - 3(N+1) replaces the "
+                "textbook 12. Per-group R'^2/n terms are squares of "
+                "<2^53-exact doubles (bound documented: rg2 <= 2N^2, "
+                "exact for N < 6.7e7 — certification scales sf0.001/"
+                "0.01 sit 3+ decades inside) summed via the 5-term "
+                "sortsum; every other moment is a BIGINT. One final "
+                "fixed double tree on identical operands both engines",
+    tags=("stats", "agg"),
+)
+def stats_kruskal_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.col("event_type").alias("g"), F.col("value").alias("v"))
+    vm = s.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    rm = (global_prefix_sum(vm, ["v"], "cnt", out_col="cum")
+          .select("v", (2 * F.col("cum") - F.col("cnt") + 1).alias("r2")))
+    gv = s.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    gs = (gv.join(rm, "v")
+          .groupBy("g")
+          .agg(F.sum(F.col("c") * F.col("r2")).cast("long").alias("rg2"),
+               F.sum("c").cast("long").alias("ng")))
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    term = (F.col("rg2").cast("double") * F.col("rg2").cast("double")
+            / F.col("ng").cast("double"))
+    agg = gs.agg(F.count(F.lit(1)).cast("long").alias("k_groups"),
+                 F.sum("ng").cast("long").alias("n"),
+                 sortsum(term).alias("sterm"))
+    tie = vm.agg(F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                       - F.col("cnt")).cast("long").alias("t"))
+    n_d = F.col("n").cast("double")
+    h = (F.lit(3.0) * F.col("sterm")
+         / (n_d * (F.col("n") + 1).cast("double"))
+         - F.lit(3.0) * (F.col("n") + 1).cast("double"))
+    c = (F.lit(1.0) - F.col("t").cast("double")
+         / (n_d * n_d * n_d - n_d))
+    return (agg.crossJoin(F.broadcast(tie))
+            .select("k_groups", "n", h.alias("h"),
+                    (h / c).alias("h_tie_corrected")))

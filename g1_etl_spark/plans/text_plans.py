@@ -1396,3 +1396,102 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dist.select(F.col("state").alias("token"),
                         F.col("dp").alias("textrank"))
             .orderBy("token"))
+
+
+@register(
+    "text_nb_lang_confusion",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+    dw AS (SELECT doc_id, word, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    cw AS (SELECT lang, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cw GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT word) AS v FROM tok),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT DISTINCT word FROM tok),
+    ll AS (SELECT l.lang, w.word,
+                  CAST(round(ln((COALESCE(c.c, 0) + 1)
+                                / CAST(t.t + vv.v AS DOUBLE))
+                             * 1000000) AS BIGINT) AS lw
+           FROM langs l CROSS JOIN vocab w CROSS JOIN vv
+           JOIN tl t ON t.lang = l.lang
+           LEFT JOIN cw c ON c.lang = l.lang AND c.word = w.word),
+    dl AS (SELECT lang, COUNT(*) AS dn FROM documents GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS dtot FROM documents),
+    pri AS (SELECT lang, CAST(round(ln(CAST(dn AS DOUBLE) / dtot)
+                                    * 1000000) AS BIGINT) AS lp
+            FROM dl CROSS JOIN tot),
+    sc AS (SELECT dw.doc_id, ll.lang,
+                  pri.lp + CAST(SUM(dw.n * ll.lw) AS BIGINT) AS score
+           FROM dw JOIN ll ON dw.word = ll.word
+           JOIN pri ON pri.lang = ll.lang
+           GROUP BY dw.doc_id, ll.lang, pri.lp),
+    pred AS (SELECT doc_id, lang AS predicted,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang DESC)
+                      AS rn
+             FROM sc)
+    SELECT d.lang AS actual_lang, p.predicted AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+    GROUP BY 1, 2
+    """,
+    description="one-pass multinomial naive-Bayes language classifier "
+                "trained ON the corpus itself and self-scored into an "
+                "actual x predicted confusion matrix — the "
+                "train-a-quality/lang-classifier-from-the-data "
+                "primitive of curation pipelines (complement of "
+                "text_lang_id's fixed n-gram heuristic: here the model "
+                "IS an aggregation of the data). Laplace-smoothed "
+                "log-likelihoods ln((c+1)/(T_lang+V)) and log-priors "
+                "are PINNED to scaled integers (the ln-grid idiom of "
+                "the Zipf/Heaps fits), which makes every per-doc score "
+                "an exact BIGINT dot product — order-free, so no "
+                "sortsum is needed anywhere despite per-doc sums over "
+                "hundreds of tokens; argmax ties break (score DESC, "
+                "lang DESC) identically in both engines. Scale shape: "
+                "two token-keyed groupBys (doc-term + class-term), a "
+                "vocab x |langs| likelihood frame linear in vocabulary "
+                "(|langs| is a small constant), one word-keyed score "
+                "join sharing tf-idf's hot-token skew profile, and a "
+                "per-doc (high-cardinality) argmax window",
+    tags=("text", "ml", "classify"),
+)
+def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang",
+                      F.explode(F.split("text", " ")).alias("word"))
+    dw = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    cw = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    tl = cw.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    vv = tok.agg(F.countDistinct("word").alias("v"))
+    langs = docs.select("lang").distinct()
+    vocab = tok.select("word").distinct()
+    pin = lambda c: F.round(F.log(c) * 1_000_000).cast("long")  # noqa: E731
+    ll = (langs.crossJoin(vocab).crossJoin(F.broadcast(vv))
+          .join(tl, "lang")
+          .join(cw, ["lang", "word"], "left")
+          .select("lang", "word",
+                  pin((F.coalesce(F.col("c"), F.lit(0)) + 1)
+                      .cast("double")
+                      / (F.col("t") + F.col("v")).cast("double"))
+                  .alias("lw")))
+    dl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("dn"))
+    tot = docs.agg(F.count(F.lit(1)).alias("dtot"))
+    pri = (dl.crossJoin(F.broadcast(tot))
+           .select("lang", pin(F.col("dn").cast("double")
+                               / F.col("dtot")).alias("lp")))
+    sc = (dw.join(ll, "word").join(F.broadcast(pri), "lang")
+          .groupBy("doc_id", "lang", "lp")
+          .agg(F.sum(F.col("n") * F.col("lw")).cast("long").alias("s"))
+          .select("doc_id", "lang", (F.col("lp") + F.col("s"))
+                  .alias("score")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.desc("lang"))
+    pred = (sc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("predicted_lang")))
+    return (docs.select("doc_id", F.col("lang").alias("actual_lang"))
+            .join(pred, "doc_id")
+            .groupBy("actual_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

@@ -942,6 +942,85 @@ def streaming_ewma(events: DataFrame,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+_HT_OUT = "user_id long, i long, level double, trend double"
+_HT_STATE = ("l double, b double, cnt long, buf_us array<long>, "
+             "buf_id array<long>, buf_val array<double>")
+
+
+def _advance_holt(key, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct running Holt smoothing (alpha = beta = 1/2):
+    unsealed events buffer in state; each sealed event applies the
+    batch recursion l' = (x + (l + b)) / 2, b' = ((l' - l) + b) / 2 —
+    the exact op sequence events_holt_forecast folds over the
+    time-sorted array (and its oracle iterates as a recursive CTE),
+    so the row emitted at sealed position i equals the batch (level,
+    trend) of that prefix BIT-FOR-BIT. Carried state is (l, b, count)
+    plus the watermark-bounded buffer — O(1) per user, the
+    segment-merge form the batch docstring's SCALE BOUND points at."""
+    (user_id,) = key
+    l, b, cnt, bus, bid, bval = (
+        (state.get[0], state.get[1], state.get[2], list(state.get[3]),
+         list(state.get[4]), list(state.get[5]))
+        if state.exists else (0.0, 0.0, 0, [], [], []))
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, val in zip(pdf["us"], pdf["event_id"],
+                                    pdf["value"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bval.append(float(val))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    for i in order:
+        if bus[i] > wm_us:
+            break  # not sealed yet; neither is anything after it
+        x = bval[i]
+        if cnt == 0:
+            l, b = x, 0.0
+        else:
+            l2 = (x + (l + b)) / 2
+            b = ((l2 - l) + b) / 2
+            l = l2
+        cnt += 1
+        rows.append({"user_id": user_id, "i": cnt, "level": l,
+                     "trend": b})
+        consumed.append(i)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bval[i]
+    state.update((l, b, cnt, bus, bid, bval))
+    if bus:
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(rows, columns=["user_id", "i", "level", "trend"])
+
+
+def streaming_holt(events: DataFrame,
+                   delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_holt_forecast: per-user
+    running Holt level/trend in event-time order, one row per sealed
+    event, O(1) committed state per user (l, b, count) + the
+    watermark-bounded unsealed buffer. The last emitted row per user
+    equals the batch fold over the same sealed prefix exactly — see
+    _advance_holt."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id",
+                        F.unix_micros("ts").alias("us"), "value", "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _advance_holt,
+                outputStructType=_HT_OUT,
+                stateStructType=_HT_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 _ZS_OUT = ("event_type string, event_id long, value double, "
            "n_window long, zscore double")
 _ZS_STATE = ("win_us array<long>, win_xs array<long>, "

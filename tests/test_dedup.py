@@ -461,3 +461,52 @@ def test_oracle_restates_cap_and_short_doc_fallback(spark):
         assert (1, 2, 1.0) in got, name
         # cap: the hot-gram-only exact dups must NOT pair
         assert not any(d1 == 5001 or d1 == 5002 for d1, _, _ in got), name
+
+
+def test_damerau_matches_duckdb():
+    """damerau_levenshtein_py implements the UNRESTRICTED variant —
+    the one DuckDB ships — verified on the canonical discriminating
+    cases plus 500 random short strings (where OSA and unrestricted
+    DL disagree often enough to catch a variant mix-up)."""
+    import random
+
+    import duckdb
+
+    from g1_etl_spark.operators.dedup import damerau_levenshtein_py
+
+    con = duckdb.connect()
+
+    def duck_dl(a, b):
+        return con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+
+    # canonical cases: ('CA','ABC') separates unrestricted (2) from OSA (3)
+    fixed = [("CA", "ABC"), ("ab", "ba"), ("", "abc"), ("abc", ""),
+             ("abc", "abc"), ("abcd", "acbd"), ("12", "21"),
+             ("Customer#000000012", "Customer#000000021")]
+    for a, b in fixed:
+        assert damerau_levenshtein_py(a, b) == duck_dl(a, b), (a, b)
+    assert damerau_levenshtein_py("CA", "ABC") == 2
+
+    rng = random.Random(42)
+    alpha = "abc12"  # tiny alphabet maximizes transposition collisions
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        assert damerau_levenshtein_py(a, b) == duck_dl(a, b), (a, b)
+
+
+def test_damerau_blocked_pairs_flags_trailing_swaps(spark):
+    from g1_etl_spark.operators.dedup import damerau_blocked_pairs
+
+    df = spark.createDataFrame(
+        [("ID-0012",), ("ID-0021",), ("ID-0013",), ("ID-0099",),
+         ("XX-0012",)], "name string")
+    out = damerau_blocked_pairs(
+        df, "name", max_dist=1,
+        block_col=F.expr("substring(name, 1, length(name) - 2)"))
+    rows = {(r.name_a, r.name_b): r.dist for r in out.collect()}
+    assert rows[("ID-0012", "ID-0021")] == 1   # adjacent swap = 1, not 2
+    assert rows[("ID-0012", "ID-0013")] == 1   # substitution
+    assert ("ID-0012", "XX-0012") not in rows  # different block
+    assert ("ID-0012", "ID-0099") not in rows  # distance 2 > threshold

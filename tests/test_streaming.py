@@ -999,3 +999,52 @@ def test_streaming_zscore_flags_equal_batch_bitwise(spark):
         assert got == want  # exact, including the z bits
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_holt_matches_batch_fold_bitwise(spark):
+    """Each emitted row's (level, trend) equals the batch Holt
+    recursion over that user's first i sealed events EXACTLY (no
+    tolerance): the stream's state update and events_holt_forecast's
+    ordered fold are the same IEEE op sequence."""
+    from g1_etl_spark.streaming.stateful import streaming_holt
+
+    tmp = str(TMP) + "_holt"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(
+            spark, tmp, 1).filter(F.col("user_id") < 10)
+        q = SW.run_to_memory(streaming_holt(stream), "t_holt",
+                             output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM t_holt").collect()
+        finally:
+            q.stop()
+        assert rows
+        ev = (spark.read.parquet(tmp).filter(F.col("user_id") < 10)
+              .select("user_id", "ts", "event_id", "value").collect())
+        from collections import defaultdict
+        series = defaultdict(list)
+        for r in ev:
+            series[r.user_id].append((r.ts, r.event_id, r.value))
+        prefix = {}
+        for uid, evs in series.items():
+            evs.sort()
+            lb = None
+            states = []
+            for _, _, x in evs:
+                if lb is None:
+                    lb = (x, 0.0)
+                else:
+                    l2 = (x + (lb[0] + lb[1])) / 2
+                    lb = (l2, ((l2 - lb[0]) + lb[1]) / 2)
+                states.append(lb)
+            prefix[uid] = states
+        seen = defaultdict(int)
+        for r in sorted(rows, key=lambda r: (r.user_id, r.i)):
+            assert r.i == seen[r.user_id] + 1, "gap in emission order"
+            seen[r.user_id] = r.i
+            want = prefix[r.user_id][r.i - 1]
+            assert (r.level, r.trend) == want, (r.user_id, r.i)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
