@@ -192,6 +192,23 @@ R8_ADD = [
     "text_textrank_keywords",
     # closed-form 2-feature ridge from nine exact integer moments
     "feat_ridge_price",
+    # wave 2
+    # per-user Holt level+trend ordered fold (bit-deterministic)
+    "events_holt_forecast",
+    # Bloom-pruned exact semi-join (8 KB bitmap broadcast + verify)
+    "sketch_bloom_semijoin",
+    # one-pass multinomial NB language classifier, pinned-ln scores
+    "text_nb_lang_confusion",
+    # Kruskal-Wallis H via the distributed doubled-rank grid
+    "stats_kruskal_value_type",
+    # Kendall tau-b on the nation-bounded aggregate (<=300 pairs)
+    "stats_kendall_tau",
+    # degree assortativity of the sparsified trade graph
+    "graph_degree_assortativity",
+    # Damerau-Levenshtein id linkage (blocked candidates -> Arrow DP)
+    "fuzzy_id_transpositions",
+    # k-core numbers via 10 distributed h-index iterations
+    "graph_kcore_trade",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)

@@ -1036,8 +1036,20 @@ def damerau_blocked_pairs(df: DataFrame, name_col: str,
     names = (df.select(F.col(name_col).alias("name")).distinct()
              .select("name", blk.alias("_blk"),
                      F.length("name").alias("_len")))
-    a = names.select(F.col("name").alias("name_a"),
-                     F.col("_blk").alias("b1"), F.col("_len").alias("l1"))
+    # the block join is usually a broadcast hash join, so candidate
+    # pairs inherit the LEFT side's partitioning — off a one-file
+    # parquet scan that is ONE task, which would serialize the whole
+    # Python DP onto one core (caught by the r8 10x probe: ~100 s of
+    # single-task DP at sf0.1). Spread the probe side BEFORE the join:
+    # the join then fans candidates across the cluster and the Arrow
+    # stage sits directly above it with no exchange in between — a
+    # post-join repartition instead would let the dist<=max filter
+    # push through the exchange and DUPLICATE the UDF below it, on
+    # the single pre-shuffle partition (observed in the plan).
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    a = (names.repartition(spread)
+         .select(F.col("name").alias("name_a"),
+                 F.col("_blk").alias("b1"), F.col("_len").alias("l1")))
     b = names.select(F.col("name").alias("name_b"),
                      F.col("_blk").alias("b2"), F.col("_len").alias("l2"))
     cand = a.join(b, (F.col("b1") == F.col("b2"))

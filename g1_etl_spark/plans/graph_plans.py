@@ -330,3 +330,99 @@ def graph_degree_assortativity(spark: SparkSession,
                     ((d("m") * d("sxy") - d("sx") * d("sx"))
                      / (d("m") * d("sxx") - d("sx") * d("sx")))
                     .alias("assortativity")))
+
+
+_KCORE_ITERS = 10
+
+_KCORE_BASE = f"""
+    WITH {_EDGES_CTE},
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM edges WHERE src <> dst) WHERE rn <= 3),
+    und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM top3 GROUP BY 1, 2),
+    dirp AS (SELECT a AS u, b AS v FROM und
+             UNION ALL SELECT b AS u, a AS v FROM und),
+    c0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM dirp GROUP BY u)
+"""
+
+
+def _kcore_iter_cte(k: int) -> str:
+    # h-index step: h(v) = max over neighbors-ranked-desc of
+    # min(rank, neighbor_core) — the classic O(1)-memory h-index form
+    return f"""
+    c{k} AS (
+      SELECT u, CAST(MAX(LEAST(rn, nc)) AS BIGINT) AS c
+      FROM (SELECT d.u, p.c AS nc,
+                   ROW_NUMBER() OVER (PARTITION BY d.u
+                                      ORDER BY p.c DESC, d.v) AS rn
+            FROM dirp d JOIN c{k - 1} p ON d.v = p.u)
+      GROUP BY u)
+"""
+
+
+_KCORE_SQL = (_KCORE_BASE + ","
+              + ",".join(_kcore_iter_cte(k)
+                         for k in range(1, _KCORE_ITERS + 1))
+              + f"""
+    SELECT c0.u AS nation, c0.c AS degree, c{_KCORE_ITERS}.c AS core
+    FROM c0 JOIN c{_KCORE_ITERS} USING (u) ORDER BY nation
+""")
+
+
+@register(
+    "graph_kcore_trade",
+    oracle=_KCORE_SQL,
+    description="k-core decomposition (core number per nation) of the "
+                "sparsified undirected trade graph via distributed "
+                "h-index iteration (Montresor-De Pellegrini-Miorandi): "
+                "start every node at its degree, then repeatedly set "
+                "c(v) to the h-index of its neighbors' values — the "
+                "largest h with >= h neighbors at >= h — which "
+                "monotonically descends onto the exact core numbers "
+                "without ever materializing the sequential "
+                "peel-min-degree order, making the textbook "
+                "sequential algorithm embarrassingly parallel (each "
+                "iteration is one edge join + one per-node ranked "
+                "window). BOTH engines run the identical fixed "
+                f"{_KCORE_ITERS} iterations (oracle = chained CTEs "
+                "from one template, the PageRank pattern), and "
+                "convergence-within-budget plus agreement with a "
+                "reference sequential peeling are unit-asserted in "
+                "tests/test_graph.py. All-integer state end to end. "
+                "Scale shape: census-then-analyze like the rest of "
+                "the graph family; on a real billion-edge graph the "
+                "per-iteration join keys on the high-cardinality "
+                "node id and the window ranks each node's bounded "
+                "neighbor list",
+    tags=("graph", "iterative"),
+)
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _sparsified_top3(spark, sf_dir)
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
+           .select("a", "b"))
+    dirp = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(und.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v")))
+            .localCheckpoint())  # reused every iteration
+    c = dirp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    deg = c
+    for k in range(_KCORE_ITERS):
+        nb = dirp.join(c.select(F.col("u").alias("v"),
+                                F.col("c").alias("nc")), "v")
+        w = W.partitionBy("u").orderBy(F.desc("nc"), "v")
+        c = (nb.withColumn("rn", F.row_number().over(w))
+             .groupBy("u")
+             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc")))
+                  .cast("long").alias("c"))
+             .localCheckpoint())  # truncate the iterative lineage
+    return (deg.select(F.col("u").alias("nation"),
+                       F.col("c").alias("degree"))
+            .join(c.select(F.col("u").alias("nation"),
+                           F.col("c").alias("core")), "nation")
+            .orderBy("nation"))

@@ -266,6 +266,14 @@ FAMILIES["events"] += ["events_acf", "events_seasonal_hour",
 FAMILIES["trade"] += ["stats_mi_segment_priority",
                       "stats_spearman_qty_price", "feat_ridge_price"]
 FAMILIES["documents"] += ["text_textrank_keywords"]
+# r8 wave 2: Holt + Kruskal read events; the Bloom semi-join, Kendall,
+# assortativity and the Damerau id linkage read the trade star; the NB
+# language classifier reads documents
+FAMILIES["events"] += ["events_holt_forecast", "stats_kruskal_value_type"]
+FAMILIES["trade"] += ["sketch_bloom_semijoin", "stats_kendall_tau",
+                      "graph_degree_assortativity",
+                      "fuzzy_id_transpositions", "graph_kcore_trade"]
+FAMILIES["documents"] += ["text_nb_lang_confusion"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -221,3 +221,87 @@ def test_bfs_closure_hops_is_shortest_not_first_listed(spark):
     got = {(r.src, r.dst): r.hops for r in
            bfs_closure(df, max_hops=4).collect()}
     assert got[(0, 3)] == 1 and got[(0, 2)] == 2
+
+
+def test_kcore_hindex_matches_sequential_peeling(spark):
+    """The h-index iteration converges (within the fixed budget) to
+    the exact core numbers of a graph with a known 3-core: two
+    triangles sharing an edge + a K4 + a pendant path. Reference =
+    textbook sequential min-degree peeling."""
+    edges = [  # K4 on 0-3 (3-core), triangle 3-4-5 (2-core),
+               # path 5-6-7 (1-core)
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 4), (4, 5), (3, 5),
+        (5, 6), (6, 7),
+    ]
+
+    # sequential peeling reference
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {}
+    live = {v: set(ns) for v, ns in adj.items()}
+    k = 0
+    while live:
+        k = max(k, min(len(ns) for ns in live.values()))
+        peel = [v for v, ns in live.items() if len(ns) <= k]
+        while peel:
+            v = peel.pop()
+            if v not in live:
+                continue
+            core[v] = k
+            for u in live[v]:
+                live[u].discard(v)
+                if u in live and len(live[u]) <= k and u not in peel:
+                    peel.append(u)
+            del live[v]
+
+    # h-index iteration on the same graph, same ops as the plan
+    dirp = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "u long, v long")
+    c = dirp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    import pyspark.sql.window as _w
+    W = _w.Window
+    prev = None
+    for it in range(10):
+        nb = dirp.join(c.select(F.col("u").alias("v"),
+                                F.col("c").alias("nc")), "v")
+        w = W.partitionBy("u").orderBy(F.desc("nc"), "v")
+        c = (nb.withColumn("rn", F.row_number().over(w))
+             .groupBy("u")
+             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc")))
+                  .cast("long").alias("c")))
+        cur = {r.u: r.c for r in c.collect()}
+        if cur == prev:
+            break
+        prev = cur
+    assert it < 9, "did not converge within the fixed budget"
+    assert prev == core
+
+
+def test_assortativity_star_graph_is_minus_one(spark):
+    """A star is maximally disassortative: every edge joins the hub
+    (degree n-1) to a leaf (degree 1), so r = -1 exactly. Exercises
+    the same moment algebra graph_degree_assortativity composes."""
+    und = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                "a long, b long")
+    dirp = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(und.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v"))))
+    deg = dirp.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    p = (dirp
+         .join(deg.select(F.col("u").alias("_u1"),
+                          F.col("d").alias("dx")),
+               F.col("u") == F.col("_u1"))
+         .join(deg.select(F.col("u").alias("_u2"),
+                          F.col("d").alias("dy")),
+               F.col("v") == F.col("_u2")))
+    t = p.agg(F.count(F.lit(1)).alias("m"), F.sum("dx").alias("sx"),
+              F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+              F.sum(F.col("dx") * F.col("dy")).alias("sxy")).collect()[0]
+    r = ((t.m * t.sxy - t.sx * t.sx)
+         / (t.m * t.sxx - t.sx * t.sx))
+    assert r == -1.0
