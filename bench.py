@@ -209,6 +209,8 @@ R8_ADD = [
     "fuzzy_id_transpositions",
     # k-core numbers via 10 distributed h-index iterations
     "graph_kcore_trade",
+    # Cohen's kappa between the gopher and quantile quality gates
+    "quality_filter_kappa",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)

@@ -309,3 +309,91 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.source_overlap(load_table(spark, sf_dir, "documents"), n=5)
+
+
+# Cohen's kappa between the two registered quality filters. The oracle
+# nests each filter's own certified oracle verbatim as a CTE, so the
+# agreement statistic can never drift from the filters it audits.
+def _kappa_oracle() -> str:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    g = REGISTRY["text_gopher_rules"].oracle
+    q = REGISTRY["quality_quantile_gate"].oracle
+    return f"""
+    WITH g AS ({g}),
+    q AS ({q}),
+    j AS (SELECT g.gopher_pass AS r1, q.keep AS r2
+          FROM g JOIN q ON g.doc_id = q.doc_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS both_pass,
+                 CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS gopher_only,
+                 CAST(SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS gate_only,
+                 CAST(SUM(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS both_fail
+          FROM j),
+    k AS (SELECT *,
+                 CAST(both_pass + both_fail AS DOUBLE) / n AS po,
+                 (CAST(both_pass + gopher_only AS DOUBLE)
+                    * CAST(both_pass + gate_only AS DOUBLE)
+                  + CAST(gate_only + both_fail AS DOUBLE)
+                    * CAST(gopher_only + both_fail AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          FROM t)
+    SELECT n, both_pass, gopher_only, gate_only, both_fail, po,
+           (po - pe) / NULLIF(1.0 - pe, 0.0) AS kappa
+    FROM k
+    """
+
+
+@register(
+    "quality_filter_kappa",
+    oracle=_kappa_oracle(),
+    description="Cohen's kappa agreement between the two registered "
+                "quality filters (Gopher rule conjunction vs the "
+                "per-language quantile gate) — the filter-consistency "
+                "audit a curation pipeline runs before trusting either "
+                "gate alone: kappa near 0 means the gates embody "
+                "DIFFERENT quality notions and their intersection/"
+                "union changes the corpus materially; near 1 means one "
+                "is redundant. Composes the two certified plans "
+                "verbatim (Spark side calls the registered fns; the "
+                "oracle nests their certified SQL as CTEs, so the "
+                "audit can never drift from what it audits). The 2x2 "
+                "agreement cells are exact BIGINTs off one doc_id "
+                "equi-join of the filter outputs; po/pe/kappa is one "
+                "fixed double tree with a NULLIF guard for the "
+                "degenerate pe=1 case (Spark ANSI would throw where "
+                "DuckDB yields NaN)",
+    tags=("curation", "quality", "stats"),
+)
+def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    g = (REGISTRY["text_gopher_rules"].fn(spark, sf_dir)
+         .select("doc_id", F.col("gopher_pass").alias("r1")))
+    q = (REGISTRY["quality_quantile_gate"].fn(spark, sf_dir)
+         .select("doc_id", F.col("keep").alias("r2")))
+    j = g.join(q, "doc_id")
+    cell = lambda c, alias: F.sum(F.when(c, 1).otherwise(0)) \
+        .cast("long").alias(alias)  # noqa: E731
+    t = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(F.col("r1") & F.col("r2"), "both_pass"),
+        cell(F.col("r1") & ~F.col("r2"), "gopher_only"),
+        cell(~F.col("r1") & F.col("r2"), "gate_only"),
+        cell(~F.col("r1") & ~F.col("r2"), "both_fail"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    po = d(F.col("both_pass") + F.col("both_fail")) / F.col("n")
+    pe = ((d(F.col("both_pass") + F.col("gopher_only"))
+           * d(F.col("both_pass") + F.col("gate_only"))
+           + d(F.col("gate_only") + F.col("both_fail"))
+           * d(F.col("gopher_only") + F.col("both_fail")))
+          / (d(F.col("n")) * d(F.col("n"))))
+    return t.select(
+        "n", "both_pass", "gopher_only", "gate_only", "both_fail",
+        po.alias("po"),
+        ((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)))
+        .alias("kappa"))

@@ -273,7 +273,8 @@ FAMILIES["events"] += ["events_holt_forecast", "stats_kruskal_value_type"]
 FAMILIES["trade"] += ["sketch_bloom_semijoin", "stats_kendall_tau",
                       "graph_degree_assortativity",
                       "fuzzy_id_transpositions", "graph_kcore_trade"]
-FAMILIES["documents"] += ["text_nb_lang_confusion"]
+FAMILIES["documents"] += ["text_nb_lang_confusion",
+                          "quality_filter_kappa"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -359,3 +359,29 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     out = ols_per_group(fit, "x", "y", ["g"]).collect()[0]
     assert -1.1 < out.slope < -0.9, out.slope
     assert out.r2 > 0.99
+
+
+def test_cohens_kappa_known_2x2(spark):
+    """kappa on a hand-computed 2x2: a=20 both-pass, b=5 gopher-only,
+    c=10 gate-only, d=15 both-fail -> po=0.7, pe=0.5, kappa=0.4;
+    exercised through the same cell/po/pe/kappa expressions
+    quality_filter_kappa composes."""
+    rows = ([(i, True, True) for i in range(20)]
+            + [(i + 100, True, False) for i in range(5)]
+            + [(i + 200, False, True) for i in range(10)]
+            + [(i + 300, False, False) for i in range(15)])
+    j = spark.createDataFrame(rows, "doc_id long, r1 boolean, r2 boolean")
+    cell = lambda c, a: (F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+                         .cast("long").alias(a))
+    t = j.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              cell(F.col("r1") & F.col("r2"), "a"),
+              cell(F.col("r1") & ~F.col("r2"), "b"),
+              cell(~F.col("r1") & F.col("r2"), "c"),
+              cell(~F.col("r1") & ~F.col("r2"), "d")).collect()[0]
+    assert (t.n, t.a, t.b, t.c, t.d) == (50, 20, 5, 10, 15)
+    po = (t.a + t.d) / t.n
+    pe = ((t.a + t.b) * (t.a + t.c) + (t.c + t.d) * (t.b + t.d)) / t.n ** 2
+    kappa = (po - pe) / (1 - pe)
+    assert abs(po - 0.7) < 1e-12
+    assert abs(pe - 0.5) < 1e-12
+    assert abs(kappa - 0.4) < 1e-12

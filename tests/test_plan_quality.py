@@ -312,6 +312,8 @@ _SINGLE_PART_OK = {
     # one-row k/N/sortsum moment fold over the 5-group frame + the
     # one-row tie scalar (the rank map itself is range-partitioned)
     "stats_kruskal_value_type",
+    # one-row 2x2 agreement-cell aggregate over the filter join
+    "quality_filter_kappa",
 }
 
 
