@@ -211,6 +211,8 @@ R8_ADD = [
     "graph_kcore_trade",
     # Cohen's kappa between the gopher and quantile quality gates
     "quality_filter_kappa",
+    # exact-integer depth-1 change point (CUSUM argmax + level shift)
+    "events_changepoint_split",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)

@@ -1843,3 +1843,113 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         st["l"].alias("level"), st["b"].alias("trend"),
         (st["l"] + F.lit(3.0) * st["b"]).alias("forecast_3"))
+
+
+@register(
+    "events_changepoint_split",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS xs
+      FROM events),
+    p AS (
+      SELECT event_type, us,
+             ROW_NUMBER() OVER w AS i,
+             SUM(xs) OVER w AS prefix,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(xs) OVER (PARTITION BY event_type) AS total
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT event_type, us, i, prefix, n, total,
+             abs(CAST(n AS HUGEINT) * prefix
+                 - CAST(i AS HUGEINT) * total) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(CAST(n AS HUGEINT) * prefix
+                                             - CAST(i AS HUGEINT) * total)
+                                           DESC, i ASC) AS rn
+      FROM p WHERE i < n)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(i AS BIGINT) AS split_i, us AS split_us,
+           CAST(prefix AS DOUBLE)
+             / (CAST(i AS DOUBLE) * 1000000.0) AS mean_before,
+           CAST(total - prefix AS DOUBLE)
+             / (CAST(n - i AS DOUBLE) * 1000000.0) AS mean_after,
+           CAST(total - prefix AS DOUBLE)
+             / (CAST(n - i AS DOUBLE) * 1000000.0)
+           - CAST(prefix AS DOUBLE)
+             / (CAST(i AS DOUBLE) * 1000000.0) AS mean_delta
+    FROM d WHERE rn = 1
+    """,
+    description="single change-point estimate per event type (binary "
+                "segmentation, depth 1): the split index maximizing "
+                "|n*prefix_i - i*total| — the exact-integer CUSUM "
+                "deviation events_cusum_drift maxes over — with the "
+                "level shift (pre/post means) at the argmax, the "
+                "follow-up question CUSUM's max statistic raises "
+                "('WHERE did the level change, and by how much?'). "
+                "Deviations are 128-bit integer products, so the "
+                "argmax and its (d DESC, i ASC) tie-break are exact; "
+                "the three output means are fixed one-division double "
+                "trees. Scale shape: the per-type prefixes ride the "
+                "same distributed prefix-sum + one-row-per-type "
+                "broadcast bases as the CUSUM rewrite (no per-type "
+                "ordered window over raw rows — the oracle's windowed "
+                "form is the same integers), and the argmax is a "
+                "partial+final MAX over a lexicographic struct, not a "
+                "ranked window",
+    tags=("events", "window", "stats", "quality"),
+)
+def events_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "event_id",
+                  F.unix_micros("ts").alias("us"),
+                  F.round(F.col("value") * 1000000).cast("long")
+                  .alias("xs"),
+                  F.lit(1).cast("long").alias("one"))
+    g = global_prefix_sums(s, ["event_type", "us", "event_id"],
+                           {"gx": "xs", "gi": "one"})
+    tot_rows = (s.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("xs").alias("total"))
+                .collect())  # bounded: one row per event type
+    tot_rows.sort(key=lambda r: r["event_type"].encode("utf-8"))
+    base_x = base_i = 0
+    rows = []
+    for r in tot_rows:
+        rows.append((r["event_type"], int(r["n"]), int(r["total"]),
+                     base_x, base_i))
+        base_x += int(r["total"] or 0)
+        base_i += int(r["n"])
+    base = spark.createDataFrame(
+        rows, "event_type STRING, n BIGINT, total BIGINT, "
+              "bx BIGINT, bi BIGINT")
+    d38 = "decimal(38,0)"
+    run = (g.join(F.broadcast(base), "event_type")
+           .withColumn("i", F.col("gi") - F.col("bi"))
+           .withColumn("prefix", F.col("gx") - F.col("bx"))
+           .filter(F.col("i") < F.col("n")))
+    dev = F.abs(F.col("n").cast(d38) * F.col("prefix")
+                - F.col("i").cast(d38) * F.col("total"))
+    # argmax as a lexicographic struct MAX (partial+final agg — no
+    # ranked window): max dev, then SMALLEST i via the negated field
+    best = (run.withColumn("dev", dev)
+            .groupBy("event_type", "n", "total")
+            .agg(F.max(F.struct(
+                F.col("dev"), (-F.col("i")).alias("negi"),
+                F.col("i"), F.col("us"), F.col("prefix"))).alias("b")))
+    i_d = F.col("b.i").cast("double")
+    n_d = F.col("n").cast("double")
+    before = (F.col("b.prefix").cast("double")
+              / (i_d * F.lit(1000000.0)))
+    after = ((F.col("total") - F.col("b.prefix")).cast("double")
+             / ((n_d - i_d) * F.lit(1000000.0)))
+    return best.select(
+        "event_type", F.col("n").cast("long").alias("n_events"),
+        F.col("b.i").cast("long").alias("split_i"),
+        F.col("b.us").alias("split_us"),
+        before.alias("mean_before"), after.alias("mean_after"),
+        (after - before).alias("mean_delta"))

@@ -269,7 +269,8 @@ FAMILIES["documents"] += ["text_textrank_keywords"]
 # r8 wave 2: Holt + Kruskal read events; the Bloom semi-join, Kendall,
 # assortativity and the Damerau id linkage read the trade star; the NB
 # language classifier reads documents
-FAMILIES["events"] += ["events_holt_forecast", "stats_kruskal_value_type"]
+FAMILIES["events"] += ["events_holt_forecast", "stats_kruskal_value_type",
+                       "events_changepoint_split"]
 FAMILIES["trade"] += ["sketch_bloom_semijoin", "stats_kendall_tau",
                       "graph_degree_assortativity",
                       "fuzzy_id_transpositions", "graph_kcore_trade"]

@@ -1011,3 +1011,32 @@ def test_nb_lang_separable_corpus_is_diagonal(spark):
         assert got == {("en", "en"): 4, ("fr", "fr"): 4, ("de", "de"): 4}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_changepoint_split_finds_planted_shift(spark):
+    """A series that jumps from level 1.0 to 5.0 at index 60 of 100
+    must split exactly there, with the pre/post means recovered."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from g1_etl_spark.plans.events_plans import events_changepoint_split
+
+    rows = []
+    for i in range(100):
+        v = 1.0 if i < 60 else 5.0
+        rows.append((i, dt.datetime(2024, 1, 1, 0, i // 60, i % 60),
+                     1, "a", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        r = events_changepoint_split(spark, tmp).collect()[0]
+        assert r.event_type == "a" and r.n_events == 100
+        assert r.split_i == 60
+        assert r.mean_before == 1.0 and r.mean_after == 5.0
+        assert r.mean_delta == 4.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
