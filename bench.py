@@ -213,6 +213,8 @@ R8_ADD = [
     "quality_filter_kappa",
     # exact-integer depth-1 change point (CUSUM argmax + level shift)
     "events_changepoint_split",
+    # MMR diversified top-5 over the exact top-20 pool (greedy, oracle-backed)
+    "sim_mmr_rerank",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)

@@ -892,3 +892,90 @@ def kmeans_exact(corpus: DataFrame, k: int = 4, iters: int = 3,
                          F.coalesce("ucvec", "cvec").alias("cvec"))
                  .localCheckpoint(eager=True))
     raise AssertionError("unreachable")
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               pool: int = 20, lam: float = 0.5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+               ) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein):
+    per query, greedily pick k results from the exact top-`pool`
+    cosine candidates, each step maximizing
+
+        lam * relevance - (1 - lam) * max_sim_to_already_selected
+
+    (step 1 uses max_sim = 0, i.e. pure relevance) — the serving-side
+    diversification that keeps a result page from being k near-copies
+    of the same document.
+
+    Scale shape: the only corpus-sized stage is brute_force_topk's
+    scan (swap in any ANN top-k at 100 TB — MMR only consumes the
+    candidate pool); everything after is bounded by queries x pool
+    (candidate vectors, the pool^2 pairwise-sim frame, and k bounded
+    per-step argmax aggregates — partial+final struct MAX, no ranked
+    window). Greedy selection is inherently sequential in k, so the
+    loop is k tiny bounded-frame jobs, the census pattern of the
+    graph family.
+
+    Determinism: relevance and pair sims are the strict left-to-right
+    fold cosines (bit-identical to the SQL oracle), lam = 0.5 scales
+    are exact halvings, and every argmax tie-breaks by ascending
+    candidate id — so the selection sequence is bit-reproducible and
+    fully oracle-checkable (unrolled greedy CTEs, PageRank-style).
+    """
+    assert lam == 0.5, "oracle pins lam = 0.5 (exact halving)"
+    cand = brute_force_topk(corpus, queries, k=pool, id_col=id_col,
+                            vec_col=vec_col, q_id_col=q_id_col,
+                            q_vec_col=q_vec_col)
+    cand = (cand.join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                    F.col(vec_col).alias("_v")),
+                      "neighbor_id")
+            .select(q_id_col, "neighbor_id",
+                    F.col("score").alias("rel"), "_v",
+                    l2_norm(F.col("_v")).alias("_n"))
+            .localCheckpoint())  # bounded: queries x pool rows
+    a = cand.select(F.col(q_id_col), F.col("neighbor_id").alias("c1"),
+                    F.col("_v").alias("_v1"), F.col("_n").alias("_n1"))
+    b = cand.select(F.col(q_id_col), F.col("neighbor_id").alias("c2"),
+                    F.col("_v").alias("_v2"), F.col("_n").alias("_n2"))
+    pair = (a.join(b, q_id_col)
+            .filter(F.col("c1") != F.col("c2"))
+            .select(q_id_col, "c1", "c2",
+                    (dot(F.col("_v1"), F.col("_v2"))
+                     / (F.col("_n1") * F.col("_n2"))).cast("double")
+                    .alias("sim"))
+            .localCheckpoint())  # bounded: queries x pool^2 rows
+
+    def pick(frame, score_col, rank_val):
+        best = (frame.groupBy(q_id_col)
+                .agg(F.max(F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col("neighbor_id")).alias("negid"),
+                    F.col("neighbor_id"), F.col("rel"))).alias("b")))
+        return best.select(
+            q_id_col, F.col("b.neighbor_id").alias("neighbor_id"),
+            F.col("b.rel").alias("rel"),
+            F.lit(rank_val).cast("long").alias("mmr_rank"),
+            F.col("b.s").alias("mmr_score"))
+
+    first = cand.select(q_id_col, "neighbor_id", "rel",
+                        (F.lit(lam) * F.col("rel")).alias("m0"))
+    selected = pick(first, "m0", 1)
+    for step in range(2, k + 1):
+        rem = cand.join(selected.select(q_id_col, "neighbor_id"),
+                        [q_id_col, "neighbor_id"], "left_anti")
+        ms = (pair.join(selected.select(F.col(q_id_col),
+                                        F.col("neighbor_id").alias("c2")),
+                        [q_id_col, "c2"])
+              .groupBy(q_id_col, F.col("c1").alias("neighbor_id"))
+              .agg(F.max("sim").alias("msim")))
+        scored = (rem.join(ms, [q_id_col, "neighbor_id"])
+                  .select(q_id_col, "neighbor_id", "rel",
+                          (F.lit(lam) * F.col("rel")
+                           - F.lit(1.0 - lam) * F.col("msim"))
+                          .alias("m")))
+        nxt = pick(scored, "m", step)
+        selected = selected.unionByName(nxt).localCheckpoint()
+    return selected.select(q_id_col, "mmr_rank", "neighbor_id",
+                           F.col("rel").alias("relevance"), "mmr_score")

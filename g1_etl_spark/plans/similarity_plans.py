@@ -893,3 +893,110 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_index",
         F.decode("frame_bytes", "utf-8").alias("frame_text"))
+
+
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def _mmr_sql_dot(va: str, vb: str) -> str:
+    return (f"list_sum(list_transform(list_zip({va}, {vb}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))")
+
+
+def _mmr_sql_norm(v: str) -> str:
+    return (f"sqrt(list_sum(list_transform({v}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs (the PageRank pattern):
+    sel{i} carries the selected set after step i; each step recomputes
+    max-sim-to-selected for the remaining pool and picks the argmax of
+    0.5*rel - 0.5*msim with ascending-id tie-break — the exact
+    expressions the Spark loop evaluates."""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+    m{i} AS (
+      SELECT c.q_id, c.cid, c.rel, MAX(p.sim) AS msim
+      FROM cand c
+      JOIN pair p ON p.q_id = c.q_id AND p.c1 = c.cid
+      JOIN sel{i - 1} s ON s.q_id = p.q_id AND s.cid = p.c2
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                        WHERE x.q_id = c.q_id AND x.cid = c.cid)
+      GROUP BY c.q_id, c.cid, c.rel),
+    p{i} AS (
+      SELECT q_id, cid, rel, msim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY 0.5 * rel - 0.5 * msim DESC,
+                                         cid) AS rn
+      FROM m{i}),
+    s{i} AS (SELECT q_id, cid, rel, CAST({i} AS BIGINT) AS mmr_rank,
+                    0.5 * rel - 0.5 * msim AS mmr_score
+             FROM p{i} WHERE rn = 1),
+    sel{i} AS (SELECT q_id, cid FROM sel{i - 1}
+               UNION ALL SELECT q_id, cid FROM s{i})""")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1))
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {_NQUERIES}),
+    scored AS (
+      SELECT q_id, vec_id AS cid,
+             {_DOT} / ({_NORM_Q} * {_NORM_C}) AS rel
+      FROM embeddings, q WHERE q_id <> vec_id),
+    cand AS (SELECT q_id, cid, rel FROM (
+               SELECT q_id, cid, rel,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY rel DESC, cid) AS rn
+               FROM scored) WHERE rn <= {_MMR_POOL}),
+    cv AS (SELECT c.q_id, c.cid, c.rel, e.embedding AS v
+           FROM cand c JOIN embeddings e ON e.vec_id = c.cid),
+    pair AS (SELECT a.q_id, a.cid AS c1, b.cid AS c2,
+                    {_mmr_sql_dot('a.v', 'b.v')}
+                      / ({_mmr_sql_norm('a.v')}
+                         * {_mmr_sql_norm('b.v')}) AS sim
+             FROM cv a JOIN cv b
+               ON a.q_id = b.q_id AND a.cid <> b.cid),
+    s1 AS (SELECT q_id, cid, rel, CAST(1 AS BIGINT) AS mmr_rank,
+                  0.5 * rel AS mmr_score
+           FROM (SELECT q_id, cid, rel,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY 0.5 * rel DESC,
+                                                    cid) AS rn
+                 FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT q_id, cid FROM s1),{",".join(steps)}
+    SELECT q_id, mmr_rank, cid AS neighbor_id, rel AS relevance,
+           mmr_score
+    FROM ({finals})
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    description="Maximal Marginal Relevance diversified top-5 for the "
+                "5 query vectors: greedy picks from the exact top-20 "
+                "cosine pool, each step maximizing 0.5*relevance - "
+                "0.5*max_sim_to_selected (step 1 = pure relevance) — "
+                "the serving-side diversification layer over the ANN "
+                "family, and UNLIKE typical greedy algorithms fully "
+                "oracle-checked: the DuckDB twin unrolls the k "
+                "selection steps as chained CTEs (the PageRank "
+                "pattern) over the same strict left-to-right fold "
+                "cosines, exact 0.5 halvings and ascending-id "
+                "tie-breaks, so the whole selection SEQUENCE is "
+                "bit-identical. Scale shape: only the candidate "
+                "top-k stage touches the corpus (swap in LSH/IVF-PQ "
+                "at 100 TB); the greedy loop runs k bounded "
+                "(queries x pool) jobs with partial+final struct-MAX "
+                "argmaxes, never a corpus-sized ranked window "
+                "(operators/similarity.mmr_rerank)",
+    tags=("similarity", "retrieval", "iterative"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL, lam=0.5)

@@ -250,6 +250,8 @@ FAMILIES["documents"] += ["text_char_entropy", "corpus_kl_sources",
 # rrf fusion reads documents + embeddings; probed under the embeddings
 # family (the cosine stage is the data-sized half)
 FAMILIES["embeddings"] += ["pipeline_rrf_fusion"]
+# r8 wave 4: MMR consumes the embeddings corpus through its top-k stage
+FAMILIES["embeddings"] += ["sim_mmr_rerank"]
 # r7 additions: AUC + EWMA + anomaly/CUSUM read events; chi2/WOE/
 # rule-lift/Gini read the trade star; Heaps + reliability read
 # documents/events

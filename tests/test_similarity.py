@@ -379,3 +379,31 @@ def test_pq_training_hash_sample_is_deterministic_and_usable(spark):
     codes = (emb.select(S._pq_encode(b1)(F.col("embedding"))
                         .alias("code")).collect())
     assert all(0 <= c < 16 for r in codes for c in r["code"])
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark):
+    """Engineered pool: candidates 10 and 11 are near-identical and
+    most relevant; 12 is less relevant but orthogonal-ish. Plain top-2
+    returns the near-dup pair; MMR's second pick must skip 11 for 12.
+    Also: ranks are 1..k and relevance order within the selection is
+    preserved for untied scores."""
+    from g1_etl_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (10, [0.99, 0.14, 0.0, 0.0]),       # most relevant
+        (11, [0.99, 0.141, 0.0, 0.0]),      # near-dup of 10
+        (12, [0.7, 0.0, 0.71, 0.0]),        # diverse, less relevant
+        (13, [0.6, 0.0, 0.0, 0.8]),         # diverse, least relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    out = sorted(mmr_rerank(emb, q, k=3, pool=4, lam=0.5).collect(),
+                 key=lambda r: r.mmr_rank)
+    picks = [r.neighbor_id for r in out]
+    assert picks[0] in (10, 11)          # pure relevance first
+    assert picks[1] == 12                # NOT the near-duplicate
+    assert set(picks) == {picks[0], 12, 13}
+    assert [r.mmr_rank for r in out] == [1, 2, 3]
