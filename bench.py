@@ -215,6 +215,10 @@ R8_ADD = [
     "events_changepoint_split",
     # MMR diversified top-5 over the exact top-20 pool (greedy, oracle-backed)
     "sim_mmr_rerank",
+    # Theil's U both ways from pinned-ln MI/entropy integer sums
+    "stats_theil_u",
+    # Kaplan-Meier retention curve with right censoring
+    "orders_survival_km",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD)

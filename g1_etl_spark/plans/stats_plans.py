@@ -1421,3 +1421,194 @@ def stats_kruskal_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.crossJoin(F.broadcast(tie))
             .select("k_groups", "n", h.alias("h"),
                     (h / c).alias("h_tie_corrected")))
+
+
+@register(
+    "stats_theil_u",
+    oracle="""
+    WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    obs AS (SELECT seg, pri, COUNT(*) AS o FROM j GROUP BY 1, 2),
+    rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    mi AS (SELECT CAST(SUM(CAST(o AS HUGEINT)
+                           * CAST(round(ln((CAST(o AS DOUBLE)
+                                            * CAST(n AS DOUBLE))
+                                           / (CAST(r AS DOUBLE)
+                                              * CAST(c AS DOUBLE)))
+                                        * 1000000) AS BIGINT))
+                       AS BIGINT) AS mi_w
+           FROM obs JOIN rt USING (seg) JOIN ct USING (pri)
+           CROSS JOIN nt),
+    hs AS (SELECT CAST(SUM(r * CAST(round(ln(CAST(n AS DOUBLE)
+                                             / CAST(r AS DOUBLE))
+                                          * 1000000) AS BIGINT))
+                       AS BIGINT) AS hseg_w
+           FROM rt CROSS JOIN nt),
+    hp AS (SELECT CAST(SUM(c * CAST(round(ln(CAST(n AS DOUBLE)
+                                             / CAST(c AS DOUBLE))
+                                          * 1000000) AS BIGINT))
+                       AS BIGINT) AS hpri_w
+           FROM ct CROSS JOIN nt)
+    SELECT n,
+           CAST(hseg_w AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS h_seg_nats,
+           CAST(hpri_w AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS h_pri_nats,
+           CAST(mi_w AS DOUBLE) / CAST(hpri_w AS DOUBLE)
+             AS u_pri_given_seg,
+           CAST(mi_w AS DOUBLE) / CAST(hseg_w AS DOUBLE)
+             AS u_seg_given_pri
+    FROM mi CROSS JOIN hs CROSS JOIN hp CROSS JOIN nt
+    """,
+    description="Theil's uncertainty coefficient U in both directions "
+                "for segment x priority — the ASYMMETRIC normalized "
+                "association the symmetric chi2/MI pair cannot "
+                "express (U(Y|X) = I(X;Y)/H(Y): what fraction of Y's "
+                "entropy does knowing X remove — near 0 here, the "
+                "honest answer for independent TPC-H columns). Reuses "
+                "stats_mi's pinned-ln idiom: MI and both marginal "
+                "entropies are exact integer sums of count-weighted "
+                "scaled-ln terms over the alphabet-bounded frames, so "
+                "each U is ONE division of two bigints (the n*1e6 "
+                "normalizations cancel). Same scale shape as the MI/"
+                "chi2 pair: one groupBy over the join, 5x5 cells, "
+                "one-row scalar crosses",
+    tags=("stats", "agg"),
+)
+def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    j = (o.join(cu, o.o_custkey == cu.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri")))
+    obs = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o").cast("long").alias("c"))
+    nt = obs.agg(F.sum("o").cast("long").alias("n"))
+    d38 = "decimal(38,0)"
+    pin = lambda x: F.round(F.ln(x) * 1_000_000).cast("long")  # noqa: E731
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi = (obs.join(rt, "seg").join(ct, "pri").crossJoin(F.broadcast(nt))
+          .select((F.col("o").cast(d38)
+                   * pin((dd("o") * dd("n")) / (dd("r") * dd("c"))))
+                  .alias("t"))
+          .agg(F.sum("t").cast("long").alias("mi_w")))
+    hs = (rt.crossJoin(F.broadcast(nt))
+          .select((F.col("r").cast(d38) * pin(dd("n") / dd("r")))
+                  .alias("t"))
+          .agg(F.sum("t").cast("long").alias("hseg_w")))
+    hp = (ct.crossJoin(F.broadcast(nt))
+          .select((F.col("c").cast(d38) * pin(dd("n") / dd("c")))
+                  .alias("t"))
+          .agg(F.sum("t").cast("long").alias("hpri_w")))
+    return (mi.crossJoin(hs).crossJoin(hp).crossJoin(nt)
+            .select("n",
+                    (dd("hseg_w") / (dd("n") * F.lit(1000000.0)))
+                    .alias("h_seg_nats"),
+                    (dd("hpri_w") / (dd("n") * F.lit(1000000.0)))
+                    .alias("h_pri_nats"),
+                    (dd("mi_w") / dd("hpri_w")).alias("u_pri_given_seg"),
+                    (dd("mi_w") / dd("hseg_w")).alias("u_seg_given_pri")))
+
+
+@register(
+    "orders_survival_km",
+    oracle="""
+    WITH u AS (SELECT o_custkey, min(o_orderdate) AS t0,
+                      max(o_orderdate) AS t1
+               FROM orders GROUP BY 1),
+    se AS (SELECT max(t1) AS send FROM u),
+    d AS (SELECT date_diff('day', t0, t1) AS dur,
+                 CASE WHEN t1 < send - INTERVAL '365 days'
+                      THEN 1 ELSE 0 END AS ev
+          FROM u CROSS JOIN se),
+    g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(ev) AS BIGINT) AS d_i
+          FROM d GROUP BY dur),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM g),
+    r AS (SELECT dur, c, d_i,
+                 SUM(c) OVER (ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cle,
+                 tot
+          FROM g CROSS JOIN tt),
+    ev AS (SELECT dur, d_i, CAST(tot - cle + c AS BIGINT) AS n_risk,
+                  1.0 - CAST(d_i AS DOUBLE)
+                        / CAST(tot - cle + c AS DOUBLE) AS f
+           FROM r WHERE d_i > 0),
+    arr AS (SELECT list(struct_pack(dur := dur, d_i := d_i,
+                                    n_risk := n_risk, f := f)
+                        ORDER BY dur) AS a
+            FROM ev)
+    SELECT a[CAST(i AS INTEGER)].dur AS duration_days,
+           a[CAST(i AS INTEGER)].n_risk AS n_risk,
+           a[CAST(i AS INTEGER)].d_i AS n_events,
+           list_reduce(list_transform(a[1:CAST(i AS INTEGER)],
+                                      y -> y.f),
+                       (p, q) -> p * q) AS survival
+    FROM arr, LATERAL unnest(range(1, len(a) + 1)) t(i)
+    """,
+    description="Kaplan-Meier customer-retention curve: per customer, "
+                "observation time = days between first and last order; "
+                "the 'death' (churn) is observed iff the last order "
+                "predates the study end (max last-order date) by more "
+                "than 365 days, else the customer is right-CENSORED — "
+                "the survival-analysis family's entry point (churn/"
+                "retention curves with censoring, which the naive "
+                "'fraction still active' rollup gets wrong). S(t) "
+                "steps only at event times: S = prod(1 - d_i/n_i) in "
+                "duration order. Determinism: d_i/n_i are exact "
+                "BIGINTs (at-risk counts come from ONE cumulative "
+                "count over the bounded duration grid — "
+                "operators/analytics.global_prefix_sum, no raw-row "
+                "window), each factor is two IEEE ops on identical "
+                "operands, and the running product folds left-to-"
+                "right over the SAME sorted bounded array in both "
+                "engines (prefix-slice folds; Spark's 1.0 seed is an "
+                "exact *1.0 no-op vs DuckDB's first-element seed). "
+                "Scale shape: customers are unbounded but the grid is "
+                "bounded by the day span, so the per-row O(grid) fold "
+                "is the k-row-codebook class, not a data-sized stage",
+    tags=("stats", "survival", "events"),
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    u = (o.groupBy("o_custkey")
+         .agg(F.min("o_orderdate").alias("t0"),
+              F.max("o_orderdate").alias("t1")))
+    se = u.agg(F.max("t1").alias("send"))
+    d = (u.crossJoin(F.broadcast(se))
+         .select(F.datediff("t1", "t0").cast("long").alias("dur"),
+                 F.when(F.col("t1") < F.col("send")
+                        - F.expr("INTERVAL 365 DAYS"), 1)
+                 .otherwise(0).alias("ev")))
+    g = (d.groupBy("dur")
+         .agg(F.count(F.lit(1)).alias("c"),
+              F.sum("ev").cast("long").alias("d_i")))
+    r = global_prefix_sum(g, ["dur"], "c", out_col="cle")
+    tt = g.agg(F.sum("c").cast("long").alias("tot"))
+    ev = (r.crossJoin(F.broadcast(tt))
+          .filter(F.col("d_i") > 0)
+          .select("dur", "d_i",
+                  (F.col("tot") - F.col("cle") + F.col("c"))
+                  .cast("long").alias("n_risk")))
+    ev = ev.withColumn(
+        "f", F.lit(1.0) - F.col("d_i").cast("double")
+        / F.col("n_risk").cast("double"))
+    arr = ev.agg(F.sort_array(F.collect_list(
+        F.struct("dur", "d_i", "n_risk", "f"))).alias("a"))
+    rows = arr.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("a")),
+        lambda i: F.struct(
+            F.element_at("a", i)["dur"].alias("duration_days"),
+            F.element_at("a", i)["n_risk"].alias("n_risk"),
+            F.element_at("a", i)["d_i"].alias("n_events"),
+            F.aggregate(F.slice("a", F.lit(1), i), F.lit(1.0),
+                        lambda acc, y: acc * y["f"])
+            .alias("survival")))).alias("s"))
+    return rows.select("s.duration_days", "s.n_risk", "s.n_events",
+                       "s.survival")

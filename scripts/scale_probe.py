@@ -275,7 +275,8 @@ FAMILIES["events"] += ["events_holt_forecast", "stats_kruskal_value_type",
                        "events_changepoint_split"]
 FAMILIES["trade"] += ["sketch_bloom_semijoin", "stats_kendall_tau",
                       "graph_degree_assortativity",
-                      "fuzzy_id_transpositions", "graph_kcore_trade"]
+                      "fuzzy_id_transpositions", "graph_kcore_trade",
+                      "stats_theil_u", "orders_survival_km"]
 FAMILIES["documents"] += ["text_nb_lang_confusion",
                           "quality_filter_kappa"]
 

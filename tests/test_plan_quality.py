@@ -213,6 +213,11 @@ _BNLJ_OK = {
     "text_nb_lang_confusion",
     # one-row tie-term scalar crossed into the one-row moment frame
     "stats_kruskal_value_type",
+    # one-row MI/entropy scalar aggregates crossed for the two U ratios
+    "stats_theil_u",
+    # one-row study-end anchor + one-row total crossed into the
+    # bounded duration grid; the KM fold is a one-row sorted array
+    "orders_survival_km",
     # one-row token-count scalar crossed into the <=50-node TextRank
     # frame each iteration (the markov/pagerank shape)
     "text_textrank_keywords",
@@ -314,6 +319,11 @@ _SINGLE_PART_OK = {
     "stats_kruskal_value_type",
     # one-row 2x2 agreement-cell aggregate over the filter join
     "quality_filter_kappa",
+    # one-row MI/entropy scalars over the alphabet-bounded frames
+    "stats_theil_u",
+    # one-row anchor/total scalars + the one-row KM array fold over
+    # the bounded duration grid (the prefix sum is range-partitioned)
+    "orders_survival_km",
 }
 
 

@@ -1040,3 +1040,53 @@ def test_changepoint_split_finds_planted_shift(spark):
         assert r.mean_delta == 4.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kaplan_meier_textbook_case(spark):
+    """Classic KM hand case: durations (E=event, C=censored)
+    1E 2C 3E 3E 4C 5E with study-end censoring arranged so exactly
+    those statuses arise. S(1)=5/6, S(3)=5/6 * 2/4, S(5)=... * 0/1 = 0."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from g1_etl_spark.plans.stats_plans import orders_survival_km
+
+    base = dt.datetime(2000, 1, 1)
+    day = dt.timedelta(days=1)
+    yr = dt.timedelta(days=366)
+    # customer -> (duration_days, churned?): churned iff last order
+    # < study_end - 365d. Anchor customer 99 fixes study_end.
+    spec = [(1, 1, True), (2, 2, False), (3, 3, True), (4, 3, True),
+            (5, 4, False), (6, 5, True)]
+    rows = []
+    oid = 0
+    study_end = base + 10 * yr
+    for cust, dur, churn in spec:
+        t0 = (base if churn
+              else study_end - dur * day)  # censored end at study end
+        rows.append((oid, cust, "O", 1.0, t0, "1-URGENT")); oid += 1
+        rows.append((oid, cust, "O", 1.0, t0 + dur * day, "1-URGENT"))
+        oid += 1
+    rows.append((oid, 99, "O", 1.0, study_end, "1-URGENT"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        out = {r.duration_days: r for r in
+               orders_survival_km(spark, tmp).collect()}
+        # risk sets include the 0-duration anchor (total 7 subjects):
+        # at d=1: 6 at risk (all with dur >= 1), 1 event -> 5/6
+        # at d=3: 4 at risk (3,3,4,5), 2 events -> * 2/4
+        # at d=5: 1 at risk, 1 event -> * 0 = 0
+        assert out[1].n_risk == 6 and out[1].n_events == 1
+        assert out[3].n_risk == 4 and out[3].n_events == 2
+        assert out[5].n_risk == 1 and out[5].n_events == 1
+        assert abs(out[1].survival - 5 / 6) < 1e-12
+        assert abs(out[3].survival - (5 / 6) * (2 / 4)) < 1e-12
+        assert out[5].survival == 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
