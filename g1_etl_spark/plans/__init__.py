@@ -70,20 +70,23 @@ _R8_WINDOW = (
 )
 
 # ROUND-9 ROTATION PLAN (write _R9_WINDOW from this): day-one slots
-# first for the round-8 additions (never driver-sampled, all
-# oracle-backed and parity-green locally: events_acf,
+# first for the 20 round-8 additions (never driver-sampled, all
+# oracle-backed and parity-green locally): events_acf,
 # events_seasonal_hour, stats_mi_segment_priority,
 # stats_ks_value_purchase, stats_spearman_qty_price,
 # text_textrank_keywords, feat_ridge_price, events_holt_forecast,
 # stats_kendall_tau, graph_degree_assortativity,
-# fuzzy_id_transpositions, sketch_bloom_semijoin, and any later r8
-# registrations) plus sql_passthrough (the r8 spill, latest green r3),
-# then the r4 cohort (44 rows, enumerate from CORRECTNESS_r04 minus
-# anything re-checked since) fills the remaining slots — spill the
-# overflow to r10. Aging contract twins to keep ≤2 rounds stale as
-# slots allow: sim_lsh_topk, dedup_minhash_lsh, dedup_simhash,
-# entity_settings (last seen r4-r6). A never-checked row outranks a
-# banked green; spill overflow onward.
+# fuzzy_id_transpositions, sketch_bloom_semijoin, graph_kcore_trade,
+# text_nb_lang_confusion, stats_kruskal_value_type,
+# quality_filter_kappa, events_changepoint_split, sim_mmr_rerank,
+# stats_theil_u, orders_survival_km — plus sql_passthrough (the r8
+# spill, latest green r3), then the r4 cohort (enumerate from
+# CORRECTNESS_r04 minus anything re-checked since) fills the
+# remaining 29 slots — spill the overflow to r10. Aging contract
+# twins to keep ≤2 rounds stale as slots allow: sim_lsh_topk,
+# dedup_minhash_lsh, dedup_simhash, entity_settings (last seen
+# r4-r6). A never-checked row outranks a banked green; spill
+# overflow onward.
 
 
 def _reorder() -> None:
