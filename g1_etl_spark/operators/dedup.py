@@ -1025,11 +1025,10 @@ def damerau_blocked_pairs(df: DataFrame, name_col: str,
     <= dist lower-bounds DL exactly as it does Levenshtein, since a
     transposition preserves length). The distance itself has no Spark
     builtin, so candidates — and only candidates, already bounded by
-    the blocking contract — cross into an Arrow-batched pandas UDF
-    running the Lowrance-Wagner DP; everything before that cut is
-    JVM-side. Integer output, bit-deterministic by construction."""
+    the blocking contract — cross into ONE Arrow-batched mapInPandas
+    stage running the Lowrance-Wagner DP; everything before that cut
+    is JVM-side. Integer output, bit-deterministic by construction."""
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     blk = (block_col if block_col is not None
            else F.split(F.col("name"), " ").getItem(0))
@@ -1056,11 +1055,21 @@ def damerau_blocked_pairs(df: DataFrame, name_col: str,
                   & (F.col("name_a") < F.col("name_b"))
                   & (F.abs(F.col("l1") - F.col("l2")) <= max_dist))
 
-    @pandas_udf("long")
-    def _dl(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        return pd.Series([damerau_levenshtein_py(x, y)
-                          for x, y in zip(xa, xb)], dtype="int64")
+    # score AND threshold inside ONE mapInPandas stage: with a scalar
+    # pandas_udf, Catalyst pushes the dist<=max filter below the
+    # projection and re-extracts the UDF — the DP then runs TWICE per
+    # candidate (once feeding the Filter, once for the output column;
+    # observed as back-to-back ArrowEvalPython nodes). mapInPandas
+    # evaluates once and filters Python-side; it is a narrow transform,
+    # so the pre-join spread above still sets its parallelism.
+    def _score(batches):
+        for pdf in batches:
+            dists = [damerau_levenshtein_py(x, y)
+                     for x, y in zip(pdf["name_a"], pdf["name_b"])]
+            out = pdf[["name_a", "name_b"]].copy()
+            out["dist"] = pd.Series(dists, index=pdf.index,
+                                    dtype="int64")
+            yield out[out["dist"] <= max_dist]
 
-    return (cand.select("name_a", "name_b",
-                        _dl("name_a", "name_b").alias("dist"))
-            .filter(F.col("dist") <= max_dist))
+    return cand.select("name_a", "name_b").mapInPandas(
+        _score, "name_a string, name_b string, dist long")
