@@ -894,6 +894,28 @@ def kmeans_exact(corpus: DataFrame, k: int = 4, iters: int = 3,
     raise AssertionError("unreachable")
 
 
+def mmr_candidate_pool(corpus: DataFrame, queries: DataFrame, pool: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                       ) -> DataFrame:
+    """The (queries x pool) MMR candidate frame, UN-checkpointed: the
+    exact top-`pool` cosine candidates per query with their vectors and
+    norms re-attached. This is the ONLY corpus-sized stage of
+    mmr_rerank; it is split out so the plan lint can inspect it before
+    mmr_rerank's localCheckpoint truncates the lineage to an RDD stub
+    (tests/test_plan_quality.py::test_mmr_candidate_plan_pre_checkpoint).
+    """
+    cand = brute_force_topk(corpus, queries, k=pool, id_col=id_col,
+                            vec_col=vec_col, q_id_col=q_id_col,
+                            q_vec_col=q_vec_col)
+    return (cand.join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                    F.col(vec_col).alias("_v")),
+                      "neighbor_id")
+            .select(q_id_col, "neighbor_id",
+                    F.col("score").alias("rel"), "_v",
+                    l2_norm(F.col("_v")).alias("_n")))
+
+
 def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                pool: int = 20, lam: float = 0.5,
                id_col: str = "vec_id", vec_col: str = "embedding",
@@ -925,16 +947,13 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     fully oracle-checkable (unrolled greedy CTEs, PageRank-style).
     """
     assert lam == 0.5, "oracle pins lam = 0.5 (exact halving)"
-    cand = brute_force_topk(corpus, queries, k=pool, id_col=id_col,
-                            vec_col=vec_col, q_id_col=q_id_col,
-                            q_vec_col=q_vec_col)
-    cand = (cand.join(corpus.select(F.col(id_col).alias("neighbor_id"),
-                                    F.col(vec_col).alias("_v")),
-                      "neighbor_id")
-            .select(q_id_col, "neighbor_id",
-                    F.col("score").alias("rel"), "_v",
-                    l2_norm(F.col("_v")).alias("_n"))
-            .localCheckpoint())  # bounded: queries x pool rows
+    cand = mmr_candidate_pool(corpus, queries, pool, id_col=id_col,
+                              vec_col=vec_col, q_id_col=q_id_col,
+                              q_vec_col=q_vec_col).localCheckpoint()
+    # ^ bounded: queries x pool rows. The checkpoint truncates the
+    # corpus-sized candidate lineage, which also hides it from the
+    # fleet-wide plan lint — tests/test_plan_quality.py lints the
+    # un-checkpointed mmr_candidate_pool assembly separately.
     a = cand.select(F.col(q_id_col), F.col("neighbor_id").alias("c1"),
                     F.col("_v").alias("_v1"), F.col("_n").alias("_n1"))
     b = cand.select(F.col(q_id_col), F.col("neighbor_id").alias("c2"),

@@ -181,9 +181,13 @@ BLOOM_WORDS = 256  # 256 x 64 = 16384 bits; ~0.1% FP at ~1k keys, k=3
 def _bloom_idx(key, a: int, b: int, m: int):
     # same int64-safe LCG family as the CMS rows (see _bucket): the
     # bit positions are pure integer arithmetic, so they are identical
-    # on any engine and any partitioning
-    return ((F.lit(a) * (key.cast("long") % CMS_P) + F.lit(b))
-            % CMS_P) % m
+    # on any engine and any partitioning. pmod (not %) so a NEGATIVE
+    # key yields an index in [0, m): Spark's % keeps the dividend's
+    # sign, and a negative index made build (shiftright = floor) and
+    # probe (div = truncate) address DIFFERENT bitmap words — a false
+    # negative violating the "no false negatives" contract.
+    return F.pmod((F.lit(a) * (key.cast("long") % CMS_P) + F.lit(b))
+                  % CMS_P, F.lit(m))
 
 
 def bloom_build(df: DataFrame, key_col: str,
@@ -234,9 +238,11 @@ def bloom_might_contain(fact: DataFrame, key_col: str,
         col = f"_bf{j}"
         helpers.append(col)
         out = out.withColumn(col, _bloom_idx(F.col(key_col), a, b, m))
+        # word/mask expressions IDENTICAL to bloom_build (shiftright /
+        # & 63) so build and probe can never address different words
         conds.append(F.expr(
-            f"(coalesce(element_at(bitmap, {col} div 64), 0L)"
-            f" & shiftleft(1L, cast({col} % 64 AS INT))) != 0"))
+            f"(coalesce(element_at(bitmap, shiftright({col}, 6)), 0L)"
+            f" & shiftleft(1L, cast({col} & 63 AS INT))) != 0"))
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c

@@ -34,67 +34,66 @@ from g1_etl_spark.plans import relational  # noqa: E402,F401
 from g1_etl_spark.plans import graph_plans  # noqa: E402,F401
 from g1_etl_spark.plans import bucketed_plans  # noqa: E402,F401
 
-# Registration-order hedge, round 8. The driver checks exactly the
-# first 50 registered queries per round (observed r1-r7). Cumulative
-# state entering r8: 240 registered, 230 driver-checked at least once,
-# every oracle-backed sampled query banked green. Day-one evidence
-# outranks re-certification, so this window is the 10 round-7
-# additions (never driver-sampled; two of them — events_cusum_drift /
-# events_anomaly_zscore — also carry THIS round's scale-shape rewrite,
-# same oracle) plus 40 of the 41 rows whose latest green is r3 (the
-# stalest banked evidence, enumerated from CORRECTNESS_r03). The one
-# spill is sql_passthrough (a literal SQL passthrough — the lowest-
-# information re-certification in the cohort); it leads round 9.
-_R8_WINDOW = (
-    # -- the 10 never-driver-sampled round-7 additions -----------------
-    "events_ewma_value", "events_anomaly_zscore", "events_cusum_drift",
-    "text_heaps_fit", "stats_auc_purchase", "stats_chi2_segment_priority",
-    "stats_gini_customers", "stats_reliability_bins", "feat_woe_iv",
-    "orders_rule_lift",
-    # -- the r3 cohort: latest driver green is round 3 (40 of 41) ------
-    "agg_incremental_merge", "corpus_mix_upsample",
-    "dedup_exact_normalized", "dq_expectations", "dq_key_skew",
-    "dq_orphan_orders", "dq_profile_orders", "dq_table_checksum",
-    "entity_products_flat", "entity_products_smoke",
-    "entity_settings_flat", "events_range_join", "events_rate_anomaly",
-    "events_sessionization", "events_sliding_window",
-    "events_tumbling_window", "feat_equidepth_bins", "feat_minmax",
-    "feat_zscore", "fuzzy_name_pairs", "json_parse_extract",
-    "merge_upsert_orders", "orders_overlap_pairs",
-    "pipeline_clean_corpus", "pipeline_rag_index", "pipeline_train_prep",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q4_order_priority", "q6_forecast_revenue", "quality_quantile_gate",
-    "sim_embedding_neardup", "sim_ivf_topk", "text_chunk_windows",
-    "text_quality_stats", "text_stopword_ratio", "text_tfidf_topk",
+# Registration-order hedge, round 9 (written from the ROUND-9
+# ROTATION PLAN that closed round 8; VERDICT_r8 ask #1/#2). Day-one
+# slots for the 20 round-8 additions (never driver-sampled) +
+# sql_passthrough (the r8 spill, latest green r3); then the four
+# aging rows-only contract twins flagged by VERDICT ask #2
+# (sim_lsh_topk carried `semantics_changed` since the r6 multi-probe
+# change; dedup_minhash_lsh / dedup_simhash / entity_settings last
+# sampled r4-r6); the remaining 25 slots come from the r4 cohort (44
+# rows whose latest driver green is round 4, enumerated from
+# CORRECTNESS_r04 minus anything re-checked r5-r8), prioritised:
+# bench canary q1_pricing_summary, the recall contracts backing the
+# aging twins, the nine TPC-H flagships, graph, events, text/corpus.
+_R9_WINDOW = (
+    # -- the 20 never-driver-sampled round-8 additions ------------------
+    "events_acf", "events_seasonal_hour", "stats_mi_segment_priority",
+    "stats_ks_value_purchase", "stats_spearman_qty_price",
+    "text_textrank_keywords", "feat_ridge_price", "events_holt_forecast",
+    "stats_kendall_tau", "graph_degree_assortativity",
+    "fuzzy_id_transpositions", "sketch_bloom_semijoin",
+    "graph_kcore_trade", "text_nb_lang_confusion",
+    "stats_kruskal_value_type", "quality_filter_kappa",
+    "events_changepoint_split", "sim_mmr_rerank", "stats_theil_u",
+    "orders_survival_km",
+    # -- the r8 spill --------------------------------------------------
+    "sql_passthrough",
+    # -- aging rows-only contract twins (VERDICT r8 ask #2) -------------
+    "sim_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
+    "entity_settings",
+    # -- r4 cohort, 25 of 44 (latest green r4) ---------------------------
+    "q1_pricing_summary",  # bench canary
+    "sim_lsh_recall", "sim_ivf_recall", "sim_neardup_recall",
+    "q2_min_cost_supplier", "q8_market_share", "q9_profit_by_nation",
+    "q11_important_stock", "q12_priority_shipping",
+    "q16_supplier_variety", "q20_excess_shipments",
+    "q21_late_supplier_blame", "q22_global_sales_opportunity",
+    "graph_pagerank_trade", "graph_triangle_trade",
+    "events_hll_rollup", "events_heavy_hitters", "events_pattern_seq",
+    "events_session_docs", "events_percentile_rollup",
+    "text_bpe_train", "text_gopher_rules", "text_tokenize_ids",
+    "corpus_decontaminate", "orders_basket_pairs",
 )
 
-# ROUND-9 ROTATION PLAN (write _R9_WINDOW from this): day-one slots
-# first for the 20 round-8 additions (never driver-sampled, all
-# oracle-backed and parity-green locally): events_acf,
-# events_seasonal_hour, stats_mi_segment_priority,
-# stats_ks_value_purchase, stats_spearman_qty_price,
-# text_textrank_keywords, feat_ridge_price, events_holt_forecast,
-# stats_kendall_tau, graph_degree_assortativity,
-# fuzzy_id_transpositions, sketch_bloom_semijoin, graph_kcore_trade,
-# text_nb_lang_confusion, stats_kruskal_value_type,
-# quality_filter_kappa, events_changepoint_split, sim_mmr_rerank,
-# stats_theil_u, orders_survival_km — plus sql_passthrough (the r8
-# spill, latest green r3), then the r4 cohort (enumerate from
-# CORRECTNESS_r04 minus anything re-checked since) fills the
-# remaining 29 slots — spill the overflow to r10. Aging contract
-# twins to keep ≤2 rounds stale as slots allow: sim_lsh_topk,
-# dedup_minhash_lsh, dedup_simhash, entity_settings (last seen
-# r4-r6). A never-checked row outranks a banked green; spill
-# overflow onward.
+# ROUND-10 ROTATION PLAN (write _R10_WINDOW from this): lead with any
+# round-9 additions never driver-sampled, then the 19-row r4-cohort
+# spill from this window: dedup_span_census, dedup_span_flags,
+# dedup_span_clip, corpus_budget_fill, text_bpe_pair_counts,
+# corpus_shuffle_shards, agg_approx_percentile, sim_kmeans_clusters,
+# sim_kmeans_exact, sim_hard_negatives, corpus_source_overlap,
+# window_analytics_extended, merge_join_delta, pipeline_hybrid_search,
+# sim_semantic_dedup, text_rarity_score, corpus_curriculum_order,
+# dq_snapshot_diff, text_bpe_subwords — then the r5 cohort. A
+# never-checked row outranks a banked green; spill overflow onward.
 
 
 def _reorder() -> None:
-    assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
-    missing = [n for n in _R8_WINDOW if n not in REGISTRY]
+    assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+    missing = [n for n in _R9_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = [n for n in REGISTRY if n not in set(_R8_WINDOW)]
-    reordered = {n: REGISTRY[n] for n in (*_R8_WINDOW, *rest)}
+    rest = [n for n in REGISTRY if n not in set(_R9_WINDOW)]
+    reordered = {n: REGISTRY[n] for n in (*_R9_WINDOW, *rest)}
     assert len(reordered) == len(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(reordered)

@@ -373,6 +373,36 @@ _KCORE_SQL = (_KCORE_BASE + ","
 """)
 
 
+def kcore_hindex_iteration(dirp: DataFrame, c: DataFrame) -> DataFrame:
+    """One h-index refinement step, UN-checkpointed: joins each directed
+    edge to its endpoint's current value and takes, per node, the
+    largest h with >= h neighbors at >= h.
+
+    DEGREE BOUND (load-bearing — see VERDICT r8 watch-item): the
+    row_number window partitions by node, so the largest single window
+    task holds exactly deg(v) rows. That is fine wherever max degree is
+    bounded — the registered trade graph (25 nations, top-3-sparsified)
+    and any similarity/kNN graph with a per-node cap — but on a
+    power-law graph a 10^8-neighbor hub lands its whole adjacency in
+    one task. Before reusing this iteration on user-keyed graphs,
+    either cap degree upstream (the h-index of the top-h neighbors
+    only needs the LARGEST values, so pre-truncating each adjacency to
+    its current-c prefix is exact) or switch to semi-naive peeling.
+    The skewed-star bound is pinned by
+    tests/test_graph.py::test_kcore_hindex_skewed_star_hub, and the
+    un-checkpointed plan shape (no cartesian / no single-partition
+    exchange) by tests/test_plan_quality.py.
+    """
+    nb = dirp.join(c.select(F.col("u").alias("v"),
+                            F.col("c").alias("nc")), "v")
+    w = W.partitionBy("u").orderBy(F.desc("nc"), "v")
+    return (nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc")))
+                 .cast("long").alias("c")))
+
+
+
 @register(
     "graph_kcore_trade",
     oracle=_KCORE_SQL,
@@ -413,13 +443,7 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = dirp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
     deg = c
     for k in range(_KCORE_ITERS):
-        nb = dirp.join(c.select(F.col("u").alias("v"),
-                                F.col("c").alias("nc")), "v")
-        w = W.partitionBy("u").orderBy(F.desc("nc"), "v")
-        c = (nb.withColumn("rn", F.row_number().over(w))
-             .groupBy("u")
-             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc")))
-                  .cast("long").alias("c"))
+        c = (kcore_hindex_iteration(dirp, c)
              .localCheckpoint())  # truncate the iterative lineage
     return (deg.select(F.col("u").alias("nation"),
                        F.col("c").alias("degree"))

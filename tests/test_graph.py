@@ -282,6 +282,35 @@ def test_kcore_hindex_matches_sequential_peeling(spark):
     assert prev == core
 
 
+def test_kcore_hindex_skewed_star_hub(spark):
+    """Skewed-star probe (VERDICT r8 ask #4): one hub with 2*10^5
+    neighbors puts its ENTIRE adjacency into a single window task —
+    the documented per-node degree bound of kcore_hindex_iteration.
+    The iteration must (a) survive that skew locally and (b) converge
+    to the exact core numbers in two steps: a star is 1-degenerate,
+    so hub core = leaf core = 1 despite deg(hub) = 2*10^5. Guards the
+    docstring's stated bound with a real hub, not a toy."""
+    from g1_etl_spark.plans.graph_plans import kcore_hindex_iteration
+
+    n = 200_000
+    leaves = spark.range(1, n + 1)
+    dirp = (leaves.select(F.lit(0).cast("long").alias("u"),
+                          F.col("id").alias("v"))
+            .unionByName(leaves.select(F.col("id").alias("u"),
+                                       F.lit(0).cast("long").alias("v")))
+            .repartition(8).localCheckpoint())
+    c = dirp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # iteration 1: hub sees n neighbors all at value 1 -> h-index 1;
+    # leaves see the hub at value n -> min(rn=1, n) = 1
+    c = kcore_hindex_iteration(dirp, c).localCheckpoint()
+    got = {r.u: r.c for r in c.filter(F.col("u") <= 3).collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    # fixed point: a second step changes nothing
+    c2 = kcore_hindex_iteration(dirp, c)
+    assert c2.join(c.withColumnRenamed("c", "c_prev"), "u") \
+             .filter(F.col("c") != F.col("c_prev")).count() == 0
+
+
 def test_assortativity_star_graph_is_minus_one(spark):
     """A star is maximally disassortative: every edge joins the hub
     (degree n-1) to a leaf (degree 1), so r = -1 exactly. Exercises

@@ -526,6 +526,90 @@ def test_org_payload_assembly_plan_pre_checkpoint(spark):
     assert "Scan parquet" in plan
 
 
+def test_mmr_candidate_plan_pre_checkpoint(spark):
+    """sim_mmr_rerank localCheckpoints its candidate pool, which hides
+    the ONLY corpus-sized stage (brute_force_topk over embeddings) from
+    the fleet lint as an RDD stub — so that assembly is linted HERE,
+    un-checkpointed (ADVICE r8): the queries side must stay the
+    broadcast side (the hint lint walks each scan's ancestor path and
+    fails on a broadcast over the UNBOUNDED embeddings scan), no
+    cartesian product, no Python row-UDF, and the two-stage top-k's
+    partial WindowGroupLimit must survive so no single window task
+    funnels the whole scored corpus."""
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.operators.similarity import mmr_candidate_pool
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    df = mmr_candidate_pool(emb, queries, pool=20)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert not _hinted_sfscaled_scans(analyzed), (
+        "broadcast hint over the unbounded embeddings corpus — the "
+        "queries side must be the broadcast side")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # de-broadcast regression shape: the intended plan has exactly one
+    # BNLJ node (the queries-broadcast cross scoring the corpus);
+    # count on the simple tree (formatted mentions each node twice)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("BroadcastNestedLoopJoin") == 1, simple
+    assert "WindowGroupLimit" in plan, "two-stage top-k lost its partial"
+    # the corpus scan itself must be visible (not an RDD stub)
+    assert "Scan parquet" in plan
+
+
+def test_kcore_iteration_plan_pre_checkpoint(spark):
+    """graph_kcore_trade localCheckpoints every h-index iteration, so
+    the per-iteration join + per-node ranked window escape the fleet
+    lint — linted HERE un-checkpointed (ADVICE r8): no cartesian
+    product, no Python stage, and the row_number window must partition
+    by node (a single-partition window over all edges is exactly the
+    regression this pins)."""
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.plans.graph_plans import kcore_hindex_iteration
+
+    # synthetic directed-pair frame with the operator's exact schema;
+    # shape (not data) is what the lint inspects
+    und = spark.range(0, 200).select(
+        (F.col("id") % 40).alias("a"), (F.col("id") % 17).alias("b"))
+    dirp = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(und.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v"))))
+    c = dirp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    df = kcore_hindex_iteration(dirp, c)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Arguments: SinglePartition" not in plan, (
+        "k-core window no longer partitions by node")
+
+
+def test_fuzzy_damerau_single_python_stage(spark):
+    """Exactly ONE Python/Arrow eval stage in fuzzy_id_transpositions
+    (VERDICT r8 ask #3): the scalar-pandas-UDF form let Catalyst
+    re-extract the Damerau DP into TWO ArrowEvalPython nodes (double
+    DP cost, fixed by mapInPandas in f4d0b0e) — a Spark-version bump
+    could silently reintroduce it, so the single-stage property is
+    pinned here."""
+    df = REGISTRY["fuzzy_id_transpositions"].fn(spark, SF_SMOKE)
+    # count on the simple tree (formatted mentions each node twice)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    n_python = (simple.count("ArrowEvalPython")
+                + simple.count("MapInPandas")
+                + simple.count("BatchEvalPython"))
+    assert n_python == 1, (
+        f"expected exactly one Python stage, found {n_python}:\n{simple}")
+
+
 def test_bucketed_twins_elide_smj_sort(spark):
     """The bucketed q21/basket twins' 100 TB margin rests on the
     one-file-per-bucket sorted layout: the co-located SMJs must consume

@@ -860,6 +860,35 @@ def test_bloom_filter_contract(spark):
     assert n_cand < 0.2 * n_fact
 
 
+def test_bloom_negative_keys_no_false_negatives(spark):
+    """Regression (ADVICE r8): a negative key made _bloom_idx negative
+    (Spark % keeps the dividend's sign), and build (shiftright = floor
+    division) vs probe (div = truncation toward zero) then addressed
+    DIFFERENT bitmap words — a false negative. pmod normalisation plus
+    identical word/mask expressions on both sides closes it; signed
+    keys must round-trip exactly like positive ones."""
+    from g1_etl_spark.operators.sketches import (bloom_build,
+                                                 bloom_might_contain)
+
+    dim = spark.range(0, 500).select(
+        (F.col("id") * -17 - 3).alias("k"))  # all strictly negative
+    fact = spark.range(0, 20000).select(
+        ((F.col("id") % 2000) * -17 - 3).alias("k"))
+    bl = bloom_build(dim, "k")
+    cand = bloom_might_contain(fact, "k", bl).select("k")
+    true = fact.join(dim, "k", "left_semi")
+    assert true.exceptAll(cand).count() == 0, "false negative on signed keys"
+    # mixed-sign keys through one filter: still no false negatives
+    dim2 = spark.range(0, 400).select(
+        ((F.col("id") - 200) * 13 + 7).alias("k"))
+    fact2 = spark.range(0, 10000).select(
+        (((F.col("id") % 1000) - 500) * 13 + 7).alias("k"))
+    bl2 = bloom_build(dim2, "k")
+    cand2 = bloom_might_contain(fact2, "k", bl2).select("k")
+    true2 = fact2.join(dim2, "k", "left_semi")
+    assert true2.exceptAll(cand2).count() == 0
+
+
 def test_bloom_empty_dim_prunes_everything(spark):
     from g1_etl_spark.operators.sketches import (bloom_build,
                                                  bloom_might_contain)
