@@ -1000,3 +1000,110 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return S.mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL, lam=0.5)
+
+
+@register(
+    "sim_mmr_ivf",
+    oracle=None,  # ANN-pooled serving output; the oracle-checkable
+    # twin is sim_mmr_ivf_recall below (exact-greedy-over-pool)
+    description="MMR diversified top-5 over the IVF-Flat top-20 pool "
+                "— the production serving shape (VERDICT r8 ask #5): "
+                "the ANN index supplies the candidate pool, MMR "
+                "diversifies it; proves the 'any ANN slots in' claim "
+                "with a registered query, not a docstring. Only the "
+                "IVF probe touches the corpus; the greedy loop is "
+                "bounded by queries x pool exactly like "
+                "sim_mmr_rerank (operators/similarity."
+                "mmr_rerank_over_pool)",
+    tags=("similarity", "retrieval", "iterative"),
+)
+def sim_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = _ivf_cents(emb, sf_dir)
+    pool = (S.ivf_topk(emb, queries, k=_MMR_POOL, centroids=cents)
+            .select("q_id", "neighbor_id", "score"))
+    return S.mmr_rerank_over_pool(emb, pool, k=_MMR_K, lam=0.5)
+
+
+@register(
+    "sim_mmr_ivf_recall",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS q_id,
+           CAST({_MMR_K} AS BIGINT) AS n_selected,
+           TRUE AS matches_pool_greedy
+    FROM embeddings WHERE vec_id < {_NQUERIES}
+    """,
+    description="restricted-exactness contract for sim_mmr_ivf (the "
+                "sim_ivf_recall pattern): the distributed k-step "
+                "argmax selection over the IVF pool must equal — ids, "
+                "ranks, AND bit-exact mmr_scores — a transparent "
+                "sequential Python greedy over the SAME pool using "
+                "the same Spark-computed fold cosines (pool and "
+                "pairwise-sim frames are queries x pool / x pool^2 "
+                "bounded, so collecting them is the k-row-codebook "
+                "class). Approximation error lives ONLY in the ANN "
+                "pool choice (certified separately by sim_ivf_recall) "
+                "— never in the selection",
+    tags=("similarity", "contract"),
+)
+def sim_mmr_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = _ivf_cents(emb, sf_dir)
+    pool = (S.ivf_topk(emb, queries, k=_MMR_POOL, centroids=cents)
+            .select("q_id", "neighbor_id", "score"))
+    got = S.mmr_rerank_over_pool(emb, pool, k=_MMR_K, lam=0.5)
+
+    # independent reference: same certified cosine primitives, but the
+    # GREEDY SELECTION re-derived sequentially in plain Python
+    cand = (pool.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("embedding").alias("_v")),
+                      "neighbor_id")
+            .select("q_id", "neighbor_id",
+                    F.col("score").alias("rel"), "_v",
+                    S.l2_norm(F.col("_v")).alias("_n"))
+            .localCheckpoint())  # bounded: queries x pool
+    a = cand.select("q_id", F.col("neighbor_id").alias("c1"),
+                    F.col("_v").alias("_v1"), F.col("_n").alias("_n1"))
+    b = cand.select("q_id", F.col("neighbor_id").alias("c2"),
+                    F.col("_v").alias("_v2"), F.col("_n").alias("_n2"))
+    pair = (a.join(b, "q_id").filter(F.col("c1") != F.col("c2"))
+            .select("q_id", "c1", "c2",
+                    (S.dot(F.col("_v1"), F.col("_v2"))
+                     / (F.col("_n1") * F.col("_n2"))).cast("double")
+                    .alias("sim")))
+    rels: dict = {}
+    for r in cand.select("q_id", "neighbor_id", "rel").collect():
+        rels.setdefault(r.q_id, {})[r.neighbor_id] = r.rel
+    sims: dict = {}
+    for r in pair.collect():  # queries x pool^2, bounded
+        sims[(r.q_id, r.c1, r.c2)] = r.sim
+    ref_rows = []
+    for qid, cmap in rels.items():
+        sel: list = []
+        remaining = dict(cmap)
+        for rank in range(1, _MMR_K + 1):
+            def mmr(nid):
+                if not sel:
+                    return 0.5 * remaining[nid]
+                msim = max(sims[(qid, nid, s)] for s in sel)
+                return 0.5 * remaining[nid] - 0.5 * msim
+            # same tie-break as the struct MAX: score desc, id asc
+            best = max(remaining, key=lambda n: (mmr(n), -n))
+            ref_rows.append((qid, rank, best, mmr(best)))
+            sel.append(best)
+            del remaining[best]
+    ref = spark.createDataFrame(
+        ref_rows, "q_id long, mmr_rank long, ref_id long, ref_score double")
+    both = got.join(ref, ["q_id", "mmr_rank"], "full")
+    return (both.groupBy("q_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_selected"),
+                 F.min(F.col("neighbor_id").isNotNull()
+                       & F.col("ref_id").isNotNull()
+                       & (F.col("neighbor_id") == F.col("ref_id"))
+                       & (F.col("mmr_score") == F.col("ref_score")))
+                 .alias("matches_pool_greedy"))
+            .orderBy("q_id"))

@@ -279,6 +279,10 @@ FAMILIES["trade"] += ["sketch_bloom_semijoin", "stats_kendall_tau",
                       "stats_theil_u", "orders_survival_km"]
 FAMILIES["documents"] += ["text_nb_lang_confusion",
                           "quality_filter_kappa"]
+# r9 additions: the log-rank test reads orders+customer (trade star);
+# the IVF-pooled MMR reads embeddings through its IVF probe stage
+FAMILIES["trade"] += ["orders_logrank"]
+FAMILIES["embeddings"] += ["sim_mmr_ivf"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -218,6 +218,9 @@ _BNLJ_OK = {
     # one-row study-end anchor + one-row total crossed into the
     # bounded duration grid; the KM fold is a one-row sorted array
     "orders_survival_km",
+    # same anchors as the KM query (one-row study-end + one-row
+    # per-cohort totals crossed into the bounded duration grid)
+    "orders_logrank",
     # one-row token-count scalar crossed into the <=50-node TextRank
     # frame each iteration (the markov/pagerank shape)
     "text_textrank_keywords",
@@ -324,6 +327,10 @@ _SINGLE_PART_OK = {
     # one-row anchor/total scalars + the one-row KM array fold over
     # the bounded duration grid (the prefix sum is range-partitioned)
     "orders_survival_km",
+    # one-row study-end anchor + cohort-totals scalars + the one-row
+    # final chi2 fold over the bounded duration grid (the dual-cohort
+    # prefix sum is range-partitioned)
+    "orders_logrank",
 }
 
 

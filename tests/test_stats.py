@@ -860,6 +860,32 @@ def test_bloom_filter_contract(spark):
     assert n_cand < 0.2 * n_fact
 
 
+def test_logrank_gehan_6mp_textbook(spark):
+    """logrank_two_cohort on the Gehan/Freireich 6-MP leukemia trial —
+    THE textbook log-rank dataset: 21 treated (9 relapses, 12
+    right-censored) vs 21 placebo (all 21 relapse). Published answer:
+    chi2(1) = 16.79, treated observed 9 vs ~19.25 expected. Pins the
+    full statistic chain (at-risk prefix counts, hypergeometric
+    variance, censoring handling) against independently known
+    numbers, not just engine parity."""
+    from g1_etl_spark.plans.stats_plans import logrank_two_cohort
+
+    mp_ev = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    mp_cens = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    pl_ev = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8,
+             11, 11, 12, 12, 15, 17, 22, 23]
+    rows = ([(t, 1, 1) for t in mp_ev] + [(t, 0, 1) for t in mp_cens]
+            + [(t, 1, 0) for t in pl_ev])
+    d = spark.createDataFrame(rows, "dur long, ev int, g1 int")
+    r = logrank_two_cohort(d).collect()[0]
+    assert r.observed_g1 == 9
+    assert r.n_event_times == 17  # distinct event times across arms
+    assert math.isclose(r.expected_g1, 19.250501, abs_tol=5e-5)
+    assert math.isclose(r.o_minus_e, -10.250501, abs_tol=5e-5)
+    assert math.isclose(r.variance, 6.256961, abs_tol=5e-5)
+    assert math.isclose(r.chi2, 16.792941, abs_tol=5e-4)
+
+
 def test_bloom_negative_keys_no_false_negatives(spark):
     """Regression (ADVICE r8): a negative key made _bloom_idx negative
     (Spark % keeps the dividend's sign), and build (shiftright = floor
