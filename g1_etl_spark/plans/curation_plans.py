@@ -397,3 +397,56 @@ def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         po.alias("po"),
         ((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)))
         .alias("kappa"))
+
+
+_WS_K = 200  # sample size
+_WS_U52 = 4503599627370496.0  # 2^52: 13 hex digits -> uniform in [0,1)
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 13)) AS BIGINT) + 1.0)
+               / {_WS_U52} AS u
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, w,
+             CAST(round(ln(u) / CAST(w AS DOUBLE) * 1000000)
+                  AS BIGINT) AS key_w
+      FROM s)
+    SELECT doc_id, w AS weight, key_w
+    FROM keyed
+    ORDER BY key_w DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+    description="weighted sampling WITHOUT replacement "
+                "(Efraimidis-Spirakis A-Res): each document draws a "
+                "deterministic uniform u from md5(doc_id) (the "
+                "shuffle-shards hash idiom) and competes with key "
+                "ln(u)/weight — the top-k keys ARE an exact "
+                "w-proportional sample without replacement, the "
+                "quality-weighted corpus subsampling every "
+                "pretraining mix needs (weight = token count here; "
+                "any positive score slots in). Keys are pinned to "
+                "the 1e-6 grid with doc_id tie-break, so selection "
+                "is engine-exact. Scale shape: ONE narrow map over "
+                "the scan + a distributed top-k (TakeOrdered: "
+                "per-partition heaps, never a global sort) — the "
+                "textbook one-pass distributed weighted sample",
+    tags=("curation", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 13), 16, 10).cast("long") + 1.0)
+         / F.lit(_WS_U52))
+    keyed = d.select(
+        "doc_id", w.alias("weight"),
+        F.round(F.ln(u) / w.cast("double") * 1_000_000)
+        .cast("long").alias("key_w"))
+    return (keyed.orderBy(F.desc("key_w"), "doc_id").limit(_WS_K))

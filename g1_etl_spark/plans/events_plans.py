@@ -1953,3 +1953,87 @@ def events_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.us").alias("split_us"),
         before.alias("mean_before"), after.alias("mean_after"),
         (after - before).alias("mean_delta"))
+
+
+@register(
+    "events_gtest_halves",
+    oracle="""
+    WITH s AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    anchor AS (SELECT min(us) AS tmin, max(us) AS tmax FROM s),
+    d AS (SELECT event_type,
+                 CASE WHEN 2 * us <= tmin + tmax THEN 0 ELSE 1 END
+                   AS half
+          FROM s CROSS JOIN anchor),
+    obs AS (SELECT event_type, half,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM d GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM obs GROUP BY 1),
+    ct AS (SELECT half, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM rt),
+    g AS (SELECT CAST(SUM(CAST(o AS HUGEINT)
+                          * CAST(round(ln((CAST(o AS DOUBLE)
+                                           * CAST(n AS DOUBLE))
+                                          / (CAST(r AS DOUBLE)
+                                             * CAST(c AS DOUBLE)))
+                                       * 1000000) AS BIGINT))
+                      AS BIGINT) AS gw
+         FROM obs JOIN rt USING (event_type) JOIN ct USING (half)
+         CROSS JOIN nt),
+    h AS (SELECT CAST(SUM(CASE WHEN half = 0 THEN o ELSE 0 END)
+                      AS BIGINT) AS n_first,
+                 CAST(SUM(CASE WHEN half = 1 THEN o ELSE 0 END)
+                      AS BIGINT) AS n_second
+          FROM obs)
+    SELECT n, k, n_first, n_second,
+           2.0 * CAST(gw AS DOUBLE) / 1000000.0 AS g_stat,
+           CAST((k - 1) * 1 AS BIGINT) AS df
+    FROM g CROSS JOIN nt CROSS JOIN kk CROSS JOIN h
+    """,
+    description="G-test (likelihood-ratio chi-square) of event-type "
+                "MIX drift between the first and second halves of the "
+                "time range: did the composition of traffic change, "
+                "the categorical sibling of CUSUM's level-shift "
+                "question. The half split is pure integer arithmetic "
+                "(2*us <= tmin+tmax — no epoch division), the 5x2 "
+                "observed cells and both margins are exact BIGINTs, "
+                "and G = 2*sum(o*ln(o*n/(r*c))) rides the pinned-ln "
+                "weighted-integer fold the MI/Theil family certified "
+                "(G = 2n*MI(nats) by identity — computed here in one "
+                "expression). Scale shape: one min/max anchor pass + "
+                "one groupBy to 10 cells, scalar crosses after",
+    tags=("events", "stats"),
+)
+def events_gtest_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", F.unix_micros("ts").alias("us"))
+    anchor = s.agg(F.min("us").alias("tmin"), F.max("us").alias("tmax"))
+    d = (s.crossJoin(F.broadcast(anchor))
+         .select("event_type",
+                 F.when(2 * F.col("us") <= F.col("tmin") + F.col("tmax"),
+                        0).otherwise(1).alias("half")))
+    obs = d.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("half").agg(F.sum("o").cast("long").alias("c"))
+    nt = obs.agg(F.sum("o").cast("long").alias("n"))
+    kk = rt.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    d38 = "decimal(38,0)"
+    pin = F.round(F.ln((dd("o") * dd("n")) / (dd("r") * dd("c")))
+                  * 1_000_000).cast("long")
+    g = (obs.join(rt, "event_type").join(ct, "half")
+         .crossJoin(F.broadcast(nt))
+         .select((F.col("o").cast(d38) * pin).alias("t"))
+         .agg(F.sum("t").cast("long").alias("gw")))
+    h = obs.agg(
+        F.sum(F.when(F.col("half") == 0, F.col("o")).otherwise(0))
+        .cast("long").alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, F.col("o")).otherwise(0))
+        .cast("long").alias("n_second"))
+    return (g.crossJoin(nt).crossJoin(kk).crossJoin(h)
+            .select("n", "k", "n_first", "n_second",
+                    (F.lit(2.0) * dd("gw") / F.lit(1000000.0))
+                    .alias("g_stat"),
+                    ((F.col("k") - 1) * 1).cast("long").alias("df")))

@@ -450,3 +450,208 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(c.select(F.col("u").alias("nation"),
                            F.col("c").alias("core")), "nation")
             .orderBy("nation"))
+
+
+_SSSP_ITERS = 10
+_SSSP_SRC = "FRANCE"
+_SSSP_INF = 1_000_000_000_000_000  # >> any real path (<= 25 * 36e6)
+
+
+def _sssp_iter_cte(k: int) -> str:
+    return f"""
+    d{k} AS (
+      SELECT id, MIN(cand) AS d FROM (
+        SELECT id, d AS cand FROM d{k - 1}
+        UNION ALL
+        SELECT ec.dst AS id, dd.d + ec.cw AS cand
+        FROM ec JOIN d{k - 1} dd ON dd.id = ec.src
+      ) GROUP BY id)"""
+
+
+def minplus_sssp(nodes: DataFrame, ec: DataFrame, src_id,
+                 iters: int = _SSSP_ITERS,
+                 inf: int = _SSSP_INF) -> DataFrame:
+    """Min-plus Bellman-Ford: `nodes` = (id), `ec` = (src, dst, cw)
+    with non-negative INTEGER costs. Returns (id, d) after `iters`
+    synchronous relaxation rounds from `src_id`; unreached nodes hold
+    the `inf` sentinel (valid while iters * max_cost << inf). All
+    state is BIGINT min-plus — no float anywhere — so the fold is
+    order-insensitive and engine-exact by construction. Each round is
+    one edge-keyed join + one min-combine per node, lineage truncated;
+    the semi-naive SSSP shape that holds at any graph size."""
+    d = nodes.select(
+        "id", F.when(F.col("id") == src_id, F.lit(0))
+        .otherwise(F.lit(inf)).cast("long").alias("d"))
+    for _ in range(iters):
+        relax = (ec.join(d.select(F.col("id").alias("src"),
+                                  F.col("d").alias("ds")), "src")
+                 .select(F.col("dst").alias("id"),
+                         (F.col("ds") + F.col("cw")).alias("cand")))
+        d = (d.select("id", F.col("d").alias("cand"))
+             .unionByName(relax)
+             .groupBy("id").agg(F.min("cand").cast("long").alias("d"))
+             .localCheckpoint())  # truncate iterative lineage
+    return d
+
+
+_SSSP_SQL = ("WITH " + _GRAPH_CTES + f""",
+    ec AS (SELECT src, dst,
+                  CAST(-round(ln(frac) * 1000000) AS BIGINT) AS cw
+           FROM e WHERE src <> dst),
+    d0 AS (SELECT id, CASE WHEN id = '{_SSSP_SRC}'
+                           THEN CAST(0 AS BIGINT)
+                           ELSE CAST({_SSSP_INF} AS BIGINT) END AS d
+           FROM nodes),"""
+             + ",".join(_sssp_iter_cte(k)
+                        for k in range(1, _SSSP_ITERS + 1))
+             + f"""
+    SELECT id AS nation, d AS cost_w,
+           CASE WHEN d < {_SSSP_INF}
+                THEN CAST(d AS DOUBLE) / 1000000 ELSE -1.0 END
+             AS cost_nats,
+           d < {_SSSP_INF} AS reached
+    FROM d{_SSSP_ITERS} ORDER BY nation
+""")
+
+
+@register(
+    "graph_sssp_trade",
+    oracle=_SSSP_SQL,
+    description=f"single-source shortest paths from {_SSSP_SRC} on the "
+                "revenue-normalized trade graph under min-plus "
+                "Bellman-Ford with INTEGER edge costs "
+                "cw = -round(ln(out_fraction)*1e6) — so the shortest "
+                "path IS the most-probable supply route (sum of "
+                "-log flow fractions = -log path probability), the "
+                "random-walk dual of PageRank on the same edges. "
+                f"{_SSSP_ITERS} fixed relaxation rounds in BOTH "
+                "engines (oracle = unrolled min-plus CTEs, the "
+                "PageRank pattern); every distance is a BIGINT "
+                "min-plus fold of pinned-ln costs, so the fixed point "
+                "is exact integer arithmetic — no float sum ordering "
+                "anywhere. Scale shape: the data-sized stage is the "
+                "one edge census over lineitem (shared with "
+                "pagerank); each relaxation joins the "
+                "alphabet-bounded edge list to the 25-row frontier. "
+                "On a billion-node graph the same loop is the "
+                "standard semi-naive SSSP: edge-partitioned join + "
+                "min-combine per node, lineage truncated per round",
+    tags=("graph", "iterative"),
+)
+def graph_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir)
+    outw = (edges.groupBy("src")
+            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000)
+                 .alias("_ow")))
+    ec = (edges.join(outw, "src")
+          .filter(F.col("src") != F.col("dst"))
+          .select("src", "dst",
+                  (-F.round(F.ln(F.col("weight") / F.col("_ow"))
+                            * 1_000_000)).cast("long").alias("cw"))
+          .localCheckpoint())  # bounded edge list, reused every round
+    d = minplus_sssp(n.select(F.col("n_name").alias("id")), ec,
+                     _SSSP_SRC, iters=_SSSP_ITERS, inf=_SSSP_INF)
+    return (d.select(
+        F.col("id").alias("nation"), F.col("d").alias("cost_w"),
+        F.when(F.col("d") < _SSSP_INF,
+               F.col("d").cast("double") / 1_000_000)
+        .otherwise(F.lit(-1.0)).alias("cost_nats"),
+        (F.col("d") < _SSSP_INF).alias("reached"))
+        .orderBy("nation"))
+
+
+_LPA_ITERS = 10
+
+
+def _lpa_iter_cte(k: int) -> str:
+    # synchronous mode update: new label = most frequent neighbor
+    # label, ties to the lexicographically smallest label
+    return f"""
+    l{k} AS (
+      SELECT u, label FROM (
+        SELECT u, label,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM (SELECT d.u, p.label, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM dirp d JOIN l{k - 1} p ON d.v = p.u
+              GROUP BY d.u, p.label))
+      WHERE rn = 1)
+"""
+
+
+_LPA_SQL = (_KCORE_BASE + f""",
+    l0 AS (SELECT u, u AS label FROM c0),"""
+            + ",".join(_lpa_iter_cte(k)
+                       for k in range(1, _LPA_ITERS + 1))
+            + f"""
+    , sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+             FROM l{_LPA_ITERS} GROUP BY label)
+    SELECT l.u AS nation, l.label AS community, sz.community_size
+    FROM l{_LPA_ITERS} l JOIN sz USING (label) ORDER BY nation
+""")
+
+
+def lpa_iteration(dirp: DataFrame, lab: DataFrame) -> DataFrame:
+    """One synchronous label-propagation step, UN-checkpointed: each
+    node adopts its neighbors' MODE label (count desc, ties to the
+    lexicographically smallest label — both exact, so the step is
+    engine-deterministic even where async LPA would be order-
+    dependent). The argmax is a partial+final MIN over a
+    (-count, label) struct — no ranked window over raw edges, so the
+    per-task bound is even tighter than k-core's degree bound (counts
+    group on (node, label) first)."""
+    cnt = (dirp.join(lab.select(F.col("u").alias("v"), "label"), "v")
+           .groupBy("u", "label")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    best = (cnt.groupBy("u")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("label").alias("label")))
+                 .alias("b")))
+    return best.select("u", F.col("b.label").alias("label"))
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_LPA_SQL,
+    description="community detection by synchronous label propagation "
+                "(Raghavan et al.) on the top-3-sparsified undirected "
+                f"trade graph: {_LPA_ITERS} fixed mode-update rounds "
+                "from singleton labels, each node adopting its "
+                "neighbors' most frequent label with ties to the "
+                "smallest — the missing third member of the graph "
+                "family (components = connectivity, k-core = density, "
+                "LPA = mesoscale structure). Counts are exact BIGINTs "
+                "and the tie-break is total, so the normally "
+                "order-sensitive LPA heuristic is bit-deterministic "
+                "here, and the oracle unrolls the same rounds as "
+                "chained CTEs (the PageRank pattern). Scale shape: "
+                "census-then-analyze; each round is one edge join + "
+                "one (node,label) count + one struct-MIN argmax — "
+                "never a ranked window over raw edges, so the "
+                "per-task bound is distinct neighbor labels per node "
+                "(plans/graph_plans.lpa_iteration)",
+    tags=("graph", "iterative", "clustering"),
+)
+def graph_label_propagation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    e = _sparsified_top3(spark, sf_dir)
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
+           .select("a", "b"))
+    dirp = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(und.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v")))
+            .localCheckpoint())  # reused every iteration
+    lab = dirp.select("u").distinct().select(
+        "u", F.col("u").alias("label"))
+    for _ in range(_LPA_ITERS):
+        lab = lpa_iteration(dirp, lab).localCheckpoint()
+    sz = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size"))
+    return (lab.join(sz, "label")
+            .select(F.col("u").alias("nation"),
+                    F.col("label").alias("community"), "community_size")
+            .orderBy("nation"))

@@ -1782,3 +1782,76 @@ def orders_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(0).alias("ev"),
                  "g1"))
     return logrank_two_cohort(d)
+
+
+@register(
+    "stats_anova_f",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS vw
+               FROM events),
+    g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+                 SUM(CAST(vw AS HUGEINT)) AS sg,
+                 SUM(CAST(vw AS HUGEINT) * vw) AS ssg
+          FROM s GROUP BY 1),
+    t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(sg) AS HUGEINT) AS stot,
+                 CAST(SUM(ssg) AS HUGEINT) AS sstot,
+                 list_sum(list_sort(list(
+                   CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                     / CAST(ng AS DOUBLE)))) AS sbp,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM g)
+    SELECT n, k,
+           (sbp - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / 10000.0 AS ss_between,
+           (CAST(sstot AS DOUBLE) - sbp) / 10000.0 AS ss_within,
+           ((sbp - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(sstot AS DOUBLE) - sbp)
+                / CAST(n - k AS DOUBLE)) AS f_stat
+    FROM t
+    """,
+    description="one-way ANOVA F-test of event value across the 5 "
+                "event types — the parametric sibling of "
+                "stats_kruskal_value_type (same question, mean-based "
+                "instead of rank-based; run both and disagreement "
+                "flags heavy tails). Per-group moments are exact "
+                "128-bit integer sums of cents-scaled longs (the "
+                "ridge idiom), the single 5-term double fold "
+                "(sum sg^2/ng) goes through the sorted-fold so both "
+                "engines add in one order, and F is one fixed "
+                "expression tree on identical doubles. Scale shape: "
+                "one groupBy over the scan to a 5-row frame, then "
+                "scalar algebra — no second pass, no window",
+    tags=("stats", "agg"),
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.features import _sortsum
+
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    vw = F.round(F.col("value") * 100).cast("long")
+    g = (ev.select("event_type", vw.alias("vw"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("ng"),
+              F.sum(F.col("vw").cast(d38)).alias("sg"),
+              F.sum(F.col("vw").cast(d38) * F.col("vw")).alias("ssg")))
+    term = (F.col("sg").cast("double") * F.col("sg").cast("double")
+            / F.col("ng").cast("double"))
+    t = g.agg(F.sum("ng").cast("long").alias("n"),
+              F.sum("sg").alias("stot"),
+              F.sum("ssg").alias("sstot"),
+              _sortsum(term).alias("sbp"),
+              F.count(F.lit(1)).cast("long").alias("k"))
+    nd = F.col("n").cast("double")
+    ssb = (F.col("sbp") - F.col("stot").cast("double")
+           * F.col("stot").cast("double") / nd)
+    ssw = F.col("sstot").cast("double") - F.col("sbp")
+    return t.select(
+        "n", "k",
+        (ssb / 10000.0).alias("ss_between"),
+        (ssw / 10000.0).alias("ss_within"),
+        ((ssb / (F.col("k") - 1).cast("double"))
+         / (ssw / (F.col("n") - F.col("k")).cast("double")))
+        .alias("f_stat"))

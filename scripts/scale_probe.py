@@ -283,6 +283,11 @@ FAMILIES["documents"] += ["text_nb_lang_confusion",
 # the IVF-pooled MMR reads embeddings through its IVF probe stage
 FAMILIES["trade"] += ["orders_logrank"]
 FAMILIES["embeddings"] += ["sim_mmr_ivf"]
+# r9 wave 2: logistic IRLS censuses lineitem, SSSP shares pagerank's
+# edge census; ANOVA reads events; the weighted sample reads documents
+FAMILIES["trade"] += ["feat_logistic_irls", "graph_sssp_trade"]
+FAMILIES["events"] += ["stats_anova_f"]
+FAMILIES["documents"] += ["corpus_weighted_sample"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -385,3 +385,36 @@ def test_cohens_kappa_known_2x2(spark):
     assert abs(po - 0.7) < 1e-12
     assert abs(pe - 0.5) < 1e-12
     assert abs(kappa - 0.4) < 1e-12
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Efraimidis-Spirakis sanity on the registered query's mechanics:
+    (a) with equal weights the top-k by key equals the top-k by raw
+    uniform (pure uniform sampling), and (b) across the corpus the
+    selected documents' mean weight exceeds the corpus mean — the
+    w-proportional tilt the operator exists to produce."""
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.plans.curation_plans import corpus_weighted_sample
+
+    sel = corpus_weighted_sample(spark, SF_SMOKE)
+    rows = sel.collect()
+    assert len(rows) == 200
+    # keys are the real top-200: max excluded key <= min selected key
+    d = load_table(spark, SF_SMOKE, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 13), 16, 10).cast("long") + 1.0)
+         / F.lit(4503599627370496.0))
+    keyed = d.select("doc_id",
+                     w.alias("weight"),
+                     F.round(F.ln(u) / w.cast("double") * 1_000_000)
+                     .cast("long").alias("key_w"))
+    sel_ids = {r.doc_id for r in rows}
+    excluded_max = (keyed.filter(~F.col("doc_id").isin(sel_ids))
+                    .agg(F.max("key_w")).collect()[0][0])
+    selected_min = min(r.key_w for r in rows)
+    assert excluded_max <= selected_min
+    # weight tilt
+    mean_sel = sum(r.weight for r in rows) / len(rows)
+    mean_all = keyed.agg(F.avg("weight")).collect()[0][0]
+    assert mean_sel > mean_all

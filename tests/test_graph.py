@@ -334,3 +334,23 @@ def test_assortativity_star_graph_is_minus_one(spark):
     r = ((t.m * t.sxy - t.sx * t.sx)
          / (t.m * t.sxx - t.sx * t.sx))
     assert r == -1.0
+
+
+def test_minplus_sssp_textbook_graph(spark):
+    """Bellman-Ford on a hand-checkable digraph: the direct edge 0->3
+    (cost 10) loses to the 3-hop path 0->1->2->3 (2+3+4=9); node 4 is
+    unreachable and must keep the sentinel. Also pins the negative
+    property that extra iterations past convergence change nothing."""
+    from g1_etl_spark.plans.graph_plans import minplus_sssp
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    ec = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3), (2, 3, 4), (0, 3, 10), (4, 0, 1)],
+        "src long, dst long, cw long")
+    inf = 10 ** 15
+    got = {r.id: r.d for r in
+           minplus_sssp(nodes, ec, 0, iters=6, inf=inf).collect()}
+    assert got == {0: 0, 1: 2, 2: 5, 3: 9, 4: inf}
+    more = {r.id: r.d for r in
+            minplus_sssp(nodes, ec, 0, iters=9, inf=inf).collect()}
+    assert more == got

@@ -232,6 +232,9 @@ _BNLJ_OK = {
     # one-row min/max scalar over the scan (equidepth shape) + one-row
     # good/bad totals over the 10-row bin frame
     "feat_woe_iv",
+    # one-row time-range anchor over the scan + one-row n/k/halves
+    # scalars crossed into the 10-cell G frame (the chi2/MI shape)
+    "events_gtest_halves",
     # one-row basket-count scalar crossed into the <=300-row rule frame
     # (constant 25-brand alphabet)
     "orders_rule_lift",
@@ -331,6 +334,13 @@ _SINGLE_PART_OK = {
     # final chi2 fold over the bounded duration grid (the dual-cohort
     # prefix sum is range-partitioned)
     "orders_logrank",
+    # one-row 9-moment aggregate over the <=51x11 pinned cell census
+    # (the census itself is exchange-hashed; iterations touch only it)
+    "feat_logistic_irls",
+    # one-row 5-group moment fold (sorted-fold SSB term + totals)
+    "stats_anova_f",
+    # one-row G/n/k/halves scalar aggregates over the 10-cell frame
+    "events_gtest_halves",
 }
 
 

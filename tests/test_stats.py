@@ -1145,3 +1145,71 @@ def test_kaplan_meier_textbook_case(spark):
         assert out[5].survival == 0.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_logistic_irls_recovers_known_model(spark):
+    """IRLS on synthetic cells generated from a KNOWN logistic model
+    (b = (-1, 0.15, -0.2) in (1, q, dc) units) with n=5000 per cell:
+    4 Newton steps from zero must land within the pinning granularity
+    of the truth, and must agree with an independent UNPINNED pure-
+    Python IRLS on the same cells to ~1e-3 (the 1e-6 p-grid is the
+    only difference between the two)."""
+    import math as m
+
+    from g1_etl_spark.plans.feature_plans import logistic_irls_cells
+
+    bt = (-1.0, 0.15, -0.2)
+    rows = []
+    for q in range(1, 21):
+        for dc in range(0, 11):
+            n = 5000
+            p = 1.0 / (1.0 + m.exp(-(bt[0] + bt[1] * q + bt[2] * dc)))
+            rows.append((q, dc, n, round(n * p)))
+    cells = spark.createDataFrame(
+        rows, "q long, dc long, n long, ny long")
+    b = logistic_irls_cells(cells, iters=4)
+    assert abs(b[0] - bt[0]) < 0.02, b
+    assert abs(b[1] - bt[1]) < 0.005, b
+    assert abs(b[2] - bt[2]) < 0.01, b
+
+    # independent unpinned reference (numpy solve, float p/w)
+    import numpy as np
+    bb = np.zeros(3)
+    X = np.array([[1.0, q, dc] for q, dc, _, _ in rows])
+    nn = np.array([r[2] for r in rows], dtype=float)
+    ny = np.array([r[3] for r in rows], dtype=float)
+    for _ in range(4):
+        eta = np.clip(X @ bb, -13, 13)
+        p = 1.0 / (1.0 + np.exp(-eta))
+        w = nn * p * (1 - p)
+        A = X.T @ (w[:, None] * X)
+        r = X.T @ (w * eta + (ny - nn * p))
+        bb = np.linalg.solve(A, r)
+    assert np.allclose(np.array(b), bb, atol=1e-3), (b, bb)
+
+
+def test_anova_f_matches_pure_python_reference(spark):
+    """stats_anova_f's pinned-moment algebra vs a transparent
+    textbook computation (group means / SSB / SSW) on the same
+    sf-smoke events — independent arithmetic path, float tolerance."""
+    from collections import defaultdict
+
+    from g1_etl_spark.plans.stats_plans import stats_anova_f
+
+    rows = load_table(spark, SF_SMOKE, "events") \
+        .select("event_type", "value").collect()
+    by = defaultdict(list)
+    for r in rows:
+        by[r.event_type].append(round(r.value * 100) / 100.0)
+    n = sum(len(v) for v in by.values())
+    k = len(by)
+    gm = sum(sum(v) for v in by.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in by.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v)
+              for v in by.values())
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    got = stats_anova_f(spark, SF_SMOKE).collect()[0]
+    assert got.n == n and got.k == k
+    assert math.isclose(got.ss_between, ssb, rel_tol=1e-6)
+    assert math.isclose(got.ss_within, ssw, rel_tol=1e-6)
+    assert math.isclose(got.f_stat, f_ref, rel_tol=1e-6)
