@@ -2037,3 +2037,96 @@ def events_gtest_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(2.0) * dd("gw") / F.lit(1000000.0))
                     .alias("g_stat"),
                     ((F.col("k") - 1) * 1).cast("long").alias("df")))
+
+
+@register(
+    "events_holtwinters",
+    oracle="""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+             CAST(hour(ts) AS INTEGER) AS h,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events),
+    hw AS (
+      SELECT user_id, i, x AS l, CAST(0.0 AS DOUBLE) AS b,
+             list_transform(generate_series(1, 24),
+                            j -> CAST(0.0 AS DOUBLE)) AS s
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT user_id, i, l2 AS l, ((l2 - l) + b) / 2 AS b,
+             list_transform(generate_series(1, 24),
+                            j -> CASE WHEN j = h + 1
+                                      THEN ((x - l2) + s[j]) / 2
+                                      ELSE s[j] END) AS s
+      FROM (SELECT o.user_id, o.i, o.x, o.h, hw.l, hw.b, hw.s,
+                   ((o.x - hw.s[o.h + 1]) + (hw.l + hw.b)) / 2 AS l2
+            FROM hw JOIN ord o
+              ON o.user_id = hw.user_id AND o.i = hw.i + 1)),
+    n AS (SELECT user_id, max(i) AS n_events FROM ord GROUP BY user_id),
+    fin AS (
+      SELECT hw.user_id, n.n_events, hw.l, hw.b, hw.s, o2.h AS hlast
+      FROM hw JOIN n ON hw.user_id = n.user_id AND hw.i = n.n_events
+      JOIN ord o2 ON o2.user_id = n.user_id AND o2.i = n.n_events)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           l AS level, b AS trend,
+           s[((hlast + 1) % 24) + 1] AS s_next,
+           l + b + s[((hlast + 1) % 24) + 1] AS forecast_next,
+           list_aggregate(s, 'max') - list_aggregate(s, 'min')
+             AS s_spread
+    FROM fin
+    """,
+    description="per-user additive Holt-Winters (alpha = beta = gamma "
+                "= 1/2, hour-of-day season m=24) of event values in "
+                "(ts, event_id) order — completes the forecasting "
+                "ladder EWMA -> Holt -> Holt-Winters with the first "
+                "MULTI-STATE ordered fold: the accumulator carries "
+                "(level, trend, 24 seasonals) and every step is adds, "
+                "subtracts and exact exponent-shift halvings in the "
+                "IDENTICAL IEEE sequence in both engines (oracle = "
+                "recursive CTE carrying a LIST column — per the "
+                "list_reduce struct-mutation quirk, recursive CTEs "
+                "are the only safe DuckDB form for multi-state "
+                "folds). Emits the next-hour seasonal forecast "
+                "level + trend + s[next slot] and the seasonal "
+                "spread. Scale shape: per-user arrays (the "
+                "events_ewma_value SCALE BOUND note applies "
+                "verbatim); the O(m)-state streaming twin is "
+                "streaming/stateful.streaming_holtwinters, "
+                "bit-equal by the same sealed-prefix argument",
+    tags=("events", "window", "stats", "forecast", "timeseries"),
+)
+def events_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    items = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: F.struct(s["value"].cast("double").alias("x"),
+                           F.hour(s["ts"]).cast("int").alias("h")))
+    g = ev.groupBy("user_id").agg(items.alias("it"))
+    seed = F.struct(
+        F.element_at("it", 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), 24).alias("s"))
+
+    def step(acc, e):
+        l2 = ((e["x"] - F.element_at(acc["s"], e["h"] + 1))
+              + (acc["l"] + acc["b"])) / 2
+        s2 = F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: F.when(
+                j == e["h"] + 1,
+                ((e["x"] - l2) + F.element_at(acc["s"], j)) / 2)
+            .otherwise(F.element_at(acc["s"], j)))
+        return F.struct(l2.alias("l"),
+                        (((l2 - acc["l"]) + acc["b"]) / 2).alias("b"),
+                        s2.alias("s"))
+
+    st = F.aggregate(F.expr("slice(it, 2, size(it) - 1)"), seed, step)
+    hlast = F.element_at("it", F.size("it"))["h"]
+    snext = F.element_at(st["s"], ((hlast + F.lit(1)) % 24) + 1)
+    return g.select(
+        "user_id", F.size("it").cast("long").alias("n_events"),
+        st["l"].alias("level"), st["b"].alias("trend"),
+        snext.alias("s_next"),
+        (st["l"] + st["b"] + snext).alias("forecast_next"),
+        (F.array_max(st["s"]) - F.array_min(st["s"])).alias("s_spread"))

@@ -1021,6 +1021,96 @@ def streaming_holt(events: DataFrame,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+_HW_OUT = ("user_id long, i long, level double, trend double, "
+           "s_h double")
+_HW_STATE = ("l double, b double, s array<double>, cnt long, "
+             "buf_us array<long>, buf_id array<long>, "
+             "buf_val array<double>, buf_h array<int>")
+
+
+def _advance_holtwinters(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct running additive Holt-Winters (alpha = beta =
+    gamma = 1/2, hour-of-day season m=24): the first MULTI-STATE
+    streaming twin — committed state is (l, b, s[24], count) plus the
+    watermark-bounded buffer, O(m) per user. Each sealed event applies
+    the batch recursion l' = ((x - s[h]) + (l + b))/2,
+    b' = ((l' - l) + b)/2, s'[h] = ((x - l') + s[h])/2 — the exact op
+    sequence events_holtwinters folds over the time-sorted array (and
+    its oracle iterates as a recursive CTE carrying a LIST column), so
+    the row emitted at sealed position i equals the batch
+    (level, trend, s[h]) of that prefix BIT-FOR-BIT."""
+    (user_id,) = key
+    if state.exists:
+        g = state.get
+        l, b, sea, cnt = g[0], g[1], list(g[2]), g[3]
+        bus, bid, bval, bh = (list(g[4]), list(g[5]), list(g[6]),
+                              list(g[7]))
+    else:
+        l, b, sea, cnt = 0.0, 0.0, [0.0] * 24, 0
+        bus, bid, bval, bh = [], [], [], []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, val, hh in zip(pdf["us"], pdf["event_id"],
+                                        pdf["value"], pdf["h"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bval.append(float(val))
+                bh.append(int(hh))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    for i in order:
+        if bus[i] > wm_us:
+            break  # not sealed yet; neither is anything after it
+        x, h = bval[i], bh[i]
+        if cnt == 0:
+            l, b = x, 0.0
+        else:
+            l2 = ((x - sea[h]) + (l + b)) / 2
+            b = ((l2 - l) + b) / 2
+            sea[h] = ((x - l2) + sea[h]) / 2
+            l = l2
+        cnt += 1
+        rows.append({"user_id": user_id, "i": cnt, "level": l,
+                     "trend": b, "s_h": sea[h]})
+        consumed.append(i)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bval[i], bh[i]
+    state.update((l, b, sea, cnt, bus, bid, bval, bh))
+    if bus:
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(rows,
+                       columns=["user_id", "i", "level", "trend", "s_h"])
+
+
+def streaming_holtwinters(events: DataFrame,
+                          delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the batch events_holtwinters: per-user running
+    Holt-Winters (level, trend, hour-of-day seasonals) in event-time
+    order, one row per sealed event, O(m=24) committed state per user.
+    The last emitted row per user equals the batch fold over the same
+    sealed prefix exactly — see _advance_holtwinters."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .select("user_id", "event_id",
+                        F.unix_micros("ts").alias("us"),
+                        F.hour("ts").cast("int").alias("h"),
+                        "value", "ts"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _advance_holtwinters,
+                outputStructType=_HW_OUT,
+                stateStructType=_HW_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 _ZS_OUT = ("event_type string, event_id long, value double, "
            "n_window long, zscore double")
 _ZS_STATE = ("win_us array<long>, win_xs array<long>, "

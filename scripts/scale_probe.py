@@ -288,6 +288,10 @@ FAMILIES["embeddings"] += ["sim_mmr_ivf"]
 FAMILIES["trade"] += ["feat_logistic_irls", "graph_sssp_trade"]
 FAMILIES["events"] += ["stats_anova_f"]
 FAMILIES["documents"] += ["corpus_weighted_sample"]
+# r9 wave 3: LPA shares the sparsified trade census; the G-test and
+# the Holt-Winters fold read events
+FAMILIES["trade"] += ["graph_label_propagation"]
+FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -1048,3 +1048,58 @@ def test_streaming_holt_matches_batch_fold_bitwise(spark):
             assert (r.level, r.trend) == want, (r.user_id, r.i)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_holtwinters_matches_batch_fold_bitwise(spark):
+    """Each emitted row's (level, trend, s[h]) equals the batch
+    Holt-Winters recursion over that user's first i sealed events
+    EXACTLY (no tolerance): the stream's multi-state update and
+    events_holtwinters' ordered fold are the same IEEE op sequence,
+    seasonal array included."""
+    from g1_etl_spark.streaming.stateful import streaming_holtwinters
+
+    tmp = str(TMP) + "_hw"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        stream = SW.read_events_stream(
+            spark, tmp, 1).filter(F.col("user_id") < 10)
+        q = SW.run_to_memory(streaming_holtwinters(stream), "t_hw",
+                             output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM t_hw").collect()
+        finally:
+            q.stop()
+        assert rows
+        ev = (spark.read.parquet(tmp).filter(F.col("user_id") < 10)
+              .select("user_id", "ts", "event_id", "value").collect())
+        from collections import defaultdict
+        series = defaultdict(list)
+        for r in ev:
+            series[r.user_id].append((r.ts, r.event_id, r.value,
+                                      r.ts.hour))
+        prefix = {}
+        for uid, evs in series.items():
+            evs.sort(key=lambda t: (t[0], t[1]))
+            st = None
+            states = []
+            for _, _, x, h in evs:
+                if st is None:
+                    st = (x, 0.0, [0.0] * 24)
+                else:
+                    l, b, sea = st
+                    l2 = ((x - sea[h]) + (l + b)) / 2
+                    b2 = ((l2 - l) + b) / 2
+                    sea = list(sea)
+                    sea[h] = ((x - l2) + sea[h]) / 2
+                    st = (l2, b2, sea)
+                states.append((st[0], st[1], st[2][h]))
+            prefix[uid] = states
+        seen = defaultdict(int)
+        for r in sorted(rows, key=lambda r: (r.user_id, r.i)):
+            assert r.i == seen[r.user_id] + 1, "gap in emission order"
+            seen[r.user_id] = r.i
+            want = prefix[r.user_id][r.i - 1]
+            assert (r.level, r.trend, r.s_h) == want, (r.user_id, r.i)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
