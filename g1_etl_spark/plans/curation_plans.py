@@ -450,3 +450,66 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.ln(u) / w.cast("double") * 1_000_000)
         .cast("long").alias("key_w"))
     return (keyed.orderBy(F.desc("key_w"), "doc_id").limit(_WS_K))
+
+
+_WSS_PER = 20  # per-source quota
+
+
+@register(
+    "corpus_weighted_sample_stratified",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 13)) AS BIGINT) + 1.0)
+               / {_WS_U52} AS u
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, w,
+             CAST(round(ln(u) / CAST(w AS DOUBLE) * 1000000)
+                  AS BIGINT) AS key_w
+      FROM s),
+    r AS (SELECT doc_id, source, w, key_w,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY key_w DESC, doc_id)
+                   AS rn
+          FROM keyed)
+    SELECT source, doc_id, w AS weight, key_w,
+           CAST(rn AS BIGINT) AS rank_in_source
+    FROM r WHERE rn <= {_WSS_PER}
+    ORDER BY source, rank_in_source
+    """,
+    description="per-source stratified Efraimidis-Spirakis sample: an "
+                f"exact weight-proportional top-{_WSS_PER} WITHIN each "
+                "source — the quota-per-provenance form every "
+                "pretraining mix actually uses (global sampling lets "
+                "one giant source crowd out the tail; stratification "
+                "pins the mix). Same pinned ln(u)/w keys as "
+                "corpus_weighted_sample; the per-source top-k runs as "
+                "a rank window whose partitions are source-bounded "
+                "(Spark plants a partial WindowGroupLimit below the "
+                "exchange, so only ~k rows per (source, input "
+                "partition) ever shuffle)",
+    tags=("curation", "sampling"),
+)
+def corpus_weighted_sample_stratified(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 13), 16, 10).cast("long") + 1.0)
+         / F.lit(_WS_U52))
+    keyed = d.select(
+        "doc_id", "source", w.alias("weight"),
+        F.round(F.ln(u) / w.cast("double") * 1_000_000)
+        .cast("long").alias("key_w"))
+    win = Window.partitionBy("source").orderBy(F.desc("key_w"), "doc_id")
+    return (keyed.withColumn("rank_in_source",
+                             F.row_number().over(win).cast("long"))
+            .filter(F.col("rank_in_source") <= _WSS_PER)
+            .select("source", "doc_id", "weight", "key_w",
+                    "rank_in_source")
+            .orderBy("source", "rank_in_source"))

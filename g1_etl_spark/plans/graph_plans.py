@@ -655,3 +655,106 @@ def graph_label_propagation(spark: SparkSession,
             .select(F.col("u").alias("nation"),
                     F.col("label").alias("community"), "community_size")
             .orderBy("nation"))
+
+
+_APSP_ITERS = 10
+
+
+def _apsp_iter_cte(k: int) -> str:
+    return f"""
+    ap{k} AS (
+      SELECT s, id, MIN(cand) AS d FROM (
+        SELECT s, id, d AS cand FROM ap{k - 1}
+        UNION ALL
+        SELECT dd.s, ec.dst AS id, dd.d + ec.cw AS cand
+        FROM ec JOIN ap{k - 1} dd ON dd.id = ec.src
+      ) GROUP BY s, id)"""
+
+
+_CLOSENESS_SQL = ("WITH " + _GRAPH_CTES + f""",
+    ec AS (SELECT src, dst,
+                  CAST(-round(ln(frac) * 1000000) AS BIGINT) AS cw
+           FROM e WHERE src <> dst),
+    ap0 AS (SELECT a.id AS s, b.id AS id,
+                   CASE WHEN a.id = b.id THEN CAST(0 AS BIGINT)
+                        ELSE CAST({_SSSP_INF} AS BIGINT) END AS d
+            FROM nodes a CROSS JOIN nodes b),"""
+                  + ",".join(_apsp_iter_cte(k)
+                             for k in range(1, _APSP_ITERS + 1))
+                  + f"""
+    SELECT s AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS total_cost_w,
+           CAST(MAX(d) AS BIGINT) AS eccentricity_w,
+           CAST(COUNT(*) AS DOUBLE)
+             / (CAST(SUM(d) AS DOUBLE) / 1000000.0) AS closeness
+    FROM ap{_APSP_ITERS}
+    WHERE s <> id AND d < {_SSSP_INF}
+    GROUP BY s ORDER BY nation
+""")
+
+
+@register(
+    "graph_closeness_trade",
+    oracle=_CLOSENESS_SQL,
+    description="closeness centrality (and eccentricity) of every "
+                "nation via ALL-pairs min-plus shortest paths on the "
+                "-log-flow trade graph — which nation can reach the "
+                "whole trade network through the most probable "
+                "routes? The APSP is graph_sssp_trade's loop with a "
+                "source dimension: the frontier is the (source, node) "
+                "frame, every relaxation is one edge join + one "
+                "integer min-combine keyed by (s, id), all BIGINT "
+                "min-plus end to end; closeness = n_reached / "
+                "total_path_nats is one division of exact integers. "
+                f"{_APSP_ITERS} fixed rounds, oracle = the same "
+                "rounds unrolled (the PageRank pattern). Scale shape: "
+                "the nodes x nodes seed is 625 constant rows (the "
+                "one-row-build-side BNLJ class); on a graph where "
+                "n_nodes is data-sized, APSP is the wrong ask — use "
+                "per-source SSSP on the landmark subset instead, "
+                "which this same loop serves by seeding fewer "
+                "sources",
+    tags=("graph", "iterative"),
+)
+def graph_closeness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir)
+    outw = (edges.groupBy("src")
+            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000)
+                 .alias("_ow")))
+    ec = (edges.join(outw, "src")
+          .filter(F.col("src") != F.col("dst"))
+          .select("src", "dst",
+                  (-F.round(F.ln(F.col("weight") / F.col("_ow"))
+                            * 1_000_000)).cast("long").alias("cw"))
+          .localCheckpoint())  # bounded edge list, reused every round
+    nodes = n.select(F.col("n_name").alias("id"))
+    d = (nodes.crossJoin(F.broadcast(nodes.select(
+        F.col("id").alias("s"))))
+        .select("s", "id",
+                F.when(F.col("s") == F.col("id"), F.lit(0))
+                .otherwise(F.lit(_SSSP_INF)).cast("long").alias("d")))
+    for _ in range(_APSP_ITERS):
+        relax = (ec.join(d.select("s", F.col("id").alias("src"),
+                                  F.col("d").alias("ds")), "src")
+                 .select("s", F.col("dst").alias("id"),
+                         (F.col("ds") + F.col("cw")).alias("cand")))
+        d = (d.select("s", "id", F.col("d").alias("cand"))
+             .unionByName(relax)
+             .groupBy("s", "id")
+             .agg(F.min("cand").cast("long").alias("d"))
+             .localCheckpoint())  # truncate iterative lineage
+    return (d.filter((F.col("s") != F.col("id"))
+                     & (F.col("d") < _SSSP_INF))
+            .groupBy(F.col("s").alias("nation"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_reached"),
+                 F.sum("d").cast("long").alias("total_cost_w"),
+                 F.max("d").cast("long").alias("eccentricity_w"))
+            .select("nation", "n_reached", "total_cost_w",
+                    "eccentricity_w",
+                    (F.col("n_reached").cast("double")
+                     / (F.col("total_cost_w").cast("double")
+                        / F.lit(1000000.0))).alias("closeness"))
+            .orderBy("nation"))

@@ -292,6 +292,10 @@ FAMILIES["documents"] += ["corpus_weighted_sample"]
 # the Holt-Winters fold read events
 FAMILIES["trade"] += ["graph_label_propagation"]
 FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters"]
+# r9 wave 4: APSP/closeness shares the pagerank edge census; the
+# stratified sample reads documents
+FAMILIES["trade"] += ["graph_closeness_trade"]
+FAMILIES["documents"] += ["corpus_weighted_sample_stratified"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

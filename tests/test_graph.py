@@ -354,3 +354,30 @@ def test_minplus_sssp_textbook_graph(spark):
     more = {r.id: r.d for r in
             minplus_sssp(nodes, ec, 0, iters=9, inf=inf).collect()}
     assert more == got
+
+
+def test_closeness_star_center_dominates(spark):
+    """On a weighted star (hub 0 <-> leaves, cost 1 each way), the hub
+    reaches everyone in 1 unit while leaves pay 1 + 2(n-2)... wait —
+    leaves reach the hub in 1 and every other leaf in 2, so
+    closeness(hub) = (n-1)/(n-1) = 1 and closeness(leaf) =
+    (n-1)/(1 + 2(n-2)) < 1. Pins the APSP aggregation algebra on a
+    hand-checkable graph via the same min-plus loop."""
+    from g1_etl_spark.plans.graph_plans import minplus_sssp
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    ec = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, n)] + [(i, 0, 1)
+                                            for i in range(1, n)],
+        "src long, dst long, cw long")
+    inf = 10 ** 15
+    # APSP = per-source SSSP on a bounded node set
+    total = {}
+    for s in range(n):
+        d = {r.id: r.d for r in
+             minplus_sssp(nodes, ec, s, iters=4, inf=inf).collect()}
+        total[s] = sum(v for k, v in d.items() if k != s)
+    assert total[0] == n - 1
+    for leaf in range(1, n):
+        assert total[leaf] == 1 + 2 * (n - 2)
