@@ -669,3 +669,56 @@ def fuzzy_id_transpositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.damerau_blocked_pairs(
         names, "name", max_dist=1,
         block_col=F.expr("substring(name, 1, length(name) - 2)"))
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=f"""
+    {_COMPS_SQL},
+    wts AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+            FROM documents),
+    j AS (SELECT c.doc_id, c.component, w.w
+          FROM comps c JOIN wts w USING (doc_id)),
+    k AS (SELECT doc_id, component, w,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY w DESC, doc_id) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY component)
+                      AS BIGINT) AS cluster_size
+          FROM j)
+    SELECT doc_id, component, w AS weight, cluster_size,
+           rn = 1 AS is_canonical
+    FROM k ORDER BY doc_id
+    """,
+    description="canonical-representative selection over the near-dup "
+                "clusters: within each jaccard connected component "
+                "keep the LONGEST document (token count, doc_id "
+                "tie-break) and flag the rest as drops — the decision "
+                "step that turns dedup_clusters' diagnosis into the "
+                "actual corpus action ('which copy do we train on'). "
+                "Composes the certified components oracle verbatim so "
+                "the cluster definition cannot drift; the per-cluster "
+                "argmax is a rank window bounded by cluster size. "
+                "Output keeps every doc with its verdict so the "
+                "downstream anti-join (keep vs drop) is one filter",
+    tags=("dedup", "curation", "pipeline"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs, docs.select("doc_id"))
+    wts = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("weight"))
+    j = comps.join(wts, "doc_id")
+    win = Window.partitionBy("component").orderBy(
+        F.desc("weight"), "doc_id")
+    cw = Window.partitionBy("component")
+    return (j.withColumn("rn", F.row_number().over(win))
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(cw).cast("long"))
+            .select("doc_id", "component", "weight", "cluster_size",
+                    (F.col("rn") == 1).alias("is_canonical"))
+            .orderBy("doc_id"))

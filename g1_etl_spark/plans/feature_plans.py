@@ -565,9 +565,14 @@ def logistic_irls_cells(cells: DataFrame,
             F.sum(F.col("u_w") * F.col("dc")).alias("iw"),
         ).collect()[0]
         # Cramer on the 3x3 symmetric system — the SAME expression
-        # tree as the oracle's SQL, evaluated on identical doubles
-        a, bb, c = s.aw / 1e6, s.bw / 1e6, s.cw / 1e6
-        dm, e, f = s.dw / 1e6, s.ew / 1e6, s.fw / 1e6
+        # tree as the oracle's SQL, evaluated on identical doubles.
+        # The 0.001 diagonal ridge keeps the solve nonsingular when a
+        # feature column is constant (a degenerate census — e.g. every
+        # doc in one stopword bucket — would otherwise hit det = 0);
+        # it is ~1e-9 of a typical diagonal entry, so coefficients on
+        # healthy data are unchanged to float precision.
+        a, bb, c = s.aw / 1e6 + 0.001, s.bw / 1e6, s.cw / 1e6
+        dm, e, f = s.dw / 1e6 + 0.001, s.ew / 1e6, s.fw / 1e6 + 0.001
         g, h, i = s.gw / 1e6, s.hw / 1e6, s.iw / 1e6
         det = a * (dm * f - e * e) - bb * (bb * f - e * c) \
             + c * (bb * e - dm * c)
@@ -628,12 +633,12 @@ def _logit_iter_cte(k: int) -> str:
                a * (dm * f - e * e) - b * (b * f - e * c)
                  + c * (b * e - dm * c) AS det
         FROM (
-          SELECT CAST(aw AS DOUBLE) / 1000000 AS a,
+          SELECT CAST(aw AS DOUBLE) / 1000000 + 0.001 AS a,
                  CAST(bw AS DOUBLE) / 1000000 AS b,
                  CAST(cw AS DOUBLE) / 1000000 AS c,
-                 CAST(dw AS DOUBLE) / 1000000 AS dm,
+                 CAST(dw AS DOUBLE) / 1000000 + 0.001 AS dm,
                  CAST(ew AS DOUBLE) / 1000000 AS e,
-                 CAST(fw AS DOUBLE) / 1000000 AS f,
+                 CAST(fw AS DOUBLE) / 1000000 + 0.001 AS f,
                  CAST(gw AS DOUBLE) / 1000000 AS g,
                  CAST(hw AS DOUBLE) / 1000000 AS h,
                  CAST(iw AS DOUBLE) / 1000000 AS i

@@ -295,7 +295,9 @@ FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters"]
 # r9 wave 4: APSP/closeness shares the pagerank edge census; the
 # stratified sample reads documents
 FAMILIES["trade"] += ["graph_closeness_trade"]
-FAMILIES["documents"] += ["corpus_weighted_sample_stratified"]
+FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
+                          "pipeline_quality_classifier",
+                          "dedup_canonical_keep"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the
