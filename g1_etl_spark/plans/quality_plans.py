@@ -340,3 +340,63 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
     return Q.mad_outliers(o, "o_totalprice", ["o_orderpriority"], k=5.0)
+
+
+_FD_PAIRS = (
+    ("custkey->orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("partkey->returnflag", "lineitem", "l_partkey", "l_returnflag"),
+    ("suppkey->linestatus", "lineitem", "l_suppkey", "l_linestatus"),
+)
+
+
+def _fd_sql_one(name: str, table: str, a: str, b: str) -> str:
+    return f"""
+    SELECT '{name}' AS fd,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(mx) AS BIGINT) AS kept,
+           CAST(SUM(mx) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS strength,
+           SUM(mx) = SUM(c) AS holds_exactly
+    FROM (SELECT {a}, SUM(cnt) AS c, MAX(cnt) AS mx
+          FROM (SELECT {a}, {b}, COUNT(*) AS cnt
+                FROM {table} GROUP BY 1, 2)
+          GROUP BY 1)"""
+
+
+@register(
+    "dq_fd_audit",
+    oracle=" UNION ALL ".join(_fd_sql_one(*p) for p in _FD_PAIRS)
+           + " ORDER BY fd",
+    description="approximate functional-dependency audit (the Tane g3 "
+                "measure): for each candidate FD A -> B, the fraction "
+                "of rows kept if every A-group dropped to its "
+                "majority B value — 1.0 means the dependency holds "
+                "exactly, lower quantifies how dirty it is. The "
+                "schema-profiling primitive behind key discovery and "
+                "denormalization checks, audited here for three "
+                "candidate pairs. All exact integer counts (cell "
+                "census -> per-key struct MAX -> one sum) + one "
+                "division; no window, nothing wider than the cell "
+                "frames shuffles",
+    tags=("quality", "agg"),
+)
+def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, table, a, b in _FD_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        cells = (t.groupBy(F.col(a).alias("k"), F.col(b).alias("v"))
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        per_key = cells.groupBy("k").agg(F.sum("cnt").alias("c"),
+                                         F.max("cnt").alias("mx"))
+        outs.append(per_key.agg(
+            F.lit(name).alias("fd"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("mx").cast("long").alias("kept"),
+            (F.sum("mx").cast("double") / F.sum("c").cast("double"))
+            .alias("strength"),
+            (F.sum("mx") == F.sum("c")).alias("holds_exactly")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")

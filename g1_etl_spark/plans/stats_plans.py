@@ -1855,3 +1855,77 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ssb / (F.col("k") - 1).cast("double"))
          / (ssw / (F.col("n") - F.col("k")).cast("double")))
         .alias("f_stat"))
+
+
+@register(
+    "orders_price_elasticity",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(l_extendedprice / l_quantity) * 1000000)
+                  AS BIGINT) AS y
+      FROM lineitem JOIN part p ON l_partkey = p_partkey),
+    m AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM s GROUP BY brand)
+    SELECT brand, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS elasticity,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 1000000.0 AS intercept_ln_price
+    FROM m ORDER BY brand
+    """,
+    description="log-log price 'elasticity' per brand: OLS slope of "
+                "ln(unit price) on ln(quantity) over the brand's line "
+                "items — the demand-curve reading of the per-group "
+                "OLS machinery (near-zero slopes on TPC-H's "
+                "independent columns are the honest fit, the Theil-U "
+                "precedent). Both regressors go through the pinned-ln "
+                "grid the instant they are produced (quantity's ln "
+                "has a 50-value alphabet; unit price's is a row-level "
+                "pin at 1e-6 — identical IEEE division then one "
+                "rounding), so the per-brand moment sums are exact "
+                "128-bit integer arithmetic and each slope/intercept "
+                "is a fixed double expression on identical operands. "
+                "Scale shape: one partkey join (planner-chosen "
+                "strategy; part is sf-scaled, so no broadcast hint) "
+                "+ one groupBy to 25 brand rows",
+    tags=("stats", "features", "agg"),
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d38 = "decimal(38,0)"
+    s = (li.join(p.select("p_partkey", "p_brand"),
+                 li.l_partkey == F.col("p_partkey"))
+         .select(F.col("p_brand").alias("brand"),
+                 F.round(F.ln("l_quantity") * 1_000_000).cast("long")
+                 .alias("x"),
+                 F.round(F.ln(F.col("l_extendedprice")
+                              / F.col("l_quantity")) * 1_000_000)
+                 .cast("long").alias("y")))
+    m = s.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = ((dd("n") * dd("sxy") - dd("sx") * dd("sy"))
+             / (dd("n") * dd("sxx") - dd("sx") * dd("sx")))
+    return m.select(
+        "brand", "n", slope.alias("elasticity"),
+        ((dd("sy") - slope * dd("sx")) / dd("n") / F.lit(1000000.0))
+        .alias("intercept_ln_price")).orderBy("brand")

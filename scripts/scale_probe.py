@@ -294,7 +294,8 @@ FAMILIES["trade"] += ["graph_label_propagation"]
 FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters"]
 # r9 wave 4: APSP/closeness shares the pagerank edge census; the
 # stratified sample reads documents
-FAMILIES["trade"] += ["graph_closeness_trade"]
+FAMILIES["trade"] += ["graph_closeness_trade", "graph_hits_trade",
+                      "orders_price_elasticity", "dq_fd_audit"]
 FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
                           "pipeline_quality_classifier",
                           "dedup_canonical_keep"]

@@ -235,6 +235,9 @@ _BNLJ_OK = {
     # one-row time-range anchor over the scan + one-row n/k/halves
     # scalars crossed into the 10-cell G frame (the chi2/MI shape)
     "events_gtest_halves",
+    # one-row per-iteration sum-normalizer scalars crossed into the
+    # 25-node score frames (the pagerank census pattern)
+    "graph_hits_trade",
     # one-row basket-count scalar crossed into the <=300-row rule frame
     # (constant 25-brand alphabet)
     "orders_rule_lift",
@@ -341,6 +344,10 @@ _SINGLE_PART_OK = {
     "stats_anova_f",
     # one-row G/n/k/halves scalar aggregates over the 10-cell frame
     "events_gtest_halves",
+    # three one-row FD-strength aggregates over per-key max frames
+    "dq_fd_audit",
+    # one-row normalizer totals per HITS pass (25-row input)
+    "graph_hits_trade",
 }
 
 
