@@ -220,8 +220,41 @@ R8_ADD = [
     # Kaplan-Meier retention curve with right censoring
     "orders_survival_km",
 ]
+R9_ADD = [
+    # two-cohort log-rank over the KM duration grid (Gehan-pinned)
+    "orders_logrank",
+    # MMR diversification over the IVF top-20 pool (ANN serving shape)
+    "sim_mmr_ivf",
+    # logistic IRLS on the quantized lineitem cell census
+    "feat_logistic_irls",
+    # min-plus Bellman-Ford most-probable-route distances
+    "graph_sssp_trade",
+    # one-way ANOVA F across event types (Kruskal's parametric twin)
+    "stats_anova_f",
+    # Efraimidis-Spirakis weighted top-200 sample + stratified form
+    "corpus_weighted_sample",
+    "corpus_weighted_sample_stratified",
+    # synchronous label-propagation communities (exact mode counts)
+    "graph_label_propagation",
+    # G-test of event-mix drift between time halves (pinned-ln fold)
+    "events_gtest_halves",
+    # per-user additive Holt-Winters multi-state ordered fold
+    "events_holtwinters",
+    # all-pairs min-plus closeness/eccentricity
+    "graph_closeness_trade",
+    # trained is-English quality gate (IRLS on the text-feature census)
+    "pipeline_quality_classifier",
+    # canonical keep/drop over the certified jaccard components
+    "dedup_canonical_keep",
+    # ten sum-normalized HITS rounds (20 one-row normalizer barriers)
+    "graph_hits_trade",
+    # approximate-FD strength audit (three pairs, integer counts)
+    "dq_fd_audit",
+    # pinned-ln log-log OLS per brand
+    "orders_price_elasticity",
+]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
-            + R8_ADD)
+            + R8_ADD + R9_ADD)
 
 # The cross-round drift trackers: every query in a pinned comparison
 # subset runs FIVE trials (vs 3 for the rest) and its MIN is the
@@ -238,6 +271,13 @@ CANARY = "q1_pricing_summary"
 # Pinned-name entries whose operator semantics changed in a later round
 # (emitted in the JSON so subset totals aren't silently compared
 # apples-to-oranges; see the r1 caveat above).
+# sim_lsh_topk gained Hamming-1 multi-probe in r6 (recall 0.44->0.98);
+# the operator measured since then is intentionally NOT the r1 plan,
+# so it stays excluded from the r1-comparable "stable" subtotals
+# PERMANENTLY — that is a documented semantics change, not aging
+# uncertainty: its recall contract (sim_lsh_recall) and the rows-only
+# top-k itself hold day-one slots in the round-9 driver window
+# (plans/__init__._R9_WINDOW), re-certifying the current semantics.
 SEMANTICS_CHANGED = {"sim_lsh_topk"}
 
 # Queries whose first run at a given sf_dir pays a one-time cost that
