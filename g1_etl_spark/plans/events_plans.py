@@ -2130,3 +2130,131 @@ def events_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
         snext.alias("s_next"),
         (st["l"] + st["b"] + snext).alias("forecast_next"),
         (F.array_max(st["s"]) - F.array_min(st["s"])).alias("s_spread"))
+
+
+_BV_INF = 1_000_000_000_000_000
+
+
+@register(
+    "events_burst_viterbi",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS i
+      FROM events),
+    nn AS (SELECT user_id, max(i) AS n, min(us) AS us0, max(us) AS usn
+           FROM ord GROUP BY user_id
+           HAVING max(i) >= 2 AND max(us) > min(us)),
+    rates AS (
+      SELECT user_id, n,
+             CAST(n - 1 AS DOUBLE)
+               / (CAST(usn - us0 AS DOUBLE) / 1000000) AS a0,
+             CAST(n - 1 AS DOUBLE)
+               / (CAST(usn - us0 AS DOUBLE) / 1000000) * 2.0 AS a1,
+             CAST(round(ln(CAST(n - 1 AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS tau
+      FROM nn),
+    gaps AS (
+      SELECT o2.user_id, o2.i - 1 AS i,
+             CAST(o2.us - o1.us AS DOUBLE) / 1000000 AS x
+      FROM ord o2 JOIN ord o1
+        ON o1.user_id = o2.user_id AND o1.i = o2.i - 1),
+    v AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS c0,
+             CAST({_BV_INF} AS BIGINT) AS c1,
+             CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
+      FROM rates
+      UNION ALL
+      SELECT user_id, i, LEAST(c0, c1) + e0 AS c0,
+             LEAST(c0 + tau, c1) + e1 AS c1,
+             CASE WHEN c0 <= c1 THEN b0 ELSE b1 END AS b0,
+             CASE WHEN c0 + tau < c1 THEN b0 + 1 ELSE b1 END AS b1
+      FROM (SELECT v.user_id, g.i, v.c0, v.c1, v.b0, v.b1, r.tau,
+                   CAST(round((r.a0 * g.x - ln(r.a0)) * 1000000)
+                        AS BIGINT) AS e0,
+                   CAST(round((r.a1 * g.x - ln(r.a1)) * 1000000)
+                        AS BIGINT) AS e1
+            FROM v JOIN gaps g
+              ON g.user_id = v.user_id AND g.i = v.i + 1
+            JOIN rates r ON r.user_id = v.user_id))
+    SELECT v.user_id, CAST(r.n AS BIGINT) AS n_events,
+           CASE WHEN c0 <= c1 THEN b0 ELSE b1 END AS n_bursts,
+           CAST(LEAST(c0, c1) AS DOUBLE) / 1000000 AS min_cost,
+           c1 < c0 AS in_burst_at_end
+    FROM v JOIN rates r ON r.user_id = v.user_id AND v.i = r.n - 1
+    ORDER BY v.user_id
+    """,
+    description="Kleinberg 2-state burst detection per user, exactly: "
+                "gaps between consecutive events feed a min-plus "
+                "VITERBI over a base state (rate a0 = n_gaps/span) "
+                "and a burst state (a1 = 2*a0), up-transition cost "
+                "gamma*ln(n); reports the optimal-path burst count, "
+                "its cost, and whether the user ends inside a burst — "
+                "the principled 'is this activity spike real' "
+                "primitive that thresholded rate anomaly flags "
+                "approximate. The fold state is FOUR integers "
+                "(c0, c1 path costs + burst counts carried through "
+                "each argmin with strict/non-strict tie-breaks that "
+                "prefer the base state), every emission cost "
+                "a_i*x - ln(a_i) is pinned to the 1e-6 grid at birth, "
+                "so the whole dynamic program is exact integer "
+                "min-plus — oracle = recursive CTE running the "
+                "identical recurrence. Scale shape: per-user ordered "
+                "fold, the events_ewma_value SCALE BOUND class; the "
+                "O(1)-state streaming form is the same recurrence on "
+                "sealed gaps",
+    tags=("events", "window", "stats", "timeseries"),
+)
+def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+    g = (s.groupBy("user_id")
+         .agg(F.array_sort(F.collect_list(F.struct("us", "event_id")))
+              .alias("arr")))
+    g = g.filter((F.size("arr") >= 2)
+                 & (F.element_at("arr", F.size("arr"))["us"]
+                    > F.element_at("arr", 1)["us"]))
+    n = F.size("arr")
+    span = ((F.element_at("arr", n)["us"]
+             - F.element_at("arr", 1)["us"]).cast("double")
+            / F.lit(1000000))
+    a0 = (n - 1).cast("double") / span
+    a1 = a0 * F.lit(2.0)
+    tau = F.round(F.ln((n - 1).cast("double")) * 1_000_000).cast("long")
+    g = g.select("user_id", "arr", n.alias("n"), a0.alias("a0"),
+                 a1.alias("a1"), tau.alias("tau"))
+    gaps = F.transform(
+        F.sequence(F.lit(2), F.col("n")),
+        lambda i: (F.element_at("arr", i)["us"]
+                   - F.element_at("arr", i - 1)["us"]).cast("double")
+        / F.lit(1000000))
+    seed = F.struct(
+        F.lit(0).cast("long").alias("c0"),
+        F.lit(_BV_INF).cast("long").alias("c1"),
+        F.lit(0).cast("long").alias("b0"),
+        F.lit(0).cast("long").alias("b1"))
+
+    def step(acc, x):
+        e0 = F.round((F.col("a0") * x - F.ln("a0")) * 1_000_000) \
+            .cast("long")
+        e1 = F.round((F.col("a1") * x - F.ln("a1")) * 1_000_000) \
+            .cast("long")
+        f01 = acc["c0"] + F.col("tau")
+        return F.struct(
+            (F.least(acc["c0"], acc["c1"]) + e0).alias("c0"),
+            (F.least(f01, acc["c1"]) + e1).alias("c1"),
+            F.when(acc["c0"] <= acc["c1"], acc["b0"])
+            .otherwise(acc["b1"]).alias("b0"),
+            F.when(f01 < acc["c1"], acc["b0"] + 1)
+            .otherwise(acc["b1"]).alias("b1"))
+
+    st = F.aggregate(gaps, seed, step)
+    return (g.select(
+        "user_id", F.col("n").cast("long").alias("n_events"),
+        F.when(st["c0"] <= st["c1"], st["b0"]).otherwise(st["b1"])
+        .alias("n_bursts"),
+        (F.least(st["c0"], st["c1"]).cast("double") / F.lit(1000000))
+        .alias("min_cost"),
+        (st["c1"] < st["c0"]).alias("in_burst_at_end"))
+        .orderBy("user_id"))

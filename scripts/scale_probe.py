@@ -291,7 +291,8 @@ FAMILIES["documents"] += ["corpus_weighted_sample"]
 # r9 wave 3: LPA shares the sparsified trade census; the G-test and
 # the Holt-Winters fold read events
 FAMILIES["trade"] += ["graph_label_propagation"]
-FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters"]
+FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters",
+                       "events_burst_viterbi"]
 # r9 wave 4: APSP/closeness shares the pagerank edge census; the
 # stratified sample reads documents
 FAMILIES["trade"] += ["graph_closeness_trade", "graph_hits_trade",
