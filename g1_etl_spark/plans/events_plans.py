@@ -2201,9 +2201,11 @@ _BV_INF = 1_000_000_000_000_000
                 "so the whole dynamic program is exact integer "
                 "min-plus — oracle = recursive CTE running the "
                 "identical recurrence. Scale shape: per-user ordered "
-                "fold, the events_ewma_value SCALE BOUND class; the "
-                "O(1)-state streaming form is the same recurrence on "
-                "sealed gaps",
+                "fold, the events_ewma_value SCALE BOUND class. A "
+                "streaming form carries the same four integers per "
+                "user but needs a0 fixed up front (a base-period "
+                "estimate) — the batch rates here are whole-series, "
+                "deliberately",
     tags=("events", "window", "stats", "timeseries"),
 )
 def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,3 +2260,83 @@ def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("min_cost"),
         (st["c1"] < st["c0"]).alias("in_burst_at_end"))
         .orderBy("user_id"))
+
+
+@register(
+    "events_markov_entropy",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    obs AS (SELECT event_type AS f, next_type AS t,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM j WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT f, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY f),
+    nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    h AS (SELECT CAST(SUM(CAST(o AS HUGEINT)
+                          * CAST(round(ln(CAST(r AS DOUBLE)
+                                          / CAST(o AS DOUBLE))
+                                       * 1000000) AS BIGINT))
+                      AS BIGINT) AS hw
+          FROM obs JOIN rt USING (f)),
+    hm AS (SELECT CAST(SUM(CAST(r AS HUGEINT)
+                           * CAST(round(ln(CAST(n AS DOUBLE)
+                                           / CAST(r AS DOUBLE))
+                                        * 1000000) AS BIGINT))
+                       AS BIGINT) AS hmw
+           FROM rt CROSS JOIN nt)
+    SELECT n,
+           CAST(hw AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             AS h_cond_nats,
+           CAST(hmw AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             AS h_marginal_nats,
+           1.0 - (CAST(hw AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1000000.0))
+                 / (CAST(hmw AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * 1000000.0))
+             AS predictability_gain
+    FROM h CROSS JOIN hm CROSS JOIN nt
+    """,
+    description="entropy rate of the user-journey Markov chain: the "
+                "conditional entropy H(next|current) over the "
+                "transition bigrams vs the marginal H(next) — "
+                "predictability_gain = 1 - H(next|cur)/H(next) is the "
+                "fraction of next-step uncertainty the current state "
+                "removes (0 here would mean journeys are memoryless). "
+                "The information-theoretic summary of "
+                "events_transition_matrix, on the same one-exchange "
+                "bigram census: both entropies are exact "
+                "count-weighted pinned-ln integer folds over the "
+                "5x5-bounded matrix (the MI/Theil idiom), so each "
+                "output is a division of exact bigints",
+    tags=("events", "stats"),
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = (ev.select(F.col("event_type").alias("f"),
+                     F.lead("event_type").over(w).alias("t"))
+           .filter(F.col("t").isNotNull())
+           .groupBy("f", "t").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("o")))
+    rt = obs.groupBy("f").agg(F.sum("o").cast("long").alias("r"))
+    nt = obs.agg(F.sum("o").cast("long").alias("n"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    d38 = "decimal(38,0)"
+    pin = lambda x: F.round(F.ln(x) * 1_000_000).cast("long")  # noqa: E731
+    h = (obs.join(rt, "f")
+         .select((F.col("o").cast(d38) * pin(dd("r") / dd("o")))
+                 .alias("tw"))
+         .agg(F.sum("tw").cast("long").alias("hw")))
+    hm = (rt.crossJoin(F.broadcast(nt))
+          .select((F.col("r").cast(d38) * pin(dd("n") / dd("r")))
+                  .alias("tw"))
+          .agg(F.sum("tw").cast("long").alias("hmw")))
+    hc = dd("hw") / (dd("n") * F.lit(1000000.0))
+    hmn = dd("hmw") / (dd("n") * F.lit(1000000.0))
+    return (h.crossJoin(hm).crossJoin(nt)
+            .select("n", hc.alias("h_cond_nats"),
+                    hmn.alias("h_marginal_nats"),
+                    (F.lit(1.0) - hc / hmn).alias("predictability_gain")))

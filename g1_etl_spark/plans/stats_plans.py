@@ -1929,3 +1929,77 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand", "n", slope.alias("elasticity"),
         ((dd("sy") - slope * dd("sx")) / dd("n") / F.lit(1000000.0))
         .alias("intercept_ln_price")).orderBy("brand")
+
+
+_BOOT_B = 50
+
+
+@register(
+    "stats_bootstrap_ci_mean",
+    oracle=f"""
+    WITH s AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cw
+               FROM orders),
+    mem AS (
+      SELECT t.b, s.cw
+      FROM s, LATERAL unnest(generate_series(1, {_BOOT_B})) t(b)
+      WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+                                         || '#'
+                                         || CAST(t.b AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 2 = 0),
+    means AS (SELECT b, CAST(SUM(cw) AS DOUBLE) / CAST(COUNT(*)
+                                                       AS DOUBLE)
+                        / 100.0 AS m
+              FROM mem GROUP BY b),
+    arr AS (SELECT list_sort(list(m)) AS a FROM means),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(cw AS HUGEINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 100.0 AS grand_mean
+          FROM s)
+    SELECT g.n, CAST({_BOOT_B} AS BIGINT) AS n_resamples,
+           g.grand_mean, a[2] AS ci_lo, a[{_BOOT_B - 1}] AS ci_hi
+    FROM g CROSS JOIN arr
+    """,
+    description=f"distributed bootstrap confidence interval for the "
+                f"mean order value: {_BOOT_B} deterministic half "
+                "subsamples (membership = md5(orderkey#b) parity — "
+                "the m-out-of-n bootstrap with engine-portable "
+                "'randomness'), each resample mean an exact "
+                "cents-integer division, the CI the 2nd/49th of the "
+                "sorted resample means. Distribution-free uncertainty "
+                "for ANY plugin statistic without a closed-form "
+                "variance — the missing error-bar primitive next to "
+                "the point estimators. Scale shape: one 50-way narrow "
+                "fan-out (explode + parity filter, no shuffle until "
+                "the 50-row mean aggregate); resample count is a "
+                "constant, so cost is a fixed small multiple of one "
+                "scan at any sf",
+    tags=("stats", "sampling"),
+)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select("o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cw"))
+    mem = (s.select("o_orderkey", "cw",
+                    F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
+                    .alias("b"))
+           .filter(F.conv(F.substring(F.md5(
+               F.concat(F.col("o_orderkey").cast("string"), F.lit("#"),
+                        F.col("b").cast("string"))), 1, 8), 16, 10)
+               .cast("long") % 2 == 0))
+    means = (mem.groupBy("b")
+             .agg((F.sum("cw").cast("double")
+                   / F.count(F.lit(1)).cast("double") / F.lit(100.0))
+                  .alias("m")))
+    arr = means.agg(F.sort_array(F.collect_list("m")).alias("a"))
+    d38 = "decimal(38,0)"
+    g = s.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              (F.sum(F.col("cw").cast(d38)).cast("double")
+               / F.count(F.lit(1)).cast("double") / F.lit(100.0))
+              .alias("grand_mean"))
+    return (g.crossJoin(arr)
+            .select("n", F.lit(_BOOT_B).cast("long").alias("n_resamples"),
+                    "grand_mean",
+                    F.element_at("a", 2).alias("ci_lo"),
+                    F.element_at("a", _BOOT_B - 1).alias("ci_hi")))

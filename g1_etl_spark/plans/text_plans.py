@@ -1495,3 +1495,53 @@ def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(pred, "doc_id")
             .groupBy("actual_lang", "predicted_lang")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+_FH_DIM = 64
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                   % {_FH_DIM} AS bucket,
+                 CASE WHEN CAST(concat('0x', substr(md5(w), 9, 1))
+                            AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM tok)
+    SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS value
+    FROM h GROUP BY 1, 2
+    ORDER BY doc_id, bucket
+    """,
+    description=f"feature hashing (the 'hashing trick', Weinberger et "
+                f"al.): every token maps to one of {_FH_DIM} buckets "
+                "via md5 with a +/-1 hash sign, giving each document "
+                "a fixed-width signed-count vector with NO vocabulary "
+                "pass at all — the vectorizer that scales when even "
+                "the vocab census is too big, and the standard input "
+                "to linear classifiers at web scale (pairs with "
+                "feature_plans.logistic_irls_cells). Emitted in long "
+                "(doc, bucket, value) form — exact integer sums, one "
+                "narrow explode + one groupBy, nothing wider than "
+                "docs x dim shuffles; the md5 bucket/sign are the "
+                "engine-portable shuffle-shards idiom",
+    tags=("text", "features"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split(F.col("text"), " ")).alias("w"))
+    hx = F.md5(F.col("w"))
+    bucket = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+              % _FH_DIM)
+    sgn = F.when(F.conv(F.substring(hx, 9, 1), 16, 10).cast("long")
+                 % 2 == 0, 1).otherwise(-1)
+    return (tok.select("doc_id", bucket.alias("bucket"),
+                       sgn.alias("sgn"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.sum("sgn").cast("long").alias("value"))
+            .orderBy("doc_id", "bucket"))

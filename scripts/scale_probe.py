@@ -285,21 +285,22 @@ FAMILIES["trade"] += ["orders_logrank"]
 FAMILIES["embeddings"] += ["sim_mmr_ivf"]
 # r9 wave 2: logistic IRLS censuses lineitem, SSSP shares pagerank's
 # edge census; ANOVA reads events; the weighted sample reads documents
-FAMILIES["trade"] += ["feat_logistic_irls", "graph_sssp_trade"]
+FAMILIES["trade"] += ["feat_logistic_irls", "graph_sssp_trade",
+                      "stats_bootstrap_ci_mean"]
 FAMILIES["events"] += ["stats_anova_f"]
 FAMILIES["documents"] += ["corpus_weighted_sample"]
 # r9 wave 3: LPA shares the sparsified trade census; the G-test and
 # the Holt-Winters fold read events
 FAMILIES["trade"] += ["graph_label_propagation"]
 FAMILIES["events"] += ["events_gtest_halves", "events_holtwinters",
-                       "events_burst_viterbi"]
+                       "events_burst_viterbi", "events_markov_entropy"]
 # r9 wave 4: APSP/closeness shares the pagerank edge census; the
 # stratified sample reads documents
 FAMILIES["trade"] += ["graph_closeness_trade", "graph_hits_trade",
                       "orders_price_elasticity", "dq_fd_audit"]
 FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
                           "pipeline_quality_classifier",
-                          "dedup_canonical_keep"]
+                          "dedup_canonical_keep", "text_feature_hashing"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -62,3 +62,38 @@ def test_burst_viterbi_detects_planted_burst(spark):
     assert abs(got[1].min_cost - cost1) < 1e-9
     assert abs(got[2].min_cost - cost2) < 1e-9
     assert got[1].in_burst_at_end is False
+
+
+def test_markov_entropy_matches_python_reference(spark):
+    """H(next|cur) and H(next) recomputed from the raw bigrams in
+    plain Python (unpinned ln) must match the pinned integer folds to
+    float tolerance, and conditioning can only reduce entropy:
+    0 <= H(next|cur) <= H(next)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.plans.events_plans import events_markov_entropy
+    from tests.conftest import SF_SMOKE
+
+    got = events_markov_entropy(spark, SF_SMOKE).collect()[0]
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "ts", "event_id", "event_type").collect())
+    series = defaultdict(list)
+    for r in ev:
+        series[r.user_id].append((r.ts, r.event_id, r.event_type))
+    big = Counter()
+    for s in series.values():
+        s.sort(key=lambda t: (t[0], t[1]))
+        for a, b in zip(s, s[1:]):
+            big[(a[2], b[2])] += 1
+    n = sum(big.values())
+    row = Counter()
+    for (f, _), o in big.items():
+        row[f] += o
+    h_cond = sum(o * math.log(row[f] / o) for (f, _), o in big.items()) / n
+    h_marg = sum(r * math.log(n / r) for r in row.values()) / n
+    assert got.n == n
+    assert math.isclose(got.h_cond_nats, h_cond, rel_tol=1e-5)
+    assert math.isclose(got.h_marginal_nats, h_marg, rel_tol=1e-5)
+    assert 0.0 <= got.h_cond_nats <= got.h_marginal_nats + 1e-12

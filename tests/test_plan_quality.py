@@ -238,6 +238,12 @@ _BNLJ_OK = {
     # one-row per-iteration sum-normalizer scalars crossed into the
     # 25-node score frames (the pagerank census pattern)
     "graph_hits_trade",
+    # one-row entropy/total scalars crossed for the two H ratios
+    # (the Theil-U shape on the 5x5 transition matrix)
+    "events_markov_entropy",
+    # one-row grand-mean scalar crossed with the one-row sorted
+    # 50-resample-means array
+    "stats_bootstrap_ci_mean",
     # one-row basket-count scalar crossed into the <=300-row rule frame
     # (constant 25-brand alphabet)
     "orders_rule_lift",
@@ -346,6 +352,10 @@ _SINGLE_PART_OK = {
     "events_gtest_halves",
     # three one-row FD-strength aggregates over per-key max frames
     "dq_fd_audit",
+    # one-row H folds over the 25-cell bigram matrix
+    "events_markov_entropy",
+    # one-row grand-mean + the 50-row resample-means fold
+    "stats_bootstrap_ci_mean",
     # one-row normalizer totals per HITS pass (25-row input)
     "graph_hits_trade",
 }

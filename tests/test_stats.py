@@ -1213,3 +1213,18 @@ def test_anova_f_matches_pure_python_reference(spark):
     assert math.isclose(got.ss_between, ssb, rel_tol=1e-6)
     assert math.isclose(got.ss_within, ssw, rel_tol=1e-6)
     assert math.isclose(got.f_stat, f_ref, rel_tol=1e-6)
+
+
+def test_bootstrap_ci_brackets_true_mean_and_is_ordered(spark):
+    """The 50 deterministic half-resamples' 2nd/49th sorted means must
+    bracket the exact grand mean on smoke orders (a ~95% interval on
+    50% subsamples is far wider than the grand mean's own wobble), and
+    the whole row must be reproducible bit-for-bit across two runs."""
+    from g1_etl_spark.plans.stats_plans import stats_bootstrap_ci_mean
+
+    r1 = stats_bootstrap_ci_mean(spark, SF_SMOKE).collect()[0]
+    assert r1.ci_lo < r1.ci_hi
+    assert r1.ci_lo <= r1.grand_mean <= r1.ci_hi
+    assert r1.n_resamples == 50
+    r2 = stats_bootstrap_ci_mean(spark, SF_SMOKE).collect()[0]
+    assert r1 == r2

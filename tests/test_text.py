@@ -32,3 +32,29 @@ def test_textrank_uniform_on_complete_graph(spark):
     scores = {r.textrank for r in rows}
     assert len(scores) == 1  # exactly equal, not just close
     assert math.isclose(sum(r.textrank for r in rows), 1.0, rel_tol=1e-6)
+
+
+def test_feature_hashing_matches_hashlib_reference(spark):
+    """One document's signed bucket counts recomputed with hashlib.md5
+    in plain Python must equal the engine's rows exactly — pins the
+    md5-slice bucket/sign definitions as the portable contract."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.plans.text_plans import text_feature_hashing
+    from tests.conftest import SF_SMOKE
+
+    doc = (load_table(spark, SF_SMOKE, "documents")
+           .orderBy("doc_id").limit(1).collect()[0])
+    want = {}
+    for w in doc.text.split(" "):
+        hx = hashlib.md5(w.encode()).hexdigest()
+        bucket = int(hx[:8], 16) % 64
+        sgn = 1 if int(hx[8], 16) % 2 == 0 else -1
+        want[bucket] = want.get(bucket, 0) + sgn
+    got = {r.bucket: r.value for r in
+           text_feature_hashing(spark, SF_SMOKE)
+           .filter(F.col("doc_id") == doc.doc_id).collect()}
+    assert got == want
