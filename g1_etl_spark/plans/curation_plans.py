@@ -606,3 +606,135 @@ def pipeline_quality_classifier(spark: SparkSession,
         pd_.alias("p_en"),
         (etac >= 0.0).alias("gate"))
         .orderBy("x_tokens_capped", "x_stop_pct"))
+
+
+def _curate_select_oracle() -> str:
+    from g1_etl_spark.plans.dedup_plans import _COMPS_SQL
+    from g1_etl_spark.plans.feature_plans import (_LOGIT_ITERS,
+                                                  _logit_cell_sql,
+                                                  _logit_iter_cte)
+    from g1_etl_spark.plans.text_plans import _MARKER_SQL
+
+    stop_list = _MARKER_SQL['en']
+    norm = ("string_split(regexp_replace(trim(lower(text)), '\\s+', "
+            "' ', 'g'), ' ')")
+    q_expr = "LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 50)"
+    dc_expr = (f"LEAST(CAST(floor(CAST(len(list_filter({norm}, "
+               f"x -> list_contains({stop_list}, x))) AS DOUBLE) "
+               f"/ len({norm}) * 100) AS BIGINT), 10)")
+    final_cell = _logit_cell_sql(f"bb{_LOGIT_ITERS}.b0",
+                                 f"bb{_LOGIT_ITERS}.b1",
+                                 f"bb{_LOGIT_ITERS}.b2")
+    return (f"""{_COMPS_SQL},
+    wts AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+            FROM documents),
+    kk AS (SELECT c.doc_id, c.component, w.w,
+                  ROW_NUMBER() OVER (PARTITION BY c.component
+                                     ORDER BY w.w DESC, c.doc_id)
+                    AS rn
+           FROM comps c JOIN wts w USING (doc_id)),
+    cells AS (
+      SELECT {q_expr} AS q, {dc_expr} AS dc,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ny
+      FROM documents GROUP BY 1, 2),
+    bb0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),"""
+            + ",".join(_logit_iter_cte(k)
+                       for k in range(1, _LOGIT_ITERS + 1))
+            + f""",
+    base AS (SELECT CAST(SUM(ny) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+               AS b FROM cells),
+    gate AS (SELECT q, dc, pd FROM ({final_cell})),
+    feat AS (SELECT doc_id, {q_expr} AS q, {dc_expr} AS dc
+             FROM documents),
+    surv AS (
+      SELECT k.doc_id, k.component, k.w, g.pd
+      FROM kk k JOIN feat f USING (doc_id)
+      JOIN gate g ON g.q = f.q AND g.dc = f.dc
+      CROSS JOIN base
+      WHERE k.rn = 1 AND g.pd >= base.b),
+    keyed AS (
+      SELECT doc_id, component, w, pd,
+             CAST(round(ln((CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) + 1.0) / {_WS_U52})
+                 / CAST(w AS DOUBLE) * 1000000) AS BIGINT) AS key_w
+      FROM surv)
+    SELECT doc_id, component, w AS weight, pd AS p_en, key_w
+    FROM keyed ORDER BY key_w DESC, doc_id LIMIT 100
+    """)
+
+
+@register(
+    "pipeline_curate_select",
+    oracle=_curate_select_oracle(),
+    description="the round-9 pieces as ONE end-to-end curation "
+                "pipeline: near-dup canonical keep (longest doc per "
+                "certified jaccard component) -> trained-model gate "
+                "(keep docs whose IRLS cell probability of English "
+                "is at or above the corpus base rate — a data-"
+                "derived threshold, so the gate is non-vacuous on "
+                "the weak synthetic signal) -> exact weighted sample "
+                "(Efraimidis-Spirakis top-100 of the survivors). "
+                "Every stage's oracle is the already-certified SQL "
+                "spliced verbatim (the train_prep/rag_index pattern: "
+                "composition cannot drift from its parts). Scale "
+                "shape: union of the parts' shapes — nothing new "
+                "shuffles; the model trains on the census, the gate "
+                "is a (q,dc) cell join, the sample a TakeOrdered",
+    tags=("curation", "pipeline", "dedup", "ml", "sampling"),
+)
+def pipeline_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from g1_etl_spark.operators import dedup as D
+    from g1_etl_spark.plans.feature_plans import (_E6, _LOGIT_ITERS,
+                                                  logistic_irls_cells)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs, docs.select("doc_id"))
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    wts = docs.select("doc_id", w.alias("w"))
+    win = Window.partitionBy("component").orderBy(F.desc("w"), "doc_id")
+    canon = (comps.join(wts, "doc_id")
+             .withColumn("rn", F.row_number().over(win))
+             .filter(F.col("rn") == 1)
+             .select("doc_id", "component", "w"))
+
+    q = F.least(F.size(F.split(F.col("text"), " ")).cast("long"),
+                F.lit(50))
+    dc = F.least(F.floor(T.stopword_ratio(F.col("text"), "en") * 100)
+                 .cast("long"), F.lit(10))
+    cells = (docs.select(q.alias("q"), dc.alias("dc"),
+                         F.when(F.col("lang") == "en", 1).otherwise(0)
+                         .alias("y"))
+             .groupBy("q", "dc")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("y").cast("long").alias("ny"))
+             .localCheckpoint(eager=True))
+    b0, b1, b2 = logistic_irls_cells(cells, iters=_LOGIT_ITERS)
+    qd, dcd = F.col("q").cast("double"), F.col("dc").cast("double")
+    eta = F.lit(b0) + F.lit(b1) * qd + F.lit(b2) * dcd
+    etac = F.greatest(F.least(eta, F.lit(13.0)), F.lit(-13.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-etac))
+    gate = cells.select("q", "dc", (F.round(p * _E6).cast("long")
+                                    .cast("double") / _E6).alias("pd"))
+    base = cells.agg((F.sum("ny").cast("double")
+                      / F.sum("n").cast("double")).alias("b"))
+    feat = docs.select("doc_id", q.alias("q"), dc.alias("dc"))
+    surv = (canon.join(feat, "doc_id")
+            .join(gate, ["q", "dc"])
+            .crossJoin(F.broadcast(base))
+            .filter(F.col("pd") >= F.col("b")))
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 13), 16, 10).cast("long") + 1.0)
+         / F.lit(_WS_U52))
+    keyed = surv.select(
+        "doc_id", "component", F.col("w").alias("weight"),
+        F.col("pd").alias("p_en"),
+        F.round(F.ln(u) / F.col("w").cast("double") * 1_000_000)
+        .cast("long").alias("key_w"))
+    return keyed.orderBy(F.desc("key_w"), "doc_id").limit(100)

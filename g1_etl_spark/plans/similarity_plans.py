@@ -1107,3 +1107,66 @@ def sim_mmr_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("mmr_score") == F.col("ref_score")))
                  .alias("matches_pool_greedy"))
             .orderBy("q_id"))
+
+
+_JL_K = 16
+_JL_DIM = 64
+
+
+@register(
+    "sim_jl_projection",
+    oracle=f"""
+    WITH jm AS (
+      SELECT j, list_transform(generate_series(1, {_JL_DIM}),
+               i -> CASE WHEN CAST(concat('0x',
+                           substr(md5(CAST(i AS VARCHAR) || '#'
+                                      || CAST(j AS VARCHAR)), 1, 1))
+                          AS BIGINT) % 2 = 0
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END) AS sgn
+      FROM (SELECT unnest(generate_series(1, {_JL_K})) AS j)),
+    pr AS (
+      SELECT e.vec_id, jm.j,
+             list_sum(list_transform(list_zip(jm.sgn, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE)
+                           * CAST(p[2] AS DOUBLE))) / 4 AS value
+      FROM embeddings e CROSS JOIN jm)
+    SELECT vec_id, j, value FROM pr ORDER BY vec_id, j
+    """,
+    description=f"Johnson-Lindenstrauss random projection "
+                f"{_JL_DIM} -> {_JL_K} dims (Achlioptas +/-1 signs "
+                "from md5(i#j) — the engine-portable 'randomness' "
+                "idiom) scaled by 1/sqrt(k) = an EXACT /4: the "
+                "dimension-reduction front end of every large-ANN "
+                "stack (project, then index the short vectors). "
+                "Deterministic: the 16x64 sign matrix is a constant "
+                "16-row broadcast, each output coordinate is the "
+                "same left-to-right fold dot both engines run "
+                "(the _DOT idiom), and the power-of-two scale "
+                "changes no mantissa. Long (vec_id, j, value) form. "
+                "Scale shape: one narrow 16-way fan-out per vector, "
+                "no shuffle at all — distance-preservation quality "
+                "is pinned by the unit test, not left to folklore",
+    tags=("similarity", "features"),
+)
+def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    js = spark.range(1, _JL_K + 1).select(F.col("id").cast("int")
+                                          .alias("j"))
+    sgn = F.transform(
+        F.sequence(F.lit(1), F.lit(_JL_DIM)),
+        lambda i: F.when(
+            F.conv(F.substring(F.md5(F.concat(
+                i.cast("string"), F.lit("#"),
+                F.col("j").cast("string"))), 1, 1), 16, 10)
+            .cast("long") % 2 == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0)))
+    jm = js.select("j", sgn.alias("sgn"))
+    pr = (emb.crossJoin(F.broadcast(jm))
+          .select("vec_id", "j",
+                  (F.aggregate(
+                      F.zip_with(F.col("sgn"), F.col("embedding"),
+                                 lambda s, x: s * x.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v) / F.lit(4))
+                  .alias("value")))
+    return pr.orderBy("vec_id", "j")

@@ -282,7 +282,7 @@ FAMILIES["documents"] += ["text_nb_lang_confusion",
 # r9 additions: the log-rank test reads orders+customer (trade star);
 # the IVF-pooled MMR reads embeddings through its IVF probe stage
 FAMILIES["trade"] += ["orders_logrank"]
-FAMILIES["embeddings"] += ["sim_mmr_ivf"]
+FAMILIES["embeddings"] += ["sim_mmr_ivf", "sim_jl_projection"]
 # r9 wave 2: logistic IRLS censuses lineitem, SSSP shares pagerank's
 # edge census; ANOVA reads events; the weighted sample reads documents
 FAMILIES["trade"] += ["feat_logistic_irls", "graph_sssp_trade",
@@ -300,7 +300,8 @@ FAMILIES["trade"] += ["graph_closeness_trade", "graph_hits_trade",
                       "orders_price_elasticity", "dq_fd_audit"]
 FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
                           "pipeline_quality_classifier",
-                          "dedup_canonical_keep", "text_feature_hashing"]
+                          "dedup_canonical_keep", "text_feature_hashing",
+                          "pipeline_curate_select"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -241,6 +241,11 @@ _BNLJ_OK = {
     # one-row entropy/total scalars crossed for the two H ratios
     # (the Theil-U shape on the 5x5 transition matrix)
     "events_markov_entropy",
+    # constant 16-row sign-matrix broadcast (the JL projection is a
+    # narrow per-vector fan-out over a fixed codebook)
+    "sim_jl_projection",
+    # one-row base-rate scalar crossed into the survivor gate join
+    "pipeline_curate_select",
     # one-row grand-mean scalar crossed with the one-row sorted
     # 50-resample-means array
     "stats_bootstrap_ci_mean",
@@ -354,6 +359,9 @@ _SINGLE_PART_OK = {
     "dq_fd_audit",
     # one-row H folds over the 25-cell bigram matrix
     "events_markov_entropy",
+    # one-row base-rate + 9-moment IRLS aggregates over the bounded
+    # cell census (the feat_logistic_irls shape inside the composite)
+    "pipeline_curate_select",
     # one-row grand-mean + the 50-row resample-means fold
     "stats_bootstrap_ci_mean",
     # one-row normalizer totals per HITS pass (25-row input)

@@ -407,3 +407,31 @@ def test_mmr_skips_near_duplicate_of_first_pick(spark):
     assert picks[1] == 12                # NOT the near-duplicate
     assert set(picks) == {picks[0], 12, 13}
     assert [r.mmr_rank for r in out] == [1, 2, 3]
+
+
+def test_jl_projection_preserves_norms_on_average(spark):
+    """Johnson-Lindenstrauss quality gate: per-vector squared-norm
+    ratios ||Px||^2/||x||^2 must center on 1 (E[ratio] = 1 exactly for
+    +/-1 projections) and stay inside the loose k=16 concentration
+    band on every sampled vector — the property the operator exists
+    to provide, asserted rather than assumed."""
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.catalog import load_table
+    from g1_etl_spark.plans.similarity_plans import sim_jl_projection
+    from tests.conftest import SF_SMOKE
+
+    pr = sim_jl_projection(spark, SF_SMOKE)
+    pn = (pr.groupBy("vec_id")
+          .agg(F.sum(F.col("value") * F.col("value")).alias("pn2")))
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.aggregate("embedding", F.lit(0.0),
+                    lambda a, x: a + x.cast("double")
+                    * x.cast("double")).alias("n2"))
+    rows = pn.join(emb, "vec_id").collect()
+    ratios = [r.pn2 / r.n2 for r in rows if r.n2 > 0]
+    assert len(ratios) >= 100
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1, mean
+    assert all(0.15 < x < 3.5 for x in ratios), (min(ratios), max(ratios))
