@@ -2003,3 +2003,98 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "grand_mean",
                     F.element_at("a", 2).alias("ci_lo"),
                     F.element_at("a", _BOOT_B - 1).alias("ci_hi")))
+
+
+def _weibull_oracle() -> str:
+    # splice the certified KM oracle verbatim (the kappa/train_prep
+    # composition pattern), then the linearized Weibull OLS on top
+    from g1_etl_spark.plans.registry import REGISTRY
+    km = REGISTRY["orders_survival_km"].oracle
+    return f"""
+    WITH km AS ({km}),
+    pts AS (
+      SELECT CAST(round(ln(CAST(duration_days AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS x,
+             CAST(round(ln(-ln(survival)) * 1000000) AS BIGINT) AS y
+      FROM km
+      WHERE duration_days > 0 AND survival > 0 AND survival < 1),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM pts)
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS shape_k,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 1000000.0 AS intercept,
+           -((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0)
+           / ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             AS ln_scale
+    FROM m
+    """
+
+
+@register(
+    "orders_weibull_fit",
+    oracle=_weibull_oracle(),
+    description="parametric Weibull fit of the retention curve — the "
+                "third step of the survival family (KM curve -> "
+                "log-rank comparison -> parametric model): linearized "
+                "ln(-ln S) = k*ln(t) - k*ln(lambda) OLS over the "
+                "KM event grid (shape k < 1 = churn hazard "
+                "decreasing with tenure, the classic retention "
+                "reading; ln_scale = -intercept/shape reported in "
+                "log space so no cross-engine exp() ever runs). The "
+                "oracle splices the certified KM SQL verbatim and "
+                "both regressors are pinned at birth, so the moment "
+                "sums are exact integers over the bounded grid. "
+                "Scale shape: everything after the KM census is "
+                "grid-sized",
+    tags=("stats", "survival", "forecast"),
+)
+def orders_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weibull_fit_from_km(orders_survival_km(spark, sf_dir))
+
+
+def weibull_fit_from_km(km: DataFrame) -> DataFrame:
+    """Linearized Weibull OLS over any (duration_days, survival) KM
+    grid — split out so synthetic exact-Weibull grids can pin the
+    recovery (tests/test_stats.py)."""
+    pts = (km.filter((F.col("duration_days") > 0)
+                     & (F.col("survival") > 0) & (F.col("survival") < 1))
+           .select(F.round(F.ln(F.col("duration_days").cast("double"))
+                           * 1_000_000).cast("long").alias("x"),
+                   F.round(F.ln(-F.ln("survival")) * 1_000_000)
+                   .cast("long").alias("y")))
+    d38 = "decimal(38,0)"
+    m = pts.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("x").cast(d38)).alias("sx"),
+                F.sum(F.col("y").cast(d38)).alias("sy"),
+                F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+                F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = ((dd("n") * dd("sxy") - dd("sx") * dd("sy"))
+             / (dd("n") * dd("sxx") - dd("sx") * dd("sx")))
+    intercept = ((dd("sy") - slope * dd("sx")) / dd("n")
+                 / F.lit(1000000.0))
+    return m.select("n", slope.alias("shape_k"),
+                    intercept.alias("intercept"),
+                    (-intercept / slope).alias("ln_scale"))

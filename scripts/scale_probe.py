@@ -276,7 +276,7 @@ FAMILIES["events"] += ["events_holt_forecast", "stats_kruskal_value_type",
 FAMILIES["trade"] += ["sketch_bloom_semijoin", "stats_kendall_tau",
                       "graph_degree_assortativity",
                       "fuzzy_id_transpositions", "graph_kcore_trade",
-                      "stats_theil_u", "orders_survival_km"]
+                      "stats_theil_u", "orders_survival_km", "orders_weibull_fit"]
 FAMILIES["documents"] += ["text_nb_lang_confusion",
                           "quality_filter_kappa"]
 # r9 additions: the log-rank test reads orders+customer (trade star);

@@ -246,6 +246,9 @@ _BNLJ_OK = {
     "sim_jl_projection",
     # one-row base-rate scalar crossed into the survivor gate join
     "pipeline_curate_select",
+    # inherits the KM query's one-row anchors + the one-row 5-moment
+    # OLS fold over the bounded duration grid
+    "orders_weibull_fit",
     # one-row grand-mean scalar crossed with the one-row sorted
     # 50-resample-means array
     "stats_bootstrap_ci_mean",
@@ -362,6 +365,8 @@ _SINGLE_PART_OK = {
     # one-row base-rate + 9-moment IRLS aggregates over the bounded
     # cell census (the feat_logistic_irls shape inside the composite)
     "pipeline_curate_select",
+    # the KM grid fold + the one-row 5-moment OLS aggregate
+    "orders_weibull_fit",
     # one-row grand-mean + the 50-row resample-means fold
     "stats_bootstrap_ci_mean",
     # one-row normalizer totals per HITS pass (25-row input)

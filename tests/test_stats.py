@@ -1228,3 +1228,23 @@ def test_bootstrap_ci_brackets_true_mean_and_is_ordered(spark):
     assert r1.n_resamples == 50
     r2 = stats_bootstrap_ci_mean(spark, SF_SMOKE).collect()[0]
     assert r1 == r2
+
+
+def test_weibull_fit_recovers_exact_weibull_grid(spark):
+    """Feeding an EXACT Weibull survival grid S(t) = exp(-(t/100)^1.5)
+    through the linearized pinned OLS must recover shape 1.5 and
+    ln(scale) = ln(100) to the 1e-6 pinning granularity — the
+    regression is exact on its own model family, so any deviation
+    beyond pinning is an algebra bug."""
+    import math
+
+    from g1_etl_spark.plans.stats_plans import weibull_fit_from_km
+
+    rows = [(t, 0, 0, math.exp(-((t / 100.0) ** 1.5)))
+            for t in range(5, 400, 7)]
+    km = spark.createDataFrame(
+        rows, "duration_days long, n_risk long, n_events long,"
+              " survival double")
+    r = weibull_fit_from_km(km).collect()[0]
+    assert math.isclose(r.shape_k, 1.5, abs_tol=1e-4), r
+    assert math.isclose(r.ln_scale, math.log(100.0), abs_tol=1e-4), r
