@@ -77,8 +77,8 @@ _R9_WINDOW = (
 )
 
 # ROUND-10 ROTATION PLAN (write _R10_WINDOW from this): day-one
-# slots first for the 23 round-9 additions, never driver-sampled,
-# all locally parity-green (22 oracle-backed + sim_mmr_ivf rows-only
+# slots first for the 24 round-9 additions, never driver-sampled,
+# all locally parity-green (23 oracle-backed + sim_mmr_ivf rows-only
 # with its green sim_mmr_ivf_recall contract): orders_logrank,
 # sim_mmr_ivf, sim_mmr_ivf_recall, feat_logistic_irls, stats_anova_f,
 # graph_sssp_trade, corpus_weighted_sample,
@@ -87,15 +87,15 @@ _R9_WINDOW = (
 # pipeline_quality_classifier, dedup_canonical_keep, graph_hits_trade,
 # dq_fd_audit, orders_price_elasticity, events_burst_viterbi,
 # events_markov_entropy, text_feature_hashing, stats_bootstrap_ci_mean,
-# sim_jl_projection, pipeline_curate_select — then fill the remaining
-# 27 slots from the 19-row r4-cohort spill: dedup_span_census,
+# sim_jl_projection, pipeline_curate_select, orders_weibull_fit —
+# then fill the remaining 26 slots from the 19-row r4-cohort spill: dedup_span_census,
 # dedup_span_flags, dedup_span_clip, corpus_budget_fill,
 # text_bpe_pair_counts, corpus_shuffle_shards, agg_approx_percentile,
 # sim_kmeans_clusters, sim_kmeans_exact, sim_hard_negatives,
 # corpus_source_overlap, window_analytics_extended, merge_join_delta,
 # pipeline_hybrid_search, sim_semantic_dedup, text_rarity_score,
 # corpus_curriculum_order, dq_snapshot_diff, text_bpe_subwords —
-# plus 8 from the r5 cohort (enumerate CORRECTNESS_r05 minus anything
+# plus 7 from the r5 cohort (enumerate CORRECTNESS_r05 minus anything
 # re-checked since). A never-checked row outranks a banked green;
 # spill overflow onward.
 
