@@ -174,3 +174,82 @@ def pareto_abc(df: DataFrame, key_col: str, value_col,
                        (F.col("cum_value").cast("double")
                         / F.lit(float(total))).alias("cum_share"),
                        cls.alias("abc_class")))
+
+
+def grouped_prefix_aggs(df: DataFrame, group_cols: list,
+                        order_cols: list,
+                        sums: dict[str, str] | None = None,
+                        mins: dict[str, str] | None = None,
+                        partitions: int | None = None) -> DataFrame:
+    """Per-GROUP inclusive running SUMs/MINs over a total order within
+    each group — :func:`global_prefix_sums_with_totals` generalized to
+    a bounded group key (event_type-class cardinality): ONE
+    range-repartition on (group, order) keeps each group's rows
+    contiguous across the partition range, per-(partition, group)
+    local running aggregates, and driver-held carries — bounded at
+    partitions x |groups| rows, so the driver state stays tiny. No
+    per-group ordered window over raw rows anywhere; the only windows
+    are per-(partition, group), which AQE-sized partitions keep
+    memory-bounded.
+
+    `sums` / `mins` map out_col -> value_col. The min carry is None
+    until the group has rows in an earlier partition (coalesced away
+    at combine time). `order_cols` must tie-break to a total order
+    within each group.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    sums = sums or {}
+    mins = mins or {}
+    items = ([(o, v, "sum") for o, v in sums.items()]
+             + [(o, v, "min") for o, v in mins.items()])
+    keys = [*group_cols, *order_cols]
+    parts = (df.repartitionByRange(n, *keys)
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint())  # freeze pid assignment
+    agg_rows = parts.groupBy("_pid", *group_cols).agg(
+        *((F.sum(v) if k == "sum" else F.min(v)).alias(f"_t{i}")
+          for i, (_, v, k) in enumerate(items))).collect()
+    run: dict = {}
+    offsets = []
+    for r in sorted(agg_rows, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        st = run.get(g, [0 if k == "sum" else None
+                         for (_, _, k) in items])
+        offsets.append((r["_pid"], *g, *st))
+        new = []
+        for i, (_, _, k) in enumerate(items):
+            t = r[f"_t{i}"]
+            if k == "sum":
+                new.append(st[i] + int(t if t is not None else 0))
+            else:
+                cands = [x for x in (st[i], t) if x is not None]
+                new.append(min(cands) if cands else None)
+        run[g] = new
+    gtypes = dict(zip(df.schema.names,
+                      (f.dataType.simpleString() for f in df.schema)))
+    off_schema = ("_pid INT, "
+                  + ", ".join(f"{c} {gtypes[c]}" for c in group_cols)
+                  + ", "
+                  + ", ".join(f"_off{i} BIGINT"
+                              for i in range(len(items))))
+    off_df = spark.createDataFrame(offsets, off_schema)
+    w = (W.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = parts
+    for i, (_, v, k) in enumerate(items):
+        out = out.withColumn(
+            f"_cl{i}", (F.sum(v) if k == "sum" else F.min(v)).over(w))
+    out = out.join(F.broadcast(off_df), ["_pid", *group_cols])
+    for i, (o, _, k) in enumerate(items):
+        if k == "sum":
+            out = out.withColumn(
+                o, (F.col(f"_cl{i}") + F.col(f"_off{i}")).cast("long"))
+        else:
+            out = out.withColumn(
+                o, F.least(F.col(f"_cl{i}"),
+                           F.coalesce(F.col(f"_off{i}"),
+                                      F.col(f"_cl{i}"))).cast("long"))
+    drop = ["_pid"] + [c for i in range(len(items))
+                       for c in (f"_cl{i}", f"_off{i}")]
+    return out.drop(*drop)

@@ -698,48 +698,100 @@ def simhash64(tokens: Column) -> Column:
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
                          src: str = "d1", dst: str = "d2",
-                         max_iters: int = 20) -> DataFrame:
+                         max_iters: int = 30) -> DataFrame:
     """(doc_id, component): connected components over near-dup pairs by
-    iterative min-label propagation — the cluster step that turns
-    pairwise near-dups into dedup groups (keep MIN(id) per component).
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    cluster step that turns pairwise near-dups into dedup groups
+    (component label = MIN(id) per component).
 
-    Each iteration: every node takes the minimum label among itself and
-    its neighbors (edges walked in both directions) — one shuffle per
-    iteration, converging in O(graph diameter) rounds, which for dedup
-    clusters (dense, tiny diameter) is 2-3. The loop is driver-side but
-    the data never is; `localCheckpoint` truncates the growing lineage
-    so iteration N doesn't recompute iterations 1..N-1.
+    VERDICT_r9 ask #6 replaced the earlier min-label propagation: that
+    converged in O(graph diameter) rounds, which is 2-3 for dense dedup
+    cliques but O(n) on a pathological chain — and a chain longer than
+    max_iters silently mislabeled. Star contraction converges in
+    O(log n) rounds on ANY topology (each round at least halves the
+    height of the implicit pointer forest), so max_iters=30 covers
+    2^30 nodes and under-convergence raises instead of mislabeling.
 
+    Each round is two shuffle stages over the current edge set, which
+    NEVER grows (large-star emits exactly one edge per symmetrized
+    input edge; small-star one per oriented edge):
+
+    * large-star: every node u computes m = min(neighbors ∪ {u}) and
+      re-points every LARGER neighbor v > u at m — emit (v, m).
+    * small-star: on max→min oriented edges, every node u re-points
+      its smaller neighbors and itself at their collective min.
+
+    Per-node mins are groupBy aggregates (map-side combine) joined
+    back on the node — never a collect_list — so a mega-star node
+    (one boilerplate doc paired with 10^5 others) stays a splittable
+    aggregation + AQE-skew-split join, not a single-task group.
+
+    Fixpoint = the oriented edge set is stable (checked by an order-
+    insensitive count + xxhash64-sum signature, one cheap action per
+    round); at fixpoint the edges form stars (v -> component min).
     Genuinely iterative — no single SQL equivalent (the driver records
     a rows-only check); tests verify against a local union-find.
     """
-    # symmetrize with ONE explode, not a self-union: union branches get
-    # no CSE, so a union would run the whole upstream pair producer
-    # (inverted-index join + jaccard verify) twice inside this single
-    # checkpoint materialization
-    edges = (pairs.select(F.explode(F.array(
-        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-        F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
-        .alias("e")).select("e.a", "e.b"))
-    edges = edges.repartition("a").localCheckpoint()
-    labels = nodes.select(F.col(id_col).alias("a"),
-                          F.col(id_col).cast("long").alias("label"))
-    labels = labels.localCheckpoint()
+    # orient max->min; self-pairs drop out. One distinct keeps the
+    # working set minimal before the loop.
+    u0 = F.col(src).cast("long")
+    v0 = F.col(dst).cast("long")
+    edges = (pairs.select(F.greatest(u0, v0).alias("u"),
+                          F.least(u0, v0).alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
+    sig_prev = None
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (edges.join(labels.withColumnRenamed("a", "b")
-                                   .withColumnRenamed("label", "nl"), "b")
-                        .groupBy("a").agg(F.min("nl").alias("nl")))
-        updated = (labels.join(neighbor_min, "a", "left")
-                   .select("a", F.least("label", "nl").alias("new_label"),
-                           "label"))
-        changed = updated.filter(
-            F.col("new_label") < F.col("label")).limit(1).count()
-        labels = (updated.select("a", F.col("new_label").alias("label"))
-                  .localCheckpoint())
-        if changed == 0:
+        # -- large-star ------------------------------------------------
+        # symmetrize with ONE explode (a self-union would recompute the
+        # upstream frame twice: union branches get no CSE)
+        sym = (edges.select(F.explode(F.array(
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            F.struct(F.col("v").alias("a"), F.col("u").alias("b"))))
+            .alias("e")).select(F.col("e.a").alias("u"),
+                                F.col("e.b").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        # (v, m) for v > u: m <= u < v, so output stays max->min oriented
+        oriented = (sym.join(mins, "u")
+                    .filter(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .distinct().localCheckpoint())
+        # -- small-star ------------------------------------------------
+        # mins2 feeds two union branches; oriented is checkpointed so
+        # the double groupBy scan is over materialized partitions
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (oriented.join(mins2, "u")
+                 .filter(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(mins2.select(F.col("u"),
+                                     F.col("m").alias("v")))
+                 .distinct().localCheckpoint())
+        # bit_xor is order-insensitive and overflow-free under ANSI
+        # (a SUM of hashes overflows int64); edges are distinct so the
+        # xor is a sound set signature alongside the count
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        if sig_prev == (sig["n"], sig["h"]):
+            converged = True
             break
-    return labels.select(F.col("a").alias(id_col),
-                         F.col("label").alias("component"))
+        sig_prev = (sig["n"], sig["h"])
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "star-contraction rounds (covers 2^30 nodes) — refusing "
+            "to return possibly-mislabeled components")
+    # at fixpoint every non-root node has exactly one edge to its
+    # component min; roots and singletons label themselves
+    out = (nodes.select(F.col(id_col),
+                        F.col(id_col).cast("long").alias("_nid"))
+           .join(edges.withColumnRenamed("u", "_nid"), "_nid", "left")
+           .select(id_col,
+                   F.coalesce("v", "_nid").alias("component")))
+    return out
 
 
 def dedup_canonical(df: DataFrame, pairs: DataFrame,

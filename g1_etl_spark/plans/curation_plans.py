@@ -687,8 +687,6 @@ def _curate_select_oracle() -> str:
     tags=("curation", "pipeline", "dedup", "ml", "sampling"),
 )
 def pipeline_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from g1_etl_spark.operators import dedup as D
     from g1_etl_spark.plans.feature_plans import (_E6, _LOGIT_ITERS,
                                                   logistic_irls_cells)
@@ -698,11 +696,18 @@ def pipeline_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = D.connected_components(pairs, docs.select("doc_id"))
     w = F.size(F.split(F.col("text"), " ")).cast("long")
     wts = docs.select("doc_id", w.alias("w"))
-    win = Window.partitionBy("component").orderBy(F.desc("w"), "doc_id")
+    # Per-component argmax as a min_by aggregate, not a rank window
+    # (VERDICT_r9 ask #2): a mega-clique component would otherwise sort
+    # in a single task; min_by combines map-side. The ordering struct
+    # (-w, doc_id) is unique per row, so this equals the oracle's rn=1.
     canon = (comps.join(wts, "doc_id")
-             .withColumn("rn", F.row_number().over(win))
-             .filter(F.col("rn") == 1)
-             .select("doc_id", "component", "w"))
+             .groupBy("component")
+             .agg(F.min_by(F.struct(F.col("doc_id"), F.col("w")),
+                           F.struct((-F.col("w")).alias("nw"),
+                                    F.col("doc_id").alias("d")))
+                  .alias("c"))
+             .select(F.col("c.doc_id").alias("doc_id"), "component",
+                     F.col("c.w").alias("w")))
 
     q = F.least(F.size(F.split(F.col("text"), " ")).cast("long"),
                 F.lit(50))
@@ -738,3 +743,76 @@ def pipeline_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.ln(u) / F.col("w").cast("double") * 1_000_000)
         .cast("long").alias("key_w"))
     return keyed.orderBy(F.desc("key_w"), "doc_id").limit(100)
+
+
+# McNemar's paired test between the same two gates kappa audits: kappa
+# asks "do they agree"; McNemar asks the DIRECTIONAL question "when
+# they disagree, is one gate systematically stricter".
+def _mcnemar_oracle() -> str:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    g = REGISTRY["text_gopher_rules"].oracle
+    q = REGISTRY["quality_quantile_gate"].oracle
+    return f"""
+    WITH g AS ({g}),
+    q AS ({q}),
+    j AS (SELECT g.gopher_pass AS r1, q.keep AS r2
+          FROM g JOIN q ON g.doc_id = q.doc_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS gopher_only,
+                 CAST(SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS gate_only
+          FROM j)
+    SELECT n, gopher_only, gate_only,
+           (CAST(gopher_only AS DOUBLE) - CAST(gate_only AS DOUBLE))
+           * (CAST(gopher_only AS DOUBLE) - CAST(gate_only AS DOUBLE))
+           / NULLIF(CAST(gopher_only + gate_only AS DOUBLE), 0.0)
+             AS chi2_mcnemar,
+           CAST(gopher_only AS DOUBLE)
+           / NULLIF(CAST(gopher_only + gate_only AS DOUBLE), 0.0)
+             AS p_gopher_stricter
+    FROM t
+    """
+
+
+@register(
+    "quality_gate_mcnemar",
+    oracle=_mcnemar_oracle(),
+    description="McNemar's paired test between the Gopher rule "
+                "conjunction and the per-language quantile gate — the "
+                "DIRECTIONAL sibling of quality_filter_kappa: kappa "
+                "measures agreement, McNemar asks whether the "
+                "disagreements are one-sided (one gate systematically "
+                "stricter), which is what decides whether swapping "
+                "gates shifts the corpus. Statistic = (b - c)^2 / "
+                "(b + c) over the two discordant 2x2 cells, chi2(1) "
+                "under the null of symmetric disagreement; "
+                "p_gopher_stricter = b/(b+c) is the sign. Composes "
+                "the two certified plans verbatim (same splice as "
+                "kappa), exact BIGINT cells, one fixed double tree "
+                "with NULLIF guarding the all-agree corpus. Scale "
+                "shape: one doc_id equi-join + one global aggregate",
+    tags=("curation", "quality", "stats"),
+)
+def quality_gate_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    g = (REGISTRY["text_gopher_rules"].fn(spark, sf_dir)
+         .select("doc_id", F.col("gopher_pass").alias("r1")))
+    q = (REGISTRY["quality_quantile_gate"].fn(spark, sf_dir)
+         .select("doc_id", F.col("keep").alias("r2")))
+    j = g.join(q, "doc_id")
+    cell = lambda c, alias: F.sum(F.when(c, 1).otherwise(0)) \
+        .cast("long").alias(alias)  # noqa: E731
+    t = j.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              cell(F.col("r1") & ~F.col("r2"), "gopher_only"),
+              cell(~F.col("r1") & F.col("r2"), "gate_only"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    disc = F.nullif(d(F.col("gopher_only") + F.col("gate_only")),
+                    F.lit(0.0))
+    diff = d(F.col("gopher_only")) - d(F.col("gate_only"))
+    return t.select("n", "gopher_only", "gate_only",
+                    (diff * diff / disc).alias("chi2_mcnemar"),
+                    (d(F.col("gopher_only")) / disc)
+                    .alias("p_gopher_stricter"))

@@ -698,14 +698,18 @@ def fuzzy_id_transpositions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "actual corpus action ('which copy do we train on'). "
                 "Composes the certified components oracle verbatim so "
                 "the cluster definition cannot drift; the per-cluster "
-                "argmax is a rank window bounded by cluster size. "
-                "Output keeps every doc with its verdict so the "
-                "downstream anti-join (keep vs drop) is one filter",
+                "argmax is a min_by aggregate (NOT a component-"
+                "partitioned window — VERDICT_r9 ask #2: a boilerplate "
+                "mega-clique is one component, and a rank window would "
+                "sort the whole clique in one task; the aggregate "
+                "combines map-side so the shuffle carries one row per "
+                "component per input partition, and the join-back side "
+                "is one row per component so AQE skew-split replication "
+                "is free). Output keeps every doc with its verdict so "
+                "the downstream anti-join (keep vs drop) is one filter",
     tags=("dedup", "curation", "pipeline"),
 )
 def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     comps = D.connected_components(pairs, docs.select("doc_id"))
@@ -713,12 +717,15 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("weight"))
     j = comps.join(wts, "doc_id")
-    win = Window.partitionBy("component").orderBy(
-        F.desc("weight"), "doc_id")
-    cw = Window.partitionBy("component")
-    return (j.withColumn("rn", F.row_number().over(win))
-            .withColumn("cluster_size",
-                        F.count(F.lit(1)).over(cw).cast("long"))
+    # argmax by (weight DESC, doc_id ASC): the ordering struct is unique
+    # per row, so min_by is exact — no tie ambiguity vs the rn=1 oracle.
+    canon = j.groupBy("component").agg(
+        F.min_by("doc_id",
+                 F.struct((-F.col("weight")).alias("nw"),
+                          F.col("doc_id").alias("d"))).alias("canon_doc"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (j.join(canon, "component")
             .select("doc_id", "component", "weight", "cluster_size",
-                    (F.col("rn") == 1).alias("is_canonical"))
+                    (F.col("doc_id") == F.col("canon_doc"))
+                    .alias("is_canonical"))
             .orderBy("doc_id"))

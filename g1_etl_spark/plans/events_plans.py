@@ -2340,3 +2340,317 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n", hc.alias("h_cond_nats"),
                     hmn.alias("h_marginal_nats"),
                     (F.lit(1.0) - hc / hmn).alias("predictability_gain")))
+
+
+_PH_DELTA_W = 500_000        # 0.5 slack, scaled 1e6
+_PH_LAMBDA_W = 1_000_000_000  # 1000.0 alarm threshold, scaled 1e6
+
+
+@register(
+    "events_page_hinkley",
+    oracle=f"""
+    WITH s AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+                      CAST(round(value * 1000000) AS BIGINT) AS xw
+               FROM events),
+    mu AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(round(CAST(SUM(CAST(xw AS HUGEINT)) AS DOUBLE)
+                             / COUNT(*)) AS BIGINT) AS muw
+           FROM s GROUP BY 1),
+    dev AS (SELECT s.event_type, s.event_id, s.us,
+                   s.xw - mu.muw - {_PH_DELTA_W} AS d
+            FROM s JOIN mu USING (event_type)),
+    pm AS (SELECT event_type, event_id, us,
+                  SUM(d) OVER w AS m
+           FROM dev
+           WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)),
+    ex AS (SELECT event_type, us,
+                  m - MIN(m) OVER w AS exc
+           FROM pm
+           WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+    SELECT mu.event_type, mu.n,
+           CAST(mu.muw AS DOUBLE) / 1000000.0 AS mu,
+           CAST(MAX(ex.exc) AS DOUBLE) / 1000000.0 AS max_excursion,
+           CAST(SUM(CASE WHEN ex.exc > {_PH_LAMBDA_W} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_alarms,
+           MIN(CASE WHEN ex.exc > {_PH_LAMBDA_W} THEN ex.us END)
+             AS first_alarm_us
+    FROM ex JOIN mu USING (event_type)
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+    description="Page-Hinkley upward-drift detector per event type "
+                "(two-pass reference-mean form): cumulative deviation "
+                "m_t = sum(x_i - mu - delta) and its running minimum "
+                "M_t; an alarm fires when the excursion m_t - M_t "
+                "exceeds lambda — the classic sequential "
+                "change-detection statistic next to CUSUM's argmax "
+                "form, answering WHEN the value level drifted up, "
+                "per type. Exact: values pinned at birth, mu pinned "
+                "once per type, every running quantity an exact "
+                "integer. Scale shape: both the per-type prefix SUM "
+                "and the prefix MIN of it ride grouped_prefix_aggs "
+                "(range-repartition + per-(partition,type) windows + "
+                "driver carries bounded at partitions x types) — no "
+                "per-type ordered window over raw rows",
+    tags=("events", "stats", "streaming", "scale"),
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import grouped_prefix_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "event_id",
+                  F.unix_micros("ts").alias("us"),
+                  F.round(F.col("value") * 1_000_000).cast("long")
+                  .alias("xw"))
+    d38 = "decimal(38,0)"
+    mu = (s.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.round(F.sum(F.col("xw").cast(d38)).cast("double")
+                       / F.count(F.lit(1))).cast("long").alias("muw")))
+    dev = (s.join(F.broadcast(mu), "event_type")
+           .select("event_type", "event_id", "us",
+                   (F.col("xw") - F.col("muw") - F.lit(_PH_DELTA_W))
+                   .alias("d")))
+    pm = grouped_prefix_aggs(dev, ["event_type"], ["us", "event_id"],
+                             sums={"m": "d"})
+    ex = grouped_prefix_aggs(pm, ["event_type"], ["us", "event_id"],
+                             mins={"mm": "m"})
+    ex = ex.select("event_type", "us",
+                   (F.col("m") - F.col("mm")).alias("exc"))
+    alarm = F.col("exc") > _PH_LAMBDA_W
+    agg = (ex.groupBy("event_type")
+           .agg((F.max("exc").cast("double") / 1e6)
+                .alias("max_excursion"),
+                F.sum(F.when(alarm, 1).otherwise(0)).cast("long")
+                .alias("n_alarms"),
+                F.min(F.when(alarm, F.col("us"))).alias("first_alarm_us")))
+    return (mu.join(agg, "event_type")
+            .select("event_type", "n",
+                    (F.col("muw").cast("double") / 1e6).alias("mu"),
+                    "max_excursion", "n_alarms", "first_alarm_us")
+            .orderBy("event_type"))
+
+
+_XC_A, _XC_B = "click", "purchase"
+_XC_MAXLAG = 6
+
+
+@register(
+    "events_xcorr_types",
+    oracle=f"""
+    WITH s AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+    anchor AS (SELECT min(us) AS tmin FROM s),
+    h AS (SELECT (us - tmin) // 3600000000 AS hr, event_type
+          FROM s CROSS JOIN anchor),
+    span AS (SELECT max(hr) AS hmax FROM h),
+    grid AS (SELECT UNNEST(range(0, hmax + 1)) AS hr FROM span),
+    ca AS (SELECT g.hr,
+                  CAST(COALESCE(x.c, 0) AS BIGINT) AS a,
+                  CAST(COALESCE(y.c, 0) AS BIGINT) AS b
+           FROM grid g
+           LEFT JOIN (SELECT hr, COUNT(*) AS c FROM h
+                      WHERE event_type = '{_XC_A}' GROUP BY 1) x
+             USING (hr)
+           LEFT JOIN (SELECT hr, COUNT(*) AS c FROM h
+                      WHERE event_type = '{_XC_B}' GROUP BY 1) y
+             USING (hr)),
+    l AS (SELECT UNNEST(range(-{_XC_MAXLAG}, {_XC_MAXLAG} + 1))
+            AS lag),
+    p AS (SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(u.a AS HUGEINT)) AS sx,
+                 SUM(CAST(v.b AS HUGEINT)) AS sy,
+                 SUM(CAST(u.a AS HUGEINT) * u.a) AS sxx,
+                 SUM(CAST(v.b AS HUGEINT) * v.b) AS syy,
+                 SUM(CAST(u.a AS HUGEINT) * v.b) AS sxy
+          FROM ca u CROSS JOIN l JOIN ca v ON v.hr = u.hr + l.lag
+          GROUP BY l.lag)
+    SELECT lag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                    0.0) AS xcorr
+    FROM p ORDER BY lag
+    """,
+    description=f"lead-lag cross-correlation between the hourly "
+                f"'{_XC_A}' and '{_XC_B}' count series at lags "
+                f"-{_XC_MAXLAG}..{_XC_MAXLAG}: does click activity "
+                "LEAD purchases (positive lag = clicks earlier)? The "
+                "causal-direction screen next to events_acf's "
+                "self-similarity. Densified hour grid (missing hours "
+                "are real zeros, not absent rows), exact HUGEINT/"
+                "decimal moment sums per lag, Pearson assembled in "
+                "one shared double tree (sqrt is IEEE-correctly-"
+                "rounded, so cross-engine safe; NULLIF guards a "
+                "constant series). Scale shape: the grid is bounded "
+                "by the time span (k-row-codebook class) — the only "
+                "data-sized stage is the hour groupBy",
+    tags=("events", "stats", "forecast"),
+)
+def events_xcorr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.unix_micros("ts").alias("us"), "event_type")
+    anchor = s.agg(F.min("us").alias("tmin"))
+    h = (s.crossJoin(F.broadcast(anchor))
+         .select(((F.col("us") - F.col("tmin"))
+                  / F.lit(3_600_000_000)).cast("long").alias("hr"),
+                 "event_type"))
+    cnt = lambda t: (h.filter(F.col("event_type") == t)  # noqa: E731
+                     .groupBy("hr").agg(F.count(F.lit(1)).alias("c")))
+    span = h.agg(F.max("hr").alias("hmax"))
+    grid = (span.select(F.explode(F.sequence(F.lit(0), F.col("hmax")))
+                        .alias("hr")))
+    # bounded (time-span) grid, checkpointed eagerly: it feeds BOTH
+    # sides of the lag self-join below and unioned/self-joined branches
+    # get no CSE — without this the data-sized counts run twice
+    ca = (grid.join(cnt(_XC_A).withColumnRenamed("c", "ac"), "hr",
+                    "left")
+          .join(cnt(_XC_B).withColumnRenamed("c", "bc"), "hr", "left")
+          .select("hr", F.coalesce("ac", F.lit(0)).cast("long")
+                  .alias("a"),
+                  F.coalesce("bc", F.lit(0)).cast("long").alias("b"))
+          .localCheckpoint(eager=True))
+    lags = spark.range(-_XC_MAXLAG, _XC_MAXLAG + 1) \
+        .select(F.col("id").cast("long").alias("lag"))
+    d38 = "decimal(38,0)"
+    u, v = ca.alias("u"), ca.alias("v")
+    p = (u.crossJoin(F.broadcast(lags))
+         .join(v, F.col("v.hr") == F.col("u.hr") + F.col("lag"))
+         .groupBy("lag")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("u.a").cast(d38)).alias("sx"),
+              F.sum(F.col("v.b").cast(d38)).alias("sy"),
+              F.sum(F.col("u.a").cast(d38) * F.col("u.a"))
+              .alias("sxx"),
+              F.sum(F.col("v.b").cast(d38) * F.col("v.b"))
+              .alias("syy"),
+              F.sum(F.col("u.a").cast(d38) * F.col("v.b"))
+              .alias("sxy")))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+    den = (F.sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx"))
+           * F.sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy")))
+    return (p.select("lag", "n",
+                     (num / F.nullif(den, F.lit(0.0))).alias("xcorr"))
+            .orderBy("lag"))
+
+
+_HAAR_N = 512  # 2^9 hours from tmin; 9 decomposition levels
+
+
+def _haar_oracle() -> str:
+    # unrolled halving: level k holds 2^(9-k) approximation sums and
+    # 2^(9-k) detail differences; energies are exact integer sums
+    lvls = []
+    for k in range(1, 10):
+        prev = f"a{k - 1}"
+        lvls.append(f"""
+    a{k} AS (SELECT list_transform(range(1, len(a) // 2 + 1),
+                      i -> a[2 * i - 1] + a[2 * i]) AS a,
+                    list_transform(range(1, len(a) // 2 + 1),
+                      i -> a[2 * i - 1] - a[2 * i]) AS d
+             FROM {prev})""")
+    energy_rows = ",\n      ".join(
+        f"({k}, (SELECT CAST(len(d) AS BIGINT) FROM a{k}), "
+        f"(SELECT CAST(COALESCE(list_sum(list_transform(d, "
+        f"x -> CAST(x AS HUGEINT) * x)), 0) AS BIGINT) FROM a{k}))"
+        for k in range(1, 10))
+    return f"""
+    WITH s AS (SELECT epoch_us(ts) AS us FROM events),
+    anchor AS (SELECT min(us) AS tmin FROM s),
+    h AS (SELECT (us - tmin) // 3600000000 AS hr
+          FROM s CROSS JOIN anchor
+          WHERE (us - tmin) // 3600000000 < {_HAAR_N}),
+    c AS (SELECT g.hr, CAST(COALESCE(x.c, 0) AS BIGINT) AS v
+          FROM (SELECT UNNEST(range(0, {_HAAR_N})) AS hr) g
+          LEFT JOIN (SELECT hr, COUNT(*) AS c FROM h GROUP BY 1) x
+            USING (hr)),
+    a0 AS (SELECT list(v ORDER BY hr) AS a FROM c),{",".join(lvls)}
+    SELECT * FROM (VALUES
+      {energy_rows}) t(level, n_coeffs, detail_energy)
+    ORDER BY level
+    """
+
+
+@register(
+    "events_wavelet_haar",
+    oracle=_haar_oracle(),
+    description=f"unnormalized Haar wavelet decomposition of the "
+                f"first {_HAAR_N} hours of the event-count series: "
+                "per level, the sum of squared detail coefficients "
+                "(a_odd - a_even differences of the previous level's "
+                "pairwise sums) — the multi-resolution burstiness "
+                "spectrum: level-1 energy = hour-to-hour jitter, "
+                "level-9 = half-window-vs-half-window drift, the "
+                "scale-localized complement of events_acf. "
+                "Unnormalized ints (no sqrt2) keep every coefficient "
+                "and every energy an EXACT integer — zero float "
+                "anywhere. Scale shape: one data-sized hour groupBy, "
+                f"then nine folds over a constant {_HAAR_N}-element "
+                "array on a one-row frame",
+    tags=("events", "stats", "forecast"),
+)
+def events_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.unix_micros("ts").alias("us"))
+    anchor = s.agg(F.min("us").alias("tmin"))
+    h = (s.crossJoin(F.broadcast(anchor))
+         .select(((F.col("us") - F.col("tmin"))
+                  / F.lit(3_600_000_000)).cast("long").alias("hr"))
+         .filter(F.col("hr") < _HAAR_N))
+    cnt = h.groupBy("hr").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = spark.range(_HAAR_N).select(F.col("id").alias("hr"))
+    c = (grid.join(cnt, "hr", "left")
+         .select("hr", F.coalesce("c", F.lit(0)).cast("long")
+                 .alias("v")))
+    # eager one-row checkpoint: the nine per-level branches below are
+    # UNIONed (no CSE), so without it each branch would re-run the
+    # data-sized hour census
+    a0 = c.agg(F.array_sort(F.collect_list(F.struct("hr", "v")))
+               .alias("s")).select(
+        F.transform("s", lambda x: x["v"]).alias("a")) \
+        .localCheckpoint(eager=True)
+
+    # ONE transform producing (sum, diff) structs per level, split
+    # afterward. Two sibling transforms over the same sequence would
+    # be the obvious shape, but whole-stage codegen's common-
+    # subexpression elimination merges their identical sequence
+    # arguments and mis-binds the lambda variables across the two
+    # ArrayTransforms — element_at then indexes the SEQUENCE instead
+    # of the data array and throws INVALID_ARRAY_INDEX (reproduced on
+    # Spark 4.1: two halves() in one select fail even over a
+    # checkpointed plain column; the struct form runs 9 levels deep).
+    def _level(frame):
+        pairs = F.transform(
+            F.sequence(F.lit(1), (F.size("a") / 2).cast("int")),
+            lambda i: F.struct(
+                (F.element_at("a", (i * 2 - 1).cast("int"))
+                 + F.element_at("a", (i * 2).cast("int"))).alias("s"),
+                (F.element_at("a", (i * 2 - 1).cast("int"))
+                 - F.element_at("a", (i * 2).cast("int"))).alias("d")))
+        return frame.select(pairs.alias("p")).select(
+            F.transform("p", lambda x: x["s"]).alias("a"),
+            F.transform("p", lambda x: x["d"]).alias("d"))
+
+    d38 = "decimal(38,0)"
+    rows = []
+    cur = a0
+    for k in range(1, 10):
+        cur = _level(cur)
+        rows.append(cur.select(
+            F.lit(k).cast("long").alias("level"),
+            F.size("d").cast("long").alias("n_coeffs"),
+            F.aggregate("d", F.lit(0).cast(d38),
+                        lambda acc, x: acc + x.cast(d38) * x)
+            .cast("long").alias("detail_energy")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("level")

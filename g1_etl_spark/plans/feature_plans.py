@@ -550,19 +550,22 @@ def logistic_irls_cells(cells: DataFrame,
         u = (nd * (F.col("w_w").cast("double") / _E6) * F.col("etac")
              + (nyd - nd * F.col("pd")))
         t = t.withColumn("u_w", F.round(u * _E6).cast("long"))
+        # moment products accumulate in decimal(38,0), matching the
+        # oracle's HUGEINT promotion — int64 sums would wrap silently
+        # at very large censuses (~sf1000+, r9 ADVICE)
+        d38 = "decimal(38,0)"
+        nw = F.col("n").cast(d38) * F.col("w_w")
+        uw = F.col("u_w").cast(d38)
         s = t.agg(
-            F.sum(F.col("n") * F.col("w_w")).alias("aw"),
-            F.sum(F.col("n") * F.col("w_w") * F.col("q")).alias("bw"),
-            F.sum(F.col("n") * F.col("w_w") * F.col("dc")).alias("cw"),
-            F.sum(F.col("n") * F.col("w_w") * F.col("q") * F.col("q"))
-            .alias("dw"),
-            F.sum(F.col("n") * F.col("w_w") * F.col("q") * F.col("dc"))
-            .alias("ew"),
-            F.sum(F.col("n") * F.col("w_w") * F.col("dc") * F.col("dc"))
-            .alias("fw"),
-            F.sum("u_w").alias("gw"),
-            F.sum(F.col("u_w") * F.col("q")).alias("hw"),
-            F.sum(F.col("u_w") * F.col("dc")).alias("iw"),
+            F.sum(nw).alias("aw"),
+            F.sum(nw * F.col("q")).alias("bw"),
+            F.sum(nw * F.col("dc")).alias("cw"),
+            F.sum(nw * F.col("q") * F.col("q")).alias("dw"),
+            F.sum(nw * F.col("q") * F.col("dc")).alias("ew"),
+            F.sum(nw * F.col("dc") * F.col("dc")).alias("fw"),
+            F.sum(uw).alias("gw"),
+            F.sum(uw * F.col("q")).alias("hw"),
+            F.sum(uw * F.col("dc")).alias("iw"),
         ).collect()[0]
         # Cramer on the 3x3 symmetric system — the SAME expression
         # tree as the oracle's SQL, evaluated on identical doubles.
@@ -571,9 +574,14 @@ def logistic_irls_cells(cells: DataFrame,
         # doc in one stopword bucket — would otherwise hit det = 0);
         # it is ~1e-9 of a typical diagonal entry, so coefficients on
         # healthy data are unchanged to float precision.
-        a, bb, c = s.aw / 1e6 + 0.001, s.bw / 1e6, s.cw / 1e6
-        dm, e, f = s.dw / 1e6 + 0.001, s.ew / 1e6, s.fw / 1e6 + 0.001
-        g, h, i = s.gw / 1e6, s.hw / 1e6, s.iw / 1e6
+        # Decimal -> float before the double Cramer solve (the oracle
+        # does the same HUGEINT -> DOUBLE division)
+        aw, bw, cw, dw, ew, fw, gw, hw, iw = (
+            float(x) for x in (s.aw, s.bw, s.cw, s.dw, s.ew,
+                               s.fw, s.gw, s.hw, s.iw))
+        a, bb, c = aw / 1e6 + 0.001, bw / 1e6, cw / 1e6
+        dm, e, f = dw / 1e6 + 0.001, ew / 1e6, fw / 1e6 + 0.001
+        g, h, i = gw / 1e6, hw / 1e6, iw / 1e6
         det = a * (dm * f - e * e) - bb * (bb * f - e * c) \
             + c * (bb * e - dm * c)
         b = ((g * (dm * f - e * e) - bb * (h * f - e * i)

@@ -1998,11 +1998,21 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.sum(F.col("cw").cast(d38)).cast("double")
                / F.count(F.lit(1)).cast("double") / F.lit(100.0))
               .alias("grand_mean"))
+    # an EMPTY resample (possible only on a degenerate near-empty
+    # table) would drop a row from `a` and silently shift the
+    # element_at indices to different quantiles — fail loudly instead
+    # (r9 ADVICE). assert_true returns NULL on pass, so the when()
+    # wrapper evaluates the guard and yields `a` unchanged.
+    a_ok = F.when(
+        F.assert_true(F.size("a") == _BOOT_B,
+                      F.lit(f"bootstrap produced != {_BOOT_B} resample "
+                            "means (empty resample?)")).isNull(),
+        F.col("a"))
     return (g.crossJoin(arr)
             .select("n", F.lit(_BOOT_B).cast("long").alias("n_resamples"),
                     "grand_mean",
-                    F.element_at("a", 2).alias("ci_lo"),
-                    F.element_at("a", _BOOT_B - 1).alias("ci_hi")))
+                    F.element_at(a_ok, 2).alias("ci_lo"),
+                    F.element_at(a_ok, _BOOT_B - 1).alias("ci_hi")))
 
 
 def _weibull_oracle() -> str:
@@ -2098,3 +2108,146 @@ def weibull_fit_from_km(km: DataFrame) -> DataFrame:
     return m.select("n", slope.alias("shape_k"),
                     intercept.alias("intercept"),
                     (-intercept / slope).alias("ln_scale"))
+
+
+def _weibull_gof_oracle() -> str:
+    # splice BOTH certified oracles verbatim (the kappa composition
+    # pattern): the KM grid and the Weibull fit cannot drift from the
+    # rows they certify. The window over the event grid is fine in the
+    # oracle (DuckDB, bounded rows); the Spark side folds the same
+    # sorted bounded array instead (no single-partition exchange).
+    from g1_etl_spark.plans.registry import REGISTRY
+    km = REGISTRY["orders_survival_km"].oracle
+    fit = REGISTRY["orders_weibull_fit"].oracle
+    return f"""
+    WITH km AS ({km}),
+    fit AS ({fit}),
+    pts AS (SELECT duration_days AS t, n_risk, n_events, survival
+            FROM km WHERE duration_days > 0),
+    sw AS (
+      SELECT p.t, p.n_risk, p.n_events, p.survival,
+             GREATEST(
+               CAST(round(exp(-(
+                 CAST(round(exp(f.shape_k *
+                   (CAST(round(ln(CAST(p.t AS DOUBLE)) * 1000000)
+                         AS BIGINT) / 1000000.0 - f.ln_scale))
+                   * 1000000) AS BIGINT) / 1000000.0))
+                 * 1000000) AS BIGINT) / 1000000.0,
+               0.000001) AS s_w
+      FROM pts p CROSS JOIN fit f),
+    lagd AS (
+      SELECT t, n_risk, n_events, survival, s_w,
+             COALESCE(LAG(s_w) OVER (ORDER BY t), 1.0) AS s_w_prev
+      FROM sw),
+    terms AS (
+      SELECT n_events,
+             CAST(round(CAST(n_risk AS DOUBLE)
+                  * LEAST(GREATEST(1.0 - s_w / s_w_prev, 0.0), 1.0)
+                  * 1000000) AS BIGINT) AS e_w,
+             CAST(round(abs(survival - s_w) * 1000000) AS BIGINT) AS dv
+      FROM lagd),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grid,
+                   CAST(SUM(n_events) AS BIGINT) AS obs,
+                   SUM(CAST(e_w AS HUGEINT)) AS exp_w,
+                   MAX(dv) AS ks_w
+            FROM terms)
+    SELECT a.n_grid, f.shape_k, f.ln_scale,
+           a.obs AS observed_events,
+           CAST(a.exp_w AS DOUBLE) / 1000000.0 AS expected_events,
+           (CAST(a.obs AS DOUBLE)
+            - CAST(a.exp_w AS DOUBLE) / 1000000.0)
+           * (CAST(a.obs AS DOUBLE)
+              - CAST(a.exp_w AS DOUBLE) / 1000000.0)
+           / (CAST(a.exp_w AS DOUBLE) / 1000000.0) AS chi2_logrank,
+           CAST(a.ks_w AS DOUBLE) / 1000000.0 AS ks_distance
+    FROM agg a CROSS JOIN fit f
+    """
+
+
+@register(
+    "orders_weibull_gof",
+    oracle=_weibull_gof_oracle(),
+    description="Weibull-vs-KM goodness of fit, closing the survival "
+                "arc (KM curve -> log-rank -> Weibull fit -> does the "
+                "parametric model actually FIT): one-sample log-rank "
+                "chi-square — observed churn events vs the fitted "
+                "Weibull's censoring-aware expectation "
+                "sum(n_risk_i * h_w_i) with h_w_i the model's "
+                "conditional interval hazard 1 - S_w(t_i)/S_w(t_i-1) "
+                "— plus the KS-style sup|S_km - S_w| distance over "
+                "the same grid. Both upstream oracles are spliced "
+                "verbatim (the kappa composition pattern). "
+                "Determinism: both cross-engine exp() calls pin to "
+                "the 1e-6 grid at birth, expectation terms sum as "
+                "exact scaled BIGINTs, S_w floors at 1e-6 so the "
+                "hazard ratio never divides by a pinned zero. Scale "
+                "shape: everything after the two KM censuses is "
+                "grid-sized (k-row-codebook class); the Spark side "
+                "folds ONE sorted bounded array — no window, no "
+                "single-partition exchange",
+    tags=("stats", "survival", "quality"),
+)
+def orders_weibull_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    km = orders_survival_km(spark, sf_dir).localCheckpoint(eager=True)
+    fit = weibull_fit_from_km(km)
+    pts = (km.filter(F.col("duration_days") > 0)
+           .select(F.col("duration_days").alias("t"), "n_risk",
+                   "n_events", "survival"))
+    arr = pts.agg(F.sort_array(F.collect_list(
+        F.struct("t", "n_risk", "n_events", "survival"))).alias("a"))
+    g = arr.crossJoin(F.broadcast(fit))
+
+    def s_w(elem):
+        # pinned Weibull survival exp(-(t/lambda)^k): both libm exp()
+        # calls pinned to 1e-6, identical structure to the oracle
+        lx = (F.round(F.ln(elem["t"].cast("double")) * 1_000_000)
+              .cast("long"))
+        z = F.col("shape_k") * (lx.cast("double") / 1e6
+                                - F.col("ln_scale"))
+        hp = F.round(F.exp(z) * 1_000_000).cast("long") \
+            .cast("double") / 1e6
+        sp = F.round(F.exp(-hp) * 1_000_000).cast("long") \
+            .cast("double") / 1e6
+        return F.greatest(sp, F.lit(0.000001))
+
+    def term(i):
+        cur = F.element_at("a", i)
+        # index clamped so element_at never sees 0 (ANSI error) even
+        # though the when() branch for i=1 is the one evaluated
+        prev_sw = F.when(i == F.lit(1), F.lit(1.0)) \
+            .otherwise(s_w(F.element_at("a", F.greatest(i - 1,
+                                                        F.lit(1)))))
+        h = F.least(F.greatest(F.lit(1.0) - s_w(cur) / prev_sw,
+                               F.lit(0.0)), F.lit(1.0))
+        return F.struct(
+            cur["n_events"].alias("d"),
+            F.round(cur["n_risk"].cast("double") * h * 1_000_000)
+            .cast("long").alias("e_w"),
+            F.round(F.abs(cur["survival"] - s_w(cur)) * 1_000_000)
+            .cast("long").alias("dv"))
+
+    terms = g.select(
+        F.size("a").cast("long").alias("n_grid"), "shape_k", "ln_scale",
+        F.transform(F.sequence(F.lit(1), F.size("a")), term).alias("ts"))
+    d38 = "decimal(38,0)"
+    zero38 = F.lit(0).cast(d38)
+    out = terms.select(
+        "n_grid", "shape_k", "ln_scale",
+        F.aggregate("ts", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["d"])
+        .alias("observed_events"),
+        (F.aggregate("ts", zero38,
+                     lambda acc, x: acc + x["e_w"].cast(d38))
+         .cast("double") / 1e6).alias("expected_events"),
+        F.aggregate("ts", F.lit(0).cast("long"),
+                    lambda acc, x: F.greatest(acc, x["dv"]))
+        .cast("double").alias("ks_w"))
+    chi = ((F.col("observed_events").cast("double")
+            - F.col("expected_events"))
+           * (F.col("observed_events").cast("double")
+              - F.col("expected_events"))
+           / F.col("expected_events"))
+    return out.select("n_grid", "shape_k", "ln_scale",
+                      "observed_events", "expected_events",
+                      chi.alias("chi2_logrank"),
+                      (F.col("ks_w") / 1e6).alias("ks_distance"))

@@ -942,6 +942,14 @@ def streaming_ewma(events: DataFrame,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+# Event-time retention horizon for fully-drained per-user smoother
+# state (r9 ADVICE): once a user's buffer drains, a timeout is set at
+# watermark + this horizon; if it fires with nothing new buffered the
+# state is dropped, bounding the store at O(active users) instead of
+# O(all users ever seen). A user reappearing after the horizon
+# restarts its fold — the documented retention contract.
+_STATE_RETAIN_MS = 24 * 3600 * 1000
+
 _HT_OUT = "user_id long, i long, level double, trend double"
 _HT_STATE = ("l double, b double, cnt long, buf_us array<long>, "
              "buf_id array<long>, buf_val array<double>")
@@ -963,6 +971,11 @@ def _advance_holt(key, pdfs: Iterator[pd.DataFrame],
         (state.get[0], state.get[1], state.get[2], list(state.get[3]),
          list(state.get[4]), list(state.get[5]))
         if state.exists else (0.0, 0.0, 0, [], [], []))
+    # a timeout firing with an ALREADY-empty buffer can only be the
+    # retention timeout set below — a drain timeout always has
+    # buffered rows to seal (r9 ADVICE: drained state previously
+    # registered no timeout and lived forever, O(users) store growth)
+    drained_on_entry = not bus
     if not state.hasTimedOut:
         for pdf in pdfs:
             for us, eid, val in zip(pdf["us"], pdf["event_id"],
@@ -990,10 +1003,19 @@ def _advance_holt(key, pdfs: Iterator[pd.DataFrame],
         consumed.append(i)
     for i in sorted(consumed, reverse=True):
         del bus[i], bid[i], bval[i]
-    state.update((l, b, cnt, bus, bid, bval))
     if bus:
+        state.update((l, b, cnt, bus, bid, bval))
         state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
                                       state.getCurrentWatermarkMs() + 1))
+    elif state.hasTimedOut and drained_on_entry:
+        # retention timeout on fully-drained state: a user idle past
+        # the horizon restarts its fold if it ever reappears — the
+        # documented retention contract that bounds the state store
+        state.remove()
+    else:
+        state.update((l, b, cnt, bus, bid, bval))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + _STATE_RETAIN_MS)
     yield pd.DataFrame(rows, columns=["user_id", "i", "level", "trend"])
 
 
@@ -1049,6 +1071,7 @@ def _advance_holtwinters(key, pdfs: Iterator[pd.DataFrame],
     else:
         l, b, sea, cnt = 0.0, 0.0, [0.0] * 24, 0
         bus, bid, bval, bh = [], [], [], []
+    drained_on_entry = not bus  # see _advance_holt (r9 ADVICE)
     if not state.hasTimedOut:
         for pdf in pdfs:
             for us, eid, val, hh in zip(pdf["us"], pdf["event_id"],
@@ -1078,10 +1101,16 @@ def _advance_holtwinters(key, pdfs: Iterator[pd.DataFrame],
         consumed.append(i)
     for i in sorted(consumed, reverse=True):
         del bus[i], bid[i], bval[i], bh[i]
-    state.update((l, b, sea, cnt, bus, bid, bval, bh))
     if bus:
+        state.update((l, b, sea, cnt, bus, bid, bval, bh))
         state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
                                       state.getCurrentWatermarkMs() + 1))
+    elif state.hasTimedOut and drained_on_entry:
+        state.remove()  # retention horizon passed on drained state
+    else:
+        state.update((l, b, sea, cnt, bus, bid, bval, bh))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + _STATE_RETAIN_MS)
     yield pd.DataFrame(rows,
                        columns=["user_id", "i", "level", "trend", "s_h"])
 

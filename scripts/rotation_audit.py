@@ -103,6 +103,10 @@ def main() -> int:
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--window", type=int, default=0,
                     help="emit the next N-row window proposal")
+    ap.add_argument("--rewrite", action="store_true",
+                    help="rewrite the _R%%_WINDOW tuple body in "
+                         "plans/__init__.py in place (use after "
+                         "registering new queries mid-round)")
     args = ap.parse_args()
 
     sys.path.insert(0, ROOT)
@@ -115,6 +119,28 @@ def main() -> int:
 
     if args.window:
         win = propose_window(audit_map, names, args.window)
+        if args.rewrite:
+            path = os.path.join(ROOT, "g1_etl_spark", "plans",
+                                "__init__.py")
+            with open(path) as f:
+                src = f.read()
+            body_lines, line = [], "   "
+            for n in win:
+                q = f'"{n}",'
+                if len(line) + len(q) + 1 > 78:
+                    body_lines.append(line)
+                    line = "   "
+                line += " " + q
+            body_lines.append(line)
+            body = "\n".join(body_lines)
+            m = re.search(r"(_R\d+_WINDOW = \(\n).*?(\n\))", src,
+                          re.S)
+            assert m, "window tuple not found in plans/__init__.py"
+            src = src[:m.end(1)] + body + src[m.start(2):]
+            with open(path, "w") as f:
+                f.write(src)
+            print(f"rewrote {path} with the {len(win)}-row proposal")
+            return 0
         if args.json:
             print(json.dumps(win, indent=1))
         else:

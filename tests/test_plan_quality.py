@@ -526,6 +526,14 @@ def test_plan_lint_every_registered_query(spark):
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, SF_SMOKE)
         analyzed = df._jdf.queryExecution().analyzed().toString()
+        # VERDICT_r9 ask #2: a window partitioned by a connected-
+        # component id sorts every row of a mega-clique in ONE task —
+        # the exact skew class the per-doc top-m cap exists to avoid.
+        # Per-component argmax/size must be a (min|max)_by / count
+        # aggregate (map-side combine) + join-back instead.
+        if "windowspecdefinition(component#" in analyzed:
+            bad.append((name, "component-partitioned window (mega-"
+                              "clique skew; use min_by/max_by agg)"))
         if name not in _BROADCAST_SFSCALED_OK:
             for v in _hinted_sfscaled_scans(analyzed):
                 bad.append((name, v))
