@@ -269,6 +269,33 @@ R10_ADD = [
     # NOTE pipeline_curate_select is deliberately NOT benched: ~31 s at
     # sf0.1 (its connected-components stage); its parts are all benched
     # and its parity is covered by the oracle suite.
+    # -- round-10 additions --
+    # Weibull-vs-KM goodness of fit (composes two KM censuses)
+    "orders_weibull_gof",
+    # McNemar directional gate disagreement (two gate plans + one join)
+    "quality_gate_mcnemar",
+    # Page-Hinkley drift per type (two grouped-prefix passes)
+    "events_page_hinkley",
+    # click->purchase lead-lag cross-correlation (bounded hour grid)
+    "events_xcorr_types",
+    # 9-level exact-integer Haar energies (one hour census + array fold)
+    "events_wavelet_haar",
+    # SAX symbolization (PAA + pinned z + quartile alphabet)
+    "events_sax_symbols",
+    # Mann-Kendall trend z on the bounded day grid
+    "stats_mann_kendall",
+    # per-type KS drift family + Benjamini-Hochberg step-up
+    "stats_fdr_bh",
+    # common-neighbors / Jaccard / Adamic-Adar over the trade graph
+    "graph_link_prediction",
+    # Boruvka MSF vs the Kruskal recursive-CTE oracle
+    "graph_mst_boruvka",
+    # hapax ratio + Yule's K vocabulary spectrum per source
+    "text_hapax_yule",
+    # first-occurrence n-gram novelty per doc (inverted-index class)
+    "corpus_ngram_novelty",
+    # one-pass 4-column Pearson matrix from exact cent-scaled moments
+    "feat_correlation_matrix",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD)

@@ -816,3 +816,66 @@ def quality_gate_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (diff * diff / disc).alias("chi2_mcnemar"),
                     (d(F.col("gopher_only")) / disc)
                     .alias("p_gopher_stricter"))
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=rf"""
+    WITH {_GRAMS_CTE},
+    gg AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+    first_seen AS (SELECT gr, MIN(doc_id) AS first_doc
+                   FROM gg GROUP BY gr),
+    per AS (SELECT gg.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN f.first_doc = gg.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM gg JOIN first_seen f USING (gr)
+            GROUP BY gg.doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN CAST(p.n_novel AS DOUBLE) / p.n_grams
+                ELSE 1.0 END AS novelty
+    FROM (SELECT doc_id FROM documents) t
+    LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    description="per-document n-gram novelty in doc_id (arrival) "
+                "order: the fraction of a doc's distinct word-5-grams "
+                "whose FIRST corpus occurrence is this doc — the "
+                "streaming-ingest dedup signal ('how much of this "
+                "document have we already seen, attributed to the "
+                "earliest copy') that ranks near-dups by arrival "
+                "instead of just flagging them; gram-less short docs "
+                "score 1.0 (nothing seen before). First occurrence "
+                "is one gram-keyed MIN aggregate (map-side "
+                "combinable) joined back on the gram key — no "
+                "ordered window anywhere, same inverted-index "
+                "exchange class as corpus_decontaminate. Exact "
+                "integer counts, one final double division",
+    tags=("curation", "dedup"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.curation import word_ngrams_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    gg = d.select("doc_id", F.explode(
+        word_ngrams_exact(F.col("text"), 5)).alias("gr"))
+    first = gg.groupBy("gr").agg(F.min("doc_id").alias("first_doc"))
+    per = (gg.join(first, "gr")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                      .otherwise(0)).cast("long").alias("n_novel")))
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                           F.col("n_novel").cast("double")
+                           / F.col("n_grams"))
+                    .otherwise(F.lit(1.0)).alias("novelty"))
+            .orderBy("doc_id"))

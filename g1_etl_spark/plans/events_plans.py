@@ -2654,3 +2654,103 @@ def events_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("level")
+
+
+_SAX_SEG = 8          # hours per PAA segment
+_SAX_BP_W = 674490    # round(0.6745 * 1e6): N(0,1) quartile breakpoints
+
+
+@register(
+    "events_sax_symbols",
+    oracle=f"""
+    WITH s AS (SELECT epoch_us(ts) AS us FROM events),
+    anchor AS (SELECT min(us) AS tmin FROM s),
+    h AS (SELECT (us - tmin) // 3600000000 AS hr
+          FROM s CROSS JOIN anchor),
+    span AS (SELECT max(hr) AS hmax FROM h),
+    grid AS (SELECT UNNEST(range(0, hmax + 1)) AS hr FROM span),
+    c AS (SELECT g.hr, CAST(COALESCE(x.c, 0) AS BIGINT) AS v
+          FROM grid g
+          LEFT JOIN (SELECT hr, COUNT(*) AS c FROM h GROUP BY 1) x
+            USING (hr)),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(v AS HUGEINT)) AS sv,
+                 SUM(CAST(v AS HUGEINT) * v) AS svv
+          FROM c),
+    paa AS (SELECT hr // {_SAX_SEG} AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS seg_n,
+                   SUM(CAST(v AS HUGEINT)) AS seg_sv
+            FROM c GROUP BY 1),
+    z AS (SELECT seg, seg_n,
+                 CAST(seg_sv AS DOUBLE) / seg_n AS paa_mean,
+                 CAST(round((CAST(seg_sv AS DOUBLE) / seg_n
+                             - CAST(sv AS DOUBLE) / n)
+                   / sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (n - 1)))
+                   * 1000000) AS BIGINT) AS zw
+          FROM paa CROSS JOIN m)
+    SELECT seg, seg_n, paa_mean,
+           CAST(zw AS DOUBLE) / 1000000.0 AS z,
+           CASE WHEN zw < -{_SAX_BP_W} THEN 'a'
+                WHEN zw < 0 THEN 'b'
+                WHEN zw < {_SAX_BP_W} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY seg
+    """,
+    description=f"SAX symbolization of the hourly event-count series: "
+                f"PAA over {_SAX_SEG}-hour segments, z-normalization "
+                "against the whole series (sample std), then the "
+                "4-letter Gaussian-quartile alphabet (a < -0.6745 < "
+                "b < 0 < c < 0.6745 < d) — the discretization that "
+                "turns a time series into a STRING, unlocking the "
+                "repo's text machinery (n-gram dedup, fingerprints, "
+                "motif counting) for sensor/traffic data. "
+                "Determinism: counts and moment sums are exact "
+                "integers; z is pinned to the 1e-6 grid BEFORE the "
+                "breakpoint comparison, and the breakpoints are "
+                "scaled-integer constants, so the symbol decision is "
+                "an integer comparison — no boundary ulp exposure. "
+                "Scale shape: the grid is time-span-bounded; the one "
+                "data-sized stage is the hour census",
+    tags=("events", "text", "forecast"),
+)
+def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.unix_micros("ts").alias("us"))
+    anchor = s.agg(F.min("us").alias("tmin"))
+    h = (s.crossJoin(F.broadcast(anchor))
+         .select(((F.col("us") - F.col("tmin"))
+                  / F.lit(3_600_000_000)).cast("long").alias("hr")))
+    cnt = h.groupBy("hr").agg(F.count(F.lit(1)).alias("c"))
+    span = h.agg(F.max("hr").alias("hmax"))
+    grid = span.select(F.explode(F.sequence(F.lit(0), F.col("hmax")))
+                       .alias("hr"))
+    c = (grid.join(cnt, "hr", "left")
+         .select("hr", F.coalesce("c", F.lit(0)).cast("long")
+                 .alias("v"))
+         .localCheckpoint(eager=True))  # bounded; feeds m and paa
+    d38 = "decimal(38,0)"
+    m = c.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("v").cast(d38)).alias("sv"),
+              F.sum(F.col("v").cast(d38) * F.col("v")).alias("svv"))
+    paa = (c.groupBy((F.col("hr") / _SAX_SEG).cast("long").alias("seg"))
+           .agg(F.count(F.lit(1)).cast("long").alias("seg_n"),
+                F.sum(F.col("v").cast(d38)).alias("seg_sv")))
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    paa_mean = dd("seg_sv") / F.col("seg_n")
+    std = F.sqrt((dd("n") * dd("svv") - dd("sv") * dd("sv"))
+                 / (dd("n") * (F.col("n") - 1)))
+    zw = F.round((paa_mean - dd("sv") / F.col("n")) / std
+                 * 1_000_000).cast("long")
+    z = (paa.crossJoin(F.broadcast(m))
+         .select("seg", "seg_n", paa_mean.alias("paa_mean"),
+                 zw.alias("zw")))
+    sym = (F.when(F.col("zw") < -_SAX_BP_W, "a")
+           .when(F.col("zw") < 0, "b")
+           .when(F.col("zw") < _SAX_BP_W, "c")
+           .otherwise("d"))
+    return (z.select("seg", "seg_n", "paa_mean",
+                     (F.col("zw").cast("double") / 1e6).alias("z"),
+                     sym.alias("symbol"))
+            .orderBy("seg"))

@@ -751,3 +751,97 @@ def feat_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("ntot").cast("double")).alias("avg_log_loss"),
         (F.col("ncorrect").cast("double")
          / F.col("ntot").cast("double")).alias("accuracy"))
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    s = {c: f"s_{i}" for i, c in enumerate(_CORR_COLS)}
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, c in enumerate(_CORR_COLS):
+        moments.append(
+            f"SUM(CAST(round({c} * 100) AS HUGEINT)) AS {s[c]}")
+        moments.append(
+            f"SUM(CAST(round({c} * 100) AS HUGEINT)"
+            f" * CAST(round({c} * 100) AS HUGEINT)) AS {s[c]}{s[c]}")
+    pairs = []
+    for i, cx in enumerate(_CORR_COLS):
+        for cy in _CORR_COLS[i + 1:]:
+            moments.append(
+                f"SUM(CAST(round({cx} * 100) AS HUGEINT)"
+                f" * CAST(round({cy} * 100) AS HUGEINT))"
+                f" AS {s[cx]}_{s[cy]}")
+            pairs.append(
+                f"('{cx}', '{cy}', n,"
+                f" (CAST(n AS DOUBLE) * CAST({s[cx]}_{s[cy]} AS DOUBLE)"
+                f"  - CAST({s[cx]} AS DOUBLE) * CAST({s[cy]} AS DOUBLE))"
+                f" / (sqrt(CAST(n AS DOUBLE)"
+                f"         * CAST({s[cx]}{s[cx]} AS DOUBLE)"
+                f"         - CAST({s[cx]} AS DOUBLE)"
+                f"           * CAST({s[cx]} AS DOUBLE))"
+                f"    * sqrt(CAST(n AS DOUBLE)"
+                f"           * CAST({s[cy]}{s[cy]} AS DOUBLE)"
+                f"           - CAST({s[cy]} AS DOUBLE)"
+                f"             * CAST({s[cy]} AS DOUBLE))))")
+    return f"""
+    WITH m AS (SELECT {", ".join(moments)} FROM lineitem)
+    SELECT t.* FROM m, LATERAL (VALUES {", ".join(pairs)})
+      t(col_x, col_y, n, pearson_r)
+    ORDER BY col_x, col_y
+    """
+
+
+@register(
+    "feat_correlation_matrix",
+    oracle=_corr_matrix_oracle(),
+    description="pairwise Pearson correlation matrix over the four "
+                "lineitem numerics (quantity, extendedprice, "
+                "discount, tax) in ONE pass: every moment (4 sums, 4 "
+                "sums of squares, 6 cross products) is an exact "
+                "128-bit/decimal integer sum of cent-scaled longs "
+                "accumulated in a single aggregate — the feature-"
+                "screening step before any model (which engineered "
+                "features are redundant; expect quantity x price "
+                "strongly positive, discount/tax near zero). The "
+                "cent scaling cancels in r, so no float ever crosses "
+                "an aggregation; the 6 r values are one shared "
+                "double tree (sqrt IEEE-exact) off the one-row "
+                "moment frame. Scale shape: ONE scan + map-side-"
+                "combined global aggregate; the pair fan-out is a "
+                "constant 6-row literal",
+    tags=("feat", "stats", "scale"),
+)
+def feat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    sc = {c: F.round(F.col(c) * 100).cast("long").cast(d38)
+          for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(sc[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(sc[c] * sc[c]).alias(f"ss_{c}"))
+    pair_names = []
+    for i, cx in enumerate(_CORR_COLS):
+        for cy in _CORR_COLS[i + 1:]:
+            aggs.append(F.sum(sc[cx] * sc[cy]).alias(f"sp_{cx}_{cy}"))
+            pair_names.append((cx, cy))
+    m = li.agg(*aggs)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def r_expr(cx: str, cy: str):
+        num = dd("n") * dd(f"sp_{cx}_{cy}") - dd(f"s_{cx}") * dd(f"s_{cy}")
+        den = (F.sqrt(dd("n") * dd(f"ss_{cx}")
+                      - dd(f"s_{cx}") * dd(f"s_{cx}"))
+               * F.sqrt(dd("n") * dd(f"ss_{cy}")
+                        - dd(f"s_{cy}") * dd(f"s_{cy}")))
+        return num / den
+
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(cx).alias("col_x"), F.lit(cy).alias("col_y"),
+                 F.col("n").alias("n"),
+                 r_expr(cx, cy).alias("pearson_r"))
+        for cx, cy in pair_names])).alias("p")
+    return (m.select(rows)
+            .select("p.col_x", "p.col_y", "p.n", "p.pearson_r")
+            .orderBy("col_x", "col_y"))

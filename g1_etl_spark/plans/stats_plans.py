@@ -2251,3 +2251,219 @@ def orders_weibull_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "observed_events", "expected_events",
                       chi.alias("chi2_logrank"),
                       (F.col("ks_w") / 1e6).alias("ks_distance"))
+
+
+@register(
+    "stats_mann_kendall",
+    oracle="""
+    WITH g AS (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+               FROM orders GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+    s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM g a JOIN g b ON a.d < b.d),
+    ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                         AS BIGINT) AS tt
+             FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                   FROM g GROUP BY x) q
+             WHERE t > 1)
+    SELECT n.n AS n_days, s.s_stat,
+           (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+            - CAST(ties.tt AS DOUBLE)) / 18.0 AS var_s,
+           CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1.0)
+                WHEN s.s_stat < 0 THEN (s.s_stat + 1.0)
+                ELSE 0.0 END
+           / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                   - CAST(ties.tt AS DOUBLE)) / 18.0) AS z
+    FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+    description="Mann-Kendall trend test on the daily order-count "
+                "series: S = sum of sign(x_j - x_i) over all ordered "
+                "day pairs, tie-corrected variance, continuity-"
+                "corrected z — the nonparametric is-demand-trending "
+                "screen (no distribution assumed, robust to the "
+                "outliers that break an OLS slope test; the "
+                "time-series sibling of stats_kendall_tau). Exact: S "
+                "and the tie term are pure integer aggregates; z is "
+                "one shared double tree (sqrt is IEEE-correctly-"
+                "rounded). Scale shape: orders are unbounded but the "
+                "daily grid is bounded by the date span, so the "
+                "pairwise day join is k-row-codebook class — the only "
+                "data-sized stage is the per-day groupBy",
+    tags=("stats", "forecast"),
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = (o.groupBy(F.col("o_orderdate").alias("d"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+         .localCheckpoint(eager=True))  # bounded grid, feeds 3 branches
+    n = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    s = (a.join(b, F.col("a.d") < F.col("b.d"))
+         .agg(F.sum(F.when(F.col("b.x") > F.col("a.x"), 1)
+                    .when(F.col("b.x") < F.col("a.x"), -1)
+                    .otherwise(0)).cast("long").alias("s_stat")))
+    ties = (g.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)
+                                  * (2 * F.col("t") + 5)), F.lit(0))
+                 .cast("long").alias("tt")))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_s = ((dd("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+              - dd("tt")) / F.lit(18.0))
+    z = (F.when(F.col("s_stat") > 0, F.col("s_stat") - F.lit(1.0))
+         .when(F.col("s_stat") < 0, F.col("s_stat") + F.lit(1.0))
+         .otherwise(F.lit(0.0)) / F.sqrt(var_s))
+    return (n.crossJoin(s).crossJoin(ties)
+            .select(F.col("n").alias("n_days"), "s_stat",
+                    var_s.alias("var_s"), z.alias("z")))
+
+
+_FDR_ALPHA = 0.10
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=f"""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 1000000) AS BIGINT) AS v,
+                      epoch_us(ts) AS us
+               FROM events),
+    anchor AS (SELECT min(us) AS tmin, max(us) AS tmax FROM s),
+    d AS (SELECT event_type, v,
+                 CASE WHEN 2 * us <= tmin + tmax THEN 1 ELSE 0 END
+                   AS h1
+          FROM s CROSS JOIN anchor),
+    g AS (SELECT event_type, v,
+                 CAST(SUM(h1) AS BIGINT) AS c1,
+                 CAST(COUNT(*) - SUM(h1) AS BIGINT) AS c2
+          FROM d GROUP BY 1, 2),
+    c AS (SELECT event_type,
+                 SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+          FROM g WINDOW w AS (PARTITION BY event_type ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)),
+    t AS (SELECT event_type,
+                 MAX(cum1) AS n1, MAX(cum2) AS n2
+          FROM c GROUP BY event_type),
+    dmax AS (SELECT c.event_type,
+                    MAX(abs(CAST(t.n2 AS HUGEINT) * c.cum1
+                            - CAST(t.n1 AS HUGEINT) * c.cum2)) AS dw
+             FROM c JOIN t USING (event_type)
+             GROUP BY c.event_type),
+    ks AS (SELECT t.event_type,
+                  CAST(t.n1 AS BIGINT) AS n_first,
+                  CAST(t.n2 AS BIGINT) AS n_second,
+                  CAST(dmax.dw AS DOUBLE)
+                  / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                    AS ks_d
+           FROM t JOIN dmax USING (event_type)),
+    p AS (SELECT event_type, n_first, n_second, ks_d,
+                 CAST(round(LEAST(2.0 * exp(
+                     -2.0 * ks_d * ks_d
+                     * (CAST(n_first AS DOUBLE) * n_second
+                        / (n_first + n_second))), 1.0) * 1000000)
+                   AS BIGINT) AS pw
+          FROM ks),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY pw, event_type) AS j,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS k
+          FROM p),
+    jstar AS (SELECT COALESCE(MAX(CASE WHEN CAST(pw AS DOUBLE) / 1000000.0
+                              <= j * {_FDR_ALPHA} / k THEN j END), 0)
+                AS js
+              FROM r)
+    SELECT event_type, n_first, n_second, ks_d,
+           CAST(pw AS DOUBLE) / 1000000.0 AS p_value,
+           CAST(j AS BIGINT) AS bh_rank,
+           j <= js AS rejected
+    FROM r CROSS JOIN jstar
+    ORDER BY bh_rank
+    """,
+    description="Benjamini-Hochberg FDR control over the per-type "
+                "two-half KS drift family: for EVERY event type, the "
+                "exact two-sample KS statistic between first- and "
+                "second-half value distributions (the per-type form "
+                "of stats_ks_value_purchase), its one-term asymptotic "
+                "p-value 2*exp(-2*D^2*m) pinned to the 1e-6 grid, "
+                "then the BH step-up at alpha=0.10 — the "
+                "multiple-testing discipline a pipeline needs the "
+                "moment it monitors MANY columns for drift (5 "
+                "uncorrected tests at alpha=0.1 false-alarm ~40% of "
+                "clean corpora). Exact: per-type cumulative counts "
+                "ride ONE grouped_prefix_aggs pass (group-contiguous "
+                "range repartition, driver carries bounded at "
+                "partitions x types); D is a 128-bit integer max; "
+                "the only libm call is the one pinned exp per type. "
+                "Scale shape: data-sized stages are the value census "
+                "and one repartition; the BH fold is a k-row array",
+    tags=("stats", "dq", "scale"),
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import grouped_prefix_aggs
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type",
+                  F.round(F.col("value") * 1_000_000).cast("long")
+                  .alias("v"),
+                  F.unix_micros("ts").alias("us"))
+    anchor = s.agg(F.min("us").alias("tmin"), F.max("us").alias("tmax"))
+    d = (s.crossJoin(F.broadcast(anchor))
+         .select("event_type", "v",
+                 F.when(2 * F.col("us") <= F.col("tmin") + F.col("tmax"),
+                        1).otherwise(0).alias("h1")))
+    g = (d.groupBy("event_type", "v")
+         .agg(F.sum("h1").cast("long").alias("c1"),
+              (F.count(F.lit(1)) - F.sum("h1")).cast("long")
+              .alias("c2")))
+    c = grouped_prefix_aggs(g, ["event_type"], ["v"],
+                            sums={"cum1": "c1", "cum2": "c2"})
+    t = (c.groupBy("event_type")
+         .agg(F.max("cum1").alias("n1"), F.max("cum2").alias("n2")))
+    d38 = "decimal(38,0)"
+    dmax = (c.join(F.broadcast(t), "event_type")
+            .select("event_type",
+                    F.abs(F.col("n2").cast(d38) * F.col("cum1")
+                          - F.col("n1").cast(d38) * F.col("cum2"))
+                    .alias("adw"))
+            .groupBy("event_type").agg(F.max("adw").alias("dw")))
+    dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    ks = (t.join(dmax, "event_type")
+          .select("event_type",
+                  F.col("n1").cast("long").alias("n_first"),
+                  F.col("n2").cast("long").alias("n_second"),
+                  (F.col("dw").cast("double") / (dd("n1") * dd("n2")))
+                  .alias("ks_d")))
+    m = (dd("n_first") * F.col("n_second")
+         / (F.col("n_first") + F.col("n_second")))
+    pw = F.round(F.least(
+        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("ks_d") * F.col("ks_d")
+                           * m),
+        F.lit(1.0)) * 1_000_000).cast("long")
+    p = ks.select("event_type", "n_first", "n_second", "ks_d",
+                  pw.alias("pw"))
+    # BH step-up over the bounded type set: one sorted array fold, no
+    # single-partition window
+    arr = p.agg(F.sort_array(F.collect_list(F.struct(
+        "pw", "event_type", "n_first", "n_second", "ks_d"))).alias("a"))
+    k = F.size("a").cast("long")
+    cond = lambda i: (F.element_at("a", i)["pw"].cast("double")  # noqa: E731
+                      / 1e6) <= (i.cast("double") * _FDR_ALPHA / k)
+    jstar = F.aggregate(
+        F.sequence(F.lit(1), F.size("a")), F.lit(0).cast("long"),
+        lambda acc, i: F.when(cond(i), i.cast("long")).otherwise(acc))
+    rows = arr.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("a")),
+        lambda i: F.struct(
+            F.element_at("a", i)["event_type"].alias("event_type"),
+            F.element_at("a", i)["n_first"].alias("n_first"),
+            F.element_at("a", i)["n_second"].alias("n_second"),
+            F.element_at("a", i)["ks_d"].alias("ks_d"),
+            (F.element_at("a", i)["pw"].cast("double") / 1e6)
+            .alias("p_value"),
+            i.cast("long").alias("bh_rank"),
+            (i.cast("long") <= jstar).alias("rejected")))).alias("r"))
+    return rows.select("r.event_type", "r.n_first", "r.n_second",
+                       "r.ks_d", "r.p_value", "r.bh_rank",
+                       "r.rejected").orderBy("bh_rank")

@@ -1545,3 +1545,72 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "bucket")
             .agg(F.sum("sgn").cast("long").alias("value"))
             .orderBy("doc_id", "bucket"))
+
+
+@register(
+    "text_hapax_yule",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    freq AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS m
+             FROM toks GROUP BY 1, 2),
+    spec AS (SELECT source,
+                    CAST(SUM(m) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS vocab,
+                    CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS hapax,
+                    CAST(SUM(CAST(m AS HUGEINT) * m) AS BIGINT) AS smm
+             FROM freq GROUP BY source)
+    SELECT source, n_tokens, vocab, hapax,
+           CAST(hapax AS DOUBLE) / vocab AS hapax_ratio,
+           10000.0 * (CAST(smm AS DOUBLE) - n_tokens)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             AS yule_k
+    FROM spec ORDER BY source
+    """,
+    description="lexical-richness profile per source: hapax-legomenon "
+                "ratio (once-only types / vocabulary — high = fresh "
+                "text, low = template churn) and Yule's K "
+                "(10^4 * (sum m^2 V_m - N) / N^2, the length-"
+                "invariant repetitiveness characteristic) — the "
+                "vocabulary-spectrum quality signals next to "
+                "text_zipf_fit's slope: same spectrum, different "
+                "diagnostic (K is what catches boilerplate farms "
+                "whose Zipf slope still looks natural). Exact: the "
+                "frequency spectrum and both moment sums are pure "
+                "integers (sum m^2 through 128-bit), the two ratios "
+                "one shared double tree. Scale shape: one (source, "
+                "token) census exchange — the text_rarity_score "
+                "class; per-source aggregates are "
+                "vocabulary-bounded",
+    tags=("text", "quality"),
+)
+def text_hapax_yule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " "))
+        .alias("tok"))
+    freq = (toks.groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    d38 = "decimal(38,0)"
+    spec = (freq.groupBy("source")
+            .agg(F.sum("m").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("vocab"),
+                 F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+                 .cast("long").alias("hapax"),
+                 F.sum(F.col("m").cast(d38) * F.col("m")).cast("long")
+                 .alias("smm")))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (spec.select(
+        "source", "n_tokens", "vocab", "hapax",
+        (dd("hapax") / F.col("vocab")).alias("hapax_ratio"),
+        (F.lit(10000.0) * (dd("smm") - F.col("n_tokens"))
+         / (dd("n_tokens") * dd("n_tokens"))).alias("yule_k"))
+        .orderBy("source"))

@@ -302,6 +302,17 @@ FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
                           "pipeline_quality_classifier",
                           "dedup_canonical_keep", "text_feature_hashing",
                           "pipeline_curate_select"]
+# r10 additions: survival GOF / MK trend / correlation matrix / link
+# prediction / MST read the trade star; drift + series ops read events;
+# novelty/hapax/McNemar read documents
+FAMILIES["trade"] += ["orders_weibull_gof", "stats_mann_kendall",
+                      "feat_correlation_matrix", "graph_link_prediction",
+                      "graph_mst_boruvka"]
+FAMILIES["events"] += ["events_page_hinkley", "events_xcorr_types",
+                       "events_wavelet_haar", "events_sax_symbols",
+                       "stats_fdr_bh"]
+FAMILIES["documents"] += ["corpus_ngram_novelty", "text_hapax_yule",
+                          "quality_gate_mcnemar"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

@@ -139,6 +139,14 @@ def test_tfidf_single_posting_scan(spark):
 # avg / 5x3 cross), where BNLJ with a one-row build side IS the right
 # plan. New entries here need the same justification.
 _BNLJ_OK = {
+    # bounded-grid pair enumeration / one-row grafts (r10): the
+    # Mann-Kendall day-pair join is date-span-bounded (k-row-codebook
+    # class), xcorr crosses the bounded hour grid with a 13-row lag
+    # frame, and the Weibull GOF crosses the one-row fit into the
+    # bounded KM grid
+    "stats_mann_kendall", "events_xcorr_types", "orders_weibull_gof",
+    # one-row global-moments frame crossed into the bounded PAA grid
+    "events_sax_symbols",
     "sim_brute_force_topk", "sim_hard_negatives",
     "sim_cosine_neardup_exact", "sim_neardup_recall", "entity_settings",
     # capped twin feeds from sim_cosine_neardup_exact's justified
@@ -262,6 +270,13 @@ _BNLJ_OK = {
 # Single-partition exchanges carrying partial-aggregate rows (one per
 # input partition) or an already-aggregated tiny frame — not raw data.
 _SINGLE_PART_OK = {
+    # one-row scalar aggregates / bounded array folds (r10): the 2x2
+    # McNemar cells, the k-types BH fold, the day-grid MK scalars, and
+    # the one-row Weibull GOF assembly
+    "quality_gate_mcnemar", "stats_fdr_bh", "stats_mann_kendall",
+    "orders_weibull_gof",
+    # one-row moment aggregates + constant-row final sorts
+    "feat_correlation_matrix", "events_sax_symbols",
     "corpus_composition", "text_bm25_topk", "dq_expectations",
     "text_tfidf_topk", "pipeline_rag_index", "feat_equidepth_bins",
     "dq_profile_orders", "dq_table_checksum", "q6_forecast_revenue",

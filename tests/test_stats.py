@@ -1248,3 +1248,46 @@ def test_weibull_fit_recovers_exact_weibull_grid(spark):
     r = weibull_fit_from_km(km).collect()[0]
     assert math.isclose(r.shape_k, 1.5, abs_tol=1e-4), r
     assert math.isclose(r.ln_scale, math.log(100.0), abs_tol=1e-4), r
+
+
+def test_grouped_prefix_aggs_matches_pure_python(spark):
+    """Per-group running sum AND running min over a total order, with
+    enough rows that groups straddle range partitions — verified
+    against a sequential fold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.operators.analytics import grouped_prefix_aggs
+
+    rng = random.Random(7)
+    rows = [(g, i, rng.randint(-50, 50))
+            for g in ("a", "b", "c") for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    # running-min of the running-sum needs two passes (the min input
+    # must already exist) — exactly like events_page_hinkley does
+    out = grouped_prefix_aggs(df, ["g"], ["i"], sums={"cum": "v"})
+    out = grouped_prefix_aggs(out, ["g"], ["i"], mins={"cmin": "cum"})
+    got = {(r["g"], r["i"]): (r["cum"], r["cmin"])
+           for r in out.collect()}
+    for g in ("a", "b", "c"):
+        run, mn = 0, None
+        seq = [v for (gg, i, v) in rows if gg == g]
+        for i, v in enumerate(seq):
+            run += v
+            mn = run if mn is None else min(mn, run)
+            assert got[(g, i)] == (run, mn), (g, i)
+
+
+def test_weibull_gof_perfect_fit_has_small_ks(spark):
+    """On the real orders table the GOF row must be internally
+    consistent: observed == sum of KM event counts, expected > 0,
+    ks_distance in [0, 1]."""
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["orders_weibull_gof"].fn(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["observed_events"] > 0
+    assert row["expected_events"] > 0
+    assert 0.0 <= row["ks_distance"] <= 1.0
+    assert row["chi2_logrank"] >= 0.0
