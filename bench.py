@@ -296,6 +296,12 @@ R10_ADD = [
     "corpus_ngram_novelty",
     # one-pass 4-column Pearson matrix from exact cent-scaled moments
     "feat_correlation_matrix",
+    # Brandes betweenness (12-level unroll, pinned dependency terms)
+    "graph_betweenness_trade",
+    # Jarque-Bera normality per type (four 128-bit power sums, one pass)
+    "stats_jarque_bera",
+    # Hurst exponent by rescaled-range analysis (bounded block frame)
+    "events_hurst_rs",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD)

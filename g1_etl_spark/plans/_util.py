@@ -53,3 +53,30 @@ def sql_dsum(expr: str, alias: str) -> str:
 def sql_davg(expr: str, alias: str) -> str:
     return (f"CAST(SUM(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
             f" / 1000000 / COUNT({expr}) AS {alias}")
+
+
+_B30 = 1 << 30
+
+
+def big_to_double(c: Column) -> Column:
+    """Exact-integer (decimal(38,0) / HUGEINT-scale) -> double,
+    IDENTICALLY in both engines. A direct cast diverges once the
+    integer exceeds 2^53: Spark's decimal->double rounds to nearest
+    while DuckDB's hugeint->double TRUNCATES toward zero (observed on
+    a 3.1e19 4th-moment sum: ...140f1 vs ...140f0). Split into
+    (quotient, remainder) by 2^30 — both parts < 2^53, so each
+    converts exactly — and recombine with two IEEE ops (one multiply,
+    one add) both engines share. Valid for |value| < 2^83; pair with
+    :func:`sql_big_to_double`."""
+    r = c % _B30
+    q = ((c - r) / _B30).cast("long")
+    return q.cast("double") * float(_B30) + r.cast("double")
+
+
+def sql_big_to_double(expr: str) -> str:
+    """DuckDB twin of :func:`big_to_double` (integer `//` keeps the
+    quotient in HUGEINT — a bare `/` on DuckDB integers produces
+    DOUBLE and would reintroduce the truncating cast)."""
+    return (f"(CAST((({expr}) - ({expr}) % 1073741824) // 1073741824"
+            f" AS DOUBLE) * 1073741824.0"
+            f" + CAST(({expr}) % 1073741824 AS DOUBLE))")

@@ -2754,3 +2754,187 @@ def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("zw").cast("double") / 1e6).alias("z"),
                      sym.alias("symbol"))
             .orderBy("seg"))
+
+
+_HURST_N = 512
+_HURST_WS = (16, 32, 64, 128)
+
+
+def _hurst_oracle() -> str:
+    per_w = []
+    for w in _HURST_WS:
+        per_w.append(f"""
+    blk{w} AS (
+      SELECT {w} AS w, b,
+             (SELECT a FROM a0)[b * {w} + 1 : b * {w} + {w}] AS blk
+      FROM (SELECT UNNEST(range(0, {_HURST_N // w})) AS b)),
+    st{w} AS (
+      SELECT w, b, blk,
+             list_sum(blk) AS s,
+             list_sum(list_transform(blk,
+               x -> CAST(x AS HUGEINT) * x)) AS s2
+      FROM blk{w}),
+    rs{w} AS (
+      SELECT w,
+             CASE WHEN CAST(s2 AS DOUBLE) / {w}
+                       - (CAST(s AS DOUBLE) / {w})
+                         * (CAST(s AS DOUBLE) / {w}) > 0
+             THEN CAST(round((
+               list_max(list_transform(range(1, {w} + 1),
+                 j -> CAST(list_sum(blk[1:j]) AS DOUBLE)
+                      - j * (CAST(s AS DOUBLE) / {w})))
+               - list_min(list_transform(range(1, {w} + 1),
+                 j -> CAST(list_sum(blk[1:j]) AS DOUBLE)
+                      - j * (CAST(s AS DOUBLE) / {w}))))
+               / sqrt(CAST(s2 AS DOUBLE) / {w}
+                      - (CAST(s AS DOUBLE) / {w})
+                        * (CAST(s AS DOUBLE) / {w}))
+               * 1000000) AS BIGINT) END AS rsw
+      FROM st{w})""")
+    union = " UNION ALL ".join(f"SELECT w, rsw FROM rs{w}"
+                               for w in _HURST_WS)
+    return f"""
+    WITH s AS (SELECT epoch_us(ts) AS us FROM events),
+    anchor AS (SELECT min(us) AS tmin FROM s),
+    h AS (SELECT (us - tmin) // 3600000000 AS hr
+          FROM s CROSS JOIN anchor
+          WHERE (us - tmin) // 3600000000 < {_HURST_N}),
+    c AS (SELECT g.hr, CAST(COALESCE(x.c, 0) AS BIGINT) AS v
+          FROM (SELECT UNNEST(range(0, {_HURST_N})) AS hr) g
+          LEFT JOIN (SELECT hr, COUNT(*) AS c FROM h GROUP BY 1) x
+            USING (hr)),
+    a0 AS (SELECT list(v ORDER BY hr) AS a FROM c),{",".join(per_w)},
+    allrs AS ({union}),
+    pw AS (SELECT w,
+                  CAST(COUNT(rsw) AS BIGINT) AS n_blocks,
+                  CAST(SUM(rsw) AS BIGINT) AS rs_sum
+           FROM allrs GROUP BY w),
+    pts AS (SELECT w, n_blocks,
+                   CAST(SUM(rs_sum) AS BIGINT) AS rs_sum,
+                   CAST(round(ln(CAST(w AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS x,
+                   CAST(round(ln(CAST(rs_sum AS DOUBLE)
+                                 / n_blocks / 1000000.0) * 1000000)
+                        AS BIGINT) AS y
+            FROM pw GROUP BY w, n_blocks, rs_sum),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM pts)
+    SELECT k AS n_window_sizes,
+           (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hurst_h
+    FROM m
+    """
+
+
+@register(
+    "events_hurst_rs",
+    oracle=_hurst_oracle(),
+    description=f"Hurst exponent of the hourly event-count series by "
+                f"classic rescaled-range (R/S) analysis over the "
+                f"first {_HURST_N} hours: for window sizes "
+                f"{_HURST_WS}, each block's range of cumulative "
+                "deviations over its std, averaged per size, then "
+                "H = slope of ln(R/S) vs ln(w) — the long-range-"
+                "dependence diagnostic (H=0.5 memoryless, H>0.5 "
+                "persistent/bursty) that says whether the Holt/"
+                "Holt-Winters smoothers' geometric-decay memory is "
+                "even the right model class. Determinism: block "
+                "prefix sums are exact integers, each block's R/S "
+                "pins to the 1e-6 grid before the per-size mean, the "
+                "two ln() calls pin at birth, and the 4-point OLS "
+                "runs on exact integer moments; zero-variance "
+                "(all-quiet) blocks are excluded by a pinned "
+                "predicate identically in both engines. Scale shape: "
+                "one data-sized hour census; everything after is a "
+                "constant 60-block frame",
+    tags=("events", "stats", "forecast"),
+)
+def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.unix_micros("ts").alias("us"))
+    anchor = s.agg(F.min("us").alias("tmin"))
+    h = (s.crossJoin(F.broadcast(anchor))
+         .select(((F.col("us") - F.col("tmin"))
+                  / F.lit(3_600_000_000)).cast("long").alias("hr"))
+         .filter(F.col("hr") < _HURST_N))
+    cnt = h.groupBy("hr").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = spark.range(_HURST_N).select(F.col("id").alias("hr"))
+    c = (grid.join(cnt, "hr", "left")
+         .select("hr", F.coalesce("c", F.lit(0)).cast("long")
+                 .alias("v")))
+    a0 = (c.agg(F.array_sort(F.collect_list(F.struct("hr", "v")))
+                .alias("s"))
+          .select(F.transform("s", lambda x: x["v"]).alias("a"))
+          .localCheckpoint(eager=True))  # one-row; feeds 4 w-branches
+    # one ROW per (w, block): no sibling ArrayTransforms over identical
+    # sequences in one select (the codegen CSE lambda bug — see
+    # events_wavelet_haar)
+    ws = F.explode(F.array(*[F.lit(w) for w in _HURST_WS])).alias("w")
+    rows = (a0.select("a", ws)
+            .select("a", "w",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        (F.lit(_HURST_N) / F.col("w")).cast("int") - 1))
+                    .alias("b"))
+            .select("w", "b",
+                    F.slice("a", (F.col("b") * F.col("w") + 1)
+                            .cast("int"), F.col("w").cast("int"))
+                    .alias("blk")))
+    d38 = "decimal(38,0)"
+    st = rows.select(
+        "w", "blk",
+        F.aggregate("blk", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("s"),
+        F.aggregate("blk", F.lit(0).cast(d38),
+                    lambda acc, x: acc + x.cast(d38) * x).alias("s2"))
+    wd = F.col("w").cast("double")
+    mu = F.col("s").cast("double") / wd
+    var = F.col("s2").cast("double") / wd - mu * mu
+    # y_j = P_j - j*mu: the fold carries (j, exact integer prefix P,
+    # running min/max of the double y) — P stays exact, y is the same
+    # shared double tree as the oracle's slice-sum form
+    fold = F.aggregate(
+        "blk",
+        F.struct(F.lit(0).cast("long").alias("j"),
+                 F.lit(0).cast("long").alias("p"),
+                 F.lit(float("inf")).alias("mn"),
+                 F.lit(float("-inf")).alias("mx")),
+        lambda acc, x: F.struct(
+            (acc["j"] + 1).alias("j"),
+            (acc["p"] + x).alias("p"),
+            F.least(acc["mn"],
+                    (acc["p"] + x).cast("double")
+                    - (acc["j"] + 1).cast("double") * mu).alias("mn"),
+            F.greatest(acc["mx"],
+                       (acc["p"] + x).cast("double")
+                       - (acc["j"] + 1).cast("double") * mu)
+            .alias("mx")))
+    rsw = F.when(var > 0,
+                 F.round((fold["mx"] - fold["mn"]) / F.sqrt(var)
+                         * 1_000_000).cast("long"))
+    pw = (st.select("w", rsw.alias("rsw"))
+          .groupBy("w")
+          .agg(F.count("rsw").cast("long").alias("n_blocks"),
+               F.sum("rsw").cast("long").alias("rs_sum")))
+    pts = pw.select(
+        F.round(F.ln(F.col("w").cast("double")) * 1_000_000)
+        .cast("long").alias("x"),
+        F.round(F.ln(F.col("rs_sum").cast("double")
+                     / F.col("n_blocks") / 1e6) * 1_000_000)
+        .cast("long").alias("y"))
+    m = pts.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum(F.col("x").cast(d38)).alias("sx"),
+                F.sum(F.col("y").cast(d38)).alias("sy"),
+                F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+                F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"))
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    slope = ((dd("k") * dd("sxy") - dd("sx") * dd("sy"))
+             / (dd("k") * dd("sxx") - dd("sx") * dd("sx")))
+    return m.select(F.col("k").alias("n_window_sizes"),
+                    slope.alias("hurst_h"))

@@ -1082,3 +1082,181 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("boruvka did not converge in 20 rounds")
     return (spark.createDataFrame(kept, "a string, b string, w double")
             .orderBy("a", "b"))
+
+
+_BC_L = 12  # unrolled BFS depth; >= any plausible diameter of the
+#             sparsified 25-node graph — empty deeper levels are
+#             no-ops in BOTH engines, so parity is depth-independent
+
+
+def _betweenness_oracle() -> str:
+    # forward: BFS levels + path counts sigma, one materialized CTE
+    # pair per level (each is referenced by the next level AND the
+    # backward pass — without AS MATERIALIZED the reference fan-out
+    # re-expands 2^k, the graph_hits_trade lesson)
+    fw = []
+    for k in range(1, _BC_L + 1):
+        fw.append(f"""
+    new{k} AS MATERIALIZED (
+      SELECT DISTINCT p.s, nb.z AS v
+      FROM vis{k - 1} p JOIN nbr nb ON nb.x = p.v
+      WHERE p.lev = {k - 1}
+        AND NOT EXISTS (SELECT 1 FROM vis{k - 1} q
+                        WHERE q.s = p.s AND q.v = nb.z)),
+    sign{k} AS MATERIALIZED (
+      SELECT n.s, n.v, CAST(SUM(sg.sig) AS BIGINT) AS sig
+      FROM new{k} n
+      JOIN nbr nb ON nb.z = n.v
+      JOIN vis{k - 1} vv ON vv.s = n.s AND vv.v = nb.x
+                        AND vv.lev = {k - 1}
+      JOIN sig{k - 1} sg ON sg.s = n.s AND sg.v = nb.x
+      GROUP BY n.s, n.v),
+    vis{k} AS MATERIALIZED (
+      SELECT * FROM vis{k - 1}
+      UNION ALL SELECT s, v, {k} AS lev FROM new{k}),
+    sig{k} AS MATERIALIZED (
+      SELECT * FROM sig{k - 1}
+      UNION ALL SELECT s, v, sig FROM sign{k})""")
+    # backward: pinned dependency accumulation, deepest level first
+    bw = [f"""
+    del{_BC_L} AS MATERIALIZED (
+      SELECT s, v, CAST(0 AS BIGINT) AS dw
+      FROM vis{_BC_L} WHERE lev = {_BC_L})"""]
+    for k in range(_BC_L - 1, 0, -1):
+        bw.append(f"""
+    del{k} AS MATERIALIZED (
+      SELECT lv.s, lv.v,
+             CAST(COALESCE((
+               SELECT SUM(CAST(round(CAST(sv.sig AS DOUBLE)
+                          / CAST(sw.sig AS DOUBLE)
+                          * (1000000.0 + dl.dw)) AS BIGINT))
+               FROM nbr nb
+               JOIN vis{_BC_L} wv ON wv.s = lv.s AND wv.v = nb.z
+                                 AND wv.lev = {k + 1}
+               JOIN sig{_BC_L} sw ON sw.s = lv.s AND sw.v = nb.z
+               JOIN del{k + 1} dl ON dl.s = lv.s AND dl.v = nb.z
+               WHERE nb.x = lv.v), 0) AS BIGINT) AS dw
+      FROM vis{_BC_L} lv
+      JOIN sig{_BC_L} sv ON sv.s = lv.s AND sv.v = lv.v
+      WHERE lv.lev = {k})""")
+    alld = " UNION ALL ".join(f"SELECT v, dw FROM del{k}"
+                              for k in range(1, _BC_L + 1))
+    return (f"""
+    WITH {_EDGES_CTE},
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM edges WHERE src <> dst) WHERE rn <= 3),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                   GREATEST(src, dst) AS b FROM top3),
+    nbr AS (SELECT a AS x, b AS z FROM und
+            UNION ALL SELECT b AS x, a AS z FROM und),
+    nds AS (SELECT DISTINCT x FROM nbr),
+    vis0 AS (SELECT x AS s, x AS v, 0 AS lev FROM nds),
+    sig0 AS (SELECT x AS s, x AS v, CAST(1 AS BIGINT) AS sig
+             FROM nds),"""
+            + ",".join(fw) + "," + ",".join(bw) + f""",
+    alld AS ({alld})
+    SELECT v AS nation,
+           CAST(SUM(dw) AS DOUBLE) / 1000000.0 / 2.0 AS betweenness
+    FROM alld GROUP BY v ORDER BY nation
+    """)
+
+
+@register(
+    "graph_betweenness_trade",
+    oracle=_betweenness_oracle(),
+    description="Brandes betweenness centrality on the sparsified "
+                "trade graph — WHICH nations broker the trade routes "
+                "(highest fraction of shortest paths passing through "
+                "them), the brokerage complement that closes the "
+                "centrality family (degree/PageRank/closeness/HITS/"
+                "k-core measure importance, betweenness measures "
+                "chokepoints). Forward: per-source BFS levels + exact "
+                "BIGINT shortest-path counts sigma. Backward: the "
+                "dependency recursion delta(v) = sum sigma_v/sigma_w "
+                "* (1 + delta(w)) over successors, with EVERY "
+                "fractional term pinned to the 1e-6 grid before "
+                "summation (integer adds in any order) and the "
+                "division a shared double tree — so the normally "
+                "float-fragile accumulation is engine-exact. Fixed "
+                f"{_BC_L}-level unroll (>= diameter; empty levels "
+                "no-op identically in both engines); oracle = the "
+                "same rounds as materialized CTEs (the HITS 2^k "
+                "lesson). Scale shape: the only data-sized stage is "
+                "the shared edge census; all (s,v) frames are "
+                "nations^2-bounded with per-round lineage truncation",
+    tags=("graph", "iterative"),
+)
+def graph_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (_sparsified_top3(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    nbr = (und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+           .unionAll(und.select(F.col("b").alias("x"),
+                                F.col("a").alias("z")))
+           .localCheckpoint(eager=True))
+    nds = nbr.select("x").distinct()
+    vis = nds.select(F.col("x").alias("s"), F.col("x").alias("v"),
+                     F.lit(0).alias("lev")).localCheckpoint(eager=True)
+    sig = nds.select(F.col("x").alias("s"), F.col("x").alias("v"),
+                     F.lit(1).cast("long").alias("sig")) \
+        .localCheckpoint(eager=True)
+    for k in range(1, _BC_L + 1):
+        frontier = vis.filter(F.col("lev") == k - 1)
+        new = (frontier.join(nbr, frontier.v == nbr.x)
+               .select("s", F.col("z").alias("v")).distinct()
+               .join(vis.select("s", "v"), ["s", "v"], "left_anti")
+               .localCheckpoint(eager=True))
+        prev = (vis.filter(F.col("lev") == k - 1)
+                .select("s", F.col("v").alias("pv")))
+        signew = (new.join(nbr.select(F.col("x").alias("pv"),
+                                      F.col("z").alias("v")), "v")
+                  .join(prev, ["s", "pv"])
+                  .join(sig.select("s", F.col("v").alias("pv"),
+                                   F.col("sig").alias("ps")),
+                        ["s", "pv"])
+                  .groupBy("s", "v")
+                  .agg(F.sum("ps").cast("long").alias("sig")))
+        vis = vis.unionAll(new.select("s", "v", F.lit(k).alias("lev"))) \
+            .localCheckpoint(eager=True)
+        sig = sig.unionAll(signew).localCheckpoint(eager=True)
+    delta = (vis.filter(F.col("lev") == _BC_L)
+             .select("s", "v", F.lit(0).cast("long").alias("dw"))
+             .localCheckpoint(eager=True))
+    acc = delta
+    for k in range(_BC_L - 1, 0, -1):
+        lv = vis.filter(F.col("lev") == k).select("s", "v")
+        sv = sig.select("s", "v", F.col("sig").alias("sv"))
+        succ = (nbr.select(F.col("x").alias("v"), F.col("z").alias("w")))
+        wlev = (vis.filter(F.col("lev") == k + 1)
+                .select("s", F.col("v").alias("w")))
+        sw = sig.select("s", F.col("v").alias("w"),
+                        F.col("sig").alias("sw"))
+        dl = delta.select("s", F.col("v").alias("w"),
+                          F.col("dw").alias("dlw"))
+        terms = (lv.join(sv, ["s", "v"])
+                 .join(succ, "v")
+                 .join(wlev, ["s", "w"])
+                 .join(sw, ["s", "w"])
+                 .join(dl, ["s", "w"])
+                 .select("s", "v",
+                         F.round(F.col("sv").cast("double")
+                                 / F.col("sw").cast("double")
+                                 * (F.lit(1000000.0) + F.col("dlw")))
+                         .cast("long").alias("t")))
+        delta = (lv.join(terms.groupBy("s", "v")
+                         .agg(F.sum("t").cast("long").alias("dw")),
+                         ["s", "v"], "left")
+                 .select("s", "v",
+                         F.coalesce("dw", F.lit(0)).cast("long")
+                         .alias("dw"))
+                 .localCheckpoint(eager=True))
+        acc = acc.unionAll(delta)
+    return (acc.groupBy(F.col("v").alias("nation"))
+            .agg((F.sum("dw").cast("double") / 1e6 / 2.0)
+                 .alias("betweenness"))
+            .orderBy("nation"))

@@ -2467,3 +2467,94 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("r.event_type", "r.n_first", "r.n_second",
                        "r.ks_d", "r.p_value", "r.bh_rank",
                        "r.rejected").orderBy("bh_rank")
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(v AS HUGEINT)) AS s1,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2,
+                 SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+                 SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+          FROM s GROUP BY 1),
+    d AS (SELECT event_type, n,
+                 (CAST(((s1) - (s1) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s1) % 1073741824 AS DOUBLE)) AS r1d, (CAST(((s2) - (s2) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s2) % 1073741824 AS DOUBLE)) AS r2d,
+                 (CAST(((s3) - (s3) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s3) % 1073741824 AS DOUBLE)) AS r3d, (CAST(((s4) - (s4) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s4) % 1073741824 AS DOUBLE)) AS r4d
+          FROM m),
+    c AS (SELECT event_type, n,
+                 r1d / n AS mu,
+                 r2d / n - (r1d / n) * (r1d / n) AS m2,
+                 r3d / n
+                   - 3.0 * (r1d / n) * (r2d / n)
+                   + 2.0 * (r1d / n) * (r1d / n) * (r1d / n) AS m3,
+                 r4d / n
+                   - 4.0 * (r1d / n) * (r3d / n)
+                   + 6.0 * (r1d / n) * (r1d / n) * (r2d / n)
+                   - 3.0 * (r1d / n) * (r1d / n)
+                     * (r1d / n) * (r1d / n) AS m4
+          FROM d)
+    SELECT event_type, n,
+           mu / 100.0 AS mean,
+           m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis_excess,
+           CAST(n AS DOUBLE) / 6.0
+           * ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+              * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+              + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                / 4.0) AS jb_stat
+    FROM c ORDER BY event_type
+    """,
+    description="Jarque-Bera normality screen per event type: "
+                "skewness and excess kurtosis assembled from FOUR "
+                "exact 128-bit raw power sums of cent-scaled values "
+                "in ONE pass (the central moments expand from raws "
+                "in a shared double tree — no second scan, no "
+                "subtract-the-mean numerical trap at these "
+                "magnitudes), JB = n/6 (S^2 + K^2/4), chi2(2) under "
+                "normality — the is-this-Gaussian gate that decides "
+                "whether the z-score anomaly flags and the "
+                "3-sigma rules elsewhere in the repo are even "
+                "calibrated for this column (expect heavy rejection: "
+                "event values are exponential-ish). Scale shape: one "
+                "scan, one map-side-combined per-type aggregate, "
+                "everything after is 5 rows",
+    tags=("stats", "dq"),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("v"))
+    d38 = "decimal(38,0)"
+    vd = F.col("v").cast(d38)
+    m = (s.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(vd).alias("s1"),
+              F.sum(vd * F.col("v")).alias("s2"),
+              F.sum(vd * F.col("v") * F.col("v")).alias("s3"),
+              F.sum(vd * F.col("v") * F.col("v") * F.col("v"))
+              .alias("s4")))
+    from g1_etl_spark.plans._util import big_to_double
+
+    # past 2^53 a direct decimal->double cast diverges from DuckDB's
+    # truncating hugeint->double (s4 ~ 3e19 here) — split-convert
+    mu = big_to_double(F.col("s1")) / F.col("n")
+    r2 = big_to_double(F.col("s2")) / F.col("n")
+    r3 = big_to_double(F.col("s3")) / F.col("n")
+    r4 = big_to_double(F.col("s4")) / F.col("n")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = (r4 - F.lit(4.0) * mu * r3 + F.lit(6.0) * mu * mu * r2
+          - F.lit(3.0) * mu * mu * mu * mu)
+    sk = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    ku = m4 / (m2 * m2) - F.lit(3.0)
+    jb = dd("n") / F.lit(6.0) * (sk * sk + ku * ku / F.lit(4.0))
+    return (m.select("event_type", "n", (mu / F.lit(100.0)).alias("mean"),
+                     sk.alias("skewness"), ku.alias("kurtosis_excess"),
+                     jb.alias("jb_stat"))
+            .orderBy("event_type"))

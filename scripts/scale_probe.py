@@ -307,10 +307,11 @@ FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
 # novelty/hapax/McNemar read documents
 FAMILIES["trade"] += ["orders_weibull_gof", "stats_mann_kendall",
                       "feat_correlation_matrix", "graph_link_prediction",
-                      "graph_mst_boruvka"]
+                      "graph_mst_boruvka", "graph_betweenness_trade"]
 FAMILIES["events"] += ["events_page_hinkley", "events_xcorr_types",
                        "events_wavelet_haar", "events_sax_symbols",
-                       "stats_fdr_bh"]
+                       "stats_fdr_bh", "stats_jarque_bera",
+                       "events_hurst_rs"]
 FAMILIES["documents"] += ["corpus_ngram_novelty", "text_hapax_yule",
                           "quality_gate_mcnemar"]
 

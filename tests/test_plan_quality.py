@@ -276,7 +276,7 @@ _SINGLE_PART_OK = {
     "quality_gate_mcnemar", "stats_fdr_bh", "stats_mann_kendall",
     "orders_weibull_gof",
     # one-row moment aggregates + constant-row final sorts
-    "feat_correlation_matrix", "events_sax_symbols",
+    "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "corpus_composition", "text_bm25_topk", "dq_expectations",
     "text_tfidf_topk", "pipeline_rag_index", "feat_equidepth_bins",
     "dq_profile_orders", "dq_table_checksum", "q6_forecast_revenue",

@@ -1291,3 +1291,30 @@ def test_weibull_gof_perfect_fit_has_small_ks(spark):
     assert row["expected_events"] > 0
     assert 0.0 <= row["ks_distance"] <= 1.0
     assert row["chi2_logrank"] >= 0.0
+
+
+def test_big_to_double_cross_engine_past_2_53(spark):
+    """The trap this helper exists for: past 2^53, Spark's decimal->
+    double rounds to nearest while DuckDB's hugeint->double truncates.
+    The split-conversion must agree bit-for-bit across engines (and
+    the naive casts must be shown to actually disagree, else the
+    helper is dead weight)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from g1_etl_spark.plans._util import big_to_double, sql_big_to_double
+
+    v = 31293724858271074718  # a real 4th-moment sum; low bit rounds UP
+    sp = spark.range(1).select(
+        big_to_double(F.lit(str(v)).cast("decimal(38,0)")).alias("d"),
+        F.lit(str(v)).cast("decimal(38,0)").cast("double").alias("naive")
+    ).collect()[0]
+    con = duckdb.connect()
+    du, du_naive = con.execute(
+        f"SELECT {sql_big_to_double(f'''CAST('{v}' AS HUGEINT)''')},"
+        f" CAST(CAST('{v}' AS HUGEINT) AS DOUBLE)").fetchone()
+    assert sp["d"] == du, (sp["d"].hex(), du.hex())
+    # the naive casts genuinely diverge on this value
+    assert sp["naive"] != du_naive, "trap no longer reproduces"
+    assert sp["d"] == float(v)  # python int->float is correctly rounded
