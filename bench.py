@@ -302,6 +302,12 @@ R10_ADD = [
     "stats_jarque_bera",
     # Hurst exponent by rescaled-range analysis (bounded block frame)
     "events_hurst_rs",
+    # Levene variance-homogeneity W (two passes, pinned per-type mean)
+    "stats_levene_value",
+    # composite per-type drift report (FDR + Page-Hinkley + G-test)
+    "dq_drift_report",
+    # real RIFF/WAVE bytes: encode -> ship -> decode -> exact energy
+    "multimodal_wav_energy",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD)

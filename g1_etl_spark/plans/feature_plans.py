@@ -617,10 +617,15 @@ def _logit_iter_cte(k: int) -> str:
                            f"bb{k - 1}.b2")
     return f"""
     it{k} AS (
-      SELECT SUM(n * w_w) AS aw, SUM(n * w_w * q) AS bw,
-             SUM(n * w_w * dc) AS cw, SUM(n * w_w * q * q) AS dw,
-             SUM(n * w_w * q * dc) AS ew, SUM(n * w_w * dc * dc) AS fw,
-             SUM(u_w) AS gw, SUM(u_w * q) AS hw, SUM(u_w * dc) AS iw
+      SELECT SUM(CAST(n AS HUGEINT) * w_w) AS aw,
+             SUM(CAST(n AS HUGEINT) * w_w * q) AS bw,
+             SUM(CAST(n AS HUGEINT) * w_w * dc) AS cw,
+             SUM(CAST(n AS HUGEINT) * w_w * q * q) AS dw,
+             SUM(CAST(n AS HUGEINT) * w_w * q * dc) AS ew,
+             SUM(CAST(n AS HUGEINT) * w_w * dc * dc) AS fw,
+             SUM(CAST(u_w AS HUGEINT)) AS gw,
+             SUM(CAST(u_w AS HUGEINT) * q) AS hw,
+             SUM(CAST(u_w AS HUGEINT) * dc) AS iw
       FROM (
         SELECT n, q, dc, w_w,
                CAST(round((CAST(n AS DOUBLE)
@@ -641,15 +646,18 @@ def _logit_iter_cte(k: int) -> str:
                a * (dm * f - e * e) - b * (b * f - e * c)
                  + c * (b * e - dm * c) AS det
         FROM (
-          SELECT CAST(aw AS DOUBLE) / 1000000 + 0.001 AS a,
-                 CAST(bw AS DOUBLE) / 1000000 AS b,
-                 CAST(cw AS DOUBLE) / 1000000 AS c,
-                 CAST(dw AS DOUBLE) / 1000000 + 0.001 AS dm,
-                 CAST(ew AS DOUBLE) / 1000000 AS e,
-                 CAST(fw AS DOUBLE) / 1000000 + 0.001 AS f,
-                 CAST(gw AS DOUBLE) / 1000000 AS g,
-                 CAST(hw AS DOUBLE) / 1000000 AS h,
-                 CAST(iw AS DOUBLE) / 1000000 AS i
+          -- split-converted (sql_big_to_double): equals Python's
+          -- round-nearest float() past 2^53 where a bare HUGEINT
+          -- cast truncates (r10 finding); exact below
+          SELECT (CAST(((aw) - (aw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((aw) % 1073741824 AS DOUBLE)) / 1000000 + 0.001 AS a,
+                 (CAST(((bw) - (bw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((bw) % 1073741824 AS DOUBLE)) / 1000000 AS b,
+                 (CAST(((cw) - (cw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((cw) % 1073741824 AS DOUBLE)) / 1000000 AS c,
+                 (CAST(((dw) - (dw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((dw) % 1073741824 AS DOUBLE)) / 1000000 + 0.001 AS dm,
+                 (CAST(((ew) - (ew) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((ew) % 1073741824 AS DOUBLE)) / 1000000 AS e,
+                 (CAST(((fw) - (fw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((fw) % 1073741824 AS DOUBLE)) / 1000000 + 0.001 AS f,
+                 (CAST(((gw) - (gw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((gw) % 1073741824 AS DOUBLE)) / 1000000 AS g,
+                 (CAST(((hw) - (hw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((hw) % 1073741824 AS DOUBLE)) / 1000000 AS h,
+                 (CAST(((iw) - (iw) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((iw) % 1073741824 AS DOUBLE)) / 1000000 AS i
           FROM it{k})))"""
 
 

@@ -400,3 +400,62 @@ def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fd")
+
+
+def _drift_report_oracle() -> str:
+    # verbatim-splice composition (the kappa/train_prep pattern): the
+    # three drift monitors this report assembles cannot drift from
+    # their certified parts
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    fdr = REGISTRY["stats_fdr_bh"].oracle
+    ph = REGISTRY["events_page_hinkley"].oracle
+    gt = REGISTRY["events_gtest_halves"].oracle
+    return f"""
+    WITH fdr AS ({fdr}),
+    ph AS ({ph}),
+    gt AS ({gt})
+    SELECT f.event_type,
+           f.ks_d, f.p_value, f.bh_rank, f.rejected AS dist_drifted,
+           p.max_excursion, p.n_alarms, p.first_alarm_us,
+           g.g_stat AS mix_g_stat, g.df AS mix_df
+    FROM fdr f
+    JOIN ph p USING (event_type)
+    CROSS JOIN gt g
+    ORDER BY f.event_type
+    """
+
+
+@register(
+    "dq_drift_report",
+    oracle=_drift_report_oracle(),
+    description="the one-stop per-type drift report a pipeline pages "
+                "on: DISTRIBUTION drift (two-half KS + BH-corrected "
+                "verdict at FDR 0.10 — stats_fdr_bh), LEVEL drift in "
+                "time (Page-Hinkley excursion, alarm count, first "
+                "alarm timestamp — events_page_hinkley), and the "
+                "corpus-wide MIX drift context (G-test statistic over "
+                "the type composition — events_gtest_halves), one row "
+                "per event type. Pure composition: all three Spark "
+                "plans are the registered fns called as-is, the "
+                "oracle splices their certified SQL verbatim (the "
+                "kappa pattern), so the report can never disagree "
+                "with the monitors it aggregates. Scale shape: union "
+                "of the parts' shapes — two grouped-prefix passes, "
+                "one value census, one count census; the joins are "
+                "k=|types| rows",
+    tags=("dq", "stats", "events", "pipeline"),
+)
+def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    fdr = REGISTRY["stats_fdr_bh"].fn(spark, sf_dir).select(
+        "event_type", "ks_d", "p_value", "bh_rank",
+        F.col("rejected").alias("dist_drifted"))
+    ph = REGISTRY["events_page_hinkley"].fn(spark, sf_dir).select(
+        "event_type", "max_excursion", "n_alarms", "first_alarm_us")
+    gt = REGISTRY["events_gtest_halves"].fn(spark, sf_dir).select(
+        F.col("g_stat").alias("mix_g_stat"), F.col("df").alias("mix_df"))
+    return (fdr.join(ph, "event_type")
+            .crossJoin(F.broadcast(gt))
+            .orderBy("event_type"))

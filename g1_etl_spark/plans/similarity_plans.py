@@ -1170,3 +1170,101 @@ def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit(0.0), lambda acc, v: acc + v) / F.lit(4))
                   .alias("value")))
     return pr.orderBy("vec_id", "j")
+
+
+_WAV_SR = 16000
+_WAV_N = 1600  # 0.1 s per clip
+
+
+@register(
+    "multimodal_wav_energy",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+    synth AS (
+      SELECT doc_id,
+             220.0 + (doc_id % 8) * 55.0 AS f,
+             0.2 * (1 + doc_id % 4) AS a
+      FROM docs),
+    pcm AS (
+      SELECT doc_id,
+             list_transform(range(0, {_WAV_N}),
+               i -> CAST(trunc(a * sin((2.0 * pi() * f)
+                                       * (i / {_WAV_SR}.0)) * 32767.0)
+                         AS BIGINT)) AS p
+      FROM synth)
+    SELECT doc_id,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST({_WAV_N} * 2 + 44 AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(p,
+               x -> CAST(x AS HUGEINT) * x)) AS BIGINT) AS pcm_energy,
+           CAST(list_sum(list_transform(range(1, {_WAV_N}),
+               i -> CASE WHEN (p[i] >= 0) <> (p[i + 1] >= 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT)
+             AS zero_crossings,
+           sqrt(CAST(list_sum(list_transform(p,
+                  x -> CAST(x AS HUGEINT) * x)) AS BIGINT)
+                / {_WAV_N}.0) / 32767.0 AS rms
+    FROM pcm ORDER BY doc_id
+    """,
+    description="REAL audio bytes through the multimodal column: for "
+                "every 7th document a deterministic sine clip (freq/"
+                "amplitude derived from doc_id) is ENCODED as an "
+                "actual 16-bit PCM RIFF/WAVE blob, shipped as a "
+                "binary column, DECODED back by the pure-numpy WAV "
+                "parser (operators/multimodal.py:decode_wav — chunk "
+                "walking, word alignment, the real format), and "
+                "reduced to exact integers: PCM energy (sum of "
+                "squared samples) and zero crossings; RMS is one "
+                "shared double tree outside the UDF. The oracle "
+                "never sees a byte — it recomputes the identical "
+                "quantized samples analytically (trunc(a*sin*32767), "
+                "numpy's astype truncation), so a drift anywhere in "
+                "the encode->ship->decode path turns the row red. "
+                "Exposure: numpy vs DuckDB sin() may differ in the "
+                "last ulp, which only matters when a sample lands "
+                "within ~7e-12 of a truncation boundary (~1e-7 "
+                "probability across the corpus — the accepted "
+                "pinned-libm class). Scale shape: one mapInPandas "
+                "over the filtered docs; Arrow-batched, no shuffle "
+                "until the final sort",
+    tags=("multimodal", "audio"),
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from g1_etl_spark.operators import multimodal as M
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                f = 220.0 + (d % 8) * 55.0
+                a = 0.2 * (1 + d % 4)
+                c = 2.0 * math.pi * f
+                t = np.arange(_WAV_N, dtype=np.float64) / _WAV_SR
+                blob = M.encode_wav(a * np.sin(c * t), _WAV_SR)
+                samples, rate = M.decode_wav(blob)
+                pcm = np.round(samples * 32767.0).astype(np.int64)
+                energy = int((pcm * pcm).sum())
+                zc = int(((pcm[:-1] >= 0) != (pcm[1:] >= 0)).sum())
+                rows.append((d, len(samples), len(blob), energy, zc))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_samples",
+                                              "n_bytes", "pcm_energy",
+                                              "zero_crossings"])
+
+    out = docs.mapInPandas(
+        op, "doc_id long, n_samples long, n_bytes long, "
+            "pcm_energy long, zero_crossings long")
+    rms = (F.sqrt(F.col("pcm_energy").cast("double") / float(_WAV_N))
+           / F.lit(32767.0))
+    return out.select("doc_id", "n_samples", "n_bytes", "pcm_energy",
+                      "zero_crossings", rms.alias("rms")) \
+        .orderBy("doc_id")

@@ -2558,3 +2558,94 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sk.alias("skewness"), ku.alias("kurtosis_excess"),
                      jb.alias("jb_stat"))
             .orderBy("event_type"))
+
+
+@register(
+    "stats_levene_value",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    mu AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
+                             / COUNT(*)) AS BIGINT) AS muw
+           FROM s GROUP BY 1),
+    z AS (SELECT s.event_type, abs(s.v - mu.muw) AS z
+          FROM s JOIN mu USING (event_type)),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS nj,
+                 SUM(CAST(z AS HUGEINT)) AS sj,
+                 SUM(CAST(z AS HUGEINT) * z) AS sjj
+          FROM z GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(nj) AS BIGINT) AS n,
+                 CAST(SUM(sj) AS HUGEINT) AS st,
+                 list_sum(list_sort(list(
+                     CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                     / CAST(nj AS DOUBLE)))) AS ssq_over_n,
+                 (CAST(((SUM(sjj)) - (SUM(sjj)) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((SUM(sjj)) % 1073741824 AS DOUBLE)) AS szz
+          FROM g)
+    SELECT k AS k_groups, n,
+           (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+           * (ssq_over_n
+              - ((CAST(((st) - (st) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((st) % 1073741824 AS DOUBLE)) / 100.0)
+                * ((CAST(((st) - (st) % 1073741824) // 1073741824 AS DOUBLE) * 1073741824.0 + CAST((st) % 1073741824 AS DOUBLE)) / 100.0) * 10000.0 / n)
+           / (szz - ssq_over_n) AS levene_w
+    FROM t
+    """,
+    description="Levene's test (mean-centered form) of variance "
+                "homogeneity across event types: are the per-type "
+                "value SPREADS equal — the precondition check for "
+                "stats_anova_f (whose F statistic assumes "
+                "homoscedasticity) and the scale-drift complement of "
+                "the location tests. Two passes: per-type pinned "
+                "integer mean, then exact |v - mu| deviations whose "
+                "group sums and sums of squares accumulate in "
+                "128-bit integers; W = one-way ANOVA F over the "
+                "deviations, assembled in one shared double tree "
+                "(the grand-sum square routed through /100 * 1e4 so "
+                "both engines keep the identical op sequence). Scale "
+                "shape: two scans + map-side-combined per-type "
+                "aggregates; everything after is k=5 rows",
+    tags=("stats", "dq"),
+)
+def stats_levene_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.plans._util import big_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("v"))
+    d38 = "decimal(38,0)"
+    mu = (s.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.round(F.sum(F.col("v").cast(d38)).cast("double")
+                       / F.count(F.lit(1))).cast("long").alias("muw")))
+    z = (s.join(F.broadcast(mu.select("event_type", "muw")),
+                "event_type")
+         .select("event_type",
+                 F.abs(F.col("v") - F.col("muw")).alias("z")))
+    g = (z.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("nj"),
+              F.sum(F.col("z").cast(d38)).alias("sj"),
+              F.sum(F.col("z").cast(d38) * F.col("z")).alias("sjj")))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    # the five per-group double terms fold in SORTED order (the
+    # _SORTSUM idiom) so partial-aggregation order can't ulp-drift;
+    # integer sums stay exact and convert once
+    t = g.agg(F.count(F.lit(1)).cast("long").alias("k"),
+              F.sum("nj").cast("long").alias("n"),
+              F.sum("sj").alias("st"),
+              F.aggregate(F.array_sort(F.collect_list(
+                  dd("sj") * dd("sj") / dd("nj"))), F.lit(0.0),
+                  lambda a, x: a + x).alias("ssq_over_n"),
+              big_to_double(F.sum("sjj")).alias("szz"))
+    std = big_to_double(F.col("st"))
+    w = ((F.col("n") - F.col("k")).cast("double")
+         / (F.col("k") - 1).cast("double")
+         * (F.col("ssq_over_n")
+            - (std / F.lit(100.0)) * (std / F.lit(100.0))
+            * F.lit(10000.0) / F.col("n"))
+         / (F.col("szz") - F.col("ssq_over_n")))
+    return t.select(F.col("k").alias("k_groups"), "n",
+                    w.alias("levene_w"))

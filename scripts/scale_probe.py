@@ -311,9 +311,11 @@ FAMILIES["trade"] += ["orders_weibull_gof", "stats_mann_kendall",
 FAMILIES["events"] += ["events_page_hinkley", "events_xcorr_types",
                        "events_wavelet_haar", "events_sax_symbols",
                        "stats_fdr_bh", "stats_jarque_bera",
-                       "events_hurst_rs"]
+                       "events_hurst_rs", "stats_levene_value",
+                       "dq_drift_report"]
 FAMILIES["documents"] += ["corpus_ngram_novelty", "text_hapax_yule",
-                          "quality_gate_mcnemar"]
+                          "quality_gate_mcnemar",
+                          "multimodal_wav_energy"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the
