@@ -308,6 +308,10 @@ R10_ADD = [
     "dq_drift_report",
     # real RIFF/WAVE bytes: encode -> ship -> decode -> exact energy
     "multimodal_wav_energy",
+    # mean-dichotomized Wald-Wolfowitz runs test on the dense day grid
+    "stats_runs_test",
+    # fixed-period spectral power (pinned cos/sin terms)
+    "events_periodogram",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD)

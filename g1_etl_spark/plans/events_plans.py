@@ -9,6 +9,8 @@ exact-decimal pattern (plans/_util.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -2938,3 +2940,94 @@ def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (dd("k") * dd("sxx") - dd("sx") * dd("sx")))
     return m.select(F.col("k").alias("n_window_sizes"),
                     slope.alias("hurst_h"))
+
+
+_PGRAM_PERIODS = (24, 12, 8, 6)  # hours
+
+
+@register(
+    "events_periodogram",
+    oracle=f"""
+    WITH s AS (SELECT epoch_us(ts) AS us FROM events),
+    anchor AS (SELECT min(us) AS tmin FROM s),
+    h AS (SELECT (us - tmin) // 3600000000 AS hr
+          FROM s CROSS JOIN anchor),
+    span AS (SELECT max(hr) AS hmax FROM h),
+    grid AS (SELECT UNNEST(range(0, hmax + 1)) AS hr FROM span),
+    c AS (SELECT g.hr, CAST(COALESCE(x.c, 0) AS BIGINT) AS v
+          FROM grid g
+          LEFT JOIN (SELECT hr, COUNT(*) AS c FROM h GROUP BY 1) x
+            USING (hr)),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(v AS HUGEINT)) AS sv FROM c),
+    p AS (SELECT UNNEST(ARRAY{list(_PGRAM_PERIODS)}) AS period),
+    terms AS (
+      SELECT p.period,
+             CAST(SUM(CAST(round((c.v - CAST(m.sv AS DOUBLE) / m.n)
+                 * cos((2.0 * pi() / p.period) * c.hr) * 1000000)
+                 AS BIGINT)) AS BIGINT) AS cw,
+             CAST(SUM(CAST(round((c.v - CAST(m.sv AS DOUBLE) / m.n)
+                 * sin((2.0 * pi() / p.period) * c.hr) * 1000000)
+                 AS BIGINT)) AS BIGINT) AS sw,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c CROSS JOIN p CROSS JOIN m
+      GROUP BY p.period)
+    SELECT period, n AS n_hours,
+           ((CAST(cw AS DOUBLE) / 1000000.0)
+            * (CAST(cw AS DOUBLE) / 1000000.0)
+            + (CAST(sw AS DOUBLE) / 1000000.0)
+              * (CAST(sw AS DOUBLE) / 1000000.0)) / n AS power
+    FROM terms ORDER BY period
+    """,
+    description=f"fixed-period periodogram of the mean-centered "
+                f"hourly event-count series at candidate periods "
+                f"{_PGRAM_PERIODS} hours: spectral power "
+                "(|sum x_t e^(-2pi i t/T)|^2 / n) per period — the "
+                "WHICH-cycle detector that generalizes "
+                "events_seasonal_hour's fixed 24h assumption (a "
+                "strong 24h line with weak 12h confirms a single "
+                "daily cycle; comparable 12h power means two peaks a "
+                "day and a different capacity plan). Determinism: "
+                "every cos/sin product is pinned to the 1e-6 grid at "
+                "birth and summed exactly (the pinned-libm class — "
+                "order-free integer adds); the mean is one exact "
+                "ratio both engines share. Scale shape: the grid is "
+                "time-span-bounded; one data-sized hour census, then "
+                "a constant 4-way fan-out",
+    tags=("events", "stats", "forecast"),
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.unix_micros("ts").alias("us"))
+    anchor = s.agg(F.min("us").alias("tmin"))
+    h = (s.crossJoin(F.broadcast(anchor))
+         .select(((F.col("us") - F.col("tmin"))
+                  / F.lit(3_600_000_000)).cast("long").alias("hr")))
+    cnt = h.groupBy("hr").agg(F.count(F.lit(1)).alias("c"))
+    span = h.agg(F.max("hr").alias("hmax"))
+    grid = span.select(F.explode(F.sequence(F.lit(0), F.col("hmax")))
+                       .alias("hr"))
+    c = (grid.join(cnt, "hr", "left")
+         .select("hr", F.coalesce("c", F.lit(0)).cast("long")
+                 .alias("v"))
+         .localCheckpoint(eager=True))  # bounded; feeds m and terms
+    d38 = "decimal(38,0)"
+    m = c.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("v").cast(d38)).alias("sv"))
+    p = spark.createDataFrame([(w,) for w in _PGRAM_PERIODS],
+                              "period long")
+    centered = (F.col("v") - F.col("sv").cast("double") / F.col("n"))
+    ang = (F.lit(2.0) * F.lit(math.pi) / F.col("period")) * F.col("hr")
+    terms = (c.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(m))
+             .groupBy("period")
+             .agg(F.sum(F.round(centered * F.cos(ang) * 1_000_000)
+                        .cast("long")).cast("long").alias("cw"),
+                  F.sum(F.round(centered * F.sin(ang) * 1_000_000)
+                        .cast("long")).cast("long").alias("sw"),
+                  F.count(F.lit(1)).cast("long").alias("n")))
+    cd = F.col("cw").cast("double") / 1e6
+    sd = F.col("sw").cast("double") / 1e6
+    return (terms.select("period", F.col("n").alias("n_hours"),
+                         ((cd * cd + sd * sd) / F.col("n"))
+                         .alias("power"))
+            .orderBy("period"))

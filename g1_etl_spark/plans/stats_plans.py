@@ -2649,3 +2649,113 @@ def stats_levene_value(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("szz") - F.col("ssq_over_n")))
     return t.select(F.col("k").alias("k_groups"), "n",
                     w.alias("levene_w"))
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH g0 AS (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+    span AS (SELECT min(d) AS dmin, max(d) AS dmax FROM g0),
+    grid AS (SELECT UNNEST(generate_series(dmin, dmax,
+                                           INTERVAL 1 DAY)) AS d
+             FROM span),
+    g AS (SELECT grid.d, CAST(COALESCE(g0.x, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN g0 USING (d)),
+    arr AS (SELECT list(x ORDER BY d) AS a,
+                   CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(x) AS BIGINT) AS stot FROM g),
+    sgn AS (SELECT list_filter(list_transform(a,
+                     x -> CASE WHEN x * nd > stot THEN 1
+                               WHEN x * nd < stot THEN -1 END),
+                     s -> s IS NOT NULL) AS s
+            FROM arr),
+    cnt AS (SELECT s,
+                   CAST(len(list_filter(s, v -> v = 1)) AS BIGINT)
+                     AS n1,
+                   CAST(len(list_filter(s, v -> v = -1)) AS BIGINT)
+                     AS n2,
+                   CAST(1 + list_sum(list_transform(
+                       range(1, len(s)),
+                       i -> CASE WHEN s[CAST(i AS INTEGER)]
+                                      <> s[CAST(i + 1 AS INTEGER)]
+                                 THEN 1 ELSE 0 END)) AS BIGINT) AS runs
+            FROM sgn)
+    SELECT n1 AS n_above, n2 AS n_below, runs,
+           2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (n1 + n2) + 1.0 AS expected_runs,
+           (CAST(runs AS DOUBLE)
+            - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (n1 + n2) + 1.0))
+           / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - (n1 + n2))
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * (n1 + n2 - 1))) AS z
+    FROM cnt
+    """,
+    description="Wald-Wolfowitz runs test on the daily order-count "
+                "series (dense day grid): is demand RANDOM around its "
+                "mean, or does "
+                "it cluster (too few runs = momentum/regimes, too "
+                "many = oscillation) — the model-free randomness "
+                "screen that complements Mann-Kendall's monotone-"
+                "trend question. Dichotomized at the MEAN via the "
+                "exact integer predicate x*n <=> sum(x) (no float "
+                "threshold anywhere; a median split degenerates when "
+                "most days are zero), exact-tie days dropped per the "
+                "standard treatment, runs counted by one adjacent-"
+                "difference "
+                "fold; the z normalization is one shared double tree "
+                "over three exact integers. Scale shape: the only "
+                "data-sized stage is the per-day groupBy; the grid "
+                "is date-span-bounded",
+    tags=("stats", "forecast"),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g0 = (o.groupBy(F.col("o_orderdate").alias("d"))
+          .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    # dense day grid: zero-order days are real observations — without
+    # them a sparse sf has no below-median class and the z divides by 0
+    span = g0.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    grid = span.select(F.explode(F.sequence(
+        "dmin", "dmax", F.expr("INTERVAL 1 DAY"))).alias("d"))
+    g = (grid.join(g0, "d", "left")
+         .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x")))
+    arr = g.agg(F.array_sort(F.collect_list(F.struct("d", "x")))
+                .alias("dx"),
+                F.count(F.lit(1)).cast("long").alias("nd"),
+                F.sum("x").cast("long").alias("stot"))
+    arr = arr.select(F.transform("dx", lambda e: e["x"]).alias("a"),
+                     "nd", "stot")
+    # dichotomize at the MEAN via the exact integer predicate
+    # x*nd <=> stot (a median threshold degenerates on the sparse
+    # sf: most days are zero, so no below class exists)
+    sgn = arr.select(F.filter(
+        F.transform("a", lambda x: F.when(x * F.col("nd")
+                                          > F.col("stot"), 1)
+                    .when(x * F.col("nd") < F.col("stot"), -1)),
+        lambda s: s.isNotNull()).alias("s"))
+    cnt = sgn.select(
+        F.size(F.filter("s", lambda v: v == 1)).cast("long").alias("n1"),
+        F.size(F.filter("s", lambda v: v == -1)).cast("long")
+        .alias("n2"),
+        (F.lit(1) + F.when(F.size("s") > 1, F.aggregate(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.when(
+                F.element_at("s", i.cast("int"))
+                != F.element_at("s", (i + 1).cast("int")), 1)
+            .otherwise(0))).otherwise(F.lit(0)))
+        .cast("long").alias("runs"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = F.col("n1") + F.col("n2")
+    two = F.lit(2.0) * dd("n1") * dd("n2")
+    exp_r = two / n + F.lit(1.0)
+    var = (two * (two - n)
+           / (n.cast("double") * n.cast("double") * (n - 1)))
+    return cnt.select(F.col("n1").alias("n_above"),
+                      F.col("n2").alias("n_below"), "runs",
+                      exp_r.alias("expected_runs"),
+                      ((dd("runs") - exp_r) / F.sqrt(var)).alias("z"))

@@ -305,6 +305,7 @@ FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
 # r10 additions: survival GOF / MK trend / correlation matrix / link
 # prediction / MST read the trade star; drift + series ops read events;
 # novelty/hapax/McNemar read documents
+FAMILIES["trade"] += ["stats_runs_test"]
 FAMILIES["trade"] += ["orders_weibull_gof", "stats_mann_kendall",
                       "feat_correlation_matrix", "graph_link_prediction",
                       "graph_mst_boruvka", "graph_betweenness_trade"]
@@ -312,7 +313,7 @@ FAMILIES["events"] += ["events_page_hinkley", "events_xcorr_types",
                        "events_wavelet_haar", "events_sax_symbols",
                        "stats_fdr_bh", "stats_jarque_bera",
                        "events_hurst_rs", "stats_levene_value",
-                       "dq_drift_report"]
+                       "dq_drift_report", "events_periodogram"]
 FAMILIES["documents"] += ["corpus_ngram_novelty", "text_hapax_yule",
                           "quality_gate_mcnemar",
                           "multimodal_wav_energy"]

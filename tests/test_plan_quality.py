@@ -149,6 +149,9 @@ _BNLJ_OK = {
     "events_sax_symbols",
     # one-row G-test context crossed into the k=|types| report
     "dq_drift_report",
+    # 4-row period frame + one-row moments crossed into the bounded
+    # hour grid
+    "events_periodogram",
     "sim_brute_force_topk", "sim_hard_negatives",
     "sim_cosine_neardup_exact", "sim_neardup_recall", "entity_settings",
     # capped twin feeds from sim_cosine_neardup_exact's justified
@@ -279,7 +282,8 @@ _SINGLE_PART_OK = {
     "orders_weibull_gof",
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
-    "stats_levene_value", "dq_drift_report",
+    "stats_levene_value", "dq_drift_report", "stats_runs_test",
+    "events_periodogram",
     "corpus_composition", "text_bm25_topk", "dq_expectations",
     "text_tfidf_topk", "pipeline_rag_index", "feat_equidepth_bins",
     "dq_profile_orders", "dq_table_checksum", "q6_forecast_revenue",
