@@ -1261,3 +1261,105 @@ def streaming_zscore_anomaly(events: DataFrame,
                 stateStructType=_ZS_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_PH_OUT = ("event_type string, event_id long, us long, "
+           "excursion_w long, alarm boolean")
+_PH_STATE = ("m long, mmin long, buf_us array<long>, "
+             "buf_id array<long>, buf_dev array<long>")
+
+
+def _advance_page_hinkley(key, pdfs: Iterator[pd.DataFrame],
+                          state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct streaming Page-Hinkley per event type: the
+    committed state is TWO scaled longs (cumulative deviation m and
+    its running minimum) plus the watermark-bounded unsealed buffer —
+    O(1) per type. Each sealed event applies m += dev;
+    M = min(M, m); excursion = m - M — pure integer arithmetic, so
+    every emitted row equals the batch grouped-prefix form
+    (events_page_hinkley's m/mm columns) BIT-FOR-BIT over the same
+    sealed prefix. The reference mean arrives pre-joined on the input
+    rows (stream-static join against a trained baseline — the
+    deployment shape: the batch query LEARNS mu, the stream MONITORS
+    with it)."""
+    (event_type,) = key
+    if state.exists:
+        g = state.get
+        m, mmin = g[0], g[1]
+        bus, bid, bdev = list(g[2]), list(g[3]), list(g[4])
+    else:
+        m, mmin = 0, 0
+        bus, bid, bdev = [], [], []
+    drained_on_entry = not bus  # retention pattern, see _advance_holt
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, dev in zip(pdf["us"], pdf["event_id"],
+                                    pdf["dev"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bdev.append(int(dev))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    for i in order:
+        if bus[i] > wm_us:
+            break
+        m += bdev[i]
+        if m < mmin:
+            mmin = m
+        exc = m - mmin
+        rows.append({"event_type": event_type, "event_id": bid[i],
+                     "us": bus[i], "excursion_w": exc,
+                     "alarm": exc > _PH_STREAM_LAMBDA_W})
+        consumed.append(i)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bdev[i]
+    if bus:
+        state.update((m, mmin, bus, bid, bdev))
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    elif state.hasTimedOut and drained_on_entry:
+        state.remove()  # retention horizon passed on drained state
+    else:
+        state.update((m, mmin, bus, bid, bdev))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + _STATE_RETAIN_MS)
+    yield pd.DataFrame(rows, columns=["event_type", "event_id", "us",
+                                      "excursion_w", "alarm"])
+
+
+_PH_STREAM_LAMBDA_W = 1_000_000_000  # 1000.0 scaled 1e6 (batch twin)
+
+
+def streaming_page_hinkley(events: DataFrame,
+                           mu: DataFrame,
+                           delay: str = "0 seconds",
+                           delta_w: int = 500_000) -> DataFrame:
+    """Streaming twin of the batch events_page_hinkley: per-type
+    running cumulative deviation + minimum in event-time order, one
+    row per sealed event with its excursion and alarm flag. `mu` is a
+    STATIC (event_type, muw) frame — the trained reference mean from
+    the batch pass, joined stream-static so the detector monitors
+    against a fixed baseline (the standard two-pass PH deployment).
+    Committed state per type is two longs; the emitted excursion at
+    sealed position i equals the batch grouped-prefix (m - mm) over
+    the same prefix exactly (integer arithmetic end to end)."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .join(F.broadcast(mu), "event_type")
+                .select("event_type", "event_id",
+                        F.unix_micros("ts").alias("us"),
+                        (F.round(F.col("value") * 1_000_000)
+                         .cast("long") - F.col("muw")
+                         - F.lit(delta_w)).alias("dev"), "ts"))
+    return (prepared
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _advance_page_hinkley,
+                outputStructType=_PH_OUT,
+                stateStructType=_PH_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -1103,3 +1103,61 @@ def test_streaming_holtwinters_matches_batch_fold_bitwise(spark):
             assert (r.level, r.trend, r.s_h) == want, (r.user_id, r.i)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_page_hinkley_matches_batch_prefix_bitwise(spark):
+    """Each emitted (type, event) row's excursion equals the batch
+    grouped-prefix Page-Hinkley (m - running-min m) over the same
+    sealed prefix EXACTLY — integer arithmetic end to end. The
+    reference mean is the batch-trained per-type pinned mean, joined
+    stream-static (the two-pass deployment shape)."""
+    from g1_etl_spark.streaming.stateful import streaming_page_hinkley
+
+    tmp = str(TMP) + "_ph"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        batch = spark.read.parquet(tmp)
+        d38 = "decimal(38,0)"
+        mu = (batch.select("event_type",
+                           F.round(F.col("value") * 1_000_000)
+                           .cast("long").alias("xw"))
+              .groupBy("event_type")
+              .agg(F.round(F.sum(F.col("xw").cast(d38)).cast("double")
+                           / F.count(F.lit(1))).cast("long")
+                   .alias("muw")))
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_page_hinkley(stream, mu),
+                             "t_ph", output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM t_ph").collect()
+        finally:
+            q.stop()
+        assert rows
+        # sequential reference per type over the full time order
+        mud = {r["event_type"]: r["muw"] for r in mu.collect()}
+        ev = batch.select("event_type", "event_id",
+                          F.unix_micros("ts").alias("us"),
+                          F.round(F.col("value") * 1_000_000)
+                          .cast("long").alias("xw")).collect()
+        from collections import defaultdict
+        series = defaultdict(list)
+        for r in ev:
+            series[r.event_type].append((r.us, r.event_id, r.xw))
+        want = {}
+        for t, evs in series.items():
+            evs.sort()
+            m = mn = 0
+            for us, eid, xw in evs:
+                m += xw - mud[t] - 500_000
+                mn = min(mn, m)
+                want[(t, eid)] = m - mn
+        for r in rows:
+            assert want[(r.event_type, r.event_id)] == r.excursion_w, \
+                (r.event_type, r.event_id)
+            assert r.alarm == (r.excursion_w > 1_000_000_000)
+        # every emitted row is a prefix of the reference; the stream
+        # must have sealed a substantial share of the feed
+        assert len(rows) >= len(ev) * 0.5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
