@@ -312,6 +312,8 @@ R10_ADD = [
     "stats_runs_test",
     # fixed-period spectral power (pinned cos/sin terms)
     "events_periodogram",
+    # Croston intermittent-demand forecast (per-part bounded month fold)
+    "orders_croston",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD)

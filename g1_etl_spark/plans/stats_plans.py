@@ -2759,3 +2759,137 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n2").alias("n_below"), "runs",
                       exp_r.alias("expected_runs"),
                       ((dd("runs") - exp_r) / F.sqrt(var)).alias("z"))
+
+
+_CROSTON_MOD = 97  # probe slice: every 97th part (sparse demand)
+
+
+@register(
+    "orders_croston",
+    oracle=f"""
+    WITH RECURSIVE pk AS (
+      SELECT p_partkey FROM part WHERE p_partkey % {_CROSTON_MOD} = 0),
+    li AS (SELECT l.l_partkey AS p_partkey,
+                  (year(l.l_shipdate) * 12 + month(l.l_shipdate)) AS ym,
+                  CAST(round(l.l_quantity) AS BIGINT) AS q
+           FROM lineitem l JOIN pk ON pk.p_partkey = l.l_partkey),
+    span AS (SELECT min(ym) AS ym0, max(ym) AS ym1 FROM li),
+    grid AS (SELECT p_partkey, UNNEST(range(0, ym1 - ym0 + 1)) AS mi
+             FROM pk CROSS JOIN span),
+    d AS (SELECT g.p_partkey, g.mi,
+                 CAST(COALESCE(s.y, 0) AS BIGINT) AS y
+          FROM grid g
+          LEFT JOIN (SELECT p_partkey, ym - ym0 AS mi,
+                            SUM(q) AS y
+                     FROM li CROSS JOIN span
+                     GROUP BY 1, 2) s
+            ON s.p_partkey = g.p_partkey AND s.mi = g.mi),
+    mm AS (SELECT CAST(ym1 - ym0 + 1 AS BIGINT) AS m FROM span),
+    k(mi, p_partkey, seen, z, p, since) AS (
+      SELECT -1, p_partkey, FALSE, CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+      FROM pk
+      UNION ALL
+      SELECT k.mi + 1, k.p_partkey,
+             k.seen OR d.y > 0,
+             CASE WHEN d.y > 0 AND NOT k.seen THEN CAST(d.y AS DOUBLE)
+                  WHEN d.y > 0 THEN (CAST(d.y AS DOUBLE) + k.z) / 2
+                  ELSE k.z END,
+             CASE WHEN d.y > 0 AND NOT k.seen THEN 1.0
+                  WHEN d.y > 0
+                  THEN (CAST(k.since + 1 AS DOUBLE) + k.p) / 2
+                  ELSE k.p END,
+             CASE WHEN d.y > 0 THEN CAST(0 AS BIGINT)
+                  ELSE k.since + CASE WHEN k.seen THEN 1 ELSE 0 END END
+      FROM k JOIN d ON d.p_partkey = k.p_partkey AND d.mi = k.mi + 1
+      CROSS JOIN mm
+      WHERE k.mi + 1 < mm.m),
+    fin AS (SELECT * FROM k CROSS JOIN mm WHERE k.mi = mm.m - 1),
+    cnts AS (SELECT p_partkey,
+                    CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_demand_months
+             FROM d GROUP BY 1)
+    SELECT f.p_partkey, mm.m AS n_months, c.n_demand_months,
+           f.z AS croston_level, f.p AS croston_interval,
+           CASE WHEN f.p > 0 THEN f.z / f.p END AS forecast_per_month
+    FROM fin f JOIN cnts c USING (p_partkey) CROSS JOIN mm
+    ORDER BY f.p_partkey
+    """,
+    description="Croston's method for INTERMITTENT demand (alpha = "
+                "1/2) over a sparse part slice: per part, separate "
+                "exponential smoothing of nonzero demand SIZE and of "
+                "the INTERVAL between demands over the dense monthly "
+                "grid; forecast = level/interval — the standard "
+                "spare-parts/slow-mover forecaster where Holt-class "
+                "smoothers (which treat zero months as demand "
+                "crashes) fail. Determinism: monthly quantities are "
+                "exact integers, and both engines fold the identical "
+                "month-ordered IEEE sequence (Spark: one struct "
+                "aggregate per part over the bounded month array; "
+                "oracle: recursive CTE advancing all parts one month "
+                "per step — state as ROWS, never a list_reduce "
+                "struct accumulator). Scale shape: one data-sized "
+                "month census; the fold is months-bounded per part "
+                "and parts fold independently",
+    tags=("stats", "forecast", "orders"),
+)
+def orders_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = (load_table(spark, sf_dir, "part")
+          .filter(F.col("p_partkey") % _CROSTON_MOD == 0)
+          .select("p_partkey"))
+    lij = (li.join(pk, li.l_partkey == pk.p_partkey)
+           .select("p_partkey",
+                   (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+                   .alias("ym"),
+                   F.round("l_quantity").cast("long").alias("q")))
+    span = lij.agg(F.min("ym").alias("ym0"), F.max("ym").alias("ym1"))
+    s = (lij.crossJoin(F.broadcast(span))
+         .groupBy("p_partkey", (F.col("ym") - F.col("ym0")).alias("mi"))
+         .agg(F.sum("q").cast("long").alias("y")))
+    grid = (pk.crossJoin(F.broadcast(span))
+            .select("p_partkey",
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("ym1") - F.col("ym0")))
+                    .alias("mi")))
+    d = (grid.join(s, ["p_partkey", "mi"], "left")
+         .select("p_partkey", "mi",
+                 F.coalesce("y", F.lit(0)).cast("long").alias("y")))
+    arr = (d.groupBy("p_partkey")
+           .agg(F.array_sort(F.collect_list(F.struct("mi", "y")))
+                .alias("a"),
+                F.count(F.lit(1)).cast("long").alias("n_months"),
+                F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+                .cast("long").alias("n_demand_months")))
+    seed = F.struct(F.lit(False).alias("seen"),
+                    F.lit(0.0).alias("z"), F.lit(0.0).alias("p"),
+                    F.lit(0).cast("long").alias("since"))
+
+    def step(acc, e):
+        y = e["y"]
+        pos = y > 0
+        first = pos & ~acc["seen"]
+        return F.struct(
+            (acc["seen"] | pos).alias("seen"),
+            F.when(first, y.cast("double"))
+            .when(pos, (y.cast("double") + acc["z"]) / 2)
+            .otherwise(acc["z"]).alias("z"),
+            F.when(first, F.lit(1.0))
+            .when(pos, ((acc["since"] + 1).cast("double")
+                        + acc["p"]) / 2)
+            .otherwise(acc["p"]).alias("p"),
+            F.when(pos, F.lit(0).cast("long"))
+            .otherwise(acc["since"]
+                       + F.when(acc["seen"], 1).otherwise(0))
+            .cast("long").alias("since"))
+
+    fin = arr.select(
+        "p_partkey", "n_months", "n_demand_months",
+        F.aggregate("a", seed, step).alias("st"))
+    return (fin.select(
+        "p_partkey", "n_months", "n_demand_months",
+        F.col("st.z").alias("croston_level"),
+        F.col("st.p").alias("croston_interval"),
+        F.when(F.col("st.p") > 0, F.col("st.z") / F.col("st.p"))
+        .alias("forecast_per_month"))
+        .orderBy("p_partkey"))

@@ -152,6 +152,8 @@ _BNLJ_OK = {
     # 4-row period frame + one-row moments crossed into the bounded
     # hour grid
     "events_periodogram",
+    # one-row month-span frame crossed into the filtered part slice
+    "orders_croston",
     "sim_brute_force_topk", "sim_hard_negatives",
     "sim_cosine_neardup_exact", "sim_neardup_recall", "entity_settings",
     # capped twin feeds from sim_cosine_neardup_exact's justified
@@ -283,7 +285,7 @@ _SINGLE_PART_OK = {
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "stats_levene_value", "dq_drift_report", "stats_runs_test",
-    "events_periodogram",
+    "events_periodogram", "orders_croston",
     "corpus_composition", "text_bm25_topk", "dq_expectations",
     "text_tfidf_topk", "pipeline_rag_index", "feat_equidepth_bins",
     "dq_profile_orders", "dq_table_checksum", "q6_forecast_revenue",
