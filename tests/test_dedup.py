@@ -541,3 +541,39 @@ def test_damerau_blocked_pairs_flags_trailing_swaps(spark):
     assert rows[("ID-0012", "ID-0013")] == 1   # substitution
     assert ("ID-0012", "XX-0012") not in rows  # different block
     assert ("ID-0012", "ID-0099") not in rows  # distance 2 > threshold
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs (mixed density, self-loops, duplicate and
+    reversed edges) through the star-contraction implementation vs a
+    local union-find — the property net under the hand-picked
+    topologies above."""
+    import random
+
+    rng = random.Random(42)
+    for trial, (n, m) in enumerate([(120, 60), (150, 150), (80, 300)]):
+        node_ids = rng.sample(range(1, 10_000), n)
+        edges = [(rng.choice(node_ids), rng.choice(node_ids))
+                 for _ in range(m)]
+        edges += [(b, a) for a, b in edges[:10]]  # reversed dups
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        nodes = spark.createDataFrame([(x,) for x in node_ids],
+                                      "doc_id long")
+        got = {r["doc_id"]: r["component"]
+               for r in D.connected_components(pairs, nodes).collect()}
+        parent = {x: x for x in node_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp_min = {}
+        for x in node_ids:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in node_ids}
+        assert got == want, f"trial {trial}"
