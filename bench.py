@@ -314,6 +314,10 @@ R10_ADD = [
     "events_periodogram",
     # Croston intermittent-demand forecast (per-part bounded month fold)
     "orders_croston",
+    # local clustering coefficient (wedge closure per nation)
+    "graph_clustering_coef",
+    # MI feature ranking vs the return flag (one unpivoted pass)
+    "feat_mi_ranking",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD)

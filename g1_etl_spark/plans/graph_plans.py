@@ -1260,3 +1260,82 @@ def graph_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.sum("dw").cast("double") / 1e6 / 2.0)
                  .alias("betweenness"))
             .orderBy("nation"))
+
+
+_CLUSTCOEF_SQL = f"""
+    WITH {_EDGES_CTE},
+    top3 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM edges WHERE src <> dst) WHERE rn <= 3),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                   GREATEST(src, dst) AS b FROM top3),
+    nbr AS (SELECT a AS x, b AS z FROM und
+            UNION ALL SELECT b AS x, a AS z FROM und),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY x),
+    wedge AS (SELECT n1.x AS c, n1.z AS a, n2.z AS b
+              FROM nbr n1 JOIN nbr n2
+                ON n1.x = n2.x AND n1.z < n2.z),
+    closed AS (SELECT w.c, CAST(COUNT(*) AS BIGINT) AS t
+               FROM wedge w JOIN und u ON u.a = w.a AND u.b = w.b
+               GROUP BY w.c)
+    SELECT deg.x AS nation, deg.d AS degree,
+           CAST(COALESCE(closed.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN 2.0 * CAST(COALESCE(closed.t, 0) AS DOUBLE)
+                     / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+                ELSE 0.0 END AS clustering_coef
+    FROM deg LEFT JOIN closed ON closed.c = deg.x
+    ORDER BY nation
+"""
+
+
+@register(
+    "graph_clustering_coef",
+    oracle=_CLUSTCOEF_SQL,
+    description="local clustering coefficient per nation on the "
+                "sparsified trade graph: closed wedges through each "
+                "node over its possible wedges d(d-1)/2 — do my "
+                "trading partners trade WITH EACH OTHER (cliquish "
+                "regional blocs vs hub-and-spoke brokerage), the "
+                "local-structure complement of the global triangle "
+                "count and the direct input to small-world "
+                "diagnostics. Wedge enumeration through the center "
+                "key with z-ordering (each wedge once), closure "
+                "checked by one equi-join against the undirected "
+                "edge set — exact integers, one final double ratio. "
+                "Scale shape: the top-3 sparsification bounds "
+                "per-node wedge fan-out at 9; everything upstream is "
+                "the shared certified edge census",
+    tags=("graph",),
+)
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (_sparsified_top3(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct().localCheckpoint(eager=True))  # feeds 3 branches
+    nbr = und.select(F.col("a").alias("x"), F.col("b").alias("z")) \
+        .unionAll(und.select(F.col("b").alias("x"),
+                             F.col("a").alias("z")))
+    deg = nbr.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
+    wedge = (n1.join(n2, (F.col("n1.x") == F.col("n2.x"))
+                     & (F.col("n1.z") < F.col("n2.z")))
+             .select(F.col("n1.x").alias("c"), F.col("n1.z").alias("a"),
+                     F.col("n2.z").alias("b")))
+    closed = (wedge.join(und, ["a", "b"])
+              .groupBy("c").agg(F.count(F.lit(1)).cast("long")
+                                .alias("t")))
+    cc = (F.when(F.col("d") >= 2,
+                 F.lit(2.0) * F.coalesce("t", F.lit(0)).cast("double")
+                 / (F.col("d").cast("double") * (F.col("d") - 1)))
+          .otherwise(F.lit(0.0)))
+    return (deg.join(closed, deg.x == closed.c, "left")
+            .select(F.col("x").alias("nation"),
+                    F.col("d").alias("degree"),
+                    F.coalesce("t", F.lit(0)).cast("long")
+                    .alias("triangles"),
+                    cc.alias("clustering_coef"))
+            .orderBy("nation"))

@@ -305,7 +305,8 @@ FAMILIES["documents"] += ["corpus_weighted_sample_stratified",
 # r10 additions: survival GOF / MK trend / correlation matrix / link
 # prediction / MST read the trade star; drift + series ops read events;
 # novelty/hapax/McNemar read documents
-FAMILIES["trade"] += ["stats_runs_test", "orders_croston"]
+FAMILIES["trade"] += ["stats_runs_test", "orders_croston",
+                      "graph_clustering_coef", "feat_mi_ranking"]
 FAMILIES["trade"] += ["orders_weibull_gof", "stats_mann_kendall",
                       "feat_correlation_matrix", "graph_link_prediction",
                       "graph_mst_boruvka", "graph_betweenness_trade"]
