@@ -266,9 +266,10 @@ R10_ADD = [
     "sim_jl_projection",
     # KM-grid parametric Weibull fit (log-log OLS)
     "orders_weibull_fit",
-    # NOTE pipeline_curate_select is deliberately NOT benched: ~31 s at
-    # sf0.1 (its connected-components stage); its parts are all benched
-    # and its parity is covered by the oracle suite.
+    # the three-stage curation composite: entered the headline in r10
+    # after the star-contraction components + min_by canonical pick cut
+    # it from ~31 s to ~6.7 s at sf0.1 (isolated min-of-5)
+    "pipeline_curate_select",
     # -- round-10 additions --
     # Weibull-vs-KM goodness of fit (composes two KM censuses)
     "orders_weibull_gof",
