@@ -35,15 +35,24 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_rounds(root: str = ROOT) -> dict[int, dict]:
-    """round number -> {query: row} for every CORRECTNESS artifact."""
+def load_rounds(root: str = ROOT,
+                max_round: int | None = None) -> dict[int, dict]:
+    """round number -> {query: row} for every CORRECTNESS artifact.
+
+    ``max_round`` pins the artifact set: rounds greater than it are
+    ignored. The sync test passes the window's own round minus one so a
+    freshly-landed CORRECTNESS artifact (which post-dates the committed
+    window by construction) can't redden the suite (ADVICE r10 #3)."""
     rounds: dict[int, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
+        rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
-            rounds[int(m.group(1))] = json.load(f)
+            rounds[rnd] = json.load(f)
     return rounds
 
 
@@ -137,9 +146,15 @@ def main() -> int:
                           re.S)
             assert m, "window tuple not found in plans/__init__.py"
             src = src[:m.end(1)] + body + src[m.start(2):]
+            # Round-stamp the variable: the window generated from
+            # artifacts r1..rN serves round N+1, and the sync test uses
+            # the stamp to pin its artifact set (ADVICE r10 #3).
+            next_round = max(rounds) + 1 if rounds else 1
+            src = re.sub(r"_R\d+_WINDOW", f"_R{next_round}_WINDOW", src)
             with open(path, "w") as f:
                 f.write(src)
-            print(f"rewrote {path} with the {len(win)}-row proposal")
+            print(f"rewrote {path} with the {len(win)}-row proposal "
+                  f"as _R{next_round}_WINDOW")
             return 0
         if args.json:
             print(json.dumps(win, indent=1))

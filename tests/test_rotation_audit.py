@@ -6,8 +6,22 @@ from __future__ import annotations
 
 import importlib.util
 import os
+import re
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _window():
+    """(round N, tuple) from the plans module's ``_R{N}_WINDOW`` attr.
+
+    The round stamp pins which CORRECTNESS artifacts the window was
+    generated from (r1..rN-1), so a freshly-landed CORRECTNESS_r{N}.json
+    can't redden this suite (ADVICE r10 #3)."""
+    from g1_etl_spark import plans
+
+    names = [a for a in vars(plans) if re.fullmatch(r"_R\d+_WINDOW", a)]
+    assert len(names) == 1, names
+    return int(re.search(r"\d+", names[0]).group()), getattr(plans, names[0])
 
 
 def _load_audit_module():
@@ -22,15 +36,16 @@ def test_window_matches_rotation_audit():
     from g1_etl_spark import plans
 
     audit = _load_audit_module()
-    rounds = audit.load_rounds(ROOT)
+    window_round, window = _window()
+    rounds = audit.load_rounds(ROOT, max_round=window_round - 1)
     assert rounds, "no CORRECTNESS_r*.json artifacts found"
     names = list(plans.NATURAL_ORDER)
     oracle_names = {n for n, s in plans.REGISTRY.items() if s.oracle}
     amap = audit.audit(names, oracle_names, rounds)
     proposal = audit.propose_window(amap, names, 50)
-    assert list(plans._R10_WINDOW) == proposal, (
-        "committed _R10_WINDOW drifted from rotation_audit proposal; "
-        "re-run `python scripts/rotation_audit.py --window 50`"
+    assert list(window) == proposal, (
+        "committed window drifted from rotation_audit proposal; "
+        "re-run `python scripts/rotation_audit.py --window 50 --rewrite`"
     )
 
 
@@ -38,7 +53,7 @@ def test_registry_leads_with_window():
     from g1_etl_spark import plans
 
     head = list(plans.REGISTRY)[:50]
-    assert head == list(plans._R10_WINDOW)
+    assert head == list(_window()[1])
 
 
 def test_audit_green_semantics():
