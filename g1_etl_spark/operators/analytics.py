@@ -196,6 +196,12 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
     until the group has rows in an earlier partition (coalesced away
     at combine time). `order_cols` must tie-break to a total order
     within each group.
+
+    INTEGER-ONLY CONTRACT (ADVICE r10 #4): every value column must be
+    an integral type — the driver carries pass through ``int(t)`` and
+    all outputs cast to long, so a double/decimal value column would
+    be silently truncated. Enforced below: a non-integral value column
+    raises at plan-build time rather than corrupting results.
     """
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
@@ -203,6 +209,15 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
     mins = mins or {}
     items = ([(o, v, "sum") for o, v in sums.items()]
              + [(o, v, "min") for o, v in mins.items()])
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    vtypes = {f.name: f.dataType.simpleString() for f in df.schema}
+    bad = [(v, vtypes[v]) for (_, v, _) in items
+           if vtypes[v] not in _integral]
+    if bad:
+        raise TypeError(
+            "grouped_prefix_aggs carries exact integer state; "
+            f"non-integral value columns would be truncated: {bad}. "
+            "Scale to a long (e.g. round(x * 1e6).cast('long')) first.")
     keys = [*group_cols, *order_cols]
     parts = (df.repartitionByRange(n, *keys)
              .withColumn("_pid", F.spark_partition_id())

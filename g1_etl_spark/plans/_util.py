@@ -80,3 +80,29 @@ def sql_big_to_double(expr: str) -> str:
     return (f"(CAST((({expr}) - ({expr}) % 1073741824) // 1073741824"
             f" AS DOUBLE) * 1073741824.0"
             f" + CAST(({expr}) % 1073741824 AS DOUBLE))")
+
+
+# VERDICT r10 ask #5: driver-side materialization is legal ONLY over
+# alphabet-bounded frames (nation labels, queries x pool). The cap is
+# generous for every legitimate caller (25 nations; 25 queries x 40
+# pool) yet tiny next to any real data-sized frame, so lifting one of
+# these collects onto an unbounded input fails loudly instead of
+# OOM-ing the driver at scale.
+_MAX_DRIVER_ROWS = 100_000
+
+
+def bounded_collect(df, what: str, limit: int = _MAX_DRIVER_ROWS):
+    """Collect an alphabet-bounded frame to the driver, raising if the
+    row count exceeds ``limit`` — the guard that keeps codebook-class
+    collects (graph label sets, query x pool contract references) from
+    being silently reused on data-sized inputs. Fetches ``limit + 1``
+    rows via ``limit()`` so the overflow check never materializes an
+    unbounded result."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what}: driver-side collect exceeded the {limit}-row "
+            "boundedness contract — this input is not alphabet-"
+            "bounded; use a distributed form (e.g. star-contraction "
+            "connected components) instead.")
+    return rows

@@ -1265,30 +1265,33 @@ def streaming_zscore_anomaly(events: DataFrame,
 
 _PH_OUT = ("event_type string, event_id long, us long, "
            "excursion_w long, alarm boolean")
-_PH_STATE = ("m long, mmin long, buf_us array<long>, "
+_PH_STATE = ("m long, mmin long, n_sealed long, buf_us array<long>, "
              "buf_id array<long>, buf_dev array<long>")
 
 
 def _advance_page_hinkley(key, pdfs: Iterator[pd.DataFrame],
                           state: GroupState) -> Iterator[pd.DataFrame]:
     """Watermark-correct streaming Page-Hinkley per event type: the
-    committed state is TWO scaled longs (cumulative deviation m and
-    its running minimum) plus the watermark-bounded unsealed buffer —
-    O(1) per type. Each sealed event applies m += dev;
-    M = min(M, m); excursion = m - M — pure integer arithmetic, so
-    every emitted row equals the batch grouped-prefix form
-    (events_page_hinkley's m/mm columns) BIT-FOR-BIT over the same
-    sealed prefix. The reference mean arrives pre-joined on the input
+    committed state is the cumulative deviation m, its running minimum
+    M over OBSERVED prefix sums, and the sealed-event count, plus the
+    watermark-bounded unsealed buffer — O(1) per type. Each sealed
+    event applies m += dev; M = m on the FIRST sealed event and
+    min(M, m) after (the batch grouped-prefix MIN ranges over m_1..m_t
+    only — no implicit m_0 = 0 — so the first sealed event's excursion
+    is always 0; ADVICE r10 aligned this seed); excursion = m - M —
+    pure integer arithmetic, so every emitted row equals the batch
+    grouped-prefix form (events_page_hinkley's m/mm columns)
+    BIT-FOR-BIT over the same sealed prefix. The reference mean arrives pre-joined on the input
     rows (stream-static join against a trained baseline — the
     deployment shape: the batch query LEARNS mu, the stream MONITORS
     with it)."""
     (event_type,) = key
     if state.exists:
         g = state.get
-        m, mmin = g[0], g[1]
-        bus, bid, bdev = list(g[2]), list(g[3]), list(g[4])
+        m, mmin, n_sealed = g[0], g[1], g[2]
+        bus, bid, bdev = list(g[3]), list(g[4]), list(g[5])
     else:
-        m, mmin = 0, 0
+        m, mmin, n_sealed = 0, 0, 0
         bus, bid, bdev = [], [], []
     drained_on_entry = not bus  # retention pattern, see _advance_holt
     if not state.hasTimedOut:
@@ -1306,7 +1309,8 @@ def _advance_page_hinkley(key, pdfs: Iterator[pd.DataFrame],
         if bus[i] > wm_us:
             break
         m += bdev[i]
-        if m < mmin:
+        n_sealed += 1
+        if n_sealed == 1 or m < mmin:
             mmin = m
         exc = m - mmin
         rows.append({"event_type": event_type, "event_id": bid[i],
@@ -1316,13 +1320,13 @@ def _advance_page_hinkley(key, pdfs: Iterator[pd.DataFrame],
     for i in sorted(consumed, reverse=True):
         del bus[i], bid[i], bdev[i]
     if bus:
-        state.update((m, mmin, bus, bid, bdev))
+        state.update((m, mmin, n_sealed, bus, bid, bdev))
         state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
                                       state.getCurrentWatermarkMs() + 1))
     elif state.hasTimedOut and drained_on_entry:
         state.remove()  # retention horizon passed on drained state
     else:
-        state.update((m, mmin, bus, bid, bdev))
+        state.update((m, mmin, n_sealed, bus, bid, bdev))
         state.setTimeoutTimestamp(
             state.getCurrentWatermarkMs() + _STATE_RETAIN_MS)
     yield pd.DataFrame(rows, columns=["event_type", "event_id", "us",

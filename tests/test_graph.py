@@ -381,3 +381,17 @@ def test_closeness_star_center_dominates(spark):
     assert total[0] == n - 1
     for leaf in range(1, n):
         assert total[leaf] == 1 + 2 * (n - 2)
+
+
+def test_bounded_collect_guard(spark):
+    """VERDICT r10 ask #5: driver-side collects in the graph/MMR
+    reference paths must raise on an input that exceeds the
+    boundedness contract instead of silently materializing it."""
+    import pytest
+
+    from g1_etl_spark.plans._util import bounded_collect
+
+    small = spark.range(10)
+    assert len(bounded_collect(small, "ok", limit=10)) == 10
+    with pytest.raises(ValueError, match="boundedness contract"):
+        bounded_collect(spark.range(11), "too big", limit=10)

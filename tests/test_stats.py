@@ -1279,6 +1279,20 @@ def test_grouped_prefix_aggs_matches_pure_python(spark):
             assert got[(g, i)] == (run, mn), (g, i)
 
 
+def test_grouped_prefix_aggs_rejects_nonintegral_values(spark):
+    """ADVICE r10 #4: the driver carries are exact-integer state, so a
+    double/decimal value column must raise at plan-build time instead
+    of silently truncating."""
+    import pytest
+
+    from g1_etl_spark.operators.analytics import grouped_prefix_aggs
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.5), ("a", 1, 2.5)], "g string, i long, v double")
+    with pytest.raises(TypeError, match="non-integral"):
+        grouped_prefix_aggs(df, ["g"], ["i"], sums={"cum": "v"})
+
+
 def test_weibull_gof_perfect_fit_has_small_ks(spark):
     """On the real orders table the GOF row must be internally
     consistent: observed == sum of KM event counts, expected > 0,

@@ -1147,10 +1147,13 @@ def test_streaming_page_hinkley_matches_batch_prefix_bitwise(spark):
         want = {}
         for t, evs in series.items():
             evs.sort()
-            m = mn = 0
+            # Batch convention (events_page_hinkley): the running MIN
+            # ranges over observed prefix sums m_1..m_t only — no
+            # implicit m_0 = 0 — so the first event's excursion is 0.
+            m, mn = 0, None
             for us, eid, xw in evs:
                 m += xw - mud[t] - 500_000
-                mn = min(mn, m)
+                mn = m if mn is None else min(mn, m)
                 want[(t, eid)] = m - mn
         for r in rows:
             assert want[(r.event_type, r.event_id)] == r.excursion_w, \
