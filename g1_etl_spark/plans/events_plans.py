@@ -2714,8 +2714,12 @@ _SAX_BP_W = 674490    # round(0.6745 * 1e6): N(0,1) quartile breakpoints
                 "scaled-integer constants, so the symbol decision is "
                 "an integer comparison — no boundary ulp exposure. "
                 "Scale shape: the grid is time-span-bounded; the one "
-                "data-sized stage is the hour census",
-    tags=("events", "text", "forecast"),
+                "data-sized stage is the hour census. The O(1)-state "
+                "streaming twin is streaming/stateful.streaming_sax "
+                "(trained whole-series moments joined stream-static, "
+                "per-segment count state, watermark-sealed emission) "
+                "— bit-equal on every sealed full segment",
+    tags=("events", "text", "forecast", "streaming"),
 )
 def events_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
