@@ -80,8 +80,10 @@ def main() -> int:
     import bench
     load0, load_gate = bench._quiet_host_gate()
     prior = {}
-    for rnd in (8, 9):
-        p = os.path.join(ROOT, f"BENCH_LOCAL_r0{rnd}.json")
+    for rnd in (8, 9, 10):
+        p = os.path.join(ROOT, f"BENCH_LOCAL_r{rnd:02d}.json")
+        if not os.path.exists(p):
+            p = os.path.join(ROOT, f"BENCH_LOCAL_r{rnd}.json")
         if os.path.exists(p):
             with open(p) as f:
                 prior[rnd] = json.load(f).get("queries_min", {})
@@ -95,12 +97,11 @@ def main() -> int:
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("{")][-1]
         row = json.loads(line)
-        row["r8_min"] = prior.get(8, {}).get(name)
-        row["r9_min"] = prior.get(9, {}).get(name)
-        if row["r9_min"]:
-            row["isolated_vs_r9"] = round(row["min"] / row["r9_min"], 2)
-        if row["r8_min"]:
-            row["isolated_vs_r8"] = round(row["min"] / row["r8_min"], 2)
+        for rnd, mins in prior.items():
+            base = mins.get(name)
+            row[f"r{rnd}_min"] = base
+            if base:
+                row[f"isolated_vs_r{rnd}"] = round(row["min"] / base, 2)
         results[row.pop("name")] = row
         print(name, json.dumps(row))
 
