@@ -28,11 +28,16 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str = "weight",
              normalized: bool = False,
-             ckpt_every: int = 5) -> DataFrame:
+             ckpt_every: int = 5,
+             teleport_id=None) -> DataFrame:
     """Weighted PageRank, `iters` fixed iterations, damping d:
 
         rank_0(v)   = 1/N
         rank_k+1(v) = (1-d)/N + d * sum_u rank_k(u) * w(u,v)/outw(u)
+
+    With ``teleport_id`` set, the teleport vector concentrates on that
+    single node (personalized PageRank / random walk with restart):
+    rank_0 = e_s and the (1-d) mass returns to the source each step.
 
     Dangling mass (nodes with no out-edges) is dropped, not
     redistributed — the simplest fixed-point; both engines agree.
@@ -61,8 +66,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
                      (F.col(weight_col) / F.col("_ow")).alias("_frac")))
     e = e.localCheckpoint(eager=True)
     n = nodes.count()
-    ranks = nodes.select(F.col(id_col).alias("_id"),
-                         F.lit(1.0 / n).alias("rank"))
+    if teleport_id is None:
+        seed = F.lit(1.0 / n)
+    else:
+        seed = F.when(F.col(id_col) == teleport_id,
+                      F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes.select(F.col(id_col).alias("_id"), seed.alias("rank"))
     for i in range(iters):
         contribs = (ranks.join(e, ranks._id == e._src)
                     .select(F.col("_dst").alias("_id"),
@@ -74,7 +83,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 10,
         ranks = (nodes.select(F.col(id_col).alias("_id"))
                  .join(summed, "_id", "left")
                  .select("_id",
-                         ((1.0 - damping) / n
+                         (((1.0 - damping) / n if teleport_id is None
+                           else F.when(F.col("_id") == teleport_id,
+                                       F.lit(1.0 - damping))
+                           .otherwise(F.lit(0.0)))
                           + damping * F.coalesce(F.col("_s"), F.lit(0.0)))
                          .alias("rank")))
         if ckpt_every > 0 and (i + 1) % ckpt_every == 0 and i != iters - 1:

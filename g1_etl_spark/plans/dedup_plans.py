@@ -729,3 +729,139 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("doc_id") == F.col("canon_doc"))
                     .alias("is_canonical"))
             .orderBy("doc_id"))
+
+
+# Content-defined chunking: a boundary is declared AFTER word i
+# (strictly inside the doc) when a gear-style mix of the two preceding
+# word lengths and the current word's first code point lands on a
+# multiple of the divisor — a decision that depends only on a 3-word
+# local window, so an insertion early in a document shifts at most one
+# chunk boundary (the CDC property fixed-size chunking lacks).
+# Production would swap a Rabin fingerprint over bytes; the 3-word
+# gear keeps the decision engine-portable (length/ascii arithmetic
+# exists verbatim in both engines).
+_CDC_DIV = 8  # ~8-word mean chunk length
+_CDC_GEAR = ("(length({w2}) * 2654435761 + length({w1}) * 40503"
+             " + ascii({w0}) * 97531) % 2147483647")
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                      string_split(regexp_replace(trim(lower(text)),
+                                                  '\\s+', ' ', 'g'),
+                                   ' ') AS ws
+               FROM documents),
+    b AS (SELECT doc_id, ws, len(ws) AS n,
+                 CASE WHEN len(ws) >= 4 THEN
+                   list_filter(range(3, len(ws)),
+                     i -> ({_CDC_GEAR.format(w2='ws[i - 2]',
+                                             w1='ws[i - 1]',
+                                             w0='ws[i]')})
+                          % {_CDC_DIV} = 0)
+                 ELSE [] END AS bnd
+          FROM w),
+    p AS (SELECT doc_id, ws,
+                 [0] || bnd || [n] AS pos
+          FROM b),
+    ch AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, len(pos)),
+                    j -> array_to_string(ws[pos[j] + 1 : pos[j + 1]],
+                                         ' '))) AS chunk
+           FROM p),
+    cw AS (SELECT chunk, COUNT(*) AS cnt,
+                  len(string_split(chunk, ' ')) AS wc
+           FROM ch GROUP BY chunk),
+    agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+                   CAST(SUM(cnt - 1) AS BIGINT) AS dup_chunk_instances,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * wc) AS BIGINT)
+                     AS words_total,
+                   CAST(SUM(CAST(cnt - 1 AS HUGEINT) * wc) AS BIGINT)
+                     AS dup_words_saved
+            FROM cw),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT nd.n_docs, agg.n_chunks, agg.n_distinct_chunks,
+           agg.dup_chunk_instances, agg.words_total,
+           agg.dup_words_saved,
+           CAST(agg.dup_words_saved AS DOUBLE) / agg.words_total
+             AS dedup_ratio
+    FROM agg CROSS JOIN nd
+    """,
+    description=f"content-defined chunking dedup census: every "
+                f"document is split into ~{_CDC_DIV}-word chunks at "
+                "gear-hash boundaries (a 3-word local window decides "
+                "each cut, so chunk boundaries survive edits — the "
+                "CDC property that makes chunk-level dedup robust "
+                "where fixed windows shear), then the corpus-wide "
+                "chunk census reports how many chunk instances are "
+                "duplicates and the word mass a chunk-store would "
+                "save — the storage-side dedup primitive next to the "
+                "document-level MinHash/SimHash family (this is how "
+                "training-shard stores dedup attachments). Exact "
+                "integer counts; the one float is the final ratio. "
+                "Spark exchanges xxhash64(chunk) int64 keys while the "
+                "ORACLE groups raw chunk strings, so a 64-bit "
+                "collision would surface as a parity mismatch "
+                "(~n^2/2^65 odds — the corpus_ngram_novelty "
+                "contract). Scale shape: chunking is per-row "
+                "(no shuffle), the census is one map-side-combinable "
+                "groupBy on int64 keys, the report a one-row "
+                "aggregate",
+    tags=("dedup", "curation", "scale"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id",
+                 F.split(D.normalize_text(F.col("text")), " ")
+                 .alias("ws"))
+    n = F.size("ws")
+
+    def gear(i):
+        return (F.length(F.element_at("ws", (i - 2).cast("int")))
+                * F.lit(2654435761)
+                + F.length(F.element_at("ws", (i - 1).cast("int")))
+                * F.lit(40503)
+                + F.ascii(F.element_at("ws", i.cast("int")))
+                * F.lit(97531)) % F.lit(2147483647)
+
+    bnd = F.when(
+        n >= 4,
+        F.filter(F.sequence(F.lit(3), (n - 1).cast("long")),
+                 lambda i: gear(i) % _CDC_DIV == 0)
+    ).otherwise(F.array().cast("array<long>"))
+    p = w.select(
+        "doc_id", "ws",
+        F.concat(F.array(F.lit(0).cast("long")), bnd,
+                 F.array(n.cast("long"))).alias("pos"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("pos") - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice("ws",
+                         (F.element_at("pos", j.cast("int")) + 1)
+                         .cast("int"),
+                         (F.element_at("pos", (j + 1).cast("int"))
+                          - F.element_at("pos", j.cast("int")))
+                         .cast("int"))))
+    ch = p.select("doc_id", F.explode(chunks).alias("chunk"))
+    cw = (ch.select(F.xxhash64("chunk").alias("k"),
+                    F.size(F.split("chunk", " ")).alias("wc"))
+          .groupBy("k")
+          .agg(F.count(F.lit(1)).alias("cnt"), F.min("wc").alias("wc")))
+    d38 = "decimal(38,0)"
+    agg = cw.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("dup_chunk_instances"),
+        F.sum(F.col("cnt").cast(d38) * F.col("wc")).cast("long")
+        .alias("words_total"),
+        F.sum((F.col("cnt") - 1).cast(d38) * F.col("wc")).cast("long")
+        .alias("dup_words_saved"))
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (agg.crossJoin(F.broadcast(nd))
+            .select("n_docs", "n_chunks", "n_distinct_chunks",
+                    "dup_chunk_instances", "words_total",
+                    "dup_words_saved",
+                    (F.col("dup_words_saved").cast("double")
+                     / F.col("words_total")).alias("dedup_ratio")))

@@ -1345,3 +1345,78 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("triangles"),
                     cc.alias("clustering_coef"))
             .orderBy("nation"))
+
+
+# Teleport source: the lexicographically smallest nation name — a
+# dataset-agnostic deterministic pick (the testdata uses synthetic
+# NATION_* labels, so no hard-coded TPC-H name can be assumed).
+def _ppr_iter_cte(k: int) -> str:
+    return f"""
+    pr{k} AS (
+      SELECT n.id,
+             CASE WHEN n.id = srcn.m
+                  THEN 1 - CAST({_D} AS DOUBLE) ELSE 0.0 END
+               + CAST({_D} AS DOUBLE) * COALESCE(s.v, 0.0) AS rank
+      FROM nodes n CROSS JOIN srcn
+      LEFT JOIN (
+        SELECT e.dst AS id,
+               CAST(SUM(CAST(round(r.rank * e.frac * {PR_SCALE})
+                             AS BIGINT)) AS DOUBLE) / {PR_SCALE} AS v
+        FROM pr{k - 1} r JOIN e ON r.id = e.src
+        GROUP BY e.dst) s ON s.id = n.id)
+"""
+
+
+_PPR_SQL = ("WITH " + _GRAPH_CTES.replace(
+    "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / cnt.c AS rank\n"
+    "           FROM nodes CROSS JOIN cnt)",
+    "srcn AS (SELECT min(id) AS m FROM nodes),\n"
+    "    pr0 AS (SELECT id, CASE WHEN id = (SELECT m FROM srcn) "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank\n"
+    "           FROM nodes)") + ","
+    + ",".join(_ppr_iter_cte(k) for k in range(1, _ITERS + 1))
+    + f"""
+    SELECT id AS nation, rank AS ppr FROM pr{_ITERS} ORDER BY nation
+""")
+
+
+@register(
+    "graph_ppr_trade",
+    oracle=_PPR_SQL,
+    description=f"personalized PageRank (random walk with restart, "
+                f"{_ITERS} iterations, d={_D}) from the smallest "
+                "nation label (deterministic, dataset-agnostic) on "
+                "the weighted nation trade graph: the teleport vector "
+                "concentrates on ONE source, so the fixed point ranks "
+                "every nation by its trade PROXIMITY to the source "
+                "rather than its global importance — the "
+                "recommendation / similar-entity primitive next to "
+                "global PageRank (and the graph-side analogue of the "
+                "embedding ANN queries: 'what is near X, by random "
+                "walk'). Reuses the certified pagerank operator with "
+                "a teleport_id; the oracle unrolls the same "
+                "iterations with the source-concentrated restart "
+                "term, every per-iteration sum pinned through "
+                "scaled longs, so the fixed point is bit-identical. "
+                "Scale shape: identical to graph_pagerank_trade — "
+                "the one data-sized stage is the shared edge census; "
+                "iterations are |nations|-bounded joins",
+    tags=("graph", "iterative"),
+)
+def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir)
+    outw = (edges.groupBy("src")
+            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000)
+                 .alias("_ow")))
+    e = edges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("_ow")).alias("weight"))
+    nodes = n.select(F.col("n_name").alias("nation"))
+    # graph METADATA collect (one 25-row min), like pagerank's count()
+    src_name = nodes.agg(F.min("nation")).collect()[0][0]
+    pr = pagerank(nodes, e, iters=_ITERS, damping=_D, id_col="nation",
+                  src_col="src", dst_col="dst", weight_col="weight",
+                  normalized=True, teleport_id=src_name)
+    return pr.select("nation", F.col("rank").alias("ppr")) \
+        .orderBy("nation")

@@ -1274,3 +1274,181 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_samples", "n_bytes", "pcm_energy",
                       "zero_crossings", rms.alias("rms")) \
         .orderBy("doc_id")
+
+
+@register(
+    "sim_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS tl
+               FROM embeddings WHERE vec_id < {_NQUERIES}),
+    scored AS (
+      SELECT q_id, tl, vec_id AS neighbor_id, label,
+             {_DOT} / ({_NORM_Q} * {_NORM_C}) AS score
+      FROM embeddings, q
+      WHERE q_id <> vec_id),
+    ranked AS (
+      SELECT q_id, tl, label, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, neighbor_id)
+               AS rank
+      FROM scored),
+    votes AS (SELECT q_id, tl, label, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ranked WHERE rank <= {_K} GROUP BY 1, 2, 3),
+    win AS (SELECT q_id, tl, label, c,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM votes)
+    SELECT q_id, CAST(tl AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS predicted_label, c AS n_votes,
+           label = tl AS correct
+    FROM win WHERE rn = 1 ORDER BY q_id
+    """,
+    description=f"k-NN majority-vote label prediction over the "
+                f"embedding corpus: exact cosine top-{_K} per query "
+                "(the certified brute-force machinery, self "
+                "excluded), one vote per neighbor label, winner by "
+                "(count DESC, label ASC) — the classifier eval "
+                "primitive an embedding store runs to sanity-check "
+                "its labels ('would my nearest neighbors predict "
+                "me'), and the exactness baseline the ANN variants "
+                "get measured against. The vote argmax is a min_by "
+                "aggregate on a unique ordering struct (map-side "
+                "combinable — no per-query window); scores ride the "
+                "same left-to-right fold dot both engines share. "
+                "Scale shape: one broadcast-queries corpus scan + a "
+                "(queries x labels)-bounded vote frame",
+    tags=("similarity", "ml"),
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    topk = S.brute_force_topk(emb, queries, k=_K)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("nl"))
+    votes = (topk.join(F.broadcast(lab), "neighbor_id")
+             .groupBy("q_id", "nl")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    win = (votes.groupBy("q_id")
+           .agg(F.min_by(F.struct(F.col("nl"), F.col("c")),
+                         F.struct((-F.col("c")).alias("nc"),
+                                  F.col("nl").alias("l"))).alias("w")))
+    tl = emb.filter(F.col("vec_id") < _NQUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("long").alias("true_label"))
+    return (win.join(F.broadcast(tl), "q_id")
+            .select("q_id", "true_label",
+                    F.col("w.nl").cast("long").alias("predicted_label"),
+                    F.col("w.c").alias("n_votes"),
+                    (F.col("w.nl") == F.col("true_label"))
+                    .alias("correct"))
+            .orderBy("q_id"))
+
+
+_WAV_FR = 100   # samples per analysis frame
+_WAV_NF = _WAV_N // _WAV_FR
+
+
+@register(
+    "multimodal_wav_frames",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+    synth AS (
+      SELECT doc_id,
+             220.0 + (doc_id % 8) * 55.0 AS f,
+             0.2 * (1 + doc_id % 4) AS a
+      FROM docs),
+    pcm AS (
+      SELECT doc_id,
+             list_transform(range(0, {_WAV_N}),
+               i -> CAST(trunc(a * sin((2.0 * pi() * f)
+                                       * (i / {_WAV_SR}.0)) * 32767.0)
+                         AS BIGINT)) AS p
+      FROM synth),
+    fr AS (
+      SELECT doc_id,
+             list_transform(range(0, {_WAV_NF}),
+               fi -> CAST(list_sum(list_transform(
+                       p[fi * {_WAV_FR} + 1 : (fi + 1) * {_WAV_FR}],
+                       x -> CAST(x AS HUGEINT) * x)) AS BIGINT)) AS en,
+             p
+      FROM pcm),
+    pk AS (
+      SELECT doc_id, en,
+             CAST(list_position(en, list_max(en)) - 1 AS BIGINT)
+               AS peak_frame,
+             CAST(list_max(en) AS BIGINT) AS peak_energy,
+             p
+      FROM fr)
+    SELECT doc_id,
+           CAST({_WAV_NF} AS BIGINT) AS n_frames,
+           peak_frame, peak_energy,
+           CAST(list_sum(list_transform(en,
+               e -> CASE WHEN 2 * CAST(e AS HUGEINT) >= peak_energy
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS active_frames,
+           CAST(list_sum(list_transform(
+               range(CAST(peak_frame * {_WAV_FR} + 1 AS INT),
+                     CAST((peak_frame + 1) * {_WAV_FR} AS INT)),
+               i -> CASE WHEN (p[i] >= 0) <> (p[i + 1] >= 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS zcr_peak
+    FROM pk ORDER BY doc_id
+    """,
+    description=f"framed short-time analysis of the real-bytes WAV "
+                f"clips ({_WAV_NF} frames x {_WAV_FR} samples): "
+                "per-frame PCM energy, the peak frame (first-argmax "
+                "tie-break), the active-frame count (energy within "
+                "3 dB of peak — an integer doubling compare, no "
+                "float), and the peak frame's zero-crossing count — "
+                "the voice-activity / onset-detection shelf on top "
+                "of multimodal_wav_energy's whole-clip reductions. "
+                "Same contract as the energy row: Spark ENCODES a "
+                "real RIFF/WAVE blob, ships it as a binary column, "
+                "DECODES it with the pure-numpy parser and reduces "
+                "to exact integers, while the oracle recomputes the "
+                "quantized samples analytically and never sees a "
+                "byte — any drift in the encode->ship->decode->frame "
+                "path turns the row red (same pinned-libm sin() "
+                "exposure class, accepted). Scale shape: one "
+                "mapInPandas over the filtered docs, Arrow-batched, "
+                "no shuffle until the final sort",
+    tags=("multimodal", "audio"),
+)
+def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from g1_etl_spark.operators import multimodal as M
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                f = 220.0 + (d % 8) * 55.0
+                a = 0.2 * (1 + d % 4)
+                c = 2.0 * math.pi * f
+                t = np.arange(_WAV_N, dtype=np.float64) / _WAV_SR
+                blob = M.encode_wav(a * np.sin(c * t), _WAV_SR)
+                samples, rate = M.decode_wav(blob)
+                pcm = np.round(samples * 32767.0).astype(np.int64)
+                en = (pcm.reshape(_WAV_NF, _WAV_FR) ** 2).sum(axis=1)
+                pk = int(en.argmax())          # first max, like oracle
+                peak = int(en[pk])
+                active = int((2 * en >= peak).sum())
+                fr = pcm[pk * _WAV_FR:(pk + 1) * _WAV_FR]
+                zcr = int(((fr[:-1] >= 0) != (fr[1:] >= 0)).sum())
+                rows.append((d, _WAV_NF, pk, peak, active, zcr))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "peak_frame", "peak_energy",
+                "active_frames", "zcr_peak"])
+
+    return (docs.mapInPandas(
+        op, "doc_id long, n_frames long, peak_frame long, "
+            "peak_energy long, active_frames long, zcr_peak long")
+        .orderBy("doc_id"))

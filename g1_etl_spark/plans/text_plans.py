@@ -1614,3 +1614,116 @@ def text_hapax_yule(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(10000.0) * (dd("smm") - F.col("n_tokens"))
          / (dd("n_tokens") * dd("n_tokens"))).alias("yule_k"))
         .orderBy("source"))
+
+
+_BD_M = 20  # most-frequent-word panel size (classic Delta uses 30-150)
+
+
+@register(
+    "text_burrows_delta",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    freq AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS m
+             FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n FROM freq
+            GROUP BY source),
+    top AS (SELECT tok FROM (
+              SELECT tok, SUM(m) AS c FROM freq GROUP BY tok
+              ORDER BY c DESC, tok LIMIT {_BD_M})),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM tot),
+    dense AS (SELECT t.source, w.tok,
+                     CAST(COALESCE(f.m, 0) AS DOUBLE) / t.n AS fr
+              FROM tot t CROSS JOIN top w
+              LEFT JOIN freq f ON f.source = t.source
+                              AND f.tok = w.tok),
+    mu AS (SELECT tok, list_sum(list_sort(list(fr))) / ANY_VALUE(k)
+                    AS mean_f
+           FROM dense CROSS JOIN kk GROUP BY tok),
+    sd AS (SELECT d.tok,
+                  sqrt(list_sum(list_sort(list(
+                      (d.fr - mu.mean_f) * (d.fr - mu.mean_f))))
+                    / (ANY_VALUE(k) - 1)) AS sd_f
+           FROM dense d JOIN mu USING (tok) CROSS JOIN kk
+           GROUP BY d.tok),
+    z AS (SELECT d.source, d.tok,
+                 CASE WHEN sd.sd_f > 0
+                      THEN (d.fr - mu.mean_f) / sd.sd_f
+                      ELSE 0.0 END AS z
+          FROM dense d JOIN mu USING (tok) JOIN sd USING (tok))
+    SELECT a.source AS source_a, b.source AS source_b,
+           list_sum(list_sort(list(abs(a.z - b.z)))) / {_BD_M}.0
+             AS delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description=f"Burrows' Delta stylometric distance between every "
+                f"source pair: relative frequencies of the corpus's "
+                f"top-{_BD_M} words, z-scored per word across "
+                "sources, Delta = mean |z_a - z_b| — the classic "
+                "authorship-attribution measure repurposed as a "
+                "PROVENANCE signal ('which data sources write "
+                "alike'), the stylometric complement to "
+                "corpus_kl_sources' distributional divergence. "
+                "Determinism: frequencies are exact integer "
+                "divisions; every cross-source reduction (per-word "
+                "mean, variance, and the per-pair |z| mean) runs "
+                "sorted-sequential, zero-variance words pin z to 0. "
+                "Scale shape: one (source, token) census exchange "
+                "(the hapax/rarity class); everything after is "
+                "(sources x 20)- and (pairs x 20)-bounded codebook "
+                "frames",
+    tags=("text", "quality", "stats"),
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    def sortsum(expr):
+        return F.aggregate(F.array_sort(F.collect_list(expr)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " "))
+        .alias("tok"))
+    freq = (toks.groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    tot = freq.groupBy("source").agg(F.sum("m").cast("long").alias("n"))
+    top = (freq.groupBy("tok").agg(F.sum("m").alias("c"))
+           .orderBy(F.col("c").desc(), "tok").limit(_BD_M)
+           .select("tok"))
+    kk = tot.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    dense = (tot.crossJoin(F.broadcast(top))
+             .join(freq, ["source", "tok"], "left")
+             .select("source", "tok",
+                     (F.coalesce("m", F.lit(0)).cast("double")
+                      / F.col("n")).alias("fr")))
+    mu = (dense.crossJoin(F.broadcast(kk))
+          .groupBy("tok")
+          .agg((sortsum(F.col("fr")) / F.first("k")).alias("mean_f")))
+    sd = (dense.join(F.broadcast(mu), "tok").crossJoin(F.broadcast(kk))
+          .groupBy("tok")
+          .agg(F.sqrt(sortsum((F.col("fr") - F.col("mean_f"))
+                              * (F.col("fr") - F.col("mean_f")))
+                      / (F.first("k") - 1)).alias("sd_f")))
+    z = (dense.join(F.broadcast(mu), "tok").join(F.broadcast(sd), "tok")
+         .select("source", "tok",
+                 F.when(F.col("sd_f") > 0,
+                        (F.col("fr") - F.col("mean_f")) / F.col("sd_f"))
+                 .otherwise(F.lit(0.0)).alias("z")))
+    a = z.select(F.col("source").alias("source_a"), "tok",
+                 F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"),
+                 F.col("tok").alias("tok2"), F.col("z").alias("zb"))
+    return (a.join(b, (F.col("tok") == F.col("tok2"))
+                   & (F.col("source_a") < F.col("source_b")))
+            .groupBy("source_a", "source_b")
+            .agg((sortsum(F.abs(F.col("za") - F.col("zb")))
+                  / F.lit(float(_BD_M))).alias("delta"))
+            .orderBy("source_a", "source_b"))

@@ -147,6 +147,18 @@ _BNLJ_OK = {
     "stats_mann_kendall", "events_xcorr_types", "orders_weibull_gof",
     # one-row global-moments frame crossed into the bounded PAA grid
     "events_sax_symbols",
+    # r11 TSA family: one-row anchor/moments crossed into the bounded
+    # hour grid (stl/theil_sen/lz reuse the SAX grid shape), the
+    # span^2-bounded slope pair join, the (days x types) rank grid,
+    # and the one-row observed-diff frame crossed into the 64-row
+    # permutation frame
+    "events_stl_decompose", "events_theil_sen", "events_lz_complexity",
+    "stats_friedman_daily", "stats_permutation_mean",
+    # r11: one-row census frame crossed into the CDC report; the
+    # 5-query constant-tiny broadcast side inside the kNN vote (the
+    # sim_brute_force_topk class); one-row k frame crossed into the
+    # (sources x 20) stylometric grid
+    "dedup_cdc_chunks", "sim_knn_label_vote", "text_burrows_delta",
     # one-row G-test context crossed into the k=|types| report
     "dq_drift_report",
     # 4-row period frame + one-row moments crossed into the bounded
@@ -282,6 +294,14 @@ _SINGLE_PART_OK = {
     # the one-row Weibull GOF assembly
     "quality_gate_mcnemar", "stats_fdr_bh", "stats_mann_kendall",
     "orders_weibull_gof",
+    # r11 TSA family: one-row scalar aggregates / bounded array folds
+    # (24-term centering mean, span^2 slope median pick, 64-row
+    # permutation fold, span/8 LZ78 parse, one-row Friedman stat)
+    "events_stl_decompose", "events_theil_sen", "events_lz_complexity",
+    "stats_friedman_daily", "stats_permutation_mean",
+    # r11: one-row CDC census report; top-20 word panel pick +
+    # pair-grid sortsums
+    "dedup_cdc_chunks", "text_burrows_delta",
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "stats_levene_value", "dq_drift_report", "stats_runs_test",
