@@ -320,8 +320,38 @@ R10_ADD = [
     # MI feature ranking vs the return flag (one unpivoted pass)
     "feat_mi_ranking",
 ]
+R11_ADD = [
+    # classical additive decomposition on the anchored hour grid
+    "events_stl_decompose",
+    # Theil-Sen lower-median slope over the span^2 pair frame
+    "events_theil_sen",
+    # LZ78 phrase complexity of the SAX symbol stream
+    "events_lz_complexity",
+    # Ljung-Box portmanteau Q composed from the certified ACF
+    "stats_ljung_box",
+    # Friedman day-blocked rank test with exact midranks
+    "stats_friedman_daily",
+    # 64-reshuffle md5-parity randomization test for the mean diff
+    "stats_permutation_mean",
+    # personalized PageRank from the smallest nation label
+    "graph_ppr_trade",
+    # content-defined chunking census (3-word gear boundaries)
+    "dedup_cdc_chunks",
+    # exact-cosine k-NN majority label vote (min_by argmax)
+    "sim_knn_label_vote",
+    # framed short-time WAV analysis (peak frame, activity, zcr)
+    "multimodal_wav_frames",
+    # Burrows' Delta stylometric distance between sources
+    "text_burrows_delta",
+    # per-user 1-D Kalman local-level filter (ordered fold)
+    "events_kalman_level",
+    # peaks-over-threshold GPD tail profile (moment threshold)
+    "events_tail_pot",
+    # weighted-PAVA isotonic calibration via the minimax identity
+    "feat_isotonic_calibration",
+]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
-            + R8_ADD + R9_ADD + R10_ADD)
+            + R8_ADD + R9_ADD + R10_ADD + R11_ADD)
 
 # The cross-round drift trackers: every query in a pinned comparison
 # subset runs FIVE trials (vs 3 for the rest) and its MIN is the

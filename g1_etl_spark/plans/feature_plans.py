@@ -957,3 +957,104 @@ def feat_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("miw").cast("double") / dd("n") / 1e6)
                     .alias("mi_nats"))
             .orderBy("feature"))
+
+
+_ISO_BINS = 10
+
+
+@register(
+    "feat_isotonic_calibration",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(value) AS maxv FROM events),
+    p AS (SELECT value / maxv AS prob,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS hit
+          FROM events CROSS JOIN mx),
+    b AS (SELECT LEAST(CAST(floor(prob * {_ISO_BINS}) AS INT),
+                       {_ISO_BINS - 1}) AS bin,
+                 hit
+          FROM p),
+    cells AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(hit) AS BIGINT) AS h
+              FROM b GROUP BY bin),
+    idx AS (SELECT bin, n, h,
+                   CAST(row_number() OVER (ORDER BY bin) AS BIGINT)
+                     AS r
+            FROM cells),
+    seg AS (SELECT i.r AS ri, j.r AS rj,
+                   CAST(SUM(CAST(k.h AS HUGEINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(k.n AS HUGEINT)) AS DOUBLE) AS m
+            FROM idx i JOIN idx j ON i.r <= j.r
+            JOIN idx k ON k.r BETWEEN i.r AND j.r
+            GROUP BY i.r, j.r),
+    inner_min AS (SELECT t.r, seg.ri, MIN(seg.m) AS mn
+                  FROM idx t
+                  JOIN seg ON seg.ri <= t.r AND seg.rj >= t.r
+                  GROUP BY t.r, seg.ri),
+    iso AS (SELECT r, MAX(mn) AS iso_rate FROM inner_min GROUP BY r)
+    SELECT idx.bin, idx.n,
+           CAST(idx.h AS DOUBLE) / idx.n AS raw_rate,
+           iso.iso_rate
+    FROM idx JOIN iso USING (r)
+    ORDER BY idx.bin
+    """,
+    description=f"isotonic calibration (weighted PAVA) of the "
+                f"purchase rate over {_ISO_BINS} confidence bins: the "
+                "monotone regression computed via the exact minimax "
+                "identity iso_b = max_(i<=b) min_(j>=b) "
+                "weightedMean(y_i..y_j) — the closed form whose "
+                "segment means are single divisions of exact integer "
+                "hit/count sums, so both engines compare and pick "
+                "IDENTICAL doubles and the pooled fit is "
+                "bit-deterministic with no sequential pooling loop. "
+                "The calibration-curve repair step next to "
+                "stats_reliability_bins' diagnostic: reliability "
+                "tells you the classifier is miscalibrated, isotonic "
+                "FIXES the mapping (the standard post-hoc calibrator "
+                "for quality-filter scores). Scale shape: one "
+                "data-sized bin census; the minimax runs on "
+                "bins^3-bounded codebook frames (<= 1000 rows)",
+    tags=("features", "ml", "quality"),
+)
+def feat_isotonic_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("maxv"))
+    p = (ev.crossJoin(F.broadcast(mx))
+         .select((F.col("value") / F.col("maxv")).alias("prob"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("hit")))
+    b = p.select(
+        F.least(F.floor(F.col("prob") * _ISO_BINS).cast("int"),
+                F.lit(_ISO_BINS - 1)).alias("bin"), "hit")
+    cells = (b.groupBy("bin")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("hit").cast("long").alias("h")))
+    from pyspark.sql import Window as W
+    idx = cells.withColumn(
+        "r", F.row_number().over(W.orderBy("bin")).cast("long"))
+    i = idx.select(F.col("r").alias("ri"))
+    j = idx.select(F.col("r").alias("rj"))
+    k = idx.select(F.col("r").alias("rk"), "n", "h")
+    d38 = "decimal(38,0)"
+    seg = (i.join(j, F.col("ri") <= F.col("rj"))
+           .join(k, (F.col("rk") >= F.col("ri"))
+                 & (F.col("rk") <= F.col("rj")))
+           .groupBy("ri", "rj")
+           .agg((F.sum(F.col("h").cast(d38)).cast("double")
+                 / F.sum(F.col("n").cast(d38)).cast("double"))
+                .alias("m")))
+    t = idx.select(F.col("r").alias("rt"))
+    inner_min = (t.join(seg, (F.col("ri") <= F.col("rt"))
+                        & (F.col("rj") >= F.col("rt")))
+                 .groupBy("rt", "ri")
+                 .agg(F.min("m").alias("mn")))
+    iso = (inner_min.groupBy("rt")
+           .agg(F.max("mn").alias("iso_rate"))
+           .withColumnRenamed("rt", "r"))
+    return (idx.join(iso, "r")
+            .select("bin", "n",
+                    (F.col("h").cast("double") / F.col("n"))
+                    .alias("raw_rate"),
+                    "iso_rate")
+            .orderBy("bin"))

@@ -610,3 +610,177 @@ def events_lz_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       parse.alias("n_phrases"),
                       (parse.cast("double") / F.col("n"))
                       .alias("complexity_ratio"))
+
+
+_KAL_Q = 0.01   # process noise (level random walk)
+_KAL_R = 1.0    # observation noise
+
+
+@register(
+    "events_kalman_level",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events),
+    h AS (
+      SELECT user_id, i, x AS l, CAST(1.0 AS DOUBLE) AS p
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT o.user_id, o.i,
+             h.l + ((h.p + {_KAL_Q}) / ((h.p + {_KAL_Q}) + {_KAL_R}))
+                   * (o.x - h.l),
+             (1.0 - ((h.p + {_KAL_Q})
+                     / ((h.p + {_KAL_Q}) + {_KAL_R})))
+             * (h.p + {_KAL_Q})
+      FROM h JOIN ord o ON o.user_id = h.user_id AND o.i = h.i + 1),
+    n AS (SELECT user_id, max(i) AS n_events FROM ord GROUP BY user_id)
+    SELECT h.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+           h.l AS level, h.p AS variance,
+           (h.p + {_KAL_Q}) / ((h.p + {_KAL_Q}) + {_KAL_R})
+             AS next_gain
+    FROM h JOIN n ON h.user_id = n.user_id AND h.i = n.n_events
+    ORDER BY h.user_id
+    """,
+    description=f"per-user 1-D Kalman filter (local-level model, "
+                f"q={_KAL_Q}, r={_KAL_R}) over event values in "
+                "(ts, event_id) order: the optimal linear state "
+                "estimate that completes the forecasting ladder "
+                "EWMA -> Holt -> Holt-Winters with a principled, "
+                "uncertainty-carrying level — plus the posterior "
+                "variance and the NEXT gain (how much the filter "
+                "would trust a new observation, the monitoring "
+                "knob). The recursion carries (level, variance) as "
+                "an ordered fold; every step is the IDENTICAL IEEE "
+                "sequence in both engines (Spark aggregate() over "
+                "the time-sorted array; oracle = recursive CTE — "
+                "the events_holt_forecast pattern, with the gain "
+                "expression written out in full on both sides so "
+                "the trees match node for node). Scale shape: one "
+                "groupBy user, per-user arrays (the events_ewma "
+                "SCALE BOUND class)",
+    tags=("events", "stats", "forecast", "timeseries"),
+)
+def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                             "value"))),
+        lambda s: s["value"].cast("double"))
+    g = ev.groupBy("user_id").agg(vals.alias("vals"))
+    seed = F.struct(F.element_at("vals", 1).alias("l"),
+                    F.lit(1.0).alias("p"))
+
+    def step(acc, x):
+        gain = ((acc["p"] + _KAL_Q)
+                / ((acc["p"] + _KAL_Q) + _KAL_R))
+        return F.struct(
+            (acc["l"] + gain * (x - acc["l"])).alias("l"),
+            ((F.lit(1.0) - gain) * (acc["p"] + _KAL_Q)).alias("p"))
+
+    st = F.aggregate(F.expr("slice(vals, 2, size(vals) - 1)"), seed,
+                     step)
+    next_gain = ((st["p"] + _KAL_Q) / ((st["p"] + _KAL_Q) + _KAL_R))
+    return (g.select("user_id",
+                     F.size("vals").cast("long").alias("n_events"),
+                     st["l"].alias("level"), st["p"].alias("variance"),
+                     next_gain.alias("next_gain"))
+            .orderBy("user_id"))
+
+
+@register(
+    "events_tail_pot",
+    oracle="""
+    WITH s AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS xw
+               FROM events),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(xw AS HUGEINT)) AS sx,
+                 SUM(CAST(xw AS HUGEINT) * xw) AS sxx
+          FROM s),
+    u AS (SELECT n,
+                 CAST(round(CAST(sx AS DOUBLE) / n
+                       + 2.0 * sqrt((CAST(n AS DOUBLE)
+                                     * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE)
+                                       * CAST(sx AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) * (n - 1))))
+                      AS BIGINT) AS uw
+          FROM m),
+    e AS (SELECT s.xw - u.uw AS y FROM s CROSS JOIN u
+          WHERE s.xw > u.uw),
+    em AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy
+           FROM e)
+    SELECT CAST(u.uw AS DOUBLE) / 1000000.0 AS threshold,
+           em.k AS n_exceed,
+           CAST(em.k AS DOUBLE) / u.n AS exceed_share,
+           CAST(em.sy AS DOUBLE) / em.k / 1000000.0 AS mean_excess,
+           0.5 * (1.0 - (CAST(em.sy AS DOUBLE) / em.k)
+                        * (CAST(em.sy AS DOUBLE) / em.k)
+                        / ((CAST(em.syy AS DOUBLE)
+                            - (CAST(em.sy AS DOUBLE) / em.k)
+                              * CAST(em.sy AS DOUBLE))
+                           / (em.k - 1))) AS gpd_xi,
+           0.5 * (CAST(em.sy AS DOUBLE) / em.k / 1000000.0)
+               * ((CAST(em.sy AS DOUBLE) / em.k)
+                  * (CAST(em.sy AS DOUBLE) / em.k)
+                  / ((CAST(em.syy AS DOUBLE)
+                      - (CAST(em.sy AS DOUBLE) / em.k)
+                        * CAST(em.sy AS DOUBLE))
+                     / (em.k - 1)) + 1.0) AS gpd_beta
+    FROM em CROSS JOIN u
+    """,
+    description="peaks-over-threshold extreme-value profile of event "
+                "values: a pinned moment threshold u = mean + 2 sd "
+                "(rounded to the 1e-6 grid, so the exceedance set is "
+                "decided by an integer compare), then the "
+                "generalized-Pareto moment estimators over the "
+                "excesses — xi = (1 - m^2/s^2)/2 and beta = m(m^2/s^2 "
+                "+ 1)/2 — 'how heavy is this tail and how big is the "
+                "next extreme', the capacity-planning / anomaly-"
+                "budget primitive beyond z-scores (xi > 0 flags a "
+                "heavy tail no Gaussian monitor will see). Every "
+                "moment is an exact 128-bit integer sum; the "
+                "estimators are one fixed double tree. Scale shape: "
+                "two full scans with map-side-combined moment "
+                "aggregates (the second filtered by the broadcast "
+                "one-row threshold) — no shuffle wider than one row",
+    tags=("events", "stats", "quality"),
+)
+def events_tail_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.round(F.col("value") * 1_000_000).cast("long")
+                  .alias("xw"))
+    d38 = "decimal(38,0)"
+    m = s.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("xw").cast(d38)).alias("sx"),
+              F.sum(F.col("xw").cast(d38) * F.col("xw")).alias("sxx"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    u = m.select(
+        "n",
+        F.round(dd("sx") / F.col("n")
+                + F.lit(2.0) * F.sqrt((F.col("n").cast("double")
+                                       * dd("sxx") - dd("sx") * dd("sx"))
+                                      / (F.col("n").cast("double")
+                                         * (F.col("n") - 1))))
+        .cast("long").alias("uw"))
+    e = (s.crossJoin(F.broadcast(u))
+         .filter(F.col("xw") > F.col("uw"))
+         .select((F.col("xw") - F.col("uw")).alias("y"), "uw", "n"))
+    em = (e.groupBy("uw", "n")
+          .agg(F.count(F.lit(1)).cast("long").alias("k"),
+               F.sum(F.col("y").cast(d38)).alias("sy"),
+               F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy")))
+    mexc = dd("sy") / F.col("k")
+    s2 = (dd("syy") - mexc * dd("sy")) / (F.col("k") - 1)
+    ratio = mexc * mexc / s2
+    return em.select(
+        (F.col("uw").cast("double") / 1e6).alias("threshold"),
+        F.col("k").alias("n_exceed"),
+        (F.col("k").cast("double") / F.col("n")).alias("exceed_share"),
+        (mexc / F.lit(1000000.0)).alias("mean_excess"),
+        (F.lit(0.5) * (F.lit(1.0) - ratio)).alias("gpd_xi"),
+        (F.lit(0.5) * (mexc / F.lit(1000000.0)) * (ratio + F.lit(1.0)))
+        .alias("gpd_beta"))

@@ -159,6 +159,9 @@ _BNLJ_OK = {
     # sim_brute_force_topk class); one-row k frame crossed into the
     # (sources x 20) stylometric grid
     "dedup_cdc_chunks", "sim_knn_label_vote", "text_burrows_delta",
+    # r11 wave 2: one-row moment-threshold frame crossed into the
+    # scan (POT); bins^3-bounded minimax joins (isotonic)
+    "events_tail_pot", "feat_isotonic_calibration",
     # one-row G-test context crossed into the k=|types| report
     "dq_drift_report",
     # 4-row period frame + one-row moments crossed into the bounded
@@ -302,6 +305,9 @@ _SINGLE_PART_OK = {
     # r11: one-row CDC census report; top-20 word panel pick +
     # pair-grid sortsums
     "dedup_cdc_chunks", "text_burrows_delta",
+    # r11 wave 2: one-row moment/threshold scalars; the <=10-bin
+    # row_number window + bounded minimax frames
+    "events_tail_pot", "feat_isotonic_calibration",
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "stats_levene_value", "dq_drift_report", "stats_runs_test",

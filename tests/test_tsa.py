@@ -241,3 +241,82 @@ def test_wav_frames_consistency(spark):
         assert 0 < r["peak_energy"] <= energy[d]["pcm_energy"]
         assert 1 <= r["active_frames"] <= r["n_frames"]
         assert 0 <= r["zcr_peak"] < 100
+
+
+def test_kalman_level_reference_fold(spark):
+    """The per-user Kalman level must equal a plain-Python fold of the
+    identical recursion over the time-sorted values."""
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    got = {r["user_id"]: r for r in
+           REGISTRY["events_kalman_level"].fn(spark, SF_SMOKE)
+           .collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], float(r["value"])))
+    for uid, evs in series.items():
+        evs.sort()
+        l, p = evs[0][2], 1.0
+        for _, _, x in evs[1:]:
+            g = (p + 0.01) / ((p + 0.01) + 1.0)
+            l = l + g * (x - l)
+            p = (1.0 - g) * (p + 0.01)
+        assert got[uid]["level"] == l, uid
+        assert got[uid]["variance"] == p, uid
+        assert got[uid]["n_events"] == len(evs)
+    # steady-state: posterior variance has converged below prior
+    assert all(r["variance"] < 1.0 for r in got.values())
+
+
+def test_tail_pot_sanity(spark):
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["events_tail_pot"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_exceed"] > 0
+    assert 0 < row["exceed_share"] < 0.5  # mean+2sd cuts a real tail
+    assert row["mean_excess"] > 0
+    assert row["gpd_beta"] > 0
+    assert row["gpd_xi"] < 0.5  # moment estimator's validity range
+
+
+def test_isotonic_monotone_and_matches_pava(spark):
+    """The minimax closed form must be nondecreasing and equal the
+    classic pool-adjacent-violators algorithm run on the same bins."""
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    rows = sorted(REGISTRY["feat_isotonic_calibration"]
+                  .fn(spark, SF_SMOKE).collect(),
+                  key=lambda r: r["bin"])
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+
+    # reference PAVA with weights
+    blocks = [[r["raw_rate"] * r["n"], r["n"]] for r in rows]
+    stack: list = []
+    for s, w in blocks:
+        stack.append([s, w])
+        while len(stack) > 1 and (stack[-2][0] * stack[-1][1]
+                                  >= stack[-1][0] * stack[-2][1]):
+            s2, w2 = stack.pop()
+            stack[-1][0] += s2
+            stack[-1][1] += w2
+    want = []
+    for s, w in stack:
+        want.extend([s / w] * 0)  # lengths handled below
+    # expand: replay block sizes
+    want = []
+    i = 0
+    for s, w in stack:
+        # w is a sum of original weights; walk bins until consumed
+        acc = 0
+        cnt = 0
+        while acc < w - 1e-9:
+            acc += rows[i + cnt]["n"]
+            cnt += 1
+        want.extend([s / w] * cnt)
+        i += cnt
+    assert len(want) == len(iso)
+    for a, b in zip(iso, want):
+        assert abs(a - b) < 1e-12, (iso, want)
