@@ -349,6 +349,12 @@ R11_ADD = [
     "events_tail_pot",
     # weighted-PAVA isotonic calibration via the minimax identity
     "feat_isotonic_calibration",
+    # Durbin-Levinson PACF unrolled on the certified ACF
+    "events_pacf_yw",
+    # paired signed-rank test over per-user mean diffs
+    "stats_wilcoxon_signed",
+    # Fano factor + Goh-Barabasi B per type over the hour grid
+    "events_burstiness",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD + R11_ADD)

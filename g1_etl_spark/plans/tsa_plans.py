@@ -784,3 +784,335 @@ def events_tail_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * (F.lit(1.0) - ratio)).alias("gpd_xi"),
         (F.lit(0.5) * (mexc / F.lit(1000000.0)) * (ratio + F.lit(1.0)))
         .alias("gpd_beta"))
+
+
+# The certified events_acf CTE chain (events_plans.py), reused verbatim
+# by the Ljung-Box and PACF oracles: (event_type, lag, r) for lags 1..5
+# with every accumulation an exact 128-bit integer sum.
+_ACF_CTES = """
+    s AS (SELECT event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS xs,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY epoch_us(ts), event_id)
+                   AS i
+          FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(xs AS HUGEINT)) AS t,
+                   SUM(CAST(xs AS HUGEINT) * xs) AS ss
+            FROM s GROUP BY event_type),
+    l AS (SELECT UNNEST(range(1, 6)) AS lag),
+    p AS (SELECT a.event_type, l.lag,
+                 SUM(CAST(a.xs AS HUGEINT) * b.xs) AS nk,
+                 SUM(CAST(a.xs AS HUGEINT)) AS s1,
+                 SUM(CAST(b.xs AS HUGEINT)) AS s2,
+                 COUNT(*) AS c
+          FROM s a CROSS JOIN l
+          JOIN s b ON a.event_type = b.event_type AND b.i = a.i - l.lag
+          GROUP BY a.event_type, l.lag),
+    acf AS (SELECT p.event_type, p.lag,
+                   (CAST(nk AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))
+                      * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                    + CAST(c AS DOUBLE)
+                      * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(ss AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+                     AS r
+            FROM p JOIN tot USING (event_type))
+"""
+
+
+@register(
+    "events_pacf_yw",
+    oracle=f"""
+    WITH {_ACF_CTES},
+    rv AS (SELECT event_type,
+                  MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+                  MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+                  MAX(CASE WHEN lag = 3 THEN r END) AS r3,
+                  MAX(CASE WHEN lag = 4 THEN r END) AS r4,
+                  MAX(CASE WHEN lag = 5 THEN r END) AS r5
+           FROM acf GROUP BY event_type),
+    l1 AS (SELECT *, r1 AS p11 FROM rv),
+    l2 AS (SELECT *,
+                  (r2 - p11 * r1) / (1.0 - p11 * r1) AS p22
+           FROM l1),
+    l2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM l2),
+    l3 AS (SELECT *,
+                  (r3 - (p21 * r2 + p22 * r1))
+                  / (1.0 - (p21 * r1 + p22 * r2)) AS p33
+           FROM l2b),
+    l3b AS (SELECT *, p21 - p33 * p22 AS p31,
+                   p22 - p33 * p21 AS p32 FROM l3),
+    l4 AS (SELECT *,
+                  (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                  / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+           FROM l3b),
+    l4b AS (SELECT *, p31 - p44 * p33 AS p41,
+                   p32 - p44 * p32 AS p42,
+                   p33 - p44 * p31 AS p43 FROM l4),
+    l5 AS (SELECT *,
+                  (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+                  / (1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4))
+                    AS p55
+           FROM l4b)
+    SELECT event_type, CAST(u.lag AS BIGINT) AS lag,
+           CASE u.lag WHEN 1 THEN p11 WHEN 2 THEN p22 WHEN 3 THEN p33
+                      WHEN 4 THEN p44 ELSE p55 END AS pacf
+    FROM l5 CROSS JOIN (SELECT UNNEST(range(1, 6)) AS lag) u
+    ORDER BY event_type, lag
+    """,
+    description="partial autocorrelation (lags 1..5) per event type "
+                "via the Durbin-Levinson recursion on the certified "
+                "ACF values — the Box-Jenkins identification pair's "
+                "second half (ACF says MA order, PACF says AR order; "
+                "together with Ljung-Box this completes the "
+                "model-identification shelf). The recursion is "
+                "UNROLLED into five chained projection levels with "
+                "every inner product written left-to-right "
+                "identically in both engines, so each phi_kk is one "
+                "fixed double tree on bit-identical ACF inputs — no "
+                "iteration state, no tolerance. Scale shape: "
+                "inherits events_acf's blocked-window form; the "
+                "recursion operates on a (types x 5)-bounded frame",
+    tags=("events", "stats", "timeseries", "forecast"),
+)
+def events_pacf_yw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.plans.events_plans import events_acf
+
+    acf = events_acf(spark, sf_dir)
+    rv = acf.groupBy("event_type").agg(
+        *[F.max(F.when(F.col("lag") == k, F.col("acf")))
+          .alias(f"r{k}") for k in range(1, 6)])
+    r = lambda k: F.col(f"r{k}")  # noqa: E731
+    l1 = rv.withColumn("p11", r(1))
+    l2 = l1.withColumn(
+        "p22", (r(2) - F.col("p11") * r(1))
+        / (F.lit(1.0) - F.col("p11") * r(1)))
+    l2b = l2.withColumn("p21", F.col("p11") - F.col("p22") * F.col("p11"))
+    l3 = l2b.withColumn(
+        "p33", (r(3) - (F.col("p21") * r(2) + F.col("p22") * r(1)))
+        / (F.lit(1.0) - (F.col("p21") * r(1) + F.col("p22") * r(2))))
+    l3b = (l3.withColumn("p31", F.col("p21") - F.col("p33") * F.col("p22"))
+           .withColumn("p32", F.col("p22") - F.col("p33") * F.col("p21")))
+    l4 = l3b.withColumn(
+        "p44", (r(4) - (F.col("p31") * r(3) + F.col("p32") * r(2)
+                        + F.col("p33") * r(1)))
+        / (F.lit(1.0) - (F.col("p31") * r(1) + F.col("p32") * r(2)
+                         + F.col("p33") * r(3))))
+    l4b = (l4.withColumn("p41", F.col("p31") - F.col("p44") * F.col("p33"))
+           .withColumn("p42", F.col("p32") - F.col("p44") * F.col("p32"))
+           .withColumn("p43", F.col("p33") - F.col("p44") * F.col("p31")))
+    l5 = l4b.withColumn(
+        "p55", (r(5) - (F.col("p41") * r(4) + F.col("p42") * r(3)
+                        + F.col("p43") * r(2) + F.col("p44") * r(1)))
+        / (F.lit(1.0) - (F.col("p41") * r(1) + F.col("p42") * r(2)
+                         + F.col("p43") * r(3) + F.col("p44") * r(4))))
+    melt = F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("lag"),
+                 F.col(f"p{k}{k}").alias("pacf"))
+        for k in range(1, 6)]))
+    return (l5.withColumn("_m", melt)
+            .select("event_type", "_m.lag", "_m.pacf")
+            .orderBy("event_type", "lag"))
+
+
+_WX_A, _WX_B = "purchase", "view"
+_WX_CRIT_W = 1_959_964  # round(z_0.975 * 1e6)
+
+
+@register(
+    "stats_wilcoxon_signed",
+    oracle=f"""
+    WITH s AS (SELECT user_id, event_type,
+                      CAST(round(value * 1000000) AS BIGINT) AS xw
+               FROM events
+               WHERE event_type IN ('{_WX_A}', '{_WX_B}')),
+    pu AS (SELECT user_id,
+                  CAST(SUM(CASE WHEN event_type = '{_WX_A}'
+                           THEN CAST(xw AS HUGEINT) END) AS DOUBLE)
+                  / SUM(CASE WHEN event_type = '{_WX_A}' THEN 1
+                        ELSE 0 END) AS ma,
+                  CAST(SUM(CASE WHEN event_type = '{_WX_B}'
+                           THEN CAST(xw AS HUGEINT) END) AS DOUBLE)
+                  / SUM(CASE WHEN event_type = '{_WX_B}' THEN 1
+                        ELSE 0 END) AS mb
+           FROM s GROUP BY user_id
+           HAVING SUM(CASE WHEN event_type = '{_WX_A}' THEN 1
+                      ELSE 0 END) > 0
+              AND SUM(CASE WHEN event_type = '{_WX_B}' THEN 1
+                      ELSE 0 END) > 0),
+    d AS (SELECT user_id, ma - mb AS dv, abs(ma - mb) AS av
+          FROM pu WHERE ma - mb <> 0.0),
+    vm AS (SELECT av, COUNT(*) AS cnt FROM d GROUP BY av),
+    rm AS (SELECT av, 2 * SUM(cnt) OVER (ORDER BY av
+                                         ROWS BETWEEN UNBOUNDED
+                                         PRECEDING AND CURRENT ROW)
+                   - cnt + 1 AS r2
+           FROM vm),
+    w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN d.dv > 0 THEN rm.r2 ELSE 0 END)
+                      AS BIGINT) AS w2p
+          FROM d JOIN rm USING (av)),
+    tie AS (SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t
+            FROM vm)
+    SELECT w.n AS n_pairs, w.w2p AS w2_plus,
+           (CAST(w.w2p AS DOUBLE)
+            - CAST(w.n AS DOUBLE) * (w.n + 1) / 2.0)
+           / sqrt(CAST(w.n AS DOUBLE) * (w.n + 1) * (2 * w.n + 1) / 6.0
+                  - CAST(tie.t AS DOUBLE) / 12.0) AS z,
+           abs(CAST(round(((CAST(w.w2p AS DOUBLE)
+                - CAST(w.n AS DOUBLE) * (w.n + 1) / 2.0)
+           / sqrt(CAST(w.n AS DOUBLE) * (w.n + 1) * (2 * w.n + 1) / 6.0
+                  - CAST(tie.t AS DOUBLE) / 12.0)) * 1000000)
+               AS BIGINT)) > {_WX_CRIT_W} AS reject_equal
+    FROM w CROSS JOIN tie
+    """,
+    description=f"Wilcoxon signed-rank test on per-user paired means "
+                f"('{_WX_A}' vs '{_WX_B}' values, users with both): "
+                "the distribution-free PAIRED test completing the "
+                "inference family (the permutation test is unpaired, "
+                "Kruskal is k-group) — 'do the same users spend "
+                "differently across the two actions'. Zero diffs "
+                "dropped (standard), midranks carried as exact "
+                "DOUBLED integers off a cumulative count over the "
+                "distinct-|d| grid (the Kruskal rank machinery — "
+                "operators/analytics.global_prefix_sum, never a "
+                "raw-row window), the normal z with the exact tie "
+                "correction, pinned to the 1e-6 grid before the "
+                "5%-level compare (no continuity correction, "
+                "documented). Scale shape: one per-user aggregate, "
+                "one distinct-value census, one range-partitioned "
+                "prefix — the stats_kruskal_value_type class",
+    tags=("events", "stats"),
+)
+def stats_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.analytics import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type").isin(_WX_A, _WX_B))
+         .select("user_id", "event_type",
+                 F.round(F.col("value") * 1_000_000).cast("long")
+                 .alias("xw")))
+    d38 = "decimal(38,0)"
+    is_a = F.col("event_type") == _WX_A
+    na = F.sum(F.when(is_a, 1).otherwise(0))
+    nb = F.sum(F.when(~is_a, 1).otherwise(0))
+    pu = (s.groupBy("user_id")
+          .agg((F.sum(F.when(is_a, F.col("xw").cast(d38)))
+                .cast("double") / na).alias("ma"),
+               (F.sum(F.when(~is_a, F.col("xw").cast(d38)))
+                .cast("double") / nb).alias("mb"),
+               na.alias("_na"), nb.alias("_nb"))
+          .filter((F.col("_na") > 0) & (F.col("_nb") > 0)))
+    d = (pu.select("user_id", (F.col("ma") - F.col("mb")).alias("dv"),
+                   F.abs(F.col("ma") - F.col("mb")).alias("av"))
+         .filter(F.col("dv") != 0.0))
+    vm = d.groupBy("av").agg(F.count(F.lit(1)).alias("cnt"))
+    rm = (global_prefix_sum(vm, ["av"], "cnt", out_col="cum")
+          .select("av",
+                  (2 * F.col("cum") - F.col("cnt") + 1).alias("r2")))
+    w = (d.join(rm, "av")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.when(F.col("dv") > 0, F.col("r2")).otherwise(0))
+              .cast("long").alias("w2p")))
+    tie = vm.agg(F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                       - F.col("cnt")).cast("long").alias("t"))
+    nd = F.col("n").cast("double")
+    z = ((F.col("w2p").cast("double") - nd * (F.col("n") + 1) / F.lit(2.0))
+         / F.sqrt(nd * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                  / F.lit(6.0)
+                  - F.col("t").cast("double") / F.lit(12.0)))
+    return (w.crossJoin(F.broadcast(tie))
+            .select(F.col("n").alias("n_pairs"),
+                    F.col("w2p").alias("w2_plus"),
+                    z.alias("z"),
+                    (F.abs(F.round(z * 1_000_000).cast("long"))
+                     > _WX_CRIT_W).alias("reject_equal")))
+
+
+@register(
+    "events_burstiness",
+    oracle="""
+    WITH s AS (SELECT epoch_us(ts) AS us, event_type AS et FROM events),
+    anchor AS (SELECT min(us) AS tmin FROM s),
+    h AS (SELECT et, (us - tmin) // 3600000000 AS hr
+          FROM s CROSS JOIN anchor),
+    span AS (SELECT max(hr) AS hmax FROM h),
+    grid AS (SELECT UNNEST(range(0, hmax + 1)) AS hr FROM span),
+    c AS (SELECT t.et, g.hr, CAST(COALESCE(x.c, 0) AS BIGINT) AS v
+          FROM grid g CROSS JOIN (SELECT DISTINCT et FROM h) t
+          LEFT JOIN (SELECT et, hr, COUNT(*) AS c FROM h
+                     GROUP BY 1, 2) x
+            ON x.et = t.et AND x.hr = g.hr),
+    fano AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                    SUM(CAST(v AS HUGEINT)) AS sv,
+                    SUM(CAST(v AS HUGEINT) * v) AS svv
+             FROM c GROUP BY et)
+    SELECT et AS event_type, n_hours,
+           CAST(sv AS BIGINT) AS n_events,
+           ((CAST(svv AS DOUBLE)
+             - CAST(sv AS DOUBLE) * (CAST(sv AS DOUBLE) / n_hours))
+            / (n_hours - 1))
+           / (CAST(sv AS DOUBLE) / n_hours) AS fano_factor,
+           (sqrt((CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE)
+                    * (CAST(sv AS DOUBLE) / n_hours))
+                 / (n_hours - 1))
+            - CAST(sv AS DOUBLE) / n_hours)
+           / (sqrt((CAST(svv AS DOUBLE)
+                    - CAST(sv AS DOUBLE)
+                      * (CAST(sv AS DOUBLE) / n_hours))
+                   / (n_hours - 1))
+              + CAST(sv AS DOUBLE) / n_hours) AS burstiness_b
+    FROM fano ORDER BY event_type
+    """,
+    description="burstiness profile per event type over the shared "
+                "anchored hour grid: the Fano factor (variance-to-"
+                "mean of hourly counts — 1 for Poisson, >1 "
+                "overdispersed) and the Goh-Barabasi burstiness "
+                "B = (sigma - mu)/(sigma + mu) of the count series "
+                "(-1 regular, 0 Poisson-like, ->1 bursty) — the "
+                "dispersion screen that says WHICH series need the "
+                "heavy drift/changepoint machinery (a Poisson-like "
+                "type doesn't). Zero-count grid hours are real "
+                "observations (the dense per-type grid), every "
+                "moment an exact 128-bit integer sum, both "
+                "statistics one fixed double tree. Scale shape: one "
+                "(type, hour) census; the grid frame is (types x "
+                "span)-bounded",
+    tags=("events", "stats", "timeseries"),
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(F.unix_micros("ts").alias("us"),
+                  F.col("event_type").alias("et"))
+    anchor = s.agg(F.min("us").alias("tmin"))
+    h = (s.crossJoin(F.broadcast(anchor))
+         .select("et", ((F.col("us") - F.col("tmin"))
+                        / F.lit(_HOUR_US)).cast("long").alias("hr")))
+    cnt = h.groupBy("et", "hr").agg(F.count(F.lit(1)).alias("c"))
+    grid = (h.agg(F.max("hr").alias("hmax"))
+            .select(F.explode(F.sequence(F.lit(0), F.col("hmax")))
+                    .alias("hr"))
+            .crossJoin(F.broadcast(h.select("et").distinct())))
+    c = (grid.join(cnt, ["et", "hr"], "left")
+         .select("et", "hr", F.coalesce("c", F.lit(0)).cast("long")
+                 .alias("v")))
+    d38 = "decimal(38,0)"
+    fano = (c.groupBy("et")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+                 F.sum(F.col("v").cast(d38)).alias("sv"),
+                 F.sum(F.col("v").cast(d38) * F.col("v")).alias("svv")))
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    mu = dd("sv") / F.col("n_hours")
+    var = (dd("svv") - dd("sv") * mu) / (F.col("n_hours") - 1)
+    sd = F.sqrt(var)
+    return (fano.select(F.col("et").alias("event_type"), "n_hours",
+                        F.col("sv").cast("long").alias("n_events"),
+                        (var / mu).alias("fano_factor"),
+                        ((sd - mu) / (sd + mu)).alias("burstiness_b"))
+            .orderBy("event_type"))

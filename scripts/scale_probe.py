@@ -318,6 +318,18 @@ FAMILIES["events"] += ["events_page_hinkley", "events_xcorr_types",
 FAMILIES["documents"] += ["corpus_ngram_novelty", "text_hapax_yule",
                           "quality_gate_mcnemar",
                           "multimodal_wav_energy"]
+# r11 additions: the TSA shelf + Kalman/POT/isotonic read events; PPR
+# reads the trade star; CDC + stylometry + framed WAV read documents;
+# the kNN vote reads embeddings
+FAMILIES["events"] += ["events_stl_decompose", "events_theil_sen",
+                       "events_lz_complexity", "stats_ljung_box",
+                       "stats_friedman_daily", "stats_permutation_mean",
+                       "events_kalman_level", "events_tail_pot",
+                       "feat_isotonic_calibration"]
+FAMILIES["trade"] += ["graph_ppr_trade"]
+FAMILIES["documents"] += ["dedup_cdc_chunks", "text_burrows_delta",
+                          "multimodal_wav_frames"]
+FAMILIES["embeddings"] += ["sim_knn_label_vote"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the

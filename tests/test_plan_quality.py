@@ -162,6 +162,9 @@ _BNLJ_OK = {
     # r11 wave 2: one-row moment-threshold frame crossed into the
     # scan (POT); bins^3-bounded minimax joins (isotonic)
     "events_tail_pot", "feat_isotonic_calibration",
+    # r11 wave 3: one-row tie-correction frame crossed into the W
+    # scalar; one-row anchor/span crossed into the per-type hour grid
+    "stats_wilcoxon_signed", "events_burstiness",
     # one-row G-test context crossed into the k=|types| report
     "dq_drift_report",
     # 4-row period frame + one-row moments crossed into the bounded
@@ -308,6 +311,9 @@ _SINGLE_PART_OK = {
     # r11 wave 2: one-row moment/threshold scalars; the <=10-bin
     # row_number window + bounded minimax frames
     "events_tail_pot", "feat_isotonic_calibration",
+    # r11 wave 3: one-row W/tie scalar aggregates; (types x span)
+    # bounded grid aggregate + constant-row final sort
+    "stats_wilcoxon_signed", "events_burstiness",
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "stats_levene_value", "dq_drift_report", "stats_runs_test",

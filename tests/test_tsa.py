@@ -320,3 +320,105 @@ def test_isotonic_monotone_and_matches_pava(spark):
     assert len(want) == len(iso)
     for a, b in zip(iso, want):
         assert abs(a - b) < 1e-12, (iso, want)
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    """phi_11 = r_1 by definition; deeper lags must be finite and the
+    Durbin-Levinson output must match a reference recursion run on the
+    registered ACF values."""
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    acf_rows = REGISTRY["events_acf"].fn(spark, SF_SMOKE).collect()
+    pacf = {}
+    for r in REGISTRY["events_pacf_yw"].fn(spark, SF_SMOKE).collect():
+        pacf.setdefault(r["event_type"], {})[r["lag"]] = r["pacf"]
+    rs: dict = {}
+    for r in acf_rows:
+        rs.setdefault(r["event_type"], {})[r["lag"]] = r["acf"]
+    for t, rr in rs.items():
+        r_ = [rr[k] for k in range(1, 6)]
+        # reference Durbin-Levinson
+        phi = {1: {1: r_[0]}}
+        for k in range(2, 6):
+            prev = phi[k - 1]
+            num = r_[k - 1] - sum(prev[j] * r_[k - 1 - j]
+                                  for j in range(1, k))
+            den = 1.0 - sum(prev[j] * r_[j - 1] for j in range(1, k))
+            pkk = num / den
+            phi[k] = {j: prev[j] - pkk * prev[k - j]
+                      for j in range(1, k)}
+            phi[k][k] = pkk
+        assert pacf[t][1] == r_[0], t
+        for k in range(2, 6):
+            assert abs(pacf[t][k] - phi[k][k]) < 1e-9, (t, k)
+
+
+def test_wilcoxon_reference_fold(spark):
+    """W2+, the tie term, and z recomputed in plain Python from the
+    per-user paired means must match exactly."""
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["stats_wilcoxon_signed"].fn(spark, SF_SMOKE) \
+        .collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    per: dict = {}
+    for r in ev:
+        if r["event_type"] in ("purchase", "view"):
+            a = per.setdefault(r["user_id"], {"pa": [], "vb": []})
+            key = "pa" if r["event_type"] == "purchase" else "vb"
+            a[key].append(round(r["value"] * 1e6))
+    diffs = []
+    for u, d in per.items():
+        if d["pa"] and d["vb"]:
+            dv = sum(d["pa"]) / len(d["pa"]) - sum(d["vb"]) / len(d["vb"])
+            if dv != 0.0:
+                diffs.append(dv)
+    n = len(diffs)
+    assert row["n_pairs"] == n
+    # midranks over |d| (doubled-integer form)
+    from collections import Counter
+    cnt = Counter(abs(d) for d in diffs)
+    r2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        cum += c
+        r2[v] = 2 * cum - c + 1
+    w2p = sum(r2[abs(d)] for d in diffs if d > 0)
+    assert row["w2_plus"] == w2p
+    t = sum(c ** 3 - c for c in cnt.values())
+    z = (w2p - n * (n + 1) / 2.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 6.0 - t / 12.0)
+    assert abs(row["z"] - z) < 1e-12
+    assert row["reject_equal"] == (abs(round(z * 1e6)) > 1_959_964)
+
+
+def test_burstiness_bounds_and_poisson_anchor(spark):
+    """Fano >= 0, B in (-1, 1); recompute both from the dense per-type
+    hourly grid."""
+    from collections import Counter
+
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    rows = {r["event_type"]: r for r in
+            REGISTRY["events_burstiness"].fn(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    us = [int(r["ts"].timestamp() * 1e6) for r in ev]
+    tmin = min(us)
+    hmax = max((u - tmin) // 3_600_000_000 for u in us)
+    per = Counter((r["event_type"],
+                   (int(r["ts"].timestamp() * 1e6) - tmin)
+                   // 3_600_000_000) for r in ev)
+    types = {r["event_type"] for r in ev}
+    for t in types:
+        vs = [per.get((t, h), 0) for h in range(hmax + 1)]
+        nh = len(vs)
+        mu = sum(vs) / nh
+        var = (sum(v * v for v in vs) - sum(vs) * mu) / (nh - 1)
+        got = rows[t]
+        assert got["n_hours"] == nh
+        assert got["n_events"] == sum(vs)
+        assert abs(got["fano_factor"] - var / mu) < 1e-9
+        sd = math.sqrt(var)
+        assert abs(got["burstiness_b"] - (sd - mu) / (sd + mu)) < 1e-9
+        assert -1 < got["burstiness_b"] < 1
