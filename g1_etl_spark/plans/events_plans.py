@@ -1490,8 +1490,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "driver-held offsets), then per-type prefixes are "
                 "recovered by subtracting the earlier types' grand "
                 "totals (a broadcast of one row per event type) — no "
-                "per-type single-task ordered window anywhere",
-    tags=("events", "window", "stats", "quality"),
+                "per-type single-task ordered window anywhere. The "
+                "O(1)-state streaming twin is streaming/stateful."
+                "streaming_cusum (batch trains the mean, the stream "
+                "monitors |cumulative deviation| + running max, "
+                "bit-equal per sealed event)",
+    tags=("events", "window", "stats", "quality", "streaming"),
 )
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.analytics import global_prefix_sums

@@ -1488,3 +1488,103 @@ def streaming_sax(events: DataFrame, moments: DataFrame,
                 stateStructType=_SAX_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+_CU_OUT = ("event_type string, event_id long, us long, "
+           "cum_dev_w long, max_abs_w long")
+_CU_STATE = ("m long, maxabs long, buf_us array<long>, "
+             "buf_id array<long>, buf_dev array<long>")
+
+
+def _advance_cusum(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Watermark-correct streaming CUSUM monitor per event type: the
+    committed state is TWO scaled longs — the cumulative deviation m
+    from the TRAINED mean and the running max of |m| — plus the
+    watermark-bounded unsealed buffer, O(1) per type. Each sealed
+    event applies m += dev; M = max(M, |m|) — pure integer
+    arithmetic, so every emitted row equals a batch grouped-prefix
+    fold over the same sealed prefix BIT-FOR-BIT (the
+    events_cusum_drift statistic's per-position numerator against a
+    fixed mean: the batch query's two-pass n*prefix - i*total form
+    equals prefix - i*mu scaled by n when mu = total/n is what the
+    stream was trained with). |m| seeds at the first sealed event
+    (there is no implicit position 0), mirroring the Page-Hinkley
+    seed convention (ADVICE r10)."""
+    (event_type,) = key
+    if state.exists:
+        g = state.get
+        m, maxabs = g[0], g[1]
+        bus, bid, bdev = list(g[2]), list(g[3]), list(g[4])
+    else:
+        m, maxabs = 0, 0
+        bus, bid, bdev = [], [], []
+    drained_on_entry = not bus
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for us, eid, dev in zip(pdf["us"], pdf["event_id"],
+                                    pdf["dev"]):
+                bus.append(int(us))
+                bid.append(int(eid))
+                bdev.append(int(dev))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    order = sorted(range(len(bus)), key=lambda i: (bus[i], bid[i]))
+    rows = []
+    consumed = []
+    for i in order:
+        if bus[i] > wm_us:
+            break
+        m += bdev[i]
+        a = m if m >= 0 else -m
+        if a > maxabs:
+            maxabs = a
+        rows.append({"event_type": event_type, "event_id": bid[i],
+                     "us": bus[i], "cum_dev_w": m,
+                     "max_abs_w": maxabs})
+        consumed.append(i)
+    for i in sorted(consumed, reverse=True):
+        del bus[i], bid[i], bdev[i]
+    if bus:
+        state.update((m, maxabs, bus, bid, bdev))
+        state.setTimeoutTimestamp(max(min(bus) // 1000 + 1,
+                                      state.getCurrentWatermarkMs() + 1))
+    elif state.hasTimedOut and drained_on_entry:
+        state.remove()
+    else:
+        state.update((m, maxabs, bus, bid, bdev))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + _STATE_RETAIN_MS)
+    yield pd.DataFrame(rows, columns=["event_type", "event_id", "us",
+                                      "cum_dev_w", "max_abs_w"])
+
+
+def streaming_cusum(events: DataFrame, mu: DataFrame,
+                    delay: str = "0 seconds") -> DataFrame:
+    """Streaming twin of the events_cusum_drift monitoring shape: the
+    batch pass LEARNS the per-type mean (muw, a pinned scaled long),
+    the stream maintains the cumulative deviation from it and the
+    running |max| in event-time order — emitting one row per sealed
+    event with both integers. Committed state is two longs per type;
+    every emitted value equals the batch grouped-prefix fold over the
+    same sealed prefix exactly (integer arithmetic end to end). The
+    change-POINT question (argmax position) stays batch; the stream
+    answers the monitoring question ('how far has the level drifted
+    from the trained baseline RIGHT NOW')."""
+    from pyspark.sql import functions as F
+
+    prepared = (events
+                .withWatermark("ts", delay)
+                .join(F.broadcast(mu), "event_type")
+                .select("event_type", "event_id",
+                        F.unix_micros("ts").alias("us"),
+                        (F.round(F.col("value") * 1_000_000)
+                         .cast("long") - F.col("muw")).alias("dev"),
+                        "ts"))
+    return (prepared
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _advance_cusum,
+                outputStructType=_CU_OUT,
+                stateStructType=_CU_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

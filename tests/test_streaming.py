@@ -1314,3 +1314,56 @@ def test_streaming_twin_recovers_from_checkpoint(spark, tmp_path, twin):
             f"clean={len(clean)} killed={len(killed)}")
     finally:
         shutil.rmtree(tmp_in, ignore_errors=True)
+
+
+def test_streaming_cusum_matches_batch_prefix_bitwise(spark):
+    """Every emitted (type, event) row's cumulative deviation and
+    running |max| must equal a sequential integer fold over the same
+    sealed prefix EXACTLY, with the trained per-type pinned mean
+    joined stream-static (the two-pass monitoring deployment)."""
+    from g1_etl_spark.streaming.stateful import streaming_cusum
+
+    tmp = str(TMP) + "_cusum"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _time_range_files(spark, tmp)
+        batch = spark.read.parquet(tmp)
+        d38 = "decimal(38,0)"
+        mu = (batch.select("event_type",
+                           F.round(F.col("value") * 1_000_000)
+                           .cast("long").alias("xw"))
+              .groupBy("event_type")
+              .agg(F.round(F.sum(F.col("xw").cast(d38)).cast("double")
+                           / F.count(F.lit(1))).cast("long")
+                   .alias("muw")))
+        stream = SW.read_events_stream(spark, tmp, 1)
+        q = SW.run_to_memory(streaming_cusum(stream, mu),
+                             "t_cusum", output_mode="append")
+        try:
+            rows = spark.sql("SELECT * FROM t_cusum").collect()
+        finally:
+            q.stop()
+        assert rows
+        mud = {r["event_type"]: r["muw"] for r in mu.collect()}
+        ev = batch.select("event_type", "event_id",
+                          F.unix_micros("ts").alias("us"),
+                          F.round(F.col("value") * 1_000_000)
+                          .cast("long").alias("xw")).collect()
+        from collections import defaultdict
+        series = defaultdict(list)
+        for r in ev:
+            series[r.event_type].append((r.us, r.event_id, r.xw))
+        want = {}
+        for t, evs in series.items():
+            evs.sort()
+            m, mx = 0, 0
+            for us, eid, xw in evs:
+                m += xw - mud[t]
+                mx = max(mx, abs(m))
+                want[(t, eid)] = (m, mx)
+        for r in rows:
+            assert want[(r.event_type, r.event_id)] \
+                == (r.cum_dev_w, r.max_abs_w), (r.event_type, r.event_id)
+        assert len(rows) >= len(ev) * 0.5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
