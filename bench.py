@@ -355,6 +355,10 @@ R11_ADD = [
     "stats_wilcoxon_signed",
     # Fano factor + Goh-Barabasi B per type over the hour grid
     "events_burstiness",
+    # DSIR importance weights (target-vs-raw unigram LM log ratio)
+    "corpus_dsir_weights",
+    # leakage-safe out-of-fold target encoding (5 md5 folds)
+    "feat_target_encoding_oof",
 ]
 HEADLINE = (R1_SET + R2_ADD + R3_ADD + R4_ADD + R5_ADD + R6_ADD + R7_ADD
             + R8_ADD + R9_ADD + R10_ADD + R11_ADD)

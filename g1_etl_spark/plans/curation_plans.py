@@ -884,3 +884,102 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                            nn.cast("double") / F.col("n_grams"))
                     .otherwise(F.lit(1.0)).alias("novelty"))
             .orderBy("doc_id"))
+
+
+_DSIR_TARGET = "src0"
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents),
+    dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+           FROM toks GROUP BY 1, 2),
+    raw AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr
+            FROM toks GROUP BY tok),
+    tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM toks WHERE source = '{_DSIR_TARGET}' GROUP BY tok),
+    dims AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+                    (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt,
+                    (SELECT COUNT(*) FROM raw) AS v),
+    lm AS (SELECT r.tok,
+                  CAST(round(ln((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+                               / (CAST(nt AS DOUBLE) + v)) * 1000000)
+                       AS BIGINT)
+                  - CAST(round(ln((CAST(r.cr + 1 AS DOUBLE))
+                                 / (CAST(nr AS DOUBLE) + v)) * 1000000)
+                         AS BIGINT) AS dw
+           FROM raw r LEFT JOIN tgt t USING (tok) CROSS JOIN dims),
+    per AS (SELECT dt.doc_id,
+                   CAST(SUM(dt.m) AS BIGINT) AS n_toks,
+                   CAST(SUM(CAST(dt.m AS HUGEINT) * lm.dw) AS BIGINT)
+                     AS lrw
+            FROM dt JOIN lm USING (tok)
+            GROUP BY dt.doc_id)
+    SELECT doc_id, n_toks,
+           CAST(lrw AS DOUBLE) / 1000000.0 AS log_ratio,
+           lrw > 0 AS selected
+    FROM per ORDER BY doc_id
+    """,
+    description=f"DSIR-style importance weights for data selection: "
+                f"every document scored by its log likelihood RATIO "
+                f"under an add-one-smoothed unigram LM of the target "
+                f"domain ('{_DSIR_TARGET}' docs) vs the raw corpus LM "
+                "— the importance-resampling selection signal (Xie "
+                "et al.'s DSIR shape with token features) that picks "
+                "'more like my target distribution' training data, "
+                "the principled upgrade over keyword filters. Every "
+                "per-token log term is PINNED to the 1e-6 grid (the "
+                "MI idiom), so each document's log-ratio is an EXACT "
+                "count-weighted 128-bit integer sum and the "
+                "selected flag an integer sign test. Scale shape: "
+                "one (doc, token) census + one vocabulary-keyed LM "
+                "join (inverted-index exchange class) + a per-doc "
+                "aggregate — no all-pairs, no driver state",
+    tags=("curation", "text", "ml", "scale"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from g1_etl_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source",
+                    F.explode(F.split(normalize_text(F.col("text")),
+                                      " ")).alias("tok"))
+    dt = (toks.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("cr"))
+    tgt = (toks.filter(F.col("source") == _DSIR_TARGET)
+           .groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                               .alias("ct")))
+    dims = (raw.agg(F.sum("cr").cast("long").alias("nr"),
+                    F.count(F.lit(1)).cast("long").alias("v"))
+            .crossJoin(F.broadcast(
+                tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long")
+                        .alias("nt")))))
+    lnw = lambda num, den: F.round(F.ln(num / den) * 1_000_000) \
+        .cast("long")  # noqa: E731
+    lm = (raw.join(tgt, "tok", "left").crossJoin(F.broadcast(dims))
+          .select("tok",
+                  (lnw((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                       .cast("double"),
+                       F.col("nt").cast("double") + F.col("v"))
+                   - lnw((F.col("cr") + 1).cast("double"),
+                         F.col("nr").cast("double") + F.col("v")))
+                  .alias("dw")))
+    d38 = "decimal(38,0)"
+    per = (dt.join(lm, "tok")
+           .groupBy("doc_id")
+           .agg(F.sum("m").cast("long").alias("n_toks"),
+                F.sum(F.col("m").cast(d38) * F.col("dw")).cast("long")
+                .alias("lrw")))
+    return (per.select("doc_id", "n_toks",
+                       (F.col("lrw").cast("double") / 1e6)
+                       .alias("log_ratio"),
+                       (F.col("lrw") > 0).alias("selected"))
+            .orderBy("doc_id"))

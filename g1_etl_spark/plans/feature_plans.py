@@ -1058,3 +1058,70 @@ def feat_isotonic_calibration(spark: SparkSession,
                     .alias("raw_rate"),
                     "iso_rate")
             .orderBy("bin"))
+
+
+_OOF_FOLDS = 5
+
+
+@register(
+    "feat_target_encoding_oof",
+    oracle=f"""
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(concat('0x', substr(md5(CAST(o.o_orderkey
+                                               AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_OOF_FOLDS} AS fold,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cw
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    pf AS (SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(cw AS HUGEINT)) AS BIGINT) AS sw
+           FROM s GROUP BY 1, 2),
+    tot AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS tn,
+                   CAST(SUM(sw) AS BIGINT) AS tsw
+            FROM pf GROUP BY seg)
+    SELECT pf.seg AS segment, pf.fold, pf.n AS n_rows,
+           CAST(tot.tsw - pf.sw AS DOUBLE)
+           / (tot.tn - pf.n) / 100.0 AS oof_encoding
+    FROM pf JOIN tot USING (seg)
+    ORDER BY segment, fold
+    """,
+    description=f"leakage-safe (out-of-fold) target encoding of "
+                f"market segment by mean order value: rows are "
+                f"assigned to {_OOF_FOLDS} deterministic folds by "
+                "md5(orderkey) parity, and each (segment, fold) "
+                "cell's encoding is the mean over the OTHER folds — "
+                "(total - fold) sums of exact cents — so no row's "
+                "target ever leaks into its own feature, the "
+                "train-time discipline plain feat_target_encoding "
+                "cannot provide (this is the encoding you'd actually "
+                "ship to a model). Exact integer sums, one double "
+                "division per cell. Scale shape: one grouped census "
+                "over (segment, fold) — 25 cells at any data size",
+    tags=("features", "ml", "sampling"),
+)
+def feat_target_encoding_oof(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (o.join(c, o.o_custkey == c.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 (F.conv(F.substring(F.md5(F.col("o_orderkey")
+                                           .cast("string")), 1, 8),
+                         16, 10).cast("long") % _OOF_FOLDS)
+                 .alias("fold"),
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cw")))
+    d38 = "decimal(38,0)"
+    pf = (s.groupBy("seg", "fold")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(F.col("cw").cast(d38)).cast("long").alias("sw")))
+    tot = (pf.groupBy("seg")
+           .agg(F.sum("n").cast("long").alias("tn"),
+                F.sum("sw").cast("long").alias("tsw")))
+    return (pf.join(tot, "seg")
+            .select(F.col("seg").alias("segment"), "fold",
+                    F.col("n").alias("n_rows"),
+                    ((F.col("tsw") - F.col("sw")).cast("double")
+                     / (F.col("tn") - F.col("n")) / F.lit(100.0))
+                    .alias("oof_encoding"))
+            .orderBy("segment", "fold"))

@@ -165,6 +165,9 @@ _BNLJ_OK = {
     # r11 wave 3: one-row tie-correction frame crossed into the W
     # scalar; one-row anchor/span crossed into the per-type hour grid
     "stats_wilcoxon_signed", "events_burstiness",
+    # r11 wave 4: one-row LM-dimension frame crossed into the
+    # vocabulary-keyed smoothing join
+    "corpus_dsir_weights",
     # one-row G-test context crossed into the k=|types| report
     "dq_drift_report",
     # 4-row period frame + one-row moments crossed into the bounded
@@ -314,6 +317,8 @@ _SINGLE_PART_OK = {
     # r11 wave 3: one-row W/tie scalar aggregates; (types x span)
     # bounded grid aggregate + constant-row final sort
     "stats_wilcoxon_signed", "events_burstiness",
+    # r11 wave 4: one-row LM totals (Nr, Nt, V) scalar aggregates
+    "corpus_dsir_weights",
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "stats_levene_value", "dq_drift_report", "stats_runs_test",

@@ -422,3 +422,79 @@ def test_burstiness_bounds_and_poisson_anchor(spark):
         sd = math.sqrt(var)
         assert abs(got["burstiness_b"] - (sd - mu) / (sd + mu)) < 1e-9
         assert -1 < got["burstiness_b"] < 1
+
+
+def test_dsir_weights_reference(spark):
+    """Log-ratios recomputed from plain-Python LM counts must match
+    the pinned-integer plan exactly, and target-domain docs must score
+    higher on average than the corpus at large."""
+    import re
+    from collections import Counter
+
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    got = {r["doc_id"]: r for r in
+           REGISTRY["corpus_dsir_weights"].fn(spark, SF_SMOKE)
+           .collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    toks = {}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for d in docs:
+        ws = re.sub(r"\s+", " ", d["text"].strip().lower()).split(" ")
+        toks[d["doc_id"]] = ws
+        raw.update(ws)
+        if d["source"] == "src0":
+            tgt.update(ws)
+    nr, nt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    import math as _m
+    dw = {t: (round(_m.log((tgt.get(t, 0) + 1) / (nt + v)) * 1e6)
+              - round(_m.log((c + 1) / (nr + v)) * 1e6))
+          for t, c in raw.items()}
+    means = {True: [], False: []}
+    for d in docs:
+        lrw = sum(dw[t] for t in toks[d["doc_id"]])
+        assert got[d["doc_id"]]["log_ratio"] == lrw / 1e6, d["doc_id"]
+        assert got[d["doc_id"]]["selected"] == (lrw > 0)
+        means[d["source"] == "src0"].append(lrw)
+    assert (sum(means[True]) / len(means[True])
+            > sum(means[False]) / len(means[False]))
+
+
+def test_oof_encoding_never_leaks(spark):
+    """Each (segment, fold) encoding must equal the mean over the
+    OTHER folds — recomputed independently — and differ from the
+    all-rows mean whenever the fold is non-empty."""
+    from collections import defaultdict
+
+    from g1_etl_spark.plans.registry import REGISTRY
+
+    got = {(r["segment"], r["fold"]): r for r in
+           REGISTRY["feat_target_encoding_oof"].fn(spark, SF_SMOKE)
+           .collect()}
+    import hashlib
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    c = {r["c_custkey"]: r["c_mktsegment"] for r in
+         spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()}
+    cells = defaultdict(lambda: [0, 0])
+    for r in o:
+        seg = c.get(r["o_custkey"])
+        if seg is None:
+            continue
+        h = int(hashlib.md5(str(r["o_orderkey"]).encode())
+                .hexdigest()[:8], 16) % 5
+        cw = round(r["o_totalprice"] * 100)
+        cells[(seg, h)][0] += cw
+        cells[(seg, h)][1] += 1
+    segs = {s for s, _ in cells}
+    for s in segs:
+        tsw = sum(cells[(s, f)][0] for f in range(5) if (s, f) in cells)
+        tn = sum(cells[(s, f)][1] for f in range(5) if (s, f) in cells)
+        for f in range(5):
+            if (s, f) not in cells:
+                continue
+            sw, n = cells[(s, f)]
+            want = (tsw - sw) / (tn - n) / 100.0
+            assert got[(s, f)]["oof_encoding"] == want, (s, f)
+            assert got[(s, f)]["n_rows"] == n
