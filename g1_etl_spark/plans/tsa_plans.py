@@ -44,17 +44,21 @@ _HOUR_US = 3_600_000_000
 
 def _hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(hr, v): dense hourly event-count grid anchored at min(ts) —
-    the Spark twin of _GRID_CTES (same shape as events_sax_symbols)."""
+    the Spark twin of _GRID_CTES (same values as events_sax_symbols'
+    grid). The (tmin, tmax) pair is collected as one-row METADATA
+    (the pagerank-n class) so the whole grid costs ONE data-sized
+    scan (the hour census) instead of three; hmax = trunc((tmax -
+    tmin) / hour) equals max over events of the per-row double
+    division because rounding a monotone sequence stays monotone."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.select(F.unix_micros("ts").alias("us"))
-    anchor = s.agg(F.min("us").alias("tmin"))
-    h = (s.crossJoin(F.broadcast(anchor))
-         .select(((F.col("us") - F.col("tmin")) / F.lit(_HOUR_US))
-                 .cast("long").alias("hr")))
+    r = s.agg(F.min("us"), F.max("us")).collect()[0]
+    tmin = int(r[0])
+    hmax = int((int(r[1]) - tmin) / _HOUR_US)
+    h = s.select(((F.col("us") - F.lit(tmin)) / F.lit(_HOUR_US))
+                 .cast("long").alias("hr"))
     cnt = h.groupBy("hr").agg(F.count(F.lit(1)).alias("c"))
-    grid = (h.agg(F.max("hr").alias("hmax"))
-            .select(F.explode(F.sequence(F.lit(0), F.col("hmax")))
-                    .alias("hr")))
+    grid = spark.range(0, hmax + 1).select(F.col("id").alias("hr"))
     return (grid.join(cnt, "hr", "left")
             .select("hr", F.coalesce("c", F.lit(0)).cast("long")
                     .alias("v")))
@@ -359,9 +363,15 @@ def stats_friedman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d0 = ev.select(F.to_date("ts").alias("d"),
                    F.col("event_type").alias("t"))
-    days = d0.select("d").distinct()
-    types = d0.select("t").distinct()
-    cnts = d0.groupBy("d", "t").agg(F.count(F.lit(1)).alias("c"))
+    # ONE data-sized census; every later frame (day list, type list,
+    # dense grid, b/k scalars) derives from this bounded checkpoint —
+    # the first cut re-derived days/types/dims from the raw scan and
+    # paid FIVE full scans (100x probe: 115 s; this form re-reads the
+    # ~days*types-row census instead)
+    cnts = (d0.groupBy("d", "t").agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True))
+    days = cnts.select("d").distinct()
+    types = cnts.select("t").distinct()
     g = (days.crossJoin(F.broadcast(types))
          .join(cnts, ["d", "t"], "left")
          .select("d", "t", F.coalesce("c", F.lit(0)).cast("long")

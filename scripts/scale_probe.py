@@ -330,6 +330,11 @@ FAMILIES["trade"] += ["graph_ppr_trade"]
 FAMILIES["documents"] += ["dedup_cdc_chunks", "text_burrows_delta",
                           "multimodal_wav_frames"]
 FAMILIES["embeddings"] += ["sim_knn_label_vote"]
+FAMILIES["events"] += ["events_kalman_level", "events_tail_pot",
+                       "events_pacf_yw", "stats_wilcoxon_signed",
+                       "events_burstiness"]
+FAMILIES["documents"] += ["corpus_dsir_weights"]
+FAMILIES["trade"] += ["feat_target_encoding_oof"]
 
 # Queries whose first run per sf_dir pays a one-time LAYOUT write
 # (sources/maintenance.ensure_bucketed_table). The probe warms the
