@@ -1326,7 +1326,10 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = S.brute_force_topk(emb, queries, k=_K)
     lab = emb.select(F.col("vec_id").alias("neighbor_id"),
                      F.col("label").alias("nl"))
-    votes = (topk.join(F.broadcast(lab), "neighbor_id")
+    # label lookup: the TOP-K side is the tiny one (queries x k rows);
+    # no hint on the sf-scaled label frame — AQE broadcasts the small
+    # side at runtime (hinting `lab` would ship the whole corpus)
+    votes = (topk.join(lab, "neighbor_id")
              .groupBy("q_id", "nl")
              .agg(F.count(F.lit(1)).cast("long").alias("c")))
     win = (votes.groupBy("q_id")

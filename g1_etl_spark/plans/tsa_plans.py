@@ -1100,15 +1100,19 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = ev.select(F.unix_micros("ts").alias("us"),
                   F.col("event_type").alias("et"))
-    anchor = s.agg(F.min("us").alias("tmin"))
-    h = (s.crossJoin(F.broadcast(anchor))
-         .select("et", ((F.col("us") - F.col("tmin"))
-                        / F.lit(_HOUR_US)).cast("long").alias("hr")))
-    cnt = h.groupBy("et", "hr").agg(F.count(F.lit(1)).alias("c"))
-    grid = (h.agg(F.max("hr").alias("hmax"))
-            .select(F.explode(F.sequence(F.lit(0), F.col("hmax")))
-                    .alias("hr"))
-            .crossJoin(F.broadcast(h.select("et").distinct())))
+    # (tmin, hmax) as one-row metadata + ONE data-sized census; the
+    # type list derives from the checkpointed bounded census (the
+    # _hour_grid shape — no broadcast hint ever sits over an
+    # sf-scaled scan)
+    r = s.agg(F.min("us"), F.max("us")).collect()[0]
+    tmin = int(r[0])
+    hmax = int((int(r[1]) - tmin) / _HOUR_US)
+    h = s.select("et", ((F.col("us") - F.lit(tmin)) / F.lit(_HOUR_US))
+                 .cast("long").alias("hr"))
+    cnt = (h.groupBy("et", "hr").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))  # bounded: types x span
+    grid = (spark.range(0, hmax + 1).select(F.col("id").alias("hr"))
+            .crossJoin(F.broadcast(cnt.select("et").distinct())))
     c = (grid.join(cnt, ["et", "hr"], "left")
          .select("et", "hr", F.coalesce("c", F.lit(0)).cast("long")
                  .alias("v")))
