@@ -869,19 +869,26 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.curation import word_ngram_hashes
 
     d = load_table(spark, sf_dir, "documents")
-    g = d.select("doc_id",
-                 word_ngram_hashes(F.col("text"), 5).alias("gs"))
-    sizes = g.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
-    first = (g.select("doc_id", F.explode("gs").alias("gk"))
-             .groupBy("gk").agg(F.min("doc_id").alias("first_doc")))
+    # One explode of per-doc DISTINCT gram hashes feeds both censuses:
+    # n_grams = per-doc instance count, n_novel = per-gram min-doc
+    # credit re-aggregated by doc. Measured at sf0.1 (min-of-3, noop):
+    # this shape 3.6 s vs 13.5 s for the keep-the-array form (F.size
+    # over the materialized array made the whole gram computation a
+    # second full pass) and 8.25 s for the r10 string-gram join-back.
+    gg = d.select("doc_id", F.explode(
+        word_ngram_hashes(F.col("text"), 5)).alias("gk"))
+    first = gg.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
     novel = (first.groupBy(F.col("first_doc").alias("doc_id"))
              .agg(F.count(F.lit(1)).cast("long").alias("n_novel")))
-    per = sizes.join(novel, "doc_id", "left")
+    sizes = (gg.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_grams")))
+    ng = F.coalesce("n_grams", F.lit(0)).cast("long")
     nn = F.coalesce("n_novel", F.lit(0)).cast("long")
-    return (per
-            .select("doc_id", F.col("n_grams"), nn.alias("n_novel"),
-                    F.when(F.col("n_grams") > 0,
-                           nn.cast("double") / F.col("n_grams"))
+    return (d.select("doc_id")
+            .join(sizes, "doc_id", "left")
+            .join(novel, "doc_id", "left")
+            .select("doc_id", ng.alias("n_grams"), nn.alias("n_novel"),
+                    F.when(ng > 0, nn.cast("double") / ng)
                     .otherwise(F.lit(1.0)).alias("novelty"))
             .orderBy("doc_id"))
 
