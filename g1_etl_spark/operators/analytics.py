@@ -180,6 +180,7 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
                         order_cols: list,
                         sums: dict[str, str] | None = None,
                         mins: dict[str, str] | None = None,
+                        min_of_sums: dict[str, str] | None = None,
                         partitions: int | None = None) -> DataFrame:
     """Per-GROUP inclusive running SUMs/MINs over a total order within
     each group — :func:`global_prefix_sums_with_totals` generalized to
@@ -197,6 +198,14 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
     at combine time). `order_cols` must tie-break to a total order
     within each group.
 
+    `min_of_sums` maps out_col -> an out_col of `sums`, emitting the
+    running MIN of that running sum IN THE SAME PASS (r11): the local
+    window tracks min-over-local-prefix and the driver carry composes
+    it with the sum carry (min(M_prev, S_prev + local_min)) — exact
+    integers, identical to feeding the sum output through a second
+    grouped_prefix_aggs call, for one repartition + one ordered pass
+    instead of two (the Page-Hinkley excursion shape).
+
     INTEGER-ONLY CONTRACT (ADVICE r10 #4): every value column must be
     an integral type — the driver carries pass through ``int(t)`` and
     all outputs cast to long, so a double/decimal value column would
@@ -207,6 +216,7 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
     n = partitions or spark.sparkContext.defaultParallelism
     sums = sums or {}
     mins = mins or {}
+    min_of_sums = min_of_sums or {}
     items = ([(o, v, "sum") for o, v in sums.items()]
              + [(o, v, "min") for o, v in mins.items()])
     _integral = {"tinyint", "smallint", "int", "bigint"}
@@ -218,19 +228,43 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
             "grouped_prefix_aggs carries exact integer state; "
             f"non-integral value columns would be truncated: {bad}. "
             "Scale to a long (e.g. round(x * 1e6).cast('long')) first.")
+    sum_idx = {o: i for i, (o, _, k) in enumerate(items) if k == "sum"}
+    mos = list(min_of_sums.items())  # (out_col, sum_out_col)
+    for o, so in mos:
+        if so not in sum_idx:
+            raise ValueError(f"min_of_sums target {so!r} is not a "
+                             f"sums output column ({sorted(sum_idx)})")
     keys = [*group_cols, *order_cols]
     parts = (df.repartitionByRange(n, *keys)
              .withColumn("_pid", F.spark_partition_id())
              .localCheckpoint())  # freeze pid assignment
-    agg_rows = parts.groupBy("_pid", *group_cols).agg(
+    w = (W.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = parts
+    for i, (_, v, k) in enumerate(items):
+        out = out.withColumn(
+            f"_cl{i}", (F.sum(v) if k == "sum" else F.min(v)).over(w))
+    for j, (_, so) in enumerate(mos):
+        # running min over the LOCAL running sum (same sort order, so
+        # no extra exchange); must be a separate projection step
+        out = out.withColumn(
+            f"_cm{j}", F.min(F.col(f"_cl{sum_idx[so]}")).over(w))
+    if mos:
+        # the carry collect below and the final join would otherwise
+        # each evaluate the ordered window pass
+        out = out.localCheckpoint()
+    agg_src = out if mos else parts
+    agg_rows = agg_src.groupBy("_pid", *group_cols).agg(
         *((F.sum(v) if k == "sum" else F.min(v)).alias(f"_t{i}")
-          for i, (_, v, k) in enumerate(items))).collect()
+          for i, (_, v, k) in enumerate(items)),
+        *(F.min(F.col(f"_cl{sum_idx[so]}")).alias(f"_tm{j}")
+          for j, (_, so) in enumerate(mos))).collect()
     run: dict = {}
     offsets = []
     for r in sorted(agg_rows, key=lambda r: r["_pid"]):
         g = tuple(r[c] for c in group_cols)
         st = run.get(g, [0 if k == "sum" else None
-                         for (_, _, k) in items])
+                         for (_, _, k) in items] + [None] * len(mos))
         offsets.append((r["_pid"], *g, *st))
         new = []
         for i, (_, _, k) in enumerate(items):
@@ -240,6 +274,16 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
             else:
                 cands = [x for x in (st[i], t) if x is not None]
                 new.append(min(cands) if cands else None)
+        for j, (_, so) in enumerate(mos):
+            # min-of-global-prefix so far: compose the pre-partition
+            # sum carry with this partition's local min-of-prefix
+            lm = r[f"_tm{j}"]
+            prev = st[len(items) + j]
+            if lm is None:
+                new.append(prev)
+            else:
+                cand = st[sum_idx[so]] + int(lm)
+                new.append(cand if prev is None else min(prev, cand))
         run[g] = new
     gtypes = dict(zip(df.schema.names,
                       (f.dataType.simpleString() for f in df.schema)))
@@ -247,14 +291,8 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
                   + ", ".join(f"{c} {gtypes[c]}" for c in group_cols)
                   + ", "
                   + ", ".join(f"_off{i} BIGINT"
-                              for i in range(len(items))))
+                              for i in range(len(items) + len(mos))))
     off_df = spark.createDataFrame(offsets, off_schema)
-    w = (W.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    out = parts
-    for i, (_, v, k) in enumerate(items):
-        out = out.withColumn(
-            f"_cl{i}", (F.sum(v) if k == "sum" else F.min(v)).over(w))
     out = out.join(F.broadcast(off_df), ["_pid", *group_cols])
     for i, (o, _, k) in enumerate(items):
         if k == "sum":
@@ -265,6 +303,14 @@ def grouped_prefix_aggs(df: DataFrame, group_cols: list,
                 o, F.least(F.col(f"_cl{i}"),
                            F.coalesce(F.col(f"_off{i}"),
                                       F.col(f"_cl{i}"))).cast("long"))
-    drop = ["_pid"] + [c for i in range(len(items))
-                       for c in (f"_cl{i}", f"_off{i}")]
+    for j, (o, so) in enumerate(mos):
+        local = F.col(f"_cm{j}") + F.col(f"_off{sum_idx[so]}")
+        out = out.withColumn(
+            o, F.least(local,
+                       F.coalesce(F.col(f"_off{len(items) + j}"),
+                                  local)).cast("long"))
+    drop = (["_pid"]
+            + [f"_cl{i}" for i in range(len(items))]
+            + [f"_off{i}" for i in range(len(items) + len(mos))]
+            + [f"_cm{j}" for j in range(len(mos))])
     return out.drop(*drop)

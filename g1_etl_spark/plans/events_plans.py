@@ -2422,11 +2422,12 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("event_type", "event_id", "us",
                    (F.col("xw") - F.col("muw") - F.lit(_PH_DELTA_W))
                    .alias("d")))
+    # one-pass running sum + running min-of-sum (r11): identical exact
+    # integers to the former two-call chain, one repartition + one
+    # ordered pass instead of two
     pm = grouped_prefix_aggs(dev, ["event_type"], ["us", "event_id"],
-                             sums={"m": "d"})
-    ex = grouped_prefix_aggs(pm, ["event_type"], ["us", "event_id"],
-                             mins={"mm": "m"})
-    ex = ex.select("event_type", "us",
+                             sums={"m": "d"}, min_of_sums={"mm": "m"})
+    ex = pm.select("event_type", "us",
                    (F.col("m") - F.col("mm")).alias("exc"))
     alarm = F.col("exc") > _PH_LAMBDA_W
     agg = (ex.groupBy("event_type")

@@ -1264,12 +1264,17 @@ def test_grouped_prefix_aggs_matches_pure_python(spark):
     rows = [(g, i, rng.randint(-50, 50))
             for g in ("a", "b", "c") for i in range(500)]
     df = spark.createDataFrame(rows, "g string, i long, v long")
-    # running-min of the running-sum needs two passes (the min input
-    # must already exist) — exactly like events_page_hinkley does
+    # running-min of the running-sum, both as the pre-r11 two-call
+    # chain and as the r11 one-pass min_of_sums form — both must match
+    # the sequential fold exactly (events_page_hinkley's shape)
     out = grouped_prefix_aggs(df, ["g"], ["i"], sums={"cum": "v"})
     out = grouped_prefix_aggs(out, ["g"], ["i"], mins={"cmin": "cum"})
     got = {(r["g"], r["i"]): (r["cum"], r["cmin"])
            for r in out.collect()}
+    one = grouped_prefix_aggs(df, ["g"], ["i"], sums={"cum": "v"},
+                              min_of_sums={"cmin": "cum"})
+    got_one = {(r["g"], r["i"]): (r["cum"], r["cmin"])
+               for r in one.collect()}
     for g in ("a", "b", "c"):
         run, mn = 0, None
         seq = [v for (gg, i, v) in rows if gg == g]
@@ -1277,6 +1282,7 @@ def test_grouped_prefix_aggs_matches_pure_python(spark):
             run += v
             mn = run if mn is None else min(mn, run)
             assert got[(g, i)] == (run, mn), (g, i)
+            assert got_one[(g, i)] == (run, mn), (g, i)
 
 
 def test_grouped_prefix_aggs_rejects_nonintegral_values(spark):
