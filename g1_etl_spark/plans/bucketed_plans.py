@@ -218,7 +218,10 @@ def _pagerank_bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative", "scale"),
 )
 def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from g1_etl_spark.operators.graph import pagerank
+    # census on the bucketed layout; iterations via the same bounded-
+    # alphabet fold as graph_pagerank_trade (r11 — values unchanged)
+    from g1_etl_spark.operators.folded import bounded_graph_row
+    from g1_etl_spark.plans.graph_plans import _folded_pagerank
 
     edges = _pagerank_bucketed_edges(spark, sf_dir)
     outw = (edges.groupBy("src")
@@ -226,13 +229,14 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")).cast("double") / 1_000_000)
                  .alias("_ow")))
     e = edges.join(outw, "src").select(
-        "src", "dst", (F.col("weight") / F.col("_ow")).alias("weight"))
+        "src", "dst", (F.col("weight") / F.col("_ow")).alias("frac"))
     n = load_table(spark, sf_dir, "nation")
     nodes = n.select(F.col("n_name").alias("nation"))
-    pr = pagerank(nodes, e, iters=_ITERS, damping=_D,
-                  id_col="nation", src_col="src", dst_col="dst",
-                  weight_col="weight", normalized=True)
-    return pr.orderBy("nation")
+    nn = nodes.count()  # graph metadata scalar
+    row = bounded_graph_row(nodes, "nation", e, ["src", "dst", "frac"])
+    return (_folded_pagerank(row, nn)
+            .select(F.col("_id").alias("nation"), "rank")
+            .orderBy("nation"))
 
 
 @register(

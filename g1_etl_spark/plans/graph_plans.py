@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
+from g1_etl_spark.operators.folded import (bind, bounded_graph_row,
+                                           in_adjacency, iterate)
 from g1_etl_spark.operators.graph import (PR_SCALE, bfs_closure, pagerank,
                                           triangle_count,
                                           triangle_count_degree)
@@ -100,6 +102,63 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double") / 1_000_000).alias("weight")))
 
 
+def _normalized_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, frac): trade edges with out-weight-normalized
+    fractions; outw folds through scaled longs to mirror the oracle."""
+    edges = _trade_edges(spark, sf_dir)
+    outw = (edges.groupBy("src")
+            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
+                        .cast("long")).cast("double") / 1_000_000)
+                 .alias("_ow")))
+    return edges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("_ow")).alias("frac"))
+
+
+def _folded_pagerank(row: DataFrame, nn: int, iters: int = _ITERS,
+                     damping: float = _D, teleport_id=None) -> DataFrame:
+    """PageRank over a bounded_graph_row frame as ONE fold expression
+    (operators/folded docstring): per-edge arithmetic is the exact
+    expression tree of operators/graph.pagerank — round(rank*frac*1e12)
+    summed as BIGINT, /1e12, damped — so the fixed point is
+    bit-identical to both the distributed loop and the unrolled-CTE
+    oracle. Returns (_id, rank) rows, one per alphabet id."""
+    ids, ed = F.col("ids"), F.col("edges")
+
+    if teleport_id is None:
+        def seed(v):
+            return F.lit(1.0 / nn)
+
+        def base(v):
+            return F.lit((1.0 - damping) / nn)
+    else:
+        def seed(v):
+            return F.when(v == teleport_id,
+                          F.lit(1.0)).otherwise(F.lit(0.0))
+
+        def base(v):
+            return F.when(v == teleport_id,
+                          F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+
+    def build(inm):
+        def contrib(m, v):
+            return F.aggregate(
+                F.element_at(inm, v), F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.round(F.element_at(m, g["src"]) * g["frac"]
+                          * PR_SCALE).cast("long"))
+
+        def step(m, _k):
+            return F.map_from_arrays(ids, F.transform(ids, lambda v:
+                base(v) + F.lit(damping)
+                * (contrib(m, v).cast("double") / PR_SCALE)))
+
+        m0 = F.map_from_arrays(ids, F.transform(ids, seed))
+        return iterate(iters, m0, step)
+
+    fin = bind(in_adjacency(ids, ed, "dst"), build)
+    return row.select(F.explode(fin).alias("_id", "rank"))
+
+
 @register(
     "graph_pagerank_trade",
     oracle=_PAGERANK_SQL,
@@ -112,20 +171,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded): the data-sized stage is
+    # the edge census; the 10 nation-bounded iterations run as one
+    # expression instead of 40+ tiny scheduled stages. The distributed
+    # loop (operators/graph.pagerank, used by graph_pagerank_bucketed's
+    # census twin before r11) remains the at-scale form for data-sized
+    # vertex sets; values are bit-identical (same scaled-long tree).
     n = load_table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir)
-    # outw must also fold through scaled longs to mirror the oracle
-    outw = (edges.groupBy("src")
-            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
-                        .cast("long")).cast("double") / 1_000_000)
-                 .alias("_ow")))
-    e = edges.join(outw, "src").select(
-        "src", "dst", (F.col("weight") / F.col("_ow")).alias("weight"))
+    e = _normalized_trade_edges(spark, sf_dir)
     nodes = n.select(F.col("n_name").alias("nation"))
-    pr = pagerank(nodes, e, iters=_ITERS, damping=_D, id_col="nation",
-                  src_col="src", dst_col="dst", weight_col="weight",
-                  normalized=True)
-    return pr.orderBy("nation")
+    nn = nodes.count()  # graph metadata scalar, as before
+    row = bounded_graph_row(nodes, "nation", e, ["src", "dst", "frac"])
+    return (_folded_pagerank(row, nn)
+            .select(F.col("_id").alias("nation"), "rank")
+            .orderBy("nation"))
 
 
 _EDGES_CTE = """
@@ -404,6 +463,32 @@ def kcore_hindex_iteration(dirp: DataFrame, c: DataFrame) -> DataFrame:
 
 
 
+def _sparsified_dirp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v): both directions of the deduped undirected sparsified
+    trade graph — the shared k-core / LPA edge frame."""
+    e = _sparsified_top3(spark, sf_dir)
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
+           .select("a", "b"))
+    return (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(und.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v")))
+            # bounded (<= 2 * |nations|^2 rows); consumed THREE times by
+            # the fold build (node ids, edge array, and the node-census
+            # distinct) -- without this the data-sized sparsification
+            # census runs once per consumer (no CSE across subtrees)
+            .localCheckpoint(eager=True))
+
+
+def _neighbor_map(ids, ed):
+    """map: node -> array of neighbor ids over the folded (u, v)
+    edge array (bind-hoist at the call site)."""
+    return F.map_from_arrays(ids, F.transform(
+        ids, lambda u: F.transform(
+            F.filter(ed, lambda g: g["u"] == u), lambda g: g["v"])))
+
+
 @register(
     "graph_kcore_trade",
     oracle=_KCORE_SQL,
@@ -432,24 +517,41 @@ def kcore_hindex_iteration(dirp: DataFrame, c: DataFrame) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _sparsified_top3(spark, sf_dir)
-    und = (e.select(F.least("src", "dst").alias("a"),
-                    F.greatest("src", "dst").alias("b"))
-           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
-           .select("a", "b"))
-    dirp = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionByName(und.select(F.col("b").alias("u"),
-                                    F.col("a").alias("v")))
-            .localCheckpoint())  # reused every iteration
-    c = dirp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    deg = c
-    for k in range(_KCORE_ITERS):
-        c = (kcore_hindex_iteration(dirp, c)
-             .localCheckpoint())  # truncate the iterative lineage
-    return (deg.select(F.col("u").alias("nation"),
-                       F.col("c").alias("degree"))
-            .join(c.select(F.col("u").alias("nation"),
-                           F.col("c").alias("core")), "nation")
+    # Bounded-alphabet fold (operators/folded): the h-index refinement
+    # max_h(>= h neighbors at >= h) depends only on the MULTISET of
+    # neighbor values, so the sort-desc + least(rank, value) fold here
+    # equals kcore_hindex_iteration's ranked-window form exactly
+    # (all-integer state; that operator remains the at-scale form).
+    dirp = _sparsified_dirp(spark, sf_dir)
+    nodes = dirp.select("u").distinct()
+    row = bounded_graph_row(nodes, "u", dirp, ["u", "v"])
+    ids, ed = F.col("ids"), F.col("edges")
+
+    def build(nbm):
+        deg = F.map_from_arrays(ids, F.transform(
+            ids, lambda u: F.size(F.element_at(nbm, u)).cast("long")))
+
+        def step(m, _k):
+            def h(u):
+                ncs = F.transform(F.element_at(nbm, u),
+                                  lambda v: F.element_at(m, v))
+                return bind(
+                    F.reverse(F.array_sort(ncs)),
+                    lambda srt: F.array_max(F.transform(
+                        srt, lambda x, i: F.least((i + 1).cast("long"),
+                                                  x))).cast("long"))
+            return F.map_from_arrays(ids, F.transform(ids, h))
+
+        return bind(deg, lambda dm: F.struct(
+            dm.alias("deg"),
+            iterate(_KCORE_ITERS, dm, step).alias("core")))
+
+    fin = bind(_neighbor_map(ids, ed), build)
+    return (row.select(F.explode(fin["deg"]).alias("nation", "degree"),
+                       fin["core"].alias("_c"))
+            .select("nation", "degree",
+                    F.element_at(F.col("_c"), F.col("nation"))
+                    .alias("core"))
             .orderBy("nation"))
 
 
@@ -515,6 +617,30 @@ _SSSP_SQL = ("WITH " + _GRAPH_CTES + f""",
 """)
 
 
+def _minplus_cost_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cw): -round(ln(frac)*1e6) BIGINT min-plus costs over
+    the normalized trade edges, self-loops dropped."""
+    return (_normalized_trade_edges(spark, sf_dir)
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst",
+                    (-F.round(F.ln(F.col("frac")) * 1_000_000))
+                    .cast("long").alias("cw")))
+
+
+def _folded_minplus_step(ids, inm):
+    """One synchronous min-plus relaxation over the folded in-edge
+    adjacency: new d(v) = min(d(v), min over in-edges of d(src) + cw)
+    — the exact BIGINT fold of operators/graph.minplus_sssp,
+    order-free."""
+    def step(m, _k):
+        return F.map_from_arrays(
+            ids, F.transform(ids, lambda v: F.aggregate(
+                F.element_at(inm, v), F.element_at(m, v),
+                lambda acc, g: F.least(
+                    acc, F.element_at(m, g["src"]) + g["cw"]))))
+    return step
+
+
 @register(
     "graph_sssp_trade",
     oracle=_SSSP_SQL,
@@ -540,27 +666,27 @@ _SSSP_SQL = ("WITH " + _GRAPH_CTES + f""",
     tags=("graph", "iterative"),
 )
 def graph_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded; graph_pagerank_trade
+    # comment): all-BIGINT min-plus, bit-identical to minplus_sssp
+    # (operators/graph), which remains the at-scale semi-naive form.
     n = load_table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir)
-    outw = (edges.groupBy("src")
-            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
-                        .cast("long")).cast("double") / 1_000_000)
-                 .alias("_ow")))
-    ec = (edges.join(outw, "src")
-          .filter(F.col("src") != F.col("dst"))
-          .select("src", "dst",
-                  (-F.round(F.ln(F.col("weight") / F.col("_ow"))
-                            * 1_000_000)).cast("long").alias("cw"))
-          .localCheckpoint())  # bounded edge list, reused every round
-    d = minplus_sssp(n.select(F.col("n_name").alias("id")), ec,
-                     _SSSP_SRC, iters=_SSSP_ITERS, inf=_SSSP_INF)
-    return (d.select(
-        F.col("id").alias("nation"), F.col("d").alias("cost_w"),
-        F.when(F.col("d") < _SSSP_INF,
-               F.col("d").cast("double") / 1_000_000)
-        .otherwise(F.lit(-1.0)).alias("cost_nats"),
-        (F.col("d") < _SSSP_INF).alias("reached"))
-        .orderBy("nation"))
+    ec = _minplus_cost_edges(spark, sf_dir)
+    nodes = n.select(F.col("n_name").alias("id"))
+    row = bounded_graph_row(nodes, "id", ec, ["src", "dst", "cw"])
+    ids, ed = F.col("ids"), F.col("edges")
+    m0 = F.map_from_arrays(ids, F.transform(ids, lambda v: F.when(
+        v == _SSSP_SRC, F.lit(0)).otherwise(F.lit(_SSSP_INF))
+        .cast("long")))
+    fin = bind(in_adjacency(ids, ed, "dst"), lambda inm:
+               iterate(_SSSP_ITERS, m0, _folded_minplus_step(ids, inm)))
+    return (row.select(F.explode(fin).alias("nation", "_d"))
+            .select(
+                "nation", F.col("_d").alias("cost_w"),
+                F.when(F.col("_d") < _SSSP_INF,
+                       F.col("_d").cast("double") / 1_000_000)
+                .otherwise(F.lit(-1.0)).alias("cost_nats"),
+                (F.col("_d") < _SSSP_INF).alias("reached"))
+            .orderBy("nation"))
 
 
 _LPA_ITERS = 10
@@ -637,24 +763,44 @@ def lpa_iteration(dirp: DataFrame, lab: DataFrame) -> DataFrame:
 )
 def graph_label_propagation(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
-    e = _sparsified_top3(spark, sf_dir)
-    und = (e.select(F.least("src", "dst").alias("a"),
-                    F.greatest("src", "dst").alias("b"))
-           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_c"))
-           .select("a", "b"))
-    dirp = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionByName(und.select(F.col("b").alias("u"),
-                                    F.col("a").alias("v")))
-            .localCheckpoint())  # reused every iteration
-    lab = dirp.select("u").distinct().select(
-        "u", F.col("u").alias("label"))
-    for _ in range(_LPA_ITERS):
-        lab = lpa_iteration(dirp, lab).localCheckpoint()
-    sz = lab.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("community_size"))
-    return (lab.join(sz, "label")
-            .select(F.col("u").alias("nation"),
-                    F.col("label").alias("community"), "community_size")
+    # Bounded-alphabet fold (operators/folded): the synchronous mode
+    # update argmin over (-count, label) structs is order-free (counts
+    # are exact, tie-break total), so the fold equals lpa_iteration's
+    # struct-MIN form exactly; that operator remains the at-scale form.
+    dirp = _sparsified_dirp(spark, sf_dir)
+    nodes = dirp.select("u").distinct()
+    row = bounded_graph_row(nodes, "u", dirp, ["u", "v"])
+    ids, ed = F.col("ids"), F.col("edges")
+
+    def build(nbm):
+        def step(m, _k):
+            def best(u):
+                return bind(
+                    F.transform(F.element_at(nbm, u),
+                                lambda v: F.element_at(m, v)),
+                    lambda nls: F.array_min(F.transform(
+                        F.array_distinct(nls),
+                        lambda c: F.struct(
+                            (-F.size(F.filter(nls, lambda x: x == c)))
+                            .alias("nc"),
+                            c.alias("label"))))["label"])
+            return F.map_from_arrays(ids, F.transform(ids, best))
+
+        lab0 = F.map_from_arrays(ids, ids)
+        return iterate(_LPA_ITERS, lab0, step)
+
+    out = bind(bind(_neighbor_map(ids, ed), build), lambda lm: bind(
+        F.transform(ids, lambda u: F.element_at(lm, u)),
+        lambda larr: F.transform(ids, lambda u: F.struct(
+            u.alias("nation"),
+            F.element_at(lm, u).alias("community"),
+            F.size(F.filter(larr,
+                            lambda x: x == F.element_at(lm, u)))
+            .cast("long").alias("community_size")))))
+    return (row.select(F.explode(out).alias("r"))
+            .select(F.col("r.nation").alias("nation"),
+                    F.col("r.community").alias("community"),
+                    F.col("r.community_size").alias("community_size"))
             .orderBy("nation"))
 
 
@@ -719,44 +865,51 @@ _CLOSENESS_SQL = ("WITH " + _GRAPH_CTES + f""",
     tags=("graph", "iterative"),
 )
 def graph_closeness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded): per-source min-plus
+    # APSP as one expression — each source's fold is the exact BIGINT
+    # relaxation of graph_sssp_trade; the per-source summary (count /
+    # sum / max over reached longs) is order-free. Sources with no
+    # reached partner emit no row, as in the grouped form.
     n = load_table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir)
-    outw = (edges.groupBy("src")
-            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
-                        .cast("long")).cast("double") / 1_000_000)
-                 .alias("_ow")))
-    ec = (edges.join(outw, "src")
-          .filter(F.col("src") != F.col("dst"))
-          .select("src", "dst",
-                  (-F.round(F.ln(F.col("weight") / F.col("_ow"))
-                            * 1_000_000)).cast("long").alias("cw"))
-          .localCheckpoint())  # bounded edge list, reused every round
+    ec = _minplus_cost_edges(spark, sf_dir)
     nodes = n.select(F.col("n_name").alias("id"))
-    d = (nodes.crossJoin(F.broadcast(nodes.select(
-        F.col("id").alias("s"))))
-        .select("s", "id",
-                F.when(F.col("s") == F.col("id"), F.lit(0))
-                .otherwise(F.lit(_SSSP_INF)).cast("long").alias("d")))
-    for _ in range(_APSP_ITERS):
-        relax = (ec.join(d.select("s", F.col("id").alias("src"),
-                                  F.col("d").alias("ds")), "src")
-                 .select("s", F.col("dst").alias("id"),
-                         (F.col("ds") + F.col("cw")).alias("cand")))
-        d = (d.select("s", "id", F.col("d").alias("cand"))
-             .unionByName(relax)
-             .groupBy("s", "id")
-             .agg(F.min("cand").cast("long").alias("d"))
-             .localCheckpoint())  # truncate iterative lineage
-    return (d.filter((F.col("s") != F.col("id"))
-                     & (F.col("d") < _SSSP_INF))
-            .groupBy(F.col("s").alias("nation"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_reached"),
-                 F.sum("d").cast("long").alias("total_cost_w"),
-                 F.max("d").cast("long").alias("eccentricity_w"))
-            .select("nation", "n_reached", "total_cost_w",
-                    "eccentricity_w",
-                    (F.col("n_reached").cast("double")
-                     / (F.col("total_cost_w").cast("double")
+    row = bounded_graph_row(nodes, "id", ec, ["src", "dst", "cw"])
+    ids, ed = F.col("ids"), F.col("edges")
+
+    def per_source(inm):
+        def one(s):
+            m0 = F.map_from_arrays(ids, F.transform(
+                ids, lambda v: F.when(v == s, F.lit(0))
+                .otherwise(F.lit(_SSSP_INF)).cast("long")))
+            return bind(
+                iterate(_APSP_ITERS, m0,
+                        _folded_minplus_step(ids, inm)),
+                lambda dm: bind(
+                    F.filter(F.transform(ids, lambda v: F.struct(
+                        v.alias("v"),
+                        F.element_at(dm, v).alias("d"))),
+                        lambda p: (p["v"] != s) & (p["d"] < _SSSP_INF)),
+                    lambda reached: F.struct(
+                        s.alias("nation"),
+                        F.size(reached).cast("long").alias("n_reached"),
+                        F.aggregate(reached, F.lit(0).cast("long"),
+                                    lambda acc, p: acc + p["d"])
+                        .cast("long").alias("total_cost_w"),
+                        F.array_max(F.transform(reached,
+                                                lambda p: p["d"]))
+                        .cast("long").alias("eccentricity_w"))))
+        return F.transform(ids, one)
+
+    out = bind(in_adjacency(ids, ed, "dst"),
+               lambda inm: F.filter(per_source(inm),
+                                    lambda r: r["n_reached"] > 0))
+    return (row.select(F.explode(out).alias("r"))
+            .select(F.col("r.nation").alias("nation"),
+                    F.col("r.n_reached").alias("n_reached"),
+                    F.col("r.total_cost_w").alias("total_cost_w"),
+                    F.col("r.eccentricity_w").alias("eccentricity_w"),
+                    (F.col("r.n_reached").cast("double")
+                     / (F.col("r.total_cost_w").cast("double")
                         / F.lit(1000000.0))).alias("closeness"))
             .orderBy("nation"))
 
@@ -831,48 +984,67 @@ _HITS_SQL = ("WITH " + _GRAPH_CTES + """,
     tags=("graph", "iterative"),
 )
 def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded): before r11 every pass
+    # broadcast a one-row sum-normalizer, which forced an eager
+    # localCheckpoint per pass (20 materialization barriers; without
+    # them the k-th pass re-executed all k-1 prior passes — measured
+    # 210 s vs 9 s at sf0.1). The fold keeps the normalizer INSIDE the
+    # one expression (an integer array sum), so there is no broadcast
+    # subplan and no barrier at all; per-pass arithmetic is the exact
+    # round(score*frac*1e12)-sum-BIGINT tree of the old _pass, and the
+    # sum normalizer divides the same two exact BIGINTs.
     n = load_table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir)
-    outw = (edges.groupBy("src")
-            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
-                        .cast("long")).cast("double") / 1_000_000)
-                 .alias("_ow")))
-    e = (edges.join(outw, "src")
-         .select("src", "dst",
-                 (F.col("weight") / F.col("_ow")).alias("frac"))
-         .localCheckpoint(eager=True))
+    e = _normalized_trade_edges(spark, sf_dir)
     nodes = n.select(F.col("n_name").alias("id"))
     nn = nodes.count()  # graph metadata scalar, the pagerank pattern
-    h = nodes.select("id", F.lit(1.0 / nn).alias("h"))
+    row = bounded_graph_row(nodes, "id", e, ["src", "dst", "frac"])
+    ids, ed = F.col("ids"), F.col("edges")
 
-    def _pass(score: DataFrame, col: str, join_on: str,
-              out_key: str, out_col: str) -> DataFrame:
-        raw = (score.join(e, score.id == e[join_on])
-               .select(F.col(out_key).alias("id"),
-                       F.round(F.col(col) * F.col("frac") * PR_SCALE)
-                       .cast("long").alias("_w"))
-               .groupBy("id").agg(F.sum("_w").cast("long").alias("_w")))
-        tot = raw.agg(F.sum("_w").cast("long").alias("_t"))
-        return (nodes.join(raw, "id", "left")
-                .crossJoin(F.broadcast(tot))
-                .select("id", F.coalesce(
-                    F.col("_w").cast("double") / F.col("_t").cast("double"),
-                    F.lit(0.0)).alias(out_col)))
+    def _pass(adj, m, in_key: str):
+        # raw weight per node: sum of round(score*frac*1e12) over the
+        # node's own adjacency list (adj keyed by the OUT endpoint);
+        # then each score is one division of two exact BIGINTs
+        # (w / total). warr and tot are bind()-hoisted so they
+        # evaluate once per pass.
+        def w(v):
+            return F.aggregate(
+                F.element_at(adj, v), F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.round(F.element_at(m, g[in_key]) * g["frac"]
+                          * PR_SCALE).cast("long"))
+        return bind(F.transform(ids, w), lambda warr: bind(
+            F.aggregate(warr, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x),
+            lambda tot: F.map_from_arrays(ids, F.transform(
+                warr, lambda x: F.coalesce(
+                    x.cast("double") / tot.cast("double"),
+                    F.lit(0.0))))))
 
-    for i in range(_HITS_ITERS):
-        # checkpoint BOTH frames every iteration: each pass's one-row
-        # normalizer is broadcast (eager materialization), so without
-        # a checkpoint the k-th pass re-executes all k-1 prior passes
-        # from scratch — O(k^2) total work (measured 210 s for 10
-        # iterations at sf0.1; 5 s with per-iteration truncation).
-        # Unlike pagerank (no mid-iteration materialization barrier),
-        # every-1 is the RIGHT cadence here; values are cadence-
-        # invariant either way.
-        a = _pass(h, "h", "src", "dst", "a").localCheckpoint(eager=True)
-        h = _pass(a, "a", "dst", "src", "h").localCheckpoint(eager=True)
-    return (h.join(a, "id")
-            .select(F.col("id").alias("nation"), F.col("h").alias("hub"),
-                    F.col("a").alias("authority"))
+    def build(by_dst, by_src):
+        # named_struct, not struct(x.alias(...)): alias is dropped on
+        # expressions built inside a lambda body (fields come out as
+        # col1/col2), and the fold accesses acc["h"] next round
+        def step(acc, _k):
+            return bind(_pass(by_dst, acc["h"], "src"),
+                        lambda a: F.named_struct(
+                            F.lit("h"), _pass(by_src, a, "dst"),
+                            F.lit("a"), a))
+        h0 = F.map_from_arrays(
+            ids, F.transform(ids, lambda v: F.lit(1.0 / nn)))
+        return iterate(_HITS_ITERS,
+                       F.named_struct(F.lit("h"), h0,
+                                      F.lit("a"), h0), step)
+
+    fin = bind(in_adjacency(ids, ed, "dst"), lambda by_dst:
+               bind(in_adjacency(ids, ed, "src"), lambda by_src:
+                    build(by_dst, by_src)))
+    return (row.select(F.posexplode(ids).alias("_p", "nation"),
+                       fin.alias("_f"))
+            .select("nation",
+                    F.element_at(F.col("_f")["h"], F.col("nation"))
+                    .alias("hub"),
+                    F.element_at(F.col("_f")["a"], F.col("nation"))
+                    .alias("authority"))
             .orderBy("nation"))
 
 
@@ -1197,74 +1369,99 @@ def _betweenness_oracle() -> str:
     tags=("graph", "iterative"),
 )
 def graph_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded): before r11 the 12
+    # forward + 11 backward Brandes rounds ran as ~35 eager
+    # localCheckpoint barriers over (s, v) frames bounded by
+    # |nations|^2. The fold runs every per-source BFS + dependency
+    # pass inside one expression; sigma sums are BIGINT and every
+    # dependency term is pinned to the 1e-6 grid before an integer
+    # sum (identical expression tree), so results are bit-identical
+    # to the unrolled-CTE oracle. Every node of the sparsified graph
+    # appears in some source's level>=1 visit set (each has >= 1
+    # neighbor), so emitting all ids matches the union-of-dels rows.
     und = (_sparsified_top3(spark, sf_dir)
            .select(F.least("src", "dst").alias("a"),
                    F.greatest("src", "dst").alias("b"))
            .distinct())
-    nbr = (und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-           .unionAll(und.select(F.col("b").alias("x"),
-                                F.col("a").alias("z")))
+    nbr = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(und.select(F.col("b").alias("u"),
+                                F.col("a").alias("v")))
+           # bounded; feeds nds + the one-row ids/edges folds (see
+           # _sparsified_dirp comment)
            .localCheckpoint(eager=True))
-    nds = nbr.select("x").distinct()
-    vis = nds.select(F.col("x").alias("s"), F.col("x").alias("v"),
-                     F.lit(0).alias("lev")).localCheckpoint(eager=True)
-    sig = nds.select(F.col("x").alias("s"), F.col("x").alias("v"),
-                     F.lit(1).cast("long").alias("sig")) \
-        .localCheckpoint(eager=True)
-    for k in range(1, _BC_L + 1):
-        frontier = vis.filter(F.col("lev") == k - 1)
-        new = (frontier.join(nbr, frontier.v == nbr.x)
-               .select("s", F.col("z").alias("v")).distinct()
-               .join(vis.select("s", "v"), ["s", "v"], "left_anti")
-               .localCheckpoint(eager=True))
-        prev = (vis.filter(F.col("lev") == k - 1)
-                .select("s", F.col("v").alias("pv")))
-        signew = (new.join(nbr.select(F.col("x").alias("pv"),
-                                      F.col("z").alias("v")), "v")
-                  .join(prev, ["s", "pv"])
-                  .join(sig.select("s", F.col("v").alias("pv"),
-                                   F.col("sig").alias("ps")),
-                        ["s", "pv"])
-                  .groupBy("s", "v")
-                  .agg(F.sum("ps").cast("long").alias("sig")))
-        vis = vis.unionAll(new.select("s", "v", F.lit(k).alias("lev"))) \
-            .localCheckpoint(eager=True)
-        sig = sig.unionAll(signew).localCheckpoint(eager=True)
-    delta = (vis.filter(F.col("lev") == _BC_L)
-             .select("s", "v", F.lit(0).cast("long").alias("dw"))
-             .localCheckpoint(eager=True))
-    acc = delta
-    for k in range(_BC_L - 1, 0, -1):
-        lv = vis.filter(F.col("lev") == k).select("s", "v")
-        sv = sig.select("s", "v", F.col("sig").alias("sv"))
-        succ = (nbr.select(F.col("x").alias("v"), F.col("z").alias("w")))
-        wlev = (vis.filter(F.col("lev") == k + 1)
-                .select("s", F.col("v").alias("w")))
-        sw = sig.select("s", F.col("v").alias("w"),
-                        F.col("sig").alias("sw"))
-        dl = delta.select("s", F.col("v").alias("w"),
-                          F.col("dw").alias("dlw"))
-        terms = (lv.join(sv, ["s", "v"])
-                 .join(succ, "v")
-                 .join(wlev, ["s", "w"])
-                 .join(sw, ["s", "w"])
-                 .join(dl, ["s", "w"])
-                 .select("s", "v",
-                         F.round(F.col("sv").cast("double")
-                                 / F.col("sw").cast("double")
-                                 * (F.lit(1000000.0) + F.col("dlw")))
-                         .cast("long").alias("t")))
-        delta = (lv.join(terms.groupBy("s", "v")
-                         .agg(F.sum("t").cast("long").alias("dw")),
-                         ["s", "v"], "left")
-                 .select("s", "v",
-                         F.coalesce("dw", F.lit(0)).cast("long")
-                         .alias("dw"))
-                 .localCheckpoint(eager=True))
-        acc = acc.unionAll(delta)
-    return (acc.groupBy(F.col("v").alias("nation"))
-            .agg((F.sum("dw").cast("double") / 1e6 / 2.0)
-                 .alias("betweenness"))
+    nds = nbr.select("u").distinct()
+    row = bounded_graph_row(nds, "u", nbr, ["u", "v"])
+    ids, ed = F.col("ids"), F.col("edges")
+    zero = F.lit(0).cast("long")
+
+    def build(nbm):
+        def fwd_step(st, k):
+            # unvisited v joins level k with sigma = sum of its
+            # level-(k-1) predecessors' sigmas (exact BIGINT)
+            def cand(v):
+                return F.aggregate(
+                    F.element_at(nbm, v), zero,
+                    lambda acc, z: acc + F.coalesce(
+                        F.when(F.try_element_at(st, z)["lev"] == k - 1,
+                               F.try_element_at(st, z)["sig"]),
+                        zero))
+            adds = F.filter(
+                F.transform(ids, lambda v: F.struct(
+                    v.alias("v"), cand(v).alias("sig"))),
+                lambda x: (~F.map_contains_key(st, x["v"]))
+                & (x["sig"] > 0))
+            return F.map_concat(st, F.map_from_entries(F.transform(
+                adds, lambda x: F.struct(
+                    x["v"].alias("key"),
+                    F.struct(k.alias("lev"),
+                             x["sig"].alias("sig")).alias("value")))))
+
+        def bwd(st):
+            vks = F.map_keys(st)
+
+            def bwd_step(dm, j):
+                k = F.lit(_BC_L) - j
+
+                def nd(v):
+                    terms = F.aggregate(
+                        F.element_at(nbm, v), zero,
+                        lambda acc, z: acc + F.coalesce(
+                            F.when(
+                                F.try_element_at(st, z)["lev"] == k + 1,
+                                F.round(
+                                    F.element_at(st, v)["sig"]
+                                    .cast("double")
+                                    / F.try_element_at(st, z)["sig"]
+                                    .cast("double")
+                                    * (F.lit(1000000.0)
+                                       + F.element_at(dm, z)))
+                                .cast("long")),
+                            zero))
+                    return F.when(F.element_at(st, v)["lev"] == k,
+                                  terms).otherwise(F.element_at(dm, v))
+                return F.map_from_arrays(vks, F.transform(vks, nd))
+
+            d0 = F.map_from_arrays(vks, F.transform(vks, lambda v: zero))
+            return iterate(_BC_L - 1, d0, bwd_step)
+
+        def per_source(s):
+            st0 = F.create_map(
+                s, F.struct(F.lit(0).alias("lev"),
+                            F.lit(1).cast("long").alias("sig")))
+            return bind(iterate(_BC_L, st0, fwd_step), bwd)
+
+        return F.transform(ids, per_source)
+
+    all_dm = bind(_neighbor_map(ids, ed), build)
+    total = lambda v: F.aggregate(  # noqa: E731
+        all_dm, zero,
+        lambda acc, m: acc + F.coalesce(F.try_element_at(m, v), zero))
+    out = bind(all_dm, lambda _a: F.transform(ids, lambda v: F.struct(
+        v.alias("nation"),
+        (total(v).cast("double") / 1e6 / 2.0).alias("betweenness"))))
+    return (row.select(F.explode(out).alias("r"))
+            .select(F.col("r.nation").alias("nation"),
+                    F.col("r.betweenness").alias("betweenness"))
             .orderBy("nation"))
 
 
@@ -1404,19 +1601,16 @@ _PPR_SQL = ("WITH " + _GRAPH_CTES.replace(
     tags=("graph", "iterative"),
 )
 def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded; graph_pagerank_trade
+    # comment) — same restart arithmetic as the distributed loop.
     n = load_table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir)
-    outw = (edges.groupBy("src")
-            .agg((F.sum(F.round(F.col("weight") * 1_000_000)
-                        .cast("long")).cast("double") / 1_000_000)
-                 .alias("_ow")))
-    e = edges.join(outw, "src").select(
-        "src", "dst", (F.col("weight") / F.col("_ow")).alias("weight"))
+    e = _normalized_trade_edges(spark, sf_dir)
     nodes = n.select(F.col("n_name").alias("nation"))
+    nn = nodes.count()  # metadata scalar (unused seed denom; kept API)
     # graph METADATA collect (one 25-row min), like pagerank's count()
     src_name = nodes.agg(F.min("nation")).collect()[0][0]
-    pr = pagerank(nodes, e, iters=_ITERS, damping=_D, id_col="nation",
-                  src_col="src", dst_col="dst", weight_col="weight",
-                  normalized=True, teleport_id=src_name)
-    return pr.select("nation", F.col("rank").alias("ppr")) \
-        .orderBy("nation")
+    row = bounded_graph_row(nodes, "nation", e, ["src", "dst", "frac"])
+    return (_folded_pagerank(row, nn, teleport_id=src_name)
+            .select(F.col("_id").alias("nation"),
+                    F.col("rank").alias("ppr"))
+            .orderBy("nation"))

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
 from g1_etl_spark.operators import textops as T
+from g1_etl_spark.operators.folded import (bind, bounded_graph_row,
+                                           in_adjacency, iterate)
 from g1_etl_spark.plans.registry import register
 
 _MARKER_SQL = {
@@ -1360,7 +1362,8 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     pres = pres.localCheckpoint(eager=True)  # feeds freq + pair census
     freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    top = freq.orderBy(F.desc("df"), "tok").limit(_PMI_TOP)
+    top = (freq.orderBy(F.desc("df"), "tok").limit(_PMI_TOP)
+           .localCheckpoint(eager=True))  # feeds pair join + fold ids
     p = pres.join(F.broadcast(top.select("tok")), "tok")
     a = p.select("doc_id", F.col("tok").alias("i"))
     b = p.select("doc_id", F.col("tok").alias("j"))
@@ -1370,31 +1373,38 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = pairs.groupBy("i").agg(F.sum("c").alias("w"))
     mat = (pairs.join(deg, "i")
            .select("i", "j", (F.col("c").cast("double")
-                              / F.col("w").cast("double")).alias("p"))
-           .localCheckpoint(eager=True))  # feeds all 10 iterations
-    nodes = (top.select(F.col("tok").alias("state"))
-             .localCheckpoint(eager=True))
-    cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
-    dist = (nodes.crossJoin(F.broadcast(cnt))
-            .select("state", (F.lit(1.0).cast("double")
-                              / F.col("c")).alias("dp")))
-    for k in range(1, _TR_ITERS + 1):
-        contrib = (mat.join(dist.withColumnRenamed("state", "i"), "i")
-                   .groupBy(F.col("j").alias("state"))
-                   .agg((F.sum(F.round(F.col("dp") * F.col("p")
-                                       * _TR_SCALE).cast("long"))
-                         .cast("double") / _TR_SCALE).alias("v")))
-        dist = (nodes.crossJoin(F.broadcast(cnt))
-                .join(contrib, "state", "left")
-                .select("state",
-                        (F.lit(0.15) / F.col("c").cast("double")
-                         + F.lit(0.85)
-                         * F.coalesce(F.col("v"), F.lit(0.0)))
-                        .alias("dp")))
-        if k % 5 == 0:
-            dist = dist.localCheckpoint(eager=True)
-    return (dist.select(F.col("state").alias("token"),
-                        F.col("dp").alias("textrank"))
+                              / F.col("w").cast("double")).alias("p")))
+    # Bounded-alphabet fold (operators/folded): the token graph is
+    # <= 50x49 edges at any corpus scale, so the 10 damped rounds run
+    # as one expression instead of 30+ tiny scheduled stages; per-edge
+    # arithmetic is the exact round(dp*p*1e12)-sum-BIGINT tree of the
+    # pre-r11 loop, so the fixed point is bit-identical.
+    row = bounded_graph_row(top.select("tok"), "tok", mat,
+                            ["i", "j", "p"])
+    ids, ed = F.col("ids"), F.col("edges")
+
+    def build(inm):
+        c = F.size(ids)
+
+        def contrib(m, v):
+            return F.aggregate(
+                F.element_at(inm, v), F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.round(F.element_at(m, g["i"]) * g["p"]
+                          * _TR_SCALE).cast("long"))
+
+        def step(m, _k):
+            return F.map_from_arrays(ids, F.transform(ids, lambda v:
+                F.lit(0.15) / c.cast("double")
+                + F.lit(0.85)
+                * (contrib(m, v).cast("double") / _TR_SCALE)))
+
+        d0 = F.map_from_arrays(ids, F.transform(
+            ids, lambda v: F.lit(1.0).cast("double") / c))
+        return iterate(_TR_ITERS, d0, step)
+
+    fin = bind(in_adjacency(ids, ed, "j"), build)
+    return (row.select(F.explode(fin).alias("token", "textrank"))
             .orderBy("token"))
 
 

@@ -145,6 +145,13 @@ _BNLJ_OK = {
     # frame, and the Weibull GOF crosses the one-row fit into the
     # bounded KM grid
     "stats_mann_kendall", "events_xcorr_types", "orders_weibull_gof",
+    # r11 bounded-alphabet graph folds (operators/folded): the one-row
+    # ids array crossed with the one-row edge-struct array — a 1x1
+    # BNLJ at the alphabet boundary (see _SINGLE_PART_OK entry)
+    "graph_pagerank_trade", "graph_pagerank_bucketed", "graph_ppr_trade",
+    "graph_hits_trade", "graph_sssp_trade", "graph_closeness_trade",
+    "graph_kcore_trade", "graph_label_propagation",
+    "graph_betweenness_trade", "text_textrank_keywords",
     # one-row global-moments frame crossed into the bounded PAA grid
     "events_sax_symbols",
     # r11 TSA family: one-row anchor/moments crossed into the bounded
@@ -303,6 +310,16 @@ _SINGLE_PART_OK = {
     # the one-row Weibull GOF assembly
     "quality_gate_mcnemar", "stats_fdr_bh", "stats_mann_kendall",
     "orders_weibull_gof",
+    # r11 bounded-alphabet graph folds (operators/folded): the nation-
+    # (<= 25 node) / token- (top-50) graph collapses to ONE guarded
+    # row after the data-sized census, and the fixed iterations run as
+    # a single fold expression — the collect_list fold and final
+    # constant-row sort are single-partition BY construction, over
+    # alphabet-bounded frames only (assert_true-guarded)
+    "graph_pagerank_trade", "graph_pagerank_bucketed", "graph_ppr_trade",
+    "graph_hits_trade", "graph_sssp_trade", "graph_closeness_trade",
+    "graph_kcore_trade", "graph_label_propagation",
+    "graph_betweenness_trade", "text_textrank_keywords",
     # r11 TSA family: one-row scalar aggregates / bounded array folds
     # (24-term centering mean, span^2 slope median pick, 64-row
     # permutation fold, span/8 LZ78 parse, one-row Friedman stat)
