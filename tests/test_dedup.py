@@ -527,6 +527,35 @@ def test_damerau_matches_duckdb():
         assert damerau_levenshtein_py(a, b) == duck_dl(a, b), (a, b)
 
 
+def test_trimmed_damerau_equals_duckdb_exhaustive():
+    """_trimmed_damerau (the common-prefix/suffix-stripped fast path
+    the blocked-pairs scorer runs, r11) must equal DuckDB's
+    damerau_levenshtein EXHAUSTIVELY — including strings embedded in
+    shared prefixes/suffixes, where an unsound trim would miss a
+    cross-boundary transposition."""
+    import itertools
+
+    import duckdb
+
+    from g1_etl_spark.operators.dedup import _trimmed_damerau
+
+    con = duckdb.connect()
+
+    def duck_dl(a, b):
+        return con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+
+    strs = [""] + ["".join(t) for n in (1, 2, 3)
+                   for t in itertools.product("abc", repeat=n)]
+    for a in strs:
+        for b in strs:
+            for pre in ("", "xy"):
+                for suf in ("", "z"):
+                    pa, pb = pre + a + suf, pre + b + suf
+                    assert _trimmed_damerau(pa, pb) == duck_dl(pa, pb), \
+                        (pa, pb)
+
+
 def test_damerau_blocked_pairs_flags_trailing_swaps(spark):
     from g1_etl_spark.operators.dedup import damerau_blocked_pairs
 
