@@ -875,8 +875,14 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this shape 3.6 s vs 13.5 s for the keep-the-array form (F.size
     # over the materialized array made the whole gram computation a
     # second full pass) and 8.25 s for the r10 string-gram join-back.
-    gg = d.select("doc_id", F.explode(
-        word_ngram_hashes(F.col("text"), 5)).alias("gk"))
+    # the testdata parquet is one row group, so without a spread the
+    # whole normalize+split+hash+explode pipeline runs as ONE task —
+    # repartition the (doc_id, text) rows first (the operators'
+    # `spread` idiom; text payload moves once, the gram CPU does not)
+    spread = spark.sparkContext.defaultParallelism
+    gg = (d.select("doc_id", "text").repartition(spread, "doc_id")
+          .select("doc_id", F.explode(
+              word_ngram_hashes(F.col("text"), 5)).alias("gk")))
     first = gg.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
     novel = (first.groupBy(F.col("first_doc").alias("doc_id"))
              .agg(F.count(F.lit(1)).cast("long").alias("n_novel")))

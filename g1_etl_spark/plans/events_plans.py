@@ -1272,6 +1272,18 @@ _MARKOV_SQL = ("""
     tags=("events", "graph", "iterative"),
 )
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-alphabet fold (operators/folded; the TextRank shape):
+    # the |types|^2 matrix collapses to one guarded row after the
+    # data-sized lead-window pair census, and the 10 power iterations
+    # run as one expression instead of 30+ tiny scheduled stages.
+    # Per-edge arithmetic is the exact round(dp*p*1e12)-sum-BIGINT
+    # tree of the former loop (integer sums re-associate freely), so
+    # the fixed point is bit-identical to the unrolled-CTE oracle;
+    # types with no in-edges fold an empty list to 0 + /scale = 0.0,
+    # matching the old left-join COALESCE(v, 0.0).
+    from g1_etl_spark.operators.folded import (bind, bounded_graph_row,
+                                               in_adjacency, iterate)
+
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (ev.select(F.col("event_type").alias("i"),
@@ -1282,26 +1294,32 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = (cnts.join(tot, "i")
            .select("i", "j", (F.col("c").cast("double")
                               / F.col("n_i").cast("double")).alias("p"))
-           .localCheckpoint(eager=True))  # feeds all 10 iterations
-    types = (ev.select(F.col("event_type").alias("state")).distinct()
-             .localCheckpoint(eager=True))
-    cnt = types.agg(F.count(F.lit(1)).alias("c"))
-    dist = (types.crossJoin(F.broadcast(cnt))
-            .select("state", (F.lit(1.0).cast("double")
-                              / F.col("c")).alias("dp")))
-    for k in range(1, _MK_ITERS + 1):
-        contrib = (mat.join(dist.withColumnRenamed("state", "i"), "i")
-                   .groupBy(F.col("j").alias("state"))
-                   .agg((F.sum(F.round(F.col("dp") * F.col("p")
-                                       * _MK_SCALE).cast("long"))
-                         .cast("double") / _MK_SCALE).alias("v")))
-        dist = (types.join(contrib, "state", "left")
-                .select("state",
-                        F.coalesce(F.col("v"), F.lit(0.0)).alias("dp")))
-        if k % 5 == 0:
-            dist = dist.localCheckpoint(eager=True)
-    return dist.select("state", F.col("dp").alias("stationary_p")) \
-               .orderBy("state")
+           .localCheckpoint(eager=True))  # feeds edge fold + types
+    # the state list still comes from events (not from mat's
+    # endpoints): a type with no transition row must emit dp = 0.0
+    types = ev.select(F.col("event_type").alias("state")).distinct()
+    row = bounded_graph_row(types, "state", mat, ["i", "j", "p"])
+    ids = F.col("ids")
+
+    def build(inm):
+        def contrib(m, v):
+            return F.aggregate(
+                F.element_at(inm, v), F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.round(F.element_at(m, g["i"]) * g["p"]
+                          * _MK_SCALE).cast("long"))
+
+        def step(m, _k):
+            return F.map_from_arrays(ids, F.transform(ids, lambda v:
+                contrib(m, v).cast("double") / _MK_SCALE))
+
+        d0 = F.map_from_arrays(ids, F.transform(
+            ids, lambda v: F.lit(1.0).cast("double") / F.size(ids)))
+        return iterate(_MK_ITERS, d0, step)
+
+    fin = bind(in_adjacency(ids, F.col("edges"), "j"), build)
+    return (row.select(F.explode(fin).alias("state", "stationary_p"))
+            .orderBy("state"))
 
 
 @register(

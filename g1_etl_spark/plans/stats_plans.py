@@ -1047,6 +1047,11 @@ def stats_spearman_qty_price(spark: SparkSession,
     s = li.select(F.col("l_quantity").alias("q"),
                   F.round(F.col("l_extendedprice") * 100).cast("long")
                   .alias("p"))
+    # NOTE (r11): a joint-(q, p)-census rewrite was tried and REJECTED
+    # — l_extendedprice is ~unique (583k distinct / 600k rows at
+    # sf0.1), so the joint census compresses nothing and its extra
+    # shuffle made the query 1.3x slower. The row-level join-back
+    # below is the better shape on near-unique keys.
     qm = s.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
     qr = (global_prefix_sum(qm, ["q"], "c", out_col="cum")
           .select("q", (2 * F.col("cum") - F.col("c") + 1).alias("rq2")))
@@ -1969,7 +1974,8 @@ _BOOT_B = 50
                 "sorted resample means. Distribution-free uncertainty "
                 "for ANY plugin statistic without a closed-form "
                 "variance — the missing error-bar primitive next to "
-                "the point estimators. Scale shape: one 50-way narrow "
+                "the point estimators. Scale shape: one narrow spread "
+                "repartition (key+cents only), then the 50-way "
                 "fan-out (explode + parity filter, no shuffle until "
                 "the 50-row mean aggregate); resample count is a "
                 "constant, so cost is a fixed small multiple of one "
@@ -1978,9 +1984,20 @@ _BOOT_B = 50
 )
 def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    s = o.select("o_orderkey",
-                 F.round(F.col("o_totalprice") * 100).cast("long")
-                 .alias("cw"))
+    # the testdata parquet is one row group, so the scan stage is ONE
+    # task — spread the ~20-byte (key, cents) rows across the cores
+    # BEFORE the 50-md5-per-row fan-out (the operators' `spread`
+    # idiom; shuffle payload is metadata-sized, the md5 CPU is not).
+    # Measured at sf0.1 (fresh plan per trial, min-of-trials, noop):
+    # 8.3 s -> ~2 s. A one-pass 100-conditional-agg form was tried and
+    # REJECTED: the 100-field aggregate disables whole-stage codegen
+    # (spark.sql.codegen.maxFields) and its expression tree costs
+    # ~2.5 s of driver PLANNING per run — worse than the explode.
+    spread = spark.sparkContext.defaultParallelism
+    s = (o.select("o_orderkey",
+                  F.round(F.col("o_totalprice") * 100).cast("long")
+                  .alias("cw"))
+         .repartition(spread, "o_orderkey"))
     mem = (s.select("o_orderkey", "cw",
                     F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B)))
                     .alias("b"))

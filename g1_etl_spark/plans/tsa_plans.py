@@ -472,18 +472,32 @@ _PERM_A, _PERM_B = "purchase", "view"
                 "variance formula — the companion to the Welch t "
                 "already on the shelf. Extreme-compare |d_r| >= |d| "
                 "is exact: both sides are identical doubles from "
-                "exact integer sums in both engines. Scale shape: "
-                "one 64-way narrow fan-out (explode, map-side "
-                "combine, 64-row aggregate) — a fixed small multiple "
-                "of one scan at any sf",
+                "exact integer sums in both engines. Scale shape: one "
+                "narrow spread repartition (id+type+value only), then "
+                "the 64-way fan-out (explode, map-side combine, 64-row "
+                "aggregate) — a fixed small multiple of one scan at "
+                "any sf",
     tags=("events", "stats", "sampling"),
 )
 def stats_permutation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # event_id# is computed once per row; each reshuffle r appends a
+    # FOLDABLE literal suffix (one cast+concat per row, not 64)
+    # the testdata parquet is one row group, so the scan stage is ONE
+    # task — spread the narrow (id, type, value) rows across the cores
+    # BEFORE the 64-md5-per-row fan-out (the operators' `spread`
+    # idiom; shuffle payload is metadata-sized, the md5 CPU is not).
+    # Measured at sf0.1 (fresh plan per trial, min-of-4, noop): 4.1 s
+    # -> 1.2 s. A one-pass 134-conditional-agg form was tried and
+    # REJECTED: the >100-field aggregate disables whole-stage codegen
+    # (spark.sql.codegen.maxFields) and its expression tree costs
+    # ~2.5 s of driver PLANNING per run — worse than the explode.
+    spread = spark.sparkContext.defaultParallelism
     s = (ev.filter(F.col("event_type").isin(_PERM_A, _PERM_B))
          .select("event_id", "event_type",
                  F.round(F.col("value") * 1_000_000).cast("long")
-                 .alias("xw")))
+                 .alias("xw"))
+         .repartition(spread, "event_id"))
     d38 = "decimal(38,0)"
     is_a = F.col("event_type") == _PERM_A
     obs = s.agg(

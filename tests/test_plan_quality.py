@@ -152,6 +152,7 @@ _BNLJ_OK = {
     "graph_hits_trade", "graph_sssp_trade", "graph_closeness_trade",
     "graph_kcore_trade", "graph_label_propagation",
     "graph_betweenness_trade", "text_textrank_keywords",
+    "events_markov_stationary",
     # one-row global-moments frame crossed into the bounded PAA grid
     "events_sax_symbols",
     # r11 TSA family: one-row anchor/moments crossed into the bounded
@@ -320,6 +321,7 @@ _SINGLE_PART_OK = {
     "graph_hits_trade", "graph_sssp_trade", "graph_closeness_trade",
     "graph_kcore_trade", "graph_label_propagation",
     "graph_betweenness_trade", "text_textrank_keywords",
+    "events_markov_stationary",
     # r11 TSA family: one-row scalar aggregates / bounded array folds
     # (24-term centering mean, span^2 slope median pick, 64-row
     # permutation fold, span/8 LZ78 parse, one-row Friedman stat)
