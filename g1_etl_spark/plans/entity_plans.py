@@ -950,7 +950,8 @@ _ORG_PAYLOAD_DDL = (
     f"physicians:{_SUMMARY_ENTITY_DDL}>>")
 
 
-def _org_payload_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _org_payload_doc(spark: SparkSession, sf_dir: str,
+                     materialize=None) -> DataFrame:
     """One-row (doc) frame holding the whole-org payload struct.
 
     Each entity output folds to a single row via sort_array(
@@ -960,7 +961,18 @@ def _org_payload_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoins and single-partition folds here are
     payload-boundary shapes, exempted in the plan lint; at 100 TB the
     per-entity frames write straight to partitioned sinks instead,
-    entities/assemble.py docstring)."""
+    entities/assemble.py docstring).
+
+    ``materialize`` (r11): an optional hook applied to the list of six
+    independent per-entity BUILDERS (zero-arg callables returning the
+    one-row fold frame) — the registered query passes a concurrent
+    build + eager-localCheckpoint (guide §2.6 overlap-independent-
+    jobs). Profiling at sf0.1 found the assembly is driver-bound, not
+    executor-bound: constructing the six entity expression trees is
+    ~3-4 s of sequential py4j round-trips while the actual jobs are
+    ~2 s — so the hook must wrap CONSTRUCTION, not just execution.
+    Default None keeps the fully lazy single-plan form the pre-
+    checkpoint lint inspects."""
     from g1_etl_spark.entities import (employees as emp, members as mem,
                                        physicians as phys,
                                        vendors as vend)
@@ -970,18 +982,25 @@ def _org_payload_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_id").alias("k"), F.col("doc").alias("d"))))
         return df.agg(F.transform(lst, lambda x: x["d"]).alias(name))
 
-    members = fold(mem.transform(_customers_like(spark, sf_dir), 1, 420),
-                   "members")
-    employees = fold(emp.transform(_users_like(spark, sf_dir),
+    builders = [
+        lambda: fold(_settings_doc(spark, sf_dir), "settings"),
+        lambda: fold(emp.transform(_users_like(spark, sf_dir),
                                    _dispensary_users_like(spark, sf_dir),
                                    1, 420, fake_email=False, debug=False),
-                     "employees")
-    vendors = fold(vend.transform(_vendors_like(spark, sf_dir), 1, 420),
-                   "vendors")
-    physicians = fold(phys.transform(_physicians_like(spark, sf_dir),
-                                     1, 420), "physicians")
-    products = fold(_products_doc(spark, sf_dir), "products")
-    settings = fold(_settings_doc(spark, sf_dir), "settings")
+                     "employees"),
+        lambda: fold(mem.transform(_customers_like(spark, sf_dir),
+                                   1, 420), "members"),
+        lambda: fold(_products_doc(spark, sf_dir), "products"),
+        lambda: fold(vend.transform(_vendors_like(spark, sf_dir),
+                                    1, 420), "vendors"),
+        lambda: fold(phys.transform(_physicians_like(spark, sf_dir),
+                                    1, 420), "physicians"),
+    ]
+    if materialize is not None:
+        frames = materialize(builders)
+    else:
+        frames = [b() for b in builders]
+    settings, employees, members, products, vendors, physicians = frames
 
     row = (settings.crossJoin(employees).crossJoin(members)
            .crossJoin(products).crossJoin(vendors).crossJoin(physicians))
@@ -1040,14 +1059,32 @@ _ORG_PAYLOAD_ORACLE = f"""
 """
 
 
-def _org_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _org_payload_roundtrip(spark: SparkSession, sf_dir: str,
+                           materialize=None) -> DataFrame:
     """Pre-checkpoint roundtrip plan — kept separate so the plan-lint
     can explain the full six-pipeline assembly (the registered query
     checkpoints it, which truncates the visible plan at an RDD scan;
     tests/test_plan_quality.py lints THIS frame for the upstream)."""
-    return _org_payload_doc(spark, sf_dir).select(
+    return _org_payload_doc(spark, sf_dir, materialize=materialize).select(
         F.from_json(F.to_json(F.col("doc")), _ORG_PAYLOAD_DDL)
         .alias("doc"))
+
+
+def _checkpoint_concurrently(builders: list) -> list:
+    """Build AND eagerly localCheckpoint each independent one-row
+    entity fold from a driver thread pool so that both the py4j
+    expression construction (GIL released on every socket round-trip)
+    and the Spark jobs overlap (guide §2.6): the six pipelines share
+    no inputs, and the sequential form is driver-bound — ~3-4 s of
+    plan construction plus ~2 s of tiny-stage jobs at sf0.1. Results
+    are unchanged — each fold's one-row output is deterministic
+    (sort_array over unique ids) and checkpointing is a no-op on
+    content."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        return list(pool.map(
+            lambda b: b().localCheckpoint(eager=True), builders))
 
 
 @register(
@@ -1075,8 +1112,12 @@ def entity_org_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the whole six-pipeline assembly (no CSE across branches),
     # and carrying the full payload struct down the exploded rows for
     # the probe columns would materialize the whole document once PER
-    # MEMBER (measured 32 s -> ~6 s at sf0.1)
-    rt = _org_payload_roundtrip(spark, sf_dir).localCheckpoint(eager=True)
+    # MEMBER (measured 32 s -> ~6 s at sf0.1). r11: the six entity
+    # folds materialize CONCURRENTLY (guide §2.6) — they are
+    # independent pipelines bound by tiny-stage latency, not data
+    rt = (_org_payload_roundtrip(
+        spark, sf_dir, materialize=_checkpoint_concurrently)
+        .localCheckpoint(eager=True))
     p = F.col("doc")
     probes = rt.select(
         p["organizationId"].alias("org_id"),

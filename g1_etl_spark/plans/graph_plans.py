@@ -1185,14 +1185,15 @@ _MST_SQL = f"""
                 "the cheapest backbone that still connects every "
                 "trading nation — the infrastructure-planning staple "
                 "next to the centralities. Spark side runs BORUVKA: "
-                "each round every component picks its minimum "
-                "outgoing edge under the strict total order (w, a, b) "
-                "via a min_by aggregate (map-side combinable — the "
-                "same skew-free idiom as the canonical picks), the "
-                "bounded label graph merges driver-side (union-find "
-                "over <= |nations| labels — codebook class; an "
+                "the data-sized edge census folds to the bounded "
+                "undirected label graph (<= |nations|^2/2 rows — "
+                "codebook class, guarded by bounded_collect; an "
                 "unbounded graph would swap in the star-contraction "
-                "operator), halving components per round. Oracle runs "
+                "operator), then every round each component picks its "
+                "minimum outgoing edge under the strict total order "
+                "(w, a, b) and the union-find merges, all driver-side "
+                "over the bounded census, halving components per "
+                "round. Oracle runs "
                 "KRUSKAL as a recursive CTE folding the (w, a, b)-"
                 "sorted edge list over a label list. Under a strict "
                 "total order the MSF is UNIQUE, so two genuinely "
@@ -1210,16 +1211,29 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("src", "dst").alias("b"),
         F.round(F.col("weight") * 1_000_000).cast("long").alias("ww"))
         .groupBy("a", "b")
-        .agg((F.sum("ww").cast("double") / 1e6).alias("w"))
-        .localCheckpoint(eager=True))  # feeds every round + node scan
-    # Driver union-find is legal ONLY because the vertex alphabet is
-    # the 25-nation label set; bounded_collect raises rather than
-    # silently materializing an unbounded vertex set (VERDICT r10 #5).
-    node_rows = bounded_collect(
-        undw.select(F.col("a").alias("x"))
-        .unionAll(undw.select(F.col("b").alias("x"))).distinct(),
-        "graph_mst_boruvka vertex set")
-    parent = {r["x"]: r["x"] for r in node_rows}
+        .agg((F.sum("ww").cast("double") / 1e6).alias("w")))
+    # Driver-side rounds are legal ONLY because the vertex alphabet is
+    # the 25-nation label set, so the undirected census is bounded by
+    # alphabet^2/2 <= 300 rows; bounded_collect raises rather than
+    # silently materializing an unbounded edge set (VERDICT r10 #5).
+    # r11: the census is collected ONCE and the Boruvka rounds run on
+    # the driver over the bounded edge list — before, every round paid
+    # a createDataFrame + two broadcast joins + an eager checkpoint +
+    # a collect (2-3 Spark jobs x ~4 rounds; isolated A/B 4.39 s ->
+    # ~1.4 s at sf0.1). The kept SET is round-order-invariant: under
+    # the strict total order (w, a, b) the per-component minimum
+    # outgoing edges never form a cycle, so the same unique MSF falls
+    # out (and the oracle's Kruskal remains a genuinely different
+    # algorithm agreeing bit-for-bit).
+    edge_rows = bounded_collect(undw, "graph_mst_boruvka edge census",
+                                limit=2048)
+    # Python float/str tuple comparison == Spark (double, string,
+    # string) struct order on this census: finite doubles, ASCII names
+    ew = sorted((r["w"], r["a"], r["b"]) for r in edge_rows)
+    parent: dict = {}
+    for _, a, b in ew:
+        parent[a] = a
+        parent[b] = b
 
     def find(x: str) -> str:
         while parent[x] != x:
@@ -1229,33 +1243,23 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept: list = []
     for _ in range(20):
-        lbl = spark.createDataFrame(
-            [(n, find(n)) for n in sorted(parent)], "x string, c string")
-        cross = (undw
-                 .join(F.broadcast(lbl.withColumnRenamed("x", "a")
-                                   .withColumnRenamed("c", "ca")), "a")
-                 .join(F.broadcast(lbl.withColumnRenamed("x", "b")
-                                   .withColumnRenamed("c", "cb")), "b")
-                 .filter(F.col("ca") != F.col("cb"))
-                 .localCheckpoint(eager=True))  # feeds both offer arms
-        # every cross edge is offered to BOTH its components; min_by
-        # under the strict total order (w, a, b) picks per component
-        offers = (cross.select(F.col("ca").alias("comp"), "a", "b", "w")
-                  .unionAll(cross.select(F.col("cb").alias("comp"),
-                                         "a", "b", "w")))
-        picks = bounded_collect(
-            offers.groupBy("comp")
-            .agg(F.min_by(F.struct("a", "b", "w"),
-                          F.struct("w", "a", "b")).alias("e"))
-            .select("e.a", "e.b", "e.w").distinct(),
-            "graph_mst_boruvka per-component picks")
-        if not picks:
+        # every cross edge is offered to BOTH its components; per
+        # component keep the minimum under the strict (w, a, b) order
+        best: dict = {}
+        for w, a, b in ew:
+            ca, cb = find(a), find(b)
+            if ca == cb:
+                continue
+            for c in (ca, cb):
+                if c not in best or (w, a, b) < best[c]:
+                    best[c] = (w, a, b)
+        if not best:
             break
-        for r in picks:
-            ra, rb = find(r["a"]), find(r["b"])
+        for w, a, b in sorted(set(best.values())):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-                kept.append((r["a"], r["b"], r["w"]))
+                kept.append((a, b, w))
     else:
         raise RuntimeError("boruvka did not converge in 20 rounds")
     return (spark.createDataFrame(kept, "a string, b string, w double")
