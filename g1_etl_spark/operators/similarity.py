@@ -985,10 +985,25 @@ def mmr_select(cand: DataFrame, k: int = 5, lam: float = 0.5,
                q_id_col: str = "q_id") -> DataFrame:
     """The pool-agnostic greedy MMR loop over a BOUNDED candidate
     frame (q_id, neighbor_id, rel, _v, _n) — shared by the exact-pool
-    mmr_rerank and the ANN-pool mmr_rerank_over_pool. k tiny bounded
-    jobs; every argmax is a partial+final struct MAX with ascending-id
-    tie-break, so the selection sequence is bit-reproducible."""
+    mmr_rerank and the ANN-pool mmr_rerank_over_pool.
+
+    r11 (guide §1.2 — the bounded-alphabet fold, operators/folded):
+    the k greedy steps previously ran as k tiny Spark jobs, each with
+    an eager localCheckpoint, two joins and a struct-MAX aggregate over
+    the (queries x pool)-bounded frame — pure scheduling overhead. The
+    loop now folds to ONE JVM expression per query row: candidates and
+    the pool^2 pairwise-sim map group to per-query arrays, and
+    F.aggregate(sequence(1, k), ...) carries the selected list as the
+    accumulator. Per-step arithmetic is the exact tree of the old loop
+    (0.5*rel for step 1; 0.5*rel - 0.5*max(sim to selected) after;
+    argmax tie-break score desc then id asc on the same doubles), so
+    the selection SEQUENCE — ids, ranks, and bit-exact mmr_scores — is
+    unchanged, which the sim_mmr_ivf_recall contract (an independent
+    sequential Python greedy) re-certifies. The selection stays a
+    distributed JVM computation; only the k-job scheduling is gone."""
     assert lam == 0.5, "oracle pins lam = 0.5 (exact halving)"
+    from g1_etl_spark.operators.folded import bind, iterate
+
     a = cand.select(F.col(q_id_col), F.col("neighbor_id").alias("c1"),
                     F.col("_v").alias("_v1"), F.col("_n").alias("_n1"))
     b = cand.select(F.col(q_id_col), F.col("neighbor_id").alias("c2"),
@@ -998,38 +1013,68 @@ def mmr_select(cand: DataFrame, k: int = 5, lam: float = 0.5,
             .select(q_id_col, "c1", "c2",
                     (dot(F.col("_v1"), F.col("_v2"))
                      / (F.col("_n1") * F.col("_n2"))).cast("double")
-                    .alias("sim"))
-            .localCheckpoint())  # bounded: queries x pool^2 rows
+                    .alias("sim")))  # bounded: queries x pool^2 rows
+    carr = (cand.groupBy(q_id_col)
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col("neighbor_id"), F.col("rel")))).alias("cs")))
+    pm = (pair.groupBy(q_id_col)
+          .agg(F.map_from_arrays(
+              F.collect_list(F.named_struct(
+                  F.lit("c1"), F.col("c1"), F.lit("c2"), F.col("c2"))),
+              F.collect_list("sim")).alias("pm")))
+    # left join: a one-candidate pool has no pairs (step 1 never needs
+    # the map, and there is no step 2 without a second candidate)
+    row = carr.join(pm, q_id_col, "left")
 
-    def pick(frame, score_col, rank_val):
-        best = (frame.groupBy(q_id_col)
-                .agg(F.max(F.struct(
-                    F.col(score_col).alias("s"),
-                    (-F.col("neighbor_id")).alias("negid"),
-                    F.col("neighbor_id"), F.col("rel"))).alias("b")))
-        return best.select(
-            q_id_col, F.col("b.neighbor_id").alias("neighbor_id"),
-            F.col("b.rel").alias("rel"),
-            F.lit(rank_val).cast("long").alias("mmr_rank"),
-            F.col("b.s").alias("mmr_score"))
+    idt = cand.schema["neighbor_id"].dataType.simpleString()
+    out_t = (f"array<struct<neighbor_id:{idt},rel:double,"
+             "mmr_rank:bigint,mmr_score:double>>")
+    cs, pmc = F.col("cs"), F.col("pm")
 
-    first = cand.select(q_id_col, "neighbor_id", "rel",
-                        (F.lit(lam) * F.col("rel")).alias("m0"))
-    selected = pick(first, "m0", 1)
-    for step in range(2, k + 1):
-        rem = cand.join(selected.select(q_id_col, "neighbor_id"),
-                        [q_id_col, "neighbor_id"], "left_anti")
-        ms = (pair.join(selected.select(F.col(q_id_col),
-                                        F.col("neighbor_id").alias("c2")),
-                        [q_id_col, "c2"])
-              .groupBy(q_id_col, F.col("c1").alias("neighbor_id"))
-              .agg(F.max("sim").alias("msim")))
-        scored = (rem.join(ms, [q_id_col, "neighbor_id"])
-                  .select(q_id_col, "neighbor_id", "rel",
-                          (F.lit(lam) * F.col("rel")
-                           - F.lit(1.0 - lam) * F.col("msim"))
-                          .alias("m")))
-        nxt = pick(scored, "m", step)
-        selected = selected.unionByName(nxt).localCheckpoint()
-    return selected.select(q_id_col, "mmr_rank", "neighbor_id",
-                           F.col("rel").alias("relevance"), "mmr_score")
+    def step(acc, stepno):
+        def cand_score(c):
+            msim = F.aggregate(
+                acc, F.lit(None).cast("double"),
+                lambda m, s: F.greatest(m, F.element_at(
+                    pmc, F.named_struct(
+                        F.lit("c1"), c["neighbor_id"],
+                        F.lit("c2"), s["neighbor_id"]))))
+            return (F.when(F.size(acc) == 0, F.lit(lam) * c["rel"])
+                    .otherwise(F.lit(lam) * c["rel"]
+                               - F.lit(1.0 - lam) * msim))
+
+        def upd(bst, c):
+            sel = F.exists(
+                acc, lambda s: s["neighbor_id"] == c["neighbor_id"])
+            return bind(cand_score(c), lambda sc: F.when(sel, bst)
+                        .otherwise(F.when(
+                            bst["neighbor_id"].isNull()
+                            | (sc > bst["mmr_score"])
+                            | ((sc == bst["mmr_score"])
+                               & (c["neighbor_id"]
+                                  < bst["neighbor_id"])),
+                            F.named_struct(
+                                F.lit("neighbor_id"), c["neighbor_id"],
+                                F.lit("rel"), c["rel"],
+                                F.lit("mmr_rank"), stepno.cast("long"),
+                                F.lit("mmr_score"), sc))
+                            .otherwise(bst)))
+
+        zero = F.named_struct(
+            F.lit("neighbor_id"), F.lit(None).cast(idt),
+            F.lit("rel"), F.lit(None).cast("double"),
+            F.lit("mmr_rank"), F.lit(None).cast("bigint"),
+            F.lit("mmr_score"), F.lit(None).cast("double"))
+        return bind(F.aggregate(cs, zero, upd),
+                    lambda best: F.when(best["neighbor_id"].isNull(),
+                                        acc)
+                    .otherwise(F.concat(acc, F.array(best))))
+
+    selected = iterate(k, F.expr(f"cast(array() as {out_t})"), step)
+    return (row.select(F.col(q_id_col),
+                       F.explode(selected).alias("_s"))
+            .select(q_id_col,
+                    F.col("_s.mmr_rank").alias("mmr_rank"),
+                    F.col("_s.neighbor_id").alias("neighbor_id"),
+                    F.col("_s.rel").alias("relevance"),
+                    F.col("_s.mmr_score").alias("mmr_score")))
