@@ -664,9 +664,23 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.datediff(F.col("_ad"), F.col("_last")).cast("long")
                     .alias("recency_days"),
                     "frequency", "_msc"))
-    b = equidepth_bins(base, "recency_days", ["custkey"], 5, "_rb")
-    b = equidepth_bins(b, "frequency", ["custkey"], 5, "_fb")
-    b = equidepth_bins(b, "_msc", ["custkey"], 5, "_mb")
+    # r11 (guide §2.6): the three quintile assignments are independent
+    # total-order ranks over BASE columns — chaining them serialized
+    # three range-repartition + checkpoint + offset-collect passes.
+    # Build the three bin frames concurrently (each bins the same
+    # (value, custkey) pairs over the same N, so assignments are
+    # unchanged) and join them back 1:1 on the unique custkey.
+    from g1_etl_spark.plans._util import build_concurrently
+
+    def _bins(col: str, out: str) -> DataFrame:
+        return (equidepth_bins(base, col, ["custkey"], 5, out)
+                .select("custkey", out))
+
+    rb, fb, mb = build_concurrently([
+        lambda: _bins("recency_days", "_rb"),
+        lambda: _bins("frequency", "_fb"),
+        lambda: _bins("_msc", "_mb")])
+    b = base.join(rb, "custkey").join(fb, "custkey").join(mb, "custkey")
     r = (F.lit(6) - F.col("_rb")).cast("int")
     f_ = F.col("_fb").cast("int")
     m = F.col("_mb").cast("int")
@@ -1052,12 +1066,20 @@ def stats_spearman_qty_price(spark: SparkSession,
     # sf0.1), so the joint census compresses nothing and its extra
     # shuffle made the query 1.3x slower. The row-level join-back
     # below is the better shape on near-unique keys.
-    qm = s.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
-    qr = (global_prefix_sum(qm, ["q"], "c", out_col="cum")
-          .select("q", (2 * F.col("cum") - F.col("c") + 1).alias("rq2")))
-    pm = s.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    pr = (global_prefix_sum(pm, ["p"], "c", out_col="cum")
-          .select("p", (2 * F.col("cum") - F.col("c") + 1).alias("rp2")))
+    # r11 (guide §2.6): the q-rank and p-rank branches are independent
+    # and each runs eager work at build time (prefix-sum repartition +
+    # checkpoint + carry collect) — overlap the two builds. Frames and
+    # rows unchanged.
+    from g1_etl_spark.plans._util import build_concurrently
+
+    def _rank2(col: str, out: str) -> DataFrame:
+        m = s.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return (global_prefix_sum(m, [col], "c", out_col="cum")
+                .select(col,
+                        (2 * F.col("cum") - F.col("c") + 1).alias(out)))
+
+    qr, pr = build_concurrently([lambda: _rank2("q", "rq2"),
+                                 lambda: _rank2("p", "rp2")])
     d38 = "decimal(38,0)"
     r = s.join(qr, "q").join(pr, "p")
     t = r.agg(F.count(F.lit(1)).alias("n"),
