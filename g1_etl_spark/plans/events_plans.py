@@ -1634,16 +1634,21 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("xs"),
                   F.lit(1).cast("long").alias("one"))
     # per-type 1-based event index i = global running count minus the
-    # earlier types' row counts (same shape as events_cusum_drift)
-    g = global_prefix_sums(s, ["event_type", "us", "event_id"],
-                           {"gi": "one"})
+    # earlier types' row counts (same shape as events_cusum_drift).
+    # r11 (guide §2.6): the prefix-sum pass and the per-type totals
+    # collect are independent eager builds over `s` — overlap them.
+    from g1_etl_spark.plans._util import build_concurrently
+
     d38 = "decimal(38,0)"
-    tot_rows = (s.groupBy("event_type")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("xs").alias("t"),
-                     F.sum(F.col("xs").cast(d38) * F.col("xs"))
-                     .alias("ss"))
-                .collect())  # bounded: one row per event type
+    g, tot_rows = build_concurrently([
+        lambda: global_prefix_sums(s, ["event_type", "us", "event_id"],
+                                   {"gi": "one"}),
+        lambda: (s.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("xs").alias("t"),
+                      F.sum(F.col("xs").cast(d38) * F.col("xs"))
+                      .alias("ss"))
+                 .collect())])  # bounded: one row per event type
     tot_rows.sort(key=lambda r: r["event_type"].encode("utf-8"))
     base_i = 0
     rows = []
