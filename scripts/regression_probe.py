@@ -36,7 +36,24 @@ DEFAULT = ["q1_pricing_summary",           # canary
            "dedup_ngram_jaccard"]
 
 
-def _single(name: str, trials: int) -> None:
+def _session_prelude(spark, bench, skip: str, n: int = 40) -> float:
+    """Age the JVM the way the combined bench does (VERDICT_r11 ask #8):
+    run a deterministic sample of OTHER headline queries once each in
+    this same session before timing the target, so the measurement sees
+    the shared-JVM state (codegen cache population, GC pressure, py4j
+    churn) instead of a fresh process. Returns the prelude wall time."""
+    import time as _t
+
+    sample = [q for q in bench.HEADLINE if q != skip]
+    step = max(1, len(sample) // n)
+    t0 = _t.perf_counter()
+    for q in sample[::step][:n]:
+        bench._force(bench.REGISTRY[q].fn(spark, bench.SF_DIR))
+        bench._drop_cached(spark)
+    return round(_t.perf_counter() - t0, 1)
+
+
+def _single(name: str, trials: int, in_session: bool = False) -> None:
     """Run one query, min-of-N, in THIS process; print one JSON line."""
     import bench  # noqa: E402  (repo root on sys.path)
     from g1_etl_spark.plans import REGISTRY
@@ -45,6 +62,9 @@ def _single(name: str, trials: int) -> None:
     spark = get_spark(app_name=f"regression_probe_{name}")
     spark.sparkContext.setLogLevel("ERROR")
     fn = REGISTRY[name].fn
+    prelude_sec = None
+    if in_session:
+        prelude_sec = _session_prelude(spark, bench, skip=name)
     # codegen warm at the smoke SF, same as bench
     bench._force(fn(spark, "/root/testdata/sf0.001"))
     bench._drop_cached(spark)
@@ -62,6 +82,7 @@ def _single(name: str, trials: int) -> None:
         bench._drop_cached(spark)
     print(json.dumps({"name": name, "times": times,
                       "min": min(times), "warm_sec": warm,
+                      "prelude_sec": prelude_sec,
                       "load": round(os.getloadavg()[0], 2)}))
 
 
@@ -71,10 +92,16 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--single", default=None)
     ap.add_argument("--out", default="PROBE_r10_regressions.json")
+    ap.add_argument("--in-session", action="store_true",
+                    help="age the JVM with a ~40-query headline prelude "
+                         "in the same session before timing (the "
+                         "combined-bench context), instead of a fresh-"
+                         "JVM steady state — VERDICT_r11 ask #8: claims "
+                         "should cite BOTH numbers")
     args = ap.parse_args()
 
     if args.single:
-        _single(args.single, args.trials)
+        _single(args.single, args.trials, in_session=args.in_session)
         return 0
 
     import bench
@@ -90,10 +117,11 @@ def main() -> int:
 
     results = {}
     for name in args.queries.split(","):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--single", name, "--trials", str(args.trials)],
-            capture_output=True, text=True, cwd=ROOT)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--single", name, "--trials", str(args.trials)]
+        if args.in_session:
+            cmd.append("--in-session")
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("{")][-1]
         row = json.loads(line)
@@ -109,7 +137,11 @@ def main() -> int:
                           "quiet-host gate, codegen warm at sf0.001, "
                           f"min-of-{args.trials} at {bench.SF_DIR} with "
                           "cache drops between trials; canary "
-                          "q1_pricing_summary measured identically",
+                          "q1_pricing_summary measured identically"
+                          + ("; IN-SESSION mode: each JVM first runs a "
+                             "~40-query headline prelude to reproduce "
+                             "combined-bench aging" if args.in_session
+                             else ""),
            "load_avg_initial": load0, "load_avg_gate_cleared": load_gate,
            "queries": results}
     path = os.path.join(ROOT, args.out)
