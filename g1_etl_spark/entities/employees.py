@@ -19,6 +19,10 @@ Fidelity notes (SURVEY §7.4):
   - rows with multiple dispensary_users entries: the reference takes the
     first row of an unordered DISTINCT — we take MIN(access)/MAX(active)
     per user as the deterministic stand-in (documented divergence).
+
+r12: doc assembled as an import-time SQL string + a single selectExpr
+(see members.py docstring for the rationale and the equivalence
+contract); the broadcast join is unchanged.
 """
 
 from __future__ import annotations
@@ -26,9 +30,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from g1_etl_spark.functions import scalars as sc
-from g1_etl_spark.functions.nested import falsy_to_null
-from g1_etl_spark.entities.common import iso
+from g1_etl_spark.functions import sql_text as sx
+
+_KEYS = sx.named_struct(
+    ("id", sx.falsy_to_null("id")),
+    ("organization_id", sx.falsy_to_null("organization_id")),
+)
+
+
+def _doc_sql(email_expr: str) -> str:
+    return sx.named_struct(
+        ("name", sx.set_name("first_name", "last_name", "login")),
+        ("role", sx.assign_role("access")),
+        ("createdAt", sx.iso("created_at")),
+        ("updatedAt", sx.iso("updated_at")),
+        ("dateOfBirth", sx.iso(sx.employee_const_dob())),
+        ("accountStatus", sx.employee_active_status("active")),
+        ("email", email_expr),
+        ("keys", _KEYS),
+    )
+
+
+_DOC_FAKE = _doc_sql(sx.deterministic_email("id"))
+_DOC_REAL = _doc_sql("email")
 
 
 def transform(users: DataFrame, dispensary_users: DataFrame,
@@ -43,23 +67,5 @@ def transform(users: DataFrame, dispensary_users: DataFrame,
     emp = (users
            .join(F.broadcast(du), users.id == du.user_id, "inner"))
 
-    email = (sc.deterministic_email("id")
-             if (fake_email or debug) else F.col("email"))
-
-    keys = F.struct(
-        falsy_to_null(F.col("id")).alias("id"),
-        falsy_to_null(F.col("organization_id")).alias("organization_id"),
-    )
-
-    doc = F.struct(
-        sc.set_name(F.col("first_name"), F.col("last_name"), F.col("login"))
-        .alias("name"),
-        sc.assign_role("access").alias("role"),
-        iso("created_at").alias("createdAt"),
-        iso("updated_at").alias("updatedAt"),
-        iso(sc.employee_const_dob()).alias("dateOfBirth"),
-        sc.employee_active_status("active").alias("accountStatus"),
-        email.alias("email"),
-        keys.alias("keys"),
-    )
-    return emp.select(F.col("id").alias("_id"), doc.alias("doc"))
+    doc = _DOC_FAKE if (fake_email or debug) else _DOC_REAL
+    return emp.selectExpr("id AS _id", f"{doc} AS doc")

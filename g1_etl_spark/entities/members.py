@@ -14,6 +14,14 @@ the code wins, SURVEY §5):
   from a nonexistent column and then deletes it; we implement the intent),
   address[], expiryDate?, identificationType, createdAt, updatedAt,
   keys{...truthiness-pruned...}
+
+r12: the doc expression is assembled as ONE SQL string at import time
+(functions/sql_text — the builders are 1:1 twins of the Column helpers
+they replace) and applied with a single ``selectExpr`` call: the
+hundreds of py4j round-trips the Column form paid per invocation were
+~40% of entity_org_payload_json's driver time (guide §1.2 — fix the
+per-query work). Results are bit-identical (same Catalyst expressions;
+certified by goldens + oracle parity + the payload roundtrip contract).
 """
 
 from __future__ import annotations
@@ -21,54 +29,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from g1_etl_spark.functions import scalars as sc
-from g1_etl_spark.functions.nested import falsy_to_null
-from g1_etl_spark.entities.common import iso
+from g1_etl_spark.functions import sql_text as sx
+
+_KEYS = sx.named_struct(
+    ("id", sx.falsy_to_null("id")),
+    ("caregiver_id", sx.falsy_to_null("caregiver_id")),
+    ("dispensary_id", sx.falsy_to_null("dispensary_id")),
+    ("physician_id", sx.falsy_to_null("physician_id")),
+    ("custom_membership_id", sx.falsy_to_null("custom_membership_id")),
+    ("organization_membership_id",
+     sx.falsy_to_null("organization_membership_id")),
+    ("picture_file_name", sx.falsy_to_null("picture_file_name")),
+    ("organization_id", sx.falsy_to_null("organization_id")),
+)
+
+_DOC_SQL = sx.named_struct(
+    ("name", "name"),
+    ("phone_number", "phone_number"),
+    ("email", "email"),
+    # NULL dob -> epoch start (members.py:136-138)
+    ("dateOfBirth", sx.iso(sx.dob_default("dob"))),
+    ("memberType", sx.member_type("license_type")),
+    ("mmjCard", "registry_no"),
+    ("isCaregiver", sx.true_or_false("given_caregivership")),
+    ("identificationNumber", "drivers_license_no"),
+    ("points", "points"),
+    ("taxExempt", sx.true_or_false("tax_exempt")),
+    ("accountStatus", sx.account_status_inverted("locked_visits")),
+    ("accountStatusNotes", sx.account_status_notes("locked_visits_reason")),
+    ("address", "array(" + sx.named_struct(
+        ("line1", "address"), ("city", "city"),
+        ("state", "state"), ("zip", "zip_code")) + ")"),
+    # expiryDate only when card_expires_at present (members.py:116-117)
+    ("expiryDate", sx.iso(sx.expiry_date_copy("card_expires_at"))),
+    ("identificationType", sx.identification_type()),
+    ("createdAt", sx.iso("created_at")),
+    ("updatedAt", sx.iso("updated_at")),
+    ("keys", _KEYS),
+)
 
 
 def transform(customers: DataFrame, dispensary_id: int,
               organization_id) -> DataFrame:
     m = customers.filter(F.col("dispensary_id") == dispensary_id)
-
-    keys = F.struct(
-        falsy_to_null(F.col("id")).alias("id"),
-        falsy_to_null(F.col("caregiver_id")).alias("caregiver_id"),
-        falsy_to_null(F.col("dispensary_id")).alias("dispensary_id"),
-        falsy_to_null(F.col("physician_id")).alias("physician_id"),
-        falsy_to_null(F.col("custom_membership_id"))
-        .alias("custom_membership_id"),
-        falsy_to_null(F.col("organization_membership_id"))
-        .alias("organization_membership_id"),
-        falsy_to_null(F.col("picture_file_name")).alias("picture_file_name"),
-        falsy_to_null(F.col("organization_id")).alias("organization_id"),
-    )
-
-    doc = F.struct(
-        F.col("name").alias("name"),
-        F.col("phone_number").alias("phone_number"),
-        F.col("email").alias("email"),
-        # NULL dob -> epoch start (members.py:136-138)
-        iso(sc.dob_default("dob")).alias("dateOfBirth"),
-        sc.member_type("license_type").alias("memberType"),
-        F.col("registry_no").alias("mmjCard"),
-        sc.true_or_false("given_caregivership").alias("isCaregiver"),
-        F.col("drivers_license_no").alias("identificationNumber"),
-        F.col("points").alias("points"),
-        sc.true_or_false("tax_exempt").alias("taxExempt"),
-        sc.account_status_inverted("locked_visits").alias("accountStatus"),
-        sc.account_status_notes("locked_visits_reason")
-        .alias("accountStatusNotes"),
-        F.array(F.struct(
-            F.col("address").alias("line1"),
-            F.col("city").alias("city"),
-            F.col("state").alias("state"),
-            F.col("zip_code").alias("zip"),
-        )).alias("address"),
-        # expiryDate only when card_expires_at present (members.py:116-117)
-        iso(sc.expiry_date_copy("card_expires_at")).alias("expiryDate"),
-        sc.identification_type().alias("identificationType"),
-        iso("created_at").alias("createdAt"),
-        iso("updated_at").alias("updatedAt"),
-        keys.alias("keys"),
-    )
-    return m.select(F.col("id").alias("_id"), doc.alias("doc"))
+    return m.selectExpr("id AS _id", f"{_DOC_SQL} AS doc")

@@ -23,6 +23,10 @@ Fidelity (SURVEY §7.4):
     elements (:196-199); we implement the intent (keep active only).
   - medicine_amount leaks into the reference output (never deleted);
     cloned for parity.
+
+r12: the doc projection is assembled as a SQL string + one selectExpr
+(joins unchanged) — see members.py for rationale and the equivalence
+contract.
 """
 
 from __future__ import annotations
@@ -30,9 +34,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from g1_etl_spark.functions import scalars as sc
-from g1_etl_spark.functions.nested import falsy_to_null
-from g1_etl_spark.entities.common import image_url, iso
+from g1_etl_spark.functions import sql_text as sx
+
+_UOM = sx.map_uom("measurement")
+_ACTIVE = sx.menu_item_active("on_hold")
+
+_WEIGHT_PRICING = ("CASE WHEN price_gram IS NOT NULL THEN "
+                   + sx.named_struct(
+                       ("price_half_gram",
+                        sx.dollars_to_cents("price_half_gram")),
+                       ("price_two_gram",
+                        sx.dollars_to_cents("price_two_gram")),
+                       ("price_gram", sx.dollars_to_cents("price_gram")),
+                       ("price_eighth",
+                        sx.dollars_to_cents("price_eigth")),
+                       ("price_quarter",
+                        sx.dollars_to_cents("price_quarter")),
+                       ("price_half", sx.dollars_to_cents("price_half")),
+                       ("price_ounce",
+                        sx.dollars_to_cents("price_ounce")),
+                   ) + " END")
+
+_KEYS = sx.named_struct(
+    ("dispensary_id", sx.falsy_to_null("dispensary_id")),
+    ("id", sx.falsy_to_null("id")),
+    ("menu_id", sx.falsy_to_null("menu_id")),
+    ("vendor_id", sx.falsy_to_null("vendor_id")),
+    ("strain_id", sx.falsy_to_null("strain_id")),
+    ("category_id", sx.falsy_to_null("category_id")),
+)
+
+
+def _doc_sql(debug: bool) -> str:
+    return sx.named_struct(
+        ("name", "name"),
+        ("createdAt", sx.iso("created_at")),
+        ("updatedAt", sx.iso("updated_at")),
+        ("createdAtEpoch", sx.create_epoch("created_at")),
+        ("shareOnWM", "COALESCE(_wm, FALSE)"),
+        ("unitOfMeasure", _UOM),
+        ("categoryId", sx.map_categories("category_name", "sativa",
+                                         "indica")),
+        ("netMarijuana", sx.net_marijuana(_UOM, "medicine_amount")),
+        ("medicine_amount", "medicine_amount"),
+        ("image_file_name", sx.image_url("menu_items/images", "id",
+                                         "image_file_name", debug=debug)),
+        ("locationProductDetails", sx.named_struct(
+            ("id", "id"),
+            ("active", _ACTIVE),
+            ("weightPricing", _WEIGHT_PRICING),
+        )),
+        ("restockLevel", "CASE WHEN product_type = 1 THEN grams_hold_at "
+                         "ELSE units_hold_at END"),
+        ("keys", _KEYS),
+    )
+
+
+_DOC = _doc_sql(False)
+_DOC_DEBUG = _doc_sql(True)
 
 
 def transform(menu_items: DataFrame, categories: DataFrame,
@@ -73,54 +132,6 @@ def transform(menu_items: DataFrame, categories: DataFrame,
          .join(F.broadcast(dd), "dispensary_id", "left")
          .join(F.broadcast(price_win), "dispensary_id", "left"))
 
-    uom = sc.map_uom("measurement")
-    active = sc.menu_item_active("on_hold")
-
-    weight_pricing = F.when(
-        F.col("price_gram").isNotNull(),
-        F.struct(
-            sc.dollars_to_cents("price_half_gram").alias("price_half_gram"),
-            sc.dollars_to_cents("price_two_gram").alias("price_two_gram"),
-            sc.dollars_to_cents("price_gram").alias("price_gram"),
-            sc.dollars_to_cents("price_eigth").alias("price_eighth"),
-            sc.dollars_to_cents("price_quarter").alias("price_quarter"),
-            sc.dollars_to_cents("price_half").alias("price_half"),
-            sc.dollars_to_cents("price_ounce").alias("price_ounce"),
-        ),
-    )
-
-    keys = F.struct(
-        falsy_to_null(F.col("dispensary_id")).alias("dispensary_id"),
-        falsy_to_null(F.col("id")).alias("id"),
-        falsy_to_null(F.col("menu_id")).alias("menu_id"),
-        falsy_to_null(F.col("vendor_id")).alias("vendor_id"),
-        falsy_to_null(F.col("strain_id")).alias("strain_id"),
-        falsy_to_null(F.col("category_id")).alias("category_id"),
-    )
-
-    doc = F.struct(
-        F.col("name").alias("name"),
-        iso("created_at").alias("createdAt"),
-        iso("updated_at").alias("updatedAt"),
-        sc.create_epoch("created_at").alias("createdAtEpoch"),
-        F.coalesce(F.col("_wm"), F.lit(False)).alias("shareOnWM"),
-        uom.alias("unitOfMeasure"),
-        sc.map_categories(F.col("category_name"), F.col("sativa"),
-                          F.col("indica")).alias("categoryId"),
-        sc.net_marijuana(uom, "medicine_amount").alias("netMarijuana"),
-        F.col("medicine_amount").alias("medicine_amount"),
-        image_url("menu_items/images", F.col("id"),
-                  F.col("image_file_name"), debug=debug)
-        .alias("image_file_name"),
-        F.struct(
-            F.col("id").alias("id"),
-            active.alias("active"),
-            weight_pricing.alias("weightPricing"),
-        ).alias("locationProductDetails"),
-        F.when(F.col("product_type") == 1, F.col("grams_hold_at"))
-        .otherwise(F.col("units_hold_at")).alias("restockLevel"),
-        keys.alias("keys"),
-    )
-
-    return (j.filter(active)  # intent of the buggy purge (:196-199)
-            .select(F.col("id").alias("_id"), doc.alias("doc")))
+    doc = _DOC_DEBUG if debug else _DOC
+    return (j.where(_ACTIVE)  # intent of the buggy purge (:196-199)
+            .selectExpr("id AS _id", f"{doc} AS doc"))

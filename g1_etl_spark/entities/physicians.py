@@ -7,58 +7,59 @@ Narrow select, zero shuffles. Output doc per physician:
   (group-deleted if any NULL, physicians.py:109-113), phone[]? (name
   'work'), address[]? (built when ANY of the five location fields is
   truthy, physicians.py:84-91), keys{dispensary_id,id pruned}.
+
+r12: doc assembled as one import-time SQL string + a single selectExpr
+(see members.py docstring for the rationale and the equivalence
+contract).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from g1_etl_spark.functions import scalars as sc
-from g1_etl_spark.functions.nested import falsy_to_null, phone_array
-from g1_etl_spark.entities.common import iso
+from g1_etl_spark.functions import sql_text as sx
 
 
-def _truthy_str(c: Column) -> Column:
-    return c.isNotNull() & (c != "")
+def _truthy_str(c: str) -> str:
+    return f"({c} IS NOT NULL AND {c} <> '')"
+
+
+_GROUP_OK = ("(license_no IS NOT NULL AND website IS NOT NULL "
+             "AND email IS NOT NULL)")
+
+_ANY_LOC = "(" + " OR ".join(_truthy_str(c) for c in
+                             ("city", "address", "state", "zip_code",
+                              "country")) + ")"
+
+_ADDRESS = (f"CASE WHEN {_ANY_LOC} THEN array(" + sx.named_struct(
+    ("line1", "address"),
+    ("city", "city"),
+    ("state", "state"),
+    ("zip", "zip_code"),
+    ("country", "country"),
+) + ") END")
+
+_KEYS = sx.named_struct(
+    ("dispensary_id", sx.falsy_to_null("dispensary_id")),
+    ("id", sx.falsy_to_null("id")),
+)
+
+_DOC_SQL = sx.named_struct(
+    ("name", sx.strip_dr_prefix("name")),
+    ("specialty", sx.physician_specialty()),
+    ("createdAt", sx.iso("created_at")),
+    ("updatedAt", sx.iso("updated_at")),
+    ("email", f"CASE WHEN {_GROUP_OK} THEN email END"),
+    ("verificationWebsite", f"CASE WHEN {_GROUP_OK} THEN website END"),
+    ("licenceNumber", f"CASE WHEN {_GROUP_OK} THEN license_no END"),
+    ("phone", sx.phone_array("phone_number", name="work")),
+    ("address", _ADDRESS),
+    ("keys", _KEYS),
+)
 
 
 def transform(physicians: DataFrame, dispensary_id: int,
               organization_id) -> DataFrame:
     p = physicians.filter(F.col("dispensary_id") == dispensary_id)
-
-    group_ok = (F.col("license_no").isNotNull()
-                & F.col("website").isNotNull()
-                & F.col("email").isNotNull())
-
-    any_loc = (_truthy_str(F.col("city"))
-               | _truthy_str(F.col("address"))
-               | _truthy_str(F.col("state"))
-               | _truthy_str(F.col("zip_code"))
-               | _truthy_str(F.col("country")))
-    address = F.when(any_loc, F.array(F.struct(
-        F.col("address").alias("line1"),
-        F.col("city").alias("city"),
-        F.col("state").alias("state"),
-        F.col("zip_code").alias("zip"),
-        F.col("country").alias("country"),
-    )))
-
-    keys = F.struct(
-        falsy_to_null(F.col("dispensary_id")).alias("dispensary_id"),
-        falsy_to_null(F.col("id")).alias("id"),
-    )
-
-    doc = F.struct(
-        sc.strip_dr_prefix("name").alias("name"),
-        sc.physician_specialty().alias("specialty"),
-        iso("created_at").alias("createdAt"),
-        iso("updated_at").alias("updatedAt"),
-        F.when(group_ok, F.col("email")).alias("email"),
-        F.when(group_ok, F.col("website")).alias("verificationWebsite"),
-        F.when(group_ok, F.col("license_no")).alias("licenceNumber"),
-        phone_array(F.col("phone_number"), name="work").alias("phone"),
-        address.alias("address"),
-        keys.alias("keys"),
-    )
-    return p.select(F.col("id").alias("_id"), doc.alias("doc"))
+    return p.selectExpr("id AS _id", f"{_DOC_SQL} AS doc")

@@ -19,6 +19,11 @@ location_specific{apiKey?, members{paidVisitsEnabled, mandatoryReferral,
 medicalLimits?}, sales{enableTaxesIn, hasPriceRounding},
 inventory{weightPricing{name, defaultTier, breakpoints{7 cent prices}}}?},
 sales_settings_taxes{taxes?}.
+
+r12: the one-row doc projection is assembled as a SQL string (built in
+Python, parsed once by the JVM) instead of ~300 py4j Column calls per
+invocation; the winner-row joins/windows stay in the Column API. See
+members.py for the rationale and the equivalence contract.
 """
 
 from __future__ import annotations
@@ -26,9 +31,101 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from g1_etl_spark.functions import scalars as sc
-from g1_etl_spark.functions.nested import falsy_to_null
-from g1_etl_spark.entities.common import image_url
+from g1_etl_spark.functions import sql_text as sx
+
+
+def _doc_sql(organization_id, debug: bool) -> str:
+    img = sx.image_url("logos", "id", "logo_file_name", debug=debug)
+    api_key = "mmjrevu_api_key"
+    img_group_ok = f"(({img}) IS NOT NULL AND {api_key} IS NOT NULL)"
+
+    crm = ("CASE WHEN " + sx.true_or_false("pp_enabled") + " THEN "
+           + sx.named_struct(
+               ("membershipLevel", sx.named_struct(
+                   ("membershipLevelsEnabled",
+                    sx.true_or_false("membership_fee_enabled")),
+                   ("levelName", "'Unnamed'"),
+                   ("dollarsPerPoint", "pp_global_dollars_to_points"),
+                   ("pointsPerDollar", "pp_global_points_to_dollars"),
+                   ("referralPoints", "pp_points_per_referral"),
+               ))) + " END")
+
+    medical_limits = (
+        "CASE WHEN red_flags_enabled = 1 "
+        "AND daily_purchase_limit IS NOT NULL THEN "
+        + sx.named_struct(
+            ("hasLimits", "TRUE"),
+            ("dailyPurchaseLimit",
+             "CAST(daily_purchase_limit AS BIGINT)"),
+            ("visitPurchaseLimit",
+             "CAST(visit_purchase_limit AS BIGINT)"),
+            ("dailyVisitLimit", "CAST(daily_visit_limit AS BIGINT)"),
+            ("monthlyPurchaseLimit",
+             sx.monthly_purchase_limit("two_week_purchase_limit")),
+        ) + " END")
+
+    breakpoints = ("CASE WHEN price_gram IS NOT NULL THEN "
+                   + sx.named_struct(
+                       ("weightPricing", sx.named_struct(
+                           ("name", "'Default'"),
+                           ("defaultTier", "TRUE"),
+                           ("breakpoints", sx.named_struct(
+                               ("price_half_gram",
+                                sx.dollars_to_cents("price_half_gram")),
+                               ("price_gram",
+                                sx.dollars_to_cents("price_gram")),
+                               ("price_two_gram",
+                                sx.dollars_to_cents("price_two_gram")),
+                               ("price_eighth",
+                                sx.dollars_to_cents("price_eigth")),
+                               ("price_quarter",
+                                sx.dollars_to_cents("price_quarter")),
+                               ("price_half",
+                                sx.dollars_to_cents("price_half")),
+                               ("price_ounce",
+                                sx.dollars_to_cents("price_ounce")),
+                           )),
+                       ))) + " END")
+
+    taxes_struct = ("CASE WHEN tax_name IS NOT NULL THEN "
+                    + sx.named_struct(
+                        ("code", "tax_name"),
+                        ("percent", sx.tax_percent("tax_amount")),
+                        ("type", "'sales'"),
+                    ) + " END")
+
+    location_specific = sx.named_struct(
+        ("apiKey", sx.falsy_to_null(api_key)),
+        ("members", sx.named_struct(
+            ("paidVisitsEnabled", sx.true_or_false("allow_unpaid_visits")),
+            ("mandatoryReferral",
+             sx.true_or_false("require_customer_referrer")),
+            ("medicalLimits", medical_limits),
+        )),
+        ("sales", sx.named_struct(
+            ("enableTaxesIn", sx.true_or_false("menu_show_tax")),
+            ("hasPriceRounding",
+             sx.true_or_false("calculate_even_totals")),
+        )),
+        ("inventory", breakpoints),
+    )
+
+    keys = sx.named_struct(
+        ("dispensary_id", sx.falsy_to_null("dispensary_id")),
+        ("id", sx.falsy_to_null("id")),
+    )
+
+    return sx.named_struct(
+        ("organizationId", sx.organization_id_lit(organization_id)),
+        ("sessionTimeoutDuration", "inactivity_logout"),
+        ("image", f"CASE WHEN {img_group_ok} THEN {img} END"),
+        ("apiKey", f"CASE WHEN {img_group_ok} THEN {api_key} END"),
+        ("crm_member_settings", crm),
+        ("location_specific", location_specific),
+        ("sales_settings_taxes",
+         sx.named_struct(("taxes", taxes_struct))),
+        ("keys", keys),
+    )
 
 
 def transform(dispensary_details: DataFrame, memberships: DataFrame,
@@ -80,92 +177,5 @@ def transform(dispensary_details: DataFrame, memberships: DataFrame,
            .join(F.broadcast(limits_win), "dispensary_id", "left")
            .join(F.broadcast(price_win), "dispensary_id", "left"))
 
-    img = image_url("logos", F.col("id"), F.col("logo_file_name"),
-                    debug=debug)
-    api_key = F.col("mmjrevu_api_key")
-    img_group_ok = img.isNotNull() & api_key.isNotNull()
-
-    crm = F.when(
-        sc.true_or_false("pp_enabled"),
-        F.struct(F.struct(
-            sc.true_or_false("membership_fee_enabled")
-            .alias("membershipLevelsEnabled"),
-            F.lit("Unnamed").alias("levelName"),
-            F.col("pp_global_dollars_to_points").alias("dollarsPerPoint"),
-            F.col("pp_global_points_to_dollars").alias("pointsPerDollar"),
-            F.col("pp_points_per_referral").alias("referralPoints"),
-        ).alias("membershipLevel")),
-    )
-
-    medical_limits = F.when(
-        (F.col("red_flags_enabled") == 1)
-        & F.col("daily_purchase_limit").isNotNull(),
-        F.struct(
-            F.lit(True).alias("hasLimits"),
-            F.col("daily_purchase_limit").cast("long")
-            .alias("dailyPurchaseLimit"),
-            F.col("visit_purchase_limit").cast("long")
-            .alias("visitPurchaseLimit"),
-            F.col("daily_visit_limit").cast("long").alias("dailyVisitLimit"),
-            sc.monthly_purchase_limit("two_week_purchase_limit")
-            .alias("monthlyPurchaseLimit"),
-        ),
-    )
-
-    breakpoints = F.when(
-        F.col("price_gram").isNotNull(),
-        F.struct(F.struct(
-            F.lit("Default").alias("name"),
-            F.lit(True).alias("defaultTier"),
-            F.struct(
-                sc.dollars_to_cents("price_half_gram").alias("price_half_gram"),
-                sc.dollars_to_cents("price_gram").alias("price_gram"),
-                sc.dollars_to_cents("price_two_gram").alias("price_two_gram"),
-                sc.dollars_to_cents("price_eigth").alias("price_eighth"),
-                sc.dollars_to_cents("price_quarter").alias("price_quarter"),
-                sc.dollars_to_cents("price_half").alias("price_half"),
-                sc.dollars_to_cents("price_ounce").alias("price_ounce"),
-            ).alias("breakpoints"),
-        ).alias("weightPricing")),
-    )
-
-    taxes_struct = F.when(
-        F.col("tax_name").isNotNull(),
-        F.struct(
-            F.col("tax_name").alias("code"),
-            sc.tax_percent("tax_amount").alias("percent"),
-            F.lit("sales").alias("type"),
-        ),
-    )
-
-    location_specific = F.struct(
-        falsy_to_null(api_key).alias("apiKey"),
-        F.struct(
-            sc.true_or_false("allow_unpaid_visits").alias("paidVisitsEnabled"),
-            sc.true_or_false("require_customer_referrer")
-            .alias("mandatoryReferral"),
-            medical_limits.alias("medicalLimits"),
-        ).alias("members"),
-        F.struct(
-            sc.true_or_false("menu_show_tax").alias("enableTaxesIn"),
-            sc.true_or_false("calculate_even_totals").alias("hasPriceRounding"),
-        ).alias("sales"),
-        breakpoints.alias("inventory"),
-    )
-
-    keys = F.struct(
-        falsy_to_null(F.col("dispensary_id")).alias("dispensary_id"),
-        falsy_to_null(F.col("id")).alias("id"),
-    )
-
-    doc = F.struct(
-        sc.organization_id_lit(organization_id).alias("organizationId"),
-        F.col("inactivity_logout").alias("sessionTimeoutDuration"),
-        F.when(img_group_ok, img).alias("image"),
-        F.when(img_group_ok, api_key).alias("apiKey"),
-        crm.alias("crm_member_settings"),
-        location_specific.alias("location_specific"),
-        F.struct(taxes_struct.alias("taxes")).alias("sales_settings_taxes"),
-        keys.alias("keys"),
-    )
-    return row.select(F.col("id").alias("_id"), doc.alias("doc"))
+    doc = _doc_sql(organization_id, debug)
+    return row.selectExpr("id AS _id", f"{doc} AS doc")

@@ -25,42 +25,46 @@ _TS = "1995-03-04 10:20:30"
 
 
 def _customers_like(spark, sf_dir):
+    # r12: one selectExpr over import-time strings — same expressions as
+    # the former Column build (certified by the entity oracles), zero
+    # per-call py4j tree construction
     c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    return c.select(
-        k.alias("id"),
-        F.lit(1).cast("long").alias("dispensary_id"),
-        F.when(k % 3 != 0, F.concat(F.col("c_name"), F.lit(".jpg")))
-        .alias("picture_file_name"),
-        F.col("c_name").alias("name"),
-        F.concat(F.lit("u"), k.cast("string"), F.lit("@x.org")).alias("email"),
-        F.concat(F.lit("555-"), k.cast("string")).alias("phone_number"),
-        F.concat(F.lit("A-"), k.cast("string")).alias("address"),
-        F.col("c_mktsegment").alias("city"),
-        F.col("c_nationkey").cast("string").alias("state"),
-        F.lit("55812").alias("zip_code"),
-        F.when(k % 2 == 0, F.lit("1980-09-02 00:00:00").cast("timestamp"))
-        .alias("dob"),
-        (k % 2).cast("int").alias("license_type"),
-        F.when(k % 4 != 0, F.concat(F.lit("REG"), k.cast("string")))
-        .alias("registry_no"),
-        (k % 7).alias("membership_id"),
-        (k % 2).cast("int").alias("given_caregivership"),
-        (k % 3).cast("int").alias("tax_exempt"),
-        F.concat(F.lit("DL"), k.cast("string")).alias("drivers_license_no"),
-        F.col("c_acctbal").alias("points"),
-        (k % 2).cast("int").alias("locked_visits"),
-        F.when(k % 5 == 0, F.lit("flagged")).alias("locked_visits_reason"),
-        (k % 3).alias("caregiver_id"),
-        F.when(k % 2 == 1, F.lit(_TS).cast("timestamp"))
-        .alias("card_expires_at"),
-        F.lit(_TS).cast("timestamp").alias("created_at"),
-        F.lit(_TS).cast("timestamp").alias("updated_at"),
-        F.lit(None).cast("long").alias("physician_id"),
-        F.when(k % 4 != 0, F.concat(F.lit("CM"), k.cast("string")))
-        .otherwise(F.lit("")).alias("custom_membership_id"),
-        F.lit(None).cast("string").alias("organization_membership_id"),
-        F.lit(420).cast("long").alias("organization_id"),
+    k, ks = "c_custkey", "CAST(c_custkey AS STRING)"
+    return c.selectExpr(
+        f"{k} AS id",
+        "CAST(1 AS BIGINT) AS dispensary_id",
+        f"CASE WHEN {k} % 3 <> 0 THEN concat(c_name, '.jpg') END"
+        " AS picture_file_name",
+        "c_name AS name",
+        f"concat('u', {ks}, '@x.org') AS email",
+        f"concat('555-', {ks}) AS phone_number",
+        f"concat('A-', {ks}) AS address",
+        "c_mktsegment AS city",
+        "CAST(c_nationkey AS STRING) AS state",
+        "'55812' AS zip_code",
+        f"CASE WHEN {k} % 2 = 0 THEN"
+        " CAST('1980-09-02 00:00:00' AS TIMESTAMP) END AS dob",
+        f"CAST({k} % 2 AS INT) AS license_type",
+        f"CASE WHEN {k} % 4 <> 0 THEN concat('REG', {ks}) END"
+        " AS registry_no",
+        f"{k} % 7 AS membership_id",
+        f"CAST({k} % 2 AS INT) AS given_caregivership",
+        f"CAST({k} % 3 AS INT) AS tax_exempt",
+        f"concat('DL', {ks}) AS drivers_license_no",
+        "c_acctbal AS points",
+        f"CAST({k} % 2 AS INT) AS locked_visits",
+        f"CASE WHEN {k} % 5 = 0 THEN 'flagged' END"
+        " AS locked_visits_reason",
+        f"{k} % 3 AS caregiver_id",
+        f"CASE WHEN {k} % 2 = 1 THEN CAST('{_TS}' AS TIMESTAMP) END"
+        " AS card_expires_at",
+        f"CAST('{_TS}' AS TIMESTAMP) AS created_at",
+        f"CAST('{_TS}' AS TIMESTAMP) AS updated_at",
+        "CAST(NULL AS BIGINT) AS physician_id",
+        f"CASE WHEN {k} % 4 <> 0 THEN concat('CM', {ks}) ELSE '' END"
+        " AS custom_membership_id",
+        "CAST(NULL AS STRING) AS organization_membership_id",
+        "CAST(420 AS BIGINT) AS organization_id",
     )
 
 
@@ -154,27 +158,27 @@ def _members_flat_cols(d):
 
 def _vendors_like(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
-        k.alias("id"),
-        F.lit(1).cast("long").alias("dispensary_id"),
-        F.when(k % 5 == 0, F.lit("")).otherwise(
-            F.concat(F.lit("MV"), k.cast("string"))).alias("mmjvenu_id"),
-        F.col("p_name").alias("name"),
-        F.when(k % 3 != 0, F.concat(F.lit("705"), k.cast("string")))
-        .alias("phone_number"),
-        F.when(k % 2 == 0, F.concat(F.lit("v"), k.cast("string"),
-                                    F.lit("@x.org"))).alias("email"),
-        F.lit("US").alias("country"),
-        F.lit("MN").alias("state"),
-        F.col("p_brand").alias("city"),
-        F.when(k % 4 != 0, F.concat(F.lit("Addr "), k.cast("string")))
-        .alias("address"),
-        F.lit("55812").alias("zip_code"),
-        F.when(k % 3 == 0, F.concat(F.lit("L"), k.cast("string")))
-        .alias("liscense_no"),
-        (k % 2).cast("int").alias("confirmed"),
-        F.when(k % 7 != 0, F.lit("http://v.example")).alias("website"),
+    k, ks = "p_partkey", "CAST(p_partkey AS STRING)"
+    return p.selectExpr(
+        f"{k} AS id",
+        "CAST(1 AS BIGINT) AS dispensary_id",
+        f"CASE WHEN {k} % 5 = 0 THEN '' ELSE concat('MV', {ks}) END"
+        " AS mmjvenu_id",
+        "p_name AS name",
+        f"CASE WHEN {k} % 3 <> 0 THEN concat('705', {ks}) END"
+        " AS phone_number",
+        f"CASE WHEN {k} % 2 = 0 THEN concat('v', {ks}, '@x.org') END"
+        " AS email",
+        "'US' AS country",
+        "'MN' AS state",
+        "p_brand AS city",
+        f"CASE WHEN {k} % 4 <> 0 THEN concat('Addr ', {ks}) END"
+        " AS address",
+        "'55812' AS zip_code",
+        f"CASE WHEN {k} % 3 = 0 THEN concat('L', {ks}) END"
+        " AS liscense_no",
+        f"CAST({k} % 2 AS INT) AS confirmed",
+        f"CASE WHEN {k} % 7 <> 0 THEN 'http://v.example' END AS website",
     )
 
 
@@ -241,27 +245,28 @@ def entity_vendors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _physicians_like(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    return c.select(
-        k.alias("id"),
-        F.lit(1).cast("long").alias("dispensary_id"),
-        F.when(k % 2 == 0, F.concat(F.lit("Dr. "), F.col("c_name")))
-        .otherwise(F.col("c_name")).alias("name"),
-        F.when(k % 3 == 0, F.concat(F.lit("p"), k.cast("string"),
-                                    F.lit("@x.org"))).alias("email"),
-        F.lit(_TS).cast("timestamp").alias("created_at"),
-        F.lit(_TS).cast("timestamp").alias("updated_at"),
-        F.when(k % 4 != 0, F.concat(F.lit("Care "), k.cast("string")))
-        .alias("address"),
-        F.when(k % 4 != 0, F.col("c_mktsegment")).alias("city"),
-        F.when(k % 4 != 0, F.lit("MN")).alias("state"),
-        F.lit(None).cast("string").alias("country"),
-        F.when(k % 4 != 0, F.lit("55812")).alias("zip_code"),
-        F.when(k % 6 == 0, F.lit("http://verify.example")).alias("website"),
-        F.when(k % 3 == 0, F.concat(F.lit("MD"), k.cast("string")))
-        .alias("license_no"),
-        F.when(k % 2 == 1, F.concat(F.lit("218"), k.cast("string")))
-        .alias("phone_number"),
+    k, ks = "c_custkey", "CAST(c_custkey AS STRING)"
+    return c.selectExpr(
+        f"{k} AS id",
+        "CAST(1 AS BIGINT) AS dispensary_id",
+        f"CASE WHEN {k} % 2 = 0 THEN concat('Dr. ', c_name)"
+        " ELSE c_name END AS name",
+        f"CASE WHEN {k} % 3 = 0 THEN concat('p', {ks}, '@x.org') END"
+        " AS email",
+        f"CAST('{_TS}' AS TIMESTAMP) AS created_at",
+        f"CAST('{_TS}' AS TIMESTAMP) AS updated_at",
+        f"CASE WHEN {k} % 4 <> 0 THEN concat('Care ', {ks}) END"
+        " AS address",
+        f"CASE WHEN {k} % 4 <> 0 THEN c_mktsegment END AS city",
+        f"CASE WHEN {k} % 4 <> 0 THEN 'MN' END AS state",
+        "CAST(NULL AS STRING) AS country",
+        f"CASE WHEN {k} % 4 <> 0 THEN '55812' END AS zip_code",
+        f"CASE WHEN {k} % 6 = 0 THEN 'http://verify.example' END"
+        " AS website",
+        f"CASE WHEN {k} % 3 = 0 THEN concat('MD', {ks}) END"
+        " AS license_no",
+        f"CASE WHEN {k} % 2 = 1 THEN concat('218', {ks}) END"
+        " AS phone_number",
     )
 
 
@@ -335,31 +340,30 @@ def entity_physicians(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _users_like(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    return c.select(
-        k.alias("id"),
-        F.concat(F.lit("e"), k.cast("string"), F.lit("@real.org"))
-        .alias("email"),
-        F.when(k % 3 != 0, F.concat(F.lit("First"), k.cast("string")))
-        .alias("first_name"),
-        F.when(k % 2 != 0, F.concat(F.lit("Last"), k.cast("string")))
-        .alias("last_name"),
-        F.concat(F.lit("login"), k.cast("string")).alias("login"),
-        F.lit(420).cast("long").alias("organization_id"),
-        F.lit(_TS).cast("timestamp").alias("created_at"),
-        F.lit(_TS).cast("timestamp").alias("updated_at"),
+    k, ks = "c_custkey", "CAST(c_custkey AS STRING)"
+    return c.selectExpr(
+        f"{k} AS id",
+        f"concat('e', {ks}, '@real.org') AS email",
+        f"CASE WHEN {k} % 3 <> 0 THEN concat('First', {ks}) END"
+        " AS first_name",
+        f"CASE WHEN {k} % 2 <> 0 THEN concat('Last', {ks}) END"
+        " AS last_name",
+        f"concat('login', {ks}) AS login",
+        "CAST(420 AS BIGINT) AS organization_id",
+        f"CAST('{_TS}' AS TIMESTAMP) AS created_at",
+        f"CAST('{_TS}' AS TIMESTAMP) AS updated_at",
     )
 
 
 def _dispensary_users_like(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    return c.filter(k % 10 != 0).select(
-        k.alias("user_id"),
-        F.lit(1).cast("long").alias("dispensary_id"),
-        F.when(k % 3 == 1, 1).when(k % 3 == 2, 0).cast("int")
-        .alias("active"),
-        (k % 5).cast("int").alias("access"),
+    k = "c_custkey"
+    return c.filter(F.col("c_custkey") % 10 != 0).selectExpr(
+        f"{k} AS user_id",
+        "CAST(1 AS BIGINT) AS dispensary_id",
+        f"CAST(CASE WHEN {k} % 3 = 1 THEN 1 WHEN {k} % 3 = 2 THEN 0 END"
+        " AS INT) AS active",
+        f"CAST({k} % 5 AS INT) AS access",
     )
 
 
@@ -418,41 +422,48 @@ def _products_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.entities.menu_items import transform
 
     p = load_table(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    menu_items = p.select(
-        k.alias("id"), (k % 7).alias("vendor_id"),
-        F.lit(1).cast("long").alias("menu_id"),
-        F.lit(1).cast("long").alias("dispensary_id"),
-        F.lit(None).cast("long").alias("strain_id"),
-        F.lit(_TS).cast("timestamp").alias("created_at"),
-        F.lit(_TS).cast("timestamp").alias("updated_at"),
-        (k % 4).alias("category_id"),
-        F.col("p_name").alias("name"),
-        ((F.col("p_size") * 7) % 101).cast("int").alias("sativa"),
-        ((F.col("p_size") * 13) % 101).cast("int").alias("indica"),
-        (k % 2).cast("int").alias("on_hold"),
-        (k % 2 + 1).cast("int").alias("product_type"),
-        F.when(k % 3 == 0, F.concat(F.col("p_brand"), F.lit(".jpg")))
-        .alias("image_file_name"),
-        F.col("p_retailprice").alias("medicine_amount"),
+    k = "p_partkey"
+    menu_items = p.selectExpr(
+        f"{k} AS id", f"{k} % 7 AS vendor_id",
+        "CAST(1 AS BIGINT) AS menu_id",
+        "CAST(1 AS BIGINT) AS dispensary_id",
+        "CAST(NULL AS BIGINT) AS strain_id",
+        f"CAST('{_TS}' AS TIMESTAMP) AS created_at",
+        f"CAST('{_TS}' AS TIMESTAMP) AS updated_at",
+        f"{k} % 4 AS category_id",
+        "p_name AS name",
+        "CAST((p_size * 7) % 101 AS INT) AS sativa",
+        "CAST((p_size * 13) % 101 AS INT) AS indica",
+        f"CAST({k} % 2 AS INT) AS on_hold",
+        f"CAST({k} % 2 + 1 AS INT) AS product_type",
+        f"CASE WHEN {k} % 3 = 0 THEN concat(p_brand, '.jpg') END"
+        " AS image_file_name",
+        "p_retailprice AS medicine_amount",
     )
-    categories = spark.createDataFrame(
-        [(0, "Cannabis", 2, 1), (1, "Edibles", 1, 1),
-         (2, "Paraphernalia", 1, 1), (3, "Widget", 2, 1)],
-        "id long, name string, measurement int, dispensary_id long")
+    # literal dims via one spark.sql VALUES call each (a createDataFrame
+    # here costs ~100 ms of schema parse + row shipping PER CALL; the
+    # SQL form is one py4j round-trip and the same LocalRelation)
+    categories = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS id, name, "
+        "CAST(measurement AS INT) AS measurement, "
+        "CAST(dispensary_id AS BIGINT) AS dispensary_id FROM VALUES "
+        "(0, 'Cannabis', 2, 1), (1, 'Edibles', 1, 1), "
+        "(2, 'Paraphernalia', 1, 1), (3, 'Widget', 2, 1) "
+        "t(id, name, measurement, dispensary_id)")
     s = load_table(spark, sf_dir, "supplier")
-    prices = s.select(
-        F.col("s_suppkey").alias("id"),
-        F.col("s_suppkey").alias("menu_item_id"),
-        F.lit(1).cast("long").alias("dispensary_id"),
-        *[F.abs(F.col("s_acctbal") % 100).alias(c) for c in
+    prices = s.selectExpr(
+        "s_suppkey AS id",
+        "s_suppkey AS menu_item_id",
+        "CAST(1 AS BIGINT) AS dispensary_id",
+        *[f"abs(s_acctbal % 100) AS {c}" for c in
           ("price_half_gram", "price_gram", "price_two_gram", "price_eigth",
            "price_quarter", "price_half", "price_ounce")])
-    wm = p.filter(k % 5 == 0).select(F.col("p_partkey").alias("menu_item_id"))
-    dd = spark.createDataFrame(
-        [(7, 1, 5.5, 3.0)],
-        "id long, dispensary_id long, grams_hold_at double, "
-        "units_hold_at double")
+    wm = (p.filter(F.col("p_partkey") % 5 == 0)
+          .selectExpr("p_partkey AS menu_item_id"))
+    dd = spark.sql(
+        "SELECT CAST(7 AS BIGINT) AS id, "
+        "CAST(1 AS BIGINT) AS dispensary_id, "
+        "5.5D AS grams_hold_at, 3.0D AS units_hold_at")
     return transform(menu_items, categories, prices, wm, dd, 1, 420)
 
 
@@ -478,41 +489,48 @@ def _settings_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g1_etl_spark.entities.settings import transform
 
     n = load_table(spark, sf_dir, "nation")
-    k = F.col("n_nationkey")
-    dd = n.select(
-        k.alias("id"), F.lit(1).cast("long").alias("dispensary_id"),
-        (k % 2).cast("int").alias("menu_show_tax"),
-        F.when(k % 3 != 0, F.concat(F.col("n_name"), F.lit(".png")))
-        .alias("logo_file_name"),
-        F.lit(30).cast("int").alias("inactivity_logout"),
-        (k % 2).cast("int").alias("calculate_even_totals"),
-        (k % 3 == 0).cast("int").alias("require_customer_referrer"),
-        (k % 2).cast("int").alias("membership_fee_enabled"),
-        F.lit(1).cast("int").alias("pp_enabled"),
-        (k % 10).cast("double").alias("pp_global_dollars_to_points"),
-        (k % 5).cast("double").alias("pp_global_points_to_dollars"),
-        F.lit(25.0).alias("pp_points_per_referral"),
-        (k % 2).cast("int").alias("allow_unpaid_visits"),
-        F.lit(1).cast("int").alias("red_flags_enabled"),
-        F.when(k % 4 == 0, F.lit("api-key")).alias("mmjrevu_api_key"),
-        F.lit(5.5).alias("grams_hold_at"),
-        F.lit(3.0).alias("units_hold_at"))
-    memberships = spark.createDataFrame(
-        [(1, 1), (2, 1)], "id long, dispensary_id long")
-    prices = spark.createDataFrame(
-        [(1, 1, 5.0, 10.0, 18.0, 30.0, 55.0, 100.0, 190.0),
-         (2, 2, 4.0, 8.0, 15.0, 28.0, 50.0, 95.0, 180.0)],
-        "id long, membership_id long, price_half_gram double, "
-        "price_gram double, price_two_gram double, price_eigth double, "
-        "price_quarter double, price_half double, price_ounce double")
-    red_flags = spark.createDataFrame(
-        [(1, 100.0, 30.0, 3.0, 400.0)],
-        "dispensary_id long, daily_purchase_limit double, "
-        "visit_purchase_limit double, daily_visit_limit double, "
-        "two_week_purchase_limit double")
-    taxes = spark.createDataFrame(
-        [(1, 7.25, "state"), (1, 1.5, "city")],
-        "dispensary_id long, amount double, name string")
+    k = "n_nationkey"
+    dd = n.selectExpr(
+        f"{k} AS id", "CAST(1 AS BIGINT) AS dispensary_id",
+        f"CAST({k} % 2 AS INT) AS menu_show_tax",
+        f"CASE WHEN {k} % 3 <> 0 THEN concat(n_name, '.png') END"
+        " AS logo_file_name",
+        "CAST(30 AS INT) AS inactivity_logout",
+        f"CAST({k} % 2 AS INT) AS calculate_even_totals",
+        f"CAST({k} % 3 = 0 AS INT) AS require_customer_referrer",
+        f"CAST({k} % 2 AS INT) AS membership_fee_enabled",
+        "CAST(1 AS INT) AS pp_enabled",
+        f"CAST({k} % 10 AS DOUBLE) AS pp_global_dollars_to_points",
+        f"CAST({k} % 5 AS DOUBLE) AS pp_global_points_to_dollars",
+        "25.0D AS pp_points_per_referral",
+        f"CAST({k} % 2 AS INT) AS allow_unpaid_visits",
+        "CAST(1 AS INT) AS red_flags_enabled",
+        f"CASE WHEN {k} % 4 = 0 THEN 'api-key' END AS mmjrevu_api_key",
+        "5.5D AS grams_hold_at",
+        "3.0D AS units_hold_at")
+    # literal dims via spark.sql VALUES (see _products_doc note)
+    memberships = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "CAST(dispensary_id AS BIGINT) AS dispensary_id "
+        "FROM VALUES (1, 1), (2, 1) t(id, dispensary_id)")
+    prices = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "CAST(membership_id AS BIGINT) AS membership_id, "
+        "price_half_gram, price_gram, price_two_gram, price_eigth, "
+        "price_quarter, price_half, price_ounce FROM VALUES "
+        "(1, 1, 5.0D, 10.0D, 18.0D, 30.0D, 55.0D, 100.0D, 190.0D), "
+        "(2, 2, 4.0D, 8.0D, 15.0D, 28.0D, 50.0D, 95.0D, 180.0D) "
+        "t(id, membership_id, price_half_gram, price_gram, "
+        "price_two_gram, price_eigth, price_quarter, price_half, "
+        "price_ounce)")
+    red_flags = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS dispensary_id, "
+        "100.0D AS daily_purchase_limit, 30.0D AS visit_purchase_limit, "
+        "3.0D AS daily_visit_limit, 400.0D AS two_week_purchase_limit")
+    taxes = spark.sql(
+        "SELECT CAST(dispensary_id AS BIGINT) AS dispensary_id, amount, "
+        "name FROM VALUES (1, 7.25D, 'state'), (1, 1.5D, 'city') "
+        "t(dispensary_id, amount, name)")
     return transform(dd, memberships, prices, red_flags, taxes, 1, 420)
 
 
