@@ -1624,73 +1624,47 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats", "scale"),
 )
 def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from g1_etl_spark.operators.analytics import global_prefix_sums
-
+    # r12 restructure (guide §2.4 remove shuffles outright): the old
+    # form paid a prefix-sum pass (range exchange + per-pid window +
+    # offsets COLLECT + createDataFrame + broadcast join) just to build
+    # a per-type row index, then a SECOND full-data exchange + sort
+    # (explode + (type, block) window) to evaluate the 5 lags. But the
+    # range order (event_type, us, event_id) already makes each type's
+    # rows CONTIGUOUS, so the lags can come from ONE per-partition
+    # window pass directly: lag_k within the range partition, with the
+    # <= 5 head rows of each partition fixed up against the <= 5 tail
+    # rows of earlier partitions via a bounded (10 x n_partitions)-row
+    # side frame. Removes one full-data exchange+sort, the explode, the
+    # totals collect barrier and the createDataFrame; the per-type
+    # totals join stays fully lazy. Every per-pair integer product is
+    # unchanged, so the summed moments — and the final double tree —
+    # are bit-identical (oracle-verified at sf0.001 + sf0.01).
     n_lags = 5
     ev = load_table(spark, sf_dir, "events")
     s = ev.select("event_type", "event_id",
                   F.unix_micros("ts").alias("us"),
                   F.round(F.col("value") * 1000000).cast("long")
-                  .alias("xs"),
-                  F.lit(1).cast("long").alias("one"))
-    # per-type 1-based event index i = global running count minus the
-    # earlier types' row counts (same shape as events_cusum_drift).
-    # r11 (guide §2.6): the prefix-sum pass and the per-type totals
-    # collect are independent eager builds over `s` — overlap them.
-    from g1_etl_spark.plans._util import build_concurrently
-
+                  .alias("xs"))
     d38 = "decimal(38,0)"
-    g, tot_rows = build_concurrently([
-        lambda: global_prefix_sums(s, ["event_type", "us", "event_id"],
-                                   {"gi": "one"}),
-        lambda: (s.groupBy("event_type")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.sum("xs").alias("t"),
-                      F.sum(F.col("xs").cast(d38) * F.col("xs"))
-                      .alias("ss"))
-                 .collect())])  # bounded: one row per event type
-    tot_rows.sort(key=lambda r: r["event_type"].encode("utf-8"))
-    base_i = 0
-    rows = []
-    for r in tot_rows:
-        rows.append((r["event_type"], int(r["n"]), int(r["t"]),
-                     r["ss"], base_i))
-        base_i += int(r["n"])
-    base = spark.createDataFrame(
-        rows, "event_type STRING, n BIGINT, t BIGINT, "
-              "ss DECIMAL(38,0), bi BIGINT")
-    idx = (g.join(F.broadcast(base.select("event_type", "bi")),
-                  "event_type")
-           .select("event_type", (F.col("gi") - F.col("bi")).alias("i"),
-                   "xs"))
-    # All 5 lags from ONE window pass over fixed-size index blocks
-    # (the zscore carry shape on the ROW axis): block b holds rows with
-    # (i-1) div B == b plus a carried copy of the previous block's last
-    # n_lags rows — the only rows a lag-1..5 frame can reach back to —
-    # so partition count grows with data, the carry fraction is
-    # n_lags/B, and there is no lag-fan-out join at all (an earlier
-    # 5x explode + equi-join form measured 234 s at the 1000x probe;
-    # this window form replaces its 500M-row shuffle with a second
-    # 100M-row one).
-    blk_sz = 65536
-    blk = F.expr(f"(i - 1) div {blk_sz}")
-    arr = F.concat(
-        F.array(F.struct(blk.alias("b"), F.lit(False).alias("carry"))),
-        F.when(F.pmod(F.col("i") - 1, F.lit(blk_sz)) >= blk_sz - n_lags,
-               F.array(F.struct((blk + 1).alias("b"),
-                                F.lit(True).alias("carry"))))
-        .otherwise(F.array().cast(
-            "array<struct<b:bigint,carry:boolean>>")))
-    u = (idx.withColumn("_f", F.explode(arr))
-         .select("event_type", "i", "xs",
-                 F.col("_f.b").alias("b"), F.col("_f.carry").alias("carry")))
-    w = W.partitionBy("event_type", "b").orderBy("i")
-    lagged = u.select(
-        "event_type", "xs", "carry",
-        *[F.lag("xs", k).over(w).alias(f"l{k}")
-          for k in range(1, n_lags + 1)])
-    m_rows = lagged.filter(~F.col("carry"))
-    p = m_rows.groupBy("event_type").agg(
+    npart = spark.sparkContext.defaultParallelism
+    w = W.partitionBy("_pid").orderBy("event_type", "us", "event_id")
+    wcnt = W.partitionBy("_pid")
+    # lag values masked to same-type only (cross-type adjacency in the
+    # global order is not a pair; types are contiguous, so within one
+    # type the partition-local distance IS the per-type index distance)
+    lagged = (s.repartitionByRange(npart, "event_type", "us", "event_id")
+              .withColumn("_pid", F.spark_partition_id())
+              .select("event_type", "xs", "_pid",
+                      F.row_number().over(w).alias("_rn"),
+                      F.count(F.lit(1)).over(wcnt).alias("_cnt"),
+                      *[F.when(F.lag("event_type", k).over(w)
+                               == F.col("event_type"),
+                               F.lag("xs", k).over(w)).alias(f"l{k}")
+                        for k in range(1, n_lags + 1)])
+              .localCheckpoint(eager=True))  # freeze pid assignment;
+    # feeds the main aggregate, the totals aggregate and the boundary
+    # frame without recomputing the sort+window pass
+    p = lagged.groupBy("event_type").agg(
         *[x for k in range(1, n_lags + 1) for x in (
             F.sum(F.col("xs").cast(d38) * F.col(f"l{k}"))
             .alias(f"nk{k}"),
@@ -1708,7 +1682,53 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (p.withColumn("_m", melt)
          .select("event_type", "_m.lag", "_m.nk", "_m.s1", "_m.s2",
                  "_m.c"))
-    out = p.join(F.broadcast(base), "event_type")
+    # Cross-partition pairs: a head row (_rn <= n_lags) pairs with a
+    # tail row (_rn > _cnt - n_lags) of an EARLIER partition when their
+    # global-index distance is <= n_lags. Both frames are bounded by
+    # n_lags x n_partitions rows; the global index needs only per-pid
+    # counts (window over a <= n_partitions-row frame — bounded).
+    bnd = (lagged.filter((F.col("_rn") <= n_lags)
+                         | (F.col("_rn") > F.col("_cnt") - n_lags))
+           .select("event_type", "xs", "_pid", "_rn", "_cnt"))
+    woff = (W.orderBy("_pid")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = (bnd.groupBy("_pid").agg(F.max("_cnt").alias("_c"))
+            .select("_pid", F.coalesce(F.sum("_c").over(woff),
+                                       F.lit(0)).alias("_off")))
+    g = (bnd.join(F.broadcast(offs), "_pid")
+         .select("event_type", "xs", "_pid",
+                 (F.col("_off") + F.col("_rn")).alias("_gi")))
+    a, b = g.alias("a"), g.alias("b")
+    dist = F.col("a._gi") - F.col("b._gi")
+    bsum = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                   & (F.col("a._pid") > F.col("b._pid"))
+                   & dist.between(1, n_lags))
+            .select(F.col("a.event_type").alias("event_type"),
+                    dist.alias("lag"),
+                    F.col("a.xs").alias("ax"),
+                    F.col("b.xs").alias("bx"))
+            .groupBy("event_type", "lag")
+            .agg(F.sum(F.col("ax").cast(d38) * F.col("bx")).alias("bnk"),
+                 F.sum("ax").alias("bs1"),
+                 F.sum("bx").alias("bs2"),
+                 F.count(F.lit(1)).alias("bc")))
+    tot = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("t"),
+        F.sum(F.col("xs").cast(d38) * F.col("xs")).alias("ss"))
+    merged = p.join(F.broadcast(bsum), ["event_type", "lag"], "left")
+    c_t = F.col("c") + F.coalesce(F.col("bc"), F.lit(0))
+    z38 = F.lit(0).cast(d38)
+    nk_t = F.when(c_t > 0, F.coalesce(F.col("nk"), z38)
+                  + F.coalesce(F.col("bnk"), z38))
+    s1_t = F.when(c_t > 0, F.coalesce(F.col("s1"), F.lit(0))
+                  + F.coalesce(F.col("bs1"), F.lit(0)))
+    s2_t = F.when(c_t > 0, F.coalesce(F.col("s2"), F.lit(0))
+                  + F.coalesce(F.col("bs2"), F.lit(0)))
+    out = (merged.select("event_type", "lag", nk_t.alias("nk"),
+                         s1_t.alias("s1"), s2_t.alias("s2"),
+                         c_t.alias("c"))
+           .join(F.broadcast(tot), "event_type"))
     n_d = F.col("n").cast("double")
     m = F.col("t").cast("double") / n_d
     num = (F.col("nk").cast("double")

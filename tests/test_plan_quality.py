@@ -338,6 +338,11 @@ _SINGLE_PART_OK = {
     "stats_wilcoxon_signed", "events_burstiness",
     # r11 wave 4: one-row LM totals (Nr, Nt, V) scalar aggregates
     "corpus_dsir_weights",
+    # r12 ACF restructure: the cross-partition boundary fix-up derives
+    # global indexes from per-pid counts — a <= n_partitions-row frame
+    # whose running-sum window is single-partition BY construction
+    # (events_acf core; ljung_box / pacf_yw compose it verbatim)
+    "events_acf", "stats_ljung_box", "events_pacf_yw",
     # one-row moment aggregates + constant-row final sorts
     "feat_correlation_matrix", "events_sax_symbols", "events_hurst_rs",
     "stats_levene_value", "dq_drift_report", "stats_runs_test",
