@@ -1056,6 +1056,7 @@ def stats_ks_value_purchase(spark: SparkSession,
 def stats_spearman_qty_price(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     from g1_etl_spark.operators.analytics import global_prefix_sum
+    from g1_etl_spark.plans._util import bounded_collect
 
     li = load_table(spark, sf_dir, "lineitem")
     s = li.select(F.col("l_quantity").alias("q"),
@@ -1064,30 +1065,51 @@ def stats_spearman_qty_price(spark: SparkSession,
     # NOTE (r11): a joint-(q, p)-census rewrite was tried and REJECTED
     # — l_extendedprice is ~unique (583k distinct / 600k rows at
     # sf0.1), so the joint census compresses nothing and its extra
-    # shuffle made the query 1.3x slower. The row-level join-back
-    # below is the better shape on near-unique keys.
-    # r11 (guide §2.6): the q-rank and p-rank branches are independent
-    # and each runs eager work at build time (prefix-sum repartition +
-    # checkpoint + carry collect) — overlap the two builds. Frames and
-    # rows unchanged.
-    from g1_etl_spark.plans._util import build_concurrently
-
-    def _rank2(col: str, out: str) -> DataFrame:
-        m = s.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        return (global_prefix_sum(m, [col], "c", out_col="cum")
-                .select(col,
-                        (2 * F.col("cum") - F.col("c") + 1).alias(out)))
-
-    qr, pr = build_concurrently([lambda: _rank2("q", "rq2"),
-                                 lambda: _rank2("p", "rp2")])
+    # shuffle made the query 1.3x slower.
+    # r12 (guide §2.3/§2.4): the row-level join-back is gone entirely.
+    # q is ALPHABET-bounded (~50 integral quantities), so its doubled
+    # rank map folds on the driver (bounded_collect guard, the
+    # graph-census discipline) and attaches to rows as a literal map
+    # lookup — no q-side prefix machinery, no join. The p-rank branch
+    # must stay distributed (~583k distinct values), but every moment
+    # the final Pearson-over-ranks needs is now computable from the
+    # P-CENSUS alone: per distinct p, carry c = COUNT(*), sq = SUM(rq2)
+    # and sqq = SUM(rq2^2) (exact integer partials of the row-level
+    # sums), so after the prefix pass assigns rp2 per p,
+    #   sx = SUM(sq), sxx = SUM(sqq), sy = SUM(c*rp2),
+    #   syy = SUM(c*rp2^2), sxy = SUM(sq*rp2), n = SUM(c)
+    # — identical integers to the old row-level aggregate (sums only
+    # re-associate), so rho's double tree is bit-identical. Removes
+    # the two row-level join exchanges (2 x 600k rows) and the whole
+    # q-side prefix pass; one census exchange + the census-sized
+    # prefix pass remain — the honest distributed core.
+    q_rows = bounded_collect(
+        s.groupBy("q").agg(F.count(F.lit(1)).alias("c")),
+        "spearman quantity census", limit=4096)
+    q_rows.sort(key=lambda r: r["q"])
+    cum, entries = 0, []
+    for r in q_rows:
+        c = int(r["c"])
+        cum += c
+        entries.append((repr(float(r["q"])), 2 * cum - c + 1))
+    q_map = ("map(" + ", ".join(f"CAST({k} AS DOUBLE), {v}L"
+                                for k, v in entries) + ")")
     d38 = "decimal(38,0)"
-    r = s.join(qr, "q").join(pr, "p")
-    t = r.agg(F.count(F.lit(1)).alias("n"),
-              F.sum(F.col("rq2").cast(d38)).alias("sx"),
-              F.sum(F.col("rp2").cast(d38)).alias("sy"),
-              F.sum(F.col("rq2").cast(d38) * F.col("rq2")).alias("sxx"),
-              F.sum(F.col("rp2").cast(d38) * F.col("rp2")).alias("syy"),
-              F.sum(F.col("rq2").cast(d38) * F.col("rp2")).alias("sxy"))
+    cen = (s.selectExpr("p", f"{q_map}[q] AS rq2")
+           .groupBy("p")
+           .agg(F.count(F.lit(1)).alias("c"),
+                F.sum(F.col("rq2").cast(d38)).alias("sq"),
+                F.sum(F.col("rq2").cast(d38) * F.col("rq2"))
+                .alias("sqq")))
+    pr = (global_prefix_sum(cen, ["p"], "c", out_col="cum")
+          .withColumn("rp2", 2 * F.col("cum") - F.col("c") + 1))
+    t = pr.agg(F.sum("c").alias("n"),
+               F.sum(F.col("sq")).alias("sx"),
+               F.sum(F.col("c").cast(d38) * F.col("rp2")).alias("sy"),
+               F.sum(F.col("sqq")).alias("sxx"),
+               F.sum(F.col("c").cast(d38) * F.col("rp2") * F.col("rp2"))
+               .alias("syy"),
+               F.sum(F.col("sq") * F.col("rp2")).alias("sxy"))
     n_d = F.col("n").cast("double")
     sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
     rho = ((n_d * F.col("sxy").cast("double") - sx_d * sy_d)
