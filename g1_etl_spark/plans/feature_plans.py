@@ -5,6 +5,8 @@ twin, but the assignment invariant is oracle-checkable)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -533,40 +535,57 @@ def logistic_irls_cells(cells: DataFrame,
     in Python (driver) and SQL (oracle), so each iterate is
     bit-reproducible.
     """
+    # r12 (guide §1.2 / §5 — bounded driver metadata, the
+    # graph_mst_boruvka discipline): the census is alphabet-bounded
+    # (<= 51 x 11 cells), yet each Newton step ran as its own Spark
+    # agg+collect job — 4 scheduled rounds of pure fixed cost. The
+    # census is now collected ONCE through the bounded_collect guard
+    # and the steps run on the driver with the EXACT arithmetic the
+    # Spark expressions computed: identical double tree left-to-right,
+    # exp() pinned to the 1e-6 grid the instant it is produced
+    # (CPython's libm exp vs the JVM's Math.exp may differ in the last
+    # ulp — the SAME class of exposure the DuckDB oracle's exp()
+    # already carries, absorbed by the pinning unless p*1e6 lands
+    # within an ulp of a rounding boundary; parity stays hash-verified
+    # at sf0.001 + sf0.01 like every pinned-libm operator), round =
+    # HALF_UP on the exact binary double (decimal.Decimal mirrors
+    # java.math.BigDecimal), and the nine moment sums are exact Python
+    # ints (== the old decimal(38,0) / the oracle's HUGEINT sums).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from g1_etl_spark.plans._util import bounded_collect
+
+    def rnd(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1),
+                                       rounding=ROUND_HALF_UP))
+
+    rows = bounded_collect(cells.select("q", "dc", "n", "ny"),
+                           "logistic IRLS cell census", limit=4096)
+    cell = [(int(r["q"]), int(r["dc"]), int(r["n"]), int(r["ny"]))
+            for r in rows]
     b = (0.0, 0.0, 0.0)
     for _ in range(iters):
-        qd, dcd = F.col("q").cast("double"), F.col("dc").cast("double")
-        nd, nyd = F.col("n").cast("double"), F.col("ny").cast("double")
-        eta = F.lit(b[0]) + F.lit(b[1]) * qd + F.lit(b[2]) * dcd
-        etac = F.greatest(F.least(eta, F.lit(13.0)), F.lit(-13.0))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-etac))
-        pw = F.round(p * _E6).cast("long")
-        t = cells.select("q", "dc", "n", "ny",
-                         etac.alias("etac"),
-                         (pw.cast("double") / _E6).alias("pd"))
-        ww = F.round(F.col("pd") * (F.lit(1.0) - F.col("pd")) * _E6) \
-            .cast("long")
-        t = t.withColumn("w_w", ww)
-        u = (nd * (F.col("w_w").cast("double") / _E6) * F.col("etac")
-             + (nyd - nd * F.col("pd")))
-        t = t.withColumn("u_w", F.round(u * _E6).cast("long"))
-        # moment products accumulate in decimal(38,0), matching the
-        # oracle's HUGEINT promotion — int64 sums would wrap silently
-        # at very large censuses (~sf1000+, r9 ADVICE)
-        d38 = "decimal(38,0)"
-        nw = F.col("n").cast(d38) * F.col("w_w")
-        uw = F.col("u_w").cast(d38)
-        s = t.agg(
-            F.sum(nw).alias("aw"),
-            F.sum(nw * F.col("q")).alias("bw"),
-            F.sum(nw * F.col("dc")).alias("cw"),
-            F.sum(nw * F.col("q") * F.col("q")).alias("dw"),
-            F.sum(nw * F.col("q") * F.col("dc")).alias("ew"),
-            F.sum(nw * F.col("dc") * F.col("dc")).alias("fw"),
-            F.sum(uw).alias("gw"),
-            F.sum(uw * F.col("q")).alias("hw"),
-            F.sum(uw * F.col("dc")).alias("iw"),
-        ).collect()[0]
+        aw = bw = cw = dw = ew = fw = gw = hw = iw = 0
+        for qi, dci, ni, nyi in cell:
+            qd, dcd = float(qi), float(dci)
+            nd, nyd = float(ni), float(nyi)
+            eta = b[0] + b[1] * qd + b[2] * dcd
+            etac = max(min(eta, 13.0), -13.0)
+            p = 1.0 / (1.0 + math.exp(-etac))
+            pd = float(rnd(p * 1e6)) / 1e6
+            w_w = rnd(pd * (1.0 - pd) * 1e6)
+            u = nd * (float(w_w) / 1e6) * etac + (nyd - nd * pd)
+            u_w = rnd(u * 1e6)
+            nw = ni * w_w
+            aw += nw
+            bw += nw * qi
+            cw += nw * dci
+            dw += nw * qi * qi
+            ew += nw * qi * dci
+            fw += nw * dci * dci
+            gw += u_w
+            hw += u_w * qi
+            iw += u_w * dci
         # Cramer on the 3x3 symmetric system — the SAME expression
         # tree as the oracle's SQL, evaluated on identical doubles.
         # The 0.001 diagonal ridge keeps the solve nonsingular when a
@@ -574,11 +593,11 @@ def logistic_irls_cells(cells: DataFrame,
         # doc in one stopword bucket — would otherwise hit det = 0);
         # it is ~1e-9 of a typical diagonal entry, so coefficients on
         # healthy data are unchanged to float precision.
-        # Decimal -> float before the double Cramer solve (the oracle
-        # does the same HUGEINT -> DOUBLE division)
+        # int -> float before the double Cramer solve (round-nearest,
+        # exactly the oracle's split-converted HUGEINT -> DOUBLE and
+        # the old float(Decimal) conversion)
         aw, bw, cw, dw, ew, fw, gw, hw, iw = (
-            float(x) for x in (s.aw, s.bw, s.cw, s.dw, s.ew,
-                               s.fw, s.gw, s.hw, s.iw))
+            float(x) for x in (aw, bw, cw, dw, ew, fw, gw, hw, iw))
         a, bb, c = aw / 1e6 + 0.001, bw / 1e6, cw / 1e6
         dm, e, f = dw / 1e6 + 0.001, ew / 1e6, fw / 1e6 + 0.001
         g, h, i = gw / 1e6, hw / 1e6, iw / 1e6
