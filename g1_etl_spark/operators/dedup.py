@@ -1001,10 +1001,15 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
              .select("d", "grams", F.size("grams").alias("sz"))
              .localCheckpoint(eager=True))  # feeds index AND verify
     ex = grams.select("d", "sz", F.explode("grams").alias("g"))
-    gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    # r12 (guide §2.4): the document frequency per gram used to be a
+    # groupBy(g) aggregate JOINED back onto ex — a sort-merge join of
+    # two g-partitioned sides. A count window over the same g
+    # partitioning produces the identical _df with ONE exchange and no
+    # join (the posting-list count is the whole-partition frame).
     ow = W.partitionBy("d").orderBy("_df", "g")
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-    prefix = (ex.join(gdf, "g")
+    prefix = (ex.withColumn("_df",
+                            F.count(F.lit(1)).over(W.partitionBy("g")))
               .withColumn("_rn", F.row_number().over(ow))
               .filter(F.col("_rn") <= plen)
               .select("d", "sz", "g"))

@@ -907,33 +907,43 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk", "scale"),
 )
 def orders_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.4): the two basket-keyed self-joins (each an
+    # exchange of the full basket stream plus a join) are replaced by
+    # ONE groupBy(cust, mon) collect_set — safe here because the brand
+    # alphabet caps every set at 25 elements, unlike the gram-set case
+    # source_overlap documents — and an in-expression ordered-triple
+    # fan-out over the sorted set. Per basket the enumerated triples
+    # are exactly the rows the self-joins produced (sorted distinct
+    # brands, b1 < b2 < b3), so the support counts are identical. The
+    # old pass-1 a-priori brand prune is dropped as RESULT-NEUTRAL
+    # rather than moved: any triple surviving support >= 2 sits in >= 2
+    # baskets, so each of its brands does too (downward closure) — the
+    # prune could never change the output, it only cut the self-join
+    # fan-out, and the in-set enumeration is alphabet-capped without
+    # it. Whole query = one exchange to group baskets + one bounded
+    # count exchange; 8 Exchange nodes -> 2, no checkpoint, no
+    # mid-build action.
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
-    baskets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
-                       li.l_orderkey == F.col("o_orderkey"))
-               .join(p.select("p_partkey", "p_brand"),
-                     li.l_partkey == F.col("p_partkey"))
-               .select("o_custkey",
-                       F.date_trunc("month", "o_orderdate").alias("mon"),
-                       "p_brand")
-               .distinct())
-    freq = (baskets.groupBy("p_brand")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= 2).select("p_brand"))
-    fb = (baskets.join(F.broadcast(freq), "p_brand")
-          .select("o_custkey", "mon", "p_brand")
-          .localCheckpoint(eager=True))  # three join sides, one build
-    a, b, c = fb.alias("a"), fb.alias("b"), fb.alias("c")
-    return (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
-                   & (F.col("a.mon") == F.col("b.mon"))
-                   & (F.col("a.p_brand") < F.col("b.p_brand")))
-            .join(c, (F.col("b.o_custkey") == F.col("c.o_custkey"))
-                  & (F.col("b.mon") == F.col("c.mon"))
-                  & (F.col("b.p_brand") < F.col("c.p_brand")))
-            .groupBy(F.col("a.p_brand").alias("b1"),
-                     F.col("b.p_brand").alias("b2"),
-                     F.col("c.p_brand").alias("b3"))
+    sets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .join(p.select("p_partkey", "p_brand"),
+                  li.l_partkey == F.col("p_partkey"))
+            .select("o_custkey",
+                    F.date_trunc("month", "o_orderdate").alias("mon"),
+                    "p_brand")
+            .groupBy("o_custkey", "mon")
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("bs")))
+    tri = F.expr(
+        "flatten(flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), (y, j) -> "
+        "transform(slice(bs, i + j + 3, size(bs)), z -> "
+        "named_struct('b1', x, 'b2', y, 'b3', z))))))")
+    return (sets.select(F.explode(tri).alias("t"))
+            .groupBy(F.col("t.b1").alias("b1"),
+                     F.col("t.b2").alias("b2"),
+                     F.col("t.b3").alias("b3"))
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= 2)
             .orderBy(F.desc("support"), "b1", "b2", "b3")
@@ -986,27 +996,35 @@ def orders_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
-    # no checkpoint: all four consumers (N, supports, both join sides)
-    # sit in ONE action plan, so the planner emits ReusedExchange for
-    # the identical distinct subtree — the shuffle runs once without
-    # pinning ~|baskets| rows in block storage (an eager checkpoint
-    # here heap-OOMed the 1000x probe; exchange reuse costs nothing)
-    baskets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
-                       li.l_orderkey == F.col("o_orderkey"))
-               .join(p.select("p_partkey", "p_brand"),
-                     li.l_partkey == F.col("p_partkey"))
-               .select("o_custkey",
-                       F.date_trunc("month", "o_orderdate").alias("mon"),
-                       "p_brand")
-               .distinct())
-    n = (baskets.select("o_custkey", "mon").distinct()
-         .agg(F.count(F.lit(1)).alias("n_baskets")))
-    supp = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a = baskets.select("o_custkey", "mon", F.col("p_brand").alias("b1"))
-    b = baskets.select("o_custkey", "mon", F.col("p_brand").alias("b2"))
-    pairs = (a.join(b, ["o_custkey", "mon"])
-             .filter(F.col("b1") < F.col("b2"))
-             .groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c_ab")))
+    # r12 (guide §2.4, same restructure as orders_basket_triples): ONE
+    # groupBy(cust, mon) collect_set (bounded: 25-brand alphabet caps
+    # every set) replaces the distinct + basket-keyed self-join; pairs,
+    # per-brand supports and the basket count N all derive from the
+    # grouped frame. No checkpoint, as before: all three consumers sit
+    # in ONE action plan, so the planner emits ReusedExchange for the
+    # identical groupBy subtree — the shuffle runs once without pinning
+    # ~|baskets| rows in block storage (an eager checkpoint here
+    # heap-OOMed the 1000x probe; exchange reuse costs nothing).
+    sets = (li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .join(p.select("p_partkey", "p_brand"),
+                  li.l_partkey == F.col("p_partkey"))
+            .select("o_custkey",
+                    F.date_trunc("month", "o_orderdate").alias("mon"),
+                    "p_brand")
+            .groupBy("o_custkey", "mon")
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("bs")))
+    n = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    supp = (sets.select(F.explode("bs").alias("p_brand"))
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt")))
+    pair_fan = F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), y -> "
+        "named_struct('b1', x, 'b2', y))))")
+    pairs = (sets.select(F.explode(pair_fan).alias("pr"))
+             .groupBy(F.col("pr.b1").alias("b1"),
+                      F.col("pr.b2").alias("b2"))
+             .agg(F.count(F.lit(1)).alias("c_ab")))
     dirs = (pairs.select("c_ab", F.explode(F.array(
         F.struct(F.col("b1").alias("antecedent"),
                  F.col("b2").alias("consequent")),

@@ -381,9 +381,16 @@ _NORM = ("sqrt(list_sum(list_transform({v}, "
 def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, sf_dir, "embeddings")
            .filter(F.col("vec_id") < 500))
-    a = emb.select(F.col("vec_id").alias("d1"),
-                   F.col("embedding").alias("v1"),
-                   S.l2_norm(F.col("embedding")).alias("_n1"))
+    # r12 (guide §2.5 input skew — the r11 "spread before CPU-heavy
+    # fan-out" pattern): the 500-row probe side arrives as ONE scan
+    # task, so the BNLJ's ~125k interpreted dot products all ran in a
+    # single task; a round-robin spread puts the fan-out on every core.
+    # Row set unchanged.
+    spread = spark.sparkContext.defaultParallelism
+    a = (emb.repartition(spread)
+         .select(F.col("vec_id").alias("d1"),
+                 F.col("embedding").alias("v1"),
+                 S.l2_norm(F.col("embedding")).alias("_n1")))
     b = emb.select(F.col("vec_id").alias("d2"),
                    F.col("embedding").alias("v2"),
                    S.l2_norm(F.col("embedding")).alias("_n2"))

@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from g1_etl_spark.catalog import load_table
@@ -988,19 +988,28 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
 
     # cheapest observed price per (part, supplier), European suppliers
-    # only — the per-part MIN then needs just this pre-aggregated slice
+    # only — the per-part MIN then needs just this pre-aggregated slice.
+    # r12 (guide §2.4/§7.2): the min-cost decorrelation used to be a
+    # second aggregate + equi-join on (part, cost) — and because the
+    # (part, supplier) aggregate needs NO exchange (the semi-join's
+    # l_suppkey partitioning already clusters it), there was nothing
+    # for ReusedExchange to reuse: the plan ran the lineitem scan +
+    # semi-join + aggregate TWICE (two SortMergeJoin LeftSemi in the
+    # before-plan). A per-part min window + filter computes the same
+    # keep-ties minimum in ONE pass — one added exchange on the
+    # aggregated (part, supplier) slice instead of a duplicated
+    # data-sized subtree.
     supply = (li.join(eu_supp.select("s_suppkey"),
                       li.l_suppkey == F.col("s_suppkey"), "left_semi")
               .groupBy("l_partkey", "l_suppkey")
               .agg(F.min("l_extendedprice").alias("supplycost")))
-    min_cost = (supply.groupBy(F.col("l_partkey").alias("mc_partkey"))
-                .agg(F.min("supplycost").alias("mc_cost")))
-    return (supply
-            .join(min_cost, (supply.l_partkey == F.col("mc_partkey"))
-                  & (supply.supplycost == F.col("mc_cost")))
+    cheapest = (supply.withColumn(
+        "_mc", F.min("supplycost").over(W.partitionBy("l_partkey")))
+        .filter(F.col("supplycost") == F.col("_mc")).drop("_mc"))
+    return (cheapest
             .join(p.select("p_partkey", "p_brand"),
-                  supply.l_partkey == F.col("p_partkey"))
-            .join(eu_supp, supply.l_suppkey == eu_supp.s_suppkey)
+                  cheapest.l_partkey == F.col("p_partkey"))
+            .join(eu_supp, cheapest.l_suppkey == eu_supp.s_suppkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
                     "p_brand", "supplycost")
             .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")

@@ -17,7 +17,22 @@ def _specs():
     return sorted(REGISTRY.items())
 
 
-@pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
+# Parity outliers excluded from the default driver-window gate (see
+# pytest.ini): their DuckDB-side unrolled-CTE oracles alone cost
+# ~26 min across both SFs (closeness 838 s, sssp 572 s, pca 164 s) —
+# an order of magnitude above every other query. They stay in the full
+# suite (-m "slow or not slow"), which the builder runs per round.
+_SLOW_PARITY = {"graph_closeness_trade", "graph_sssp_trade",
+                "feat_pca_project"}
+
+
+def _params(specs):
+    return [pytest.param(n, s, marks=pytest.mark.slow)
+            if n in _SLOW_PARITY else (n, s) for n, s in specs]
+
+
+@pytest.mark.parametrize("name,spec", _params(_specs()),
+                         ids=[n for n, _ in _specs()])
 def test_oracle_parity(spark, duck, name, spec):
     df = spec.fn(spark, SF_SMOKE)
     if spec.oracle is None:
@@ -66,7 +81,8 @@ def test_no_oracle_emits_hugeint_or_decimal(duck):
 
 
 @pytest.mark.parametrize("name,spec",
-                         [(n, s) for n, s in _specs() if s.oracle],
+                         _params([(n, s) for n, s in _specs()
+                                  if s.oracle]),
                          ids=[n for n, s in _specs() if s.oracle])
 def test_oracle_parity_driver_scale(spark, duck_driver_scale, name, spec):
     """The same hash comparison at sf0.01 — the driver's own scale.
